@@ -1,0 +1,114 @@
+"""The ``.dat`` capture codec — the system's central data contract.
+
+A capture is interleaved unsigned-8-bit I/Q at 2 Msps, centered at 127.5,
+laid out as three equal sample blocks ``[REF | TGT | REF]`` produced by the
+2-frequency capture tool (reference: collector.go:83-85,
+processor.go:196-200, processor.go:208-238, rtl_sdr.c:19-25).
+
+Byte value ``b`` decodes to ``(b - 127.5) / 127.5`` (processor.go:198-200);
+clipping means touching 0 or 255 (analyzer.go semantics) — encode/decode here
+is bit-faithful so the quality tools keep their meaning.
+
+Decoding is done on-device: the u8 buffer is shipped to the accelerator and
+widened there, so host↔device traffic is 1 byte/sample-component instead of 8.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdoa_tpu.utils.constants import IQ_CENTER, IQ_SCALE, NUM_BLOCKS
+
+
+def bytes_to_iq(raw: jax.Array) -> jax.Array:
+    """Decode interleaved u8 I/Q bytes to complex64 samples.
+
+    ``raw`` is a uint8 array of even length ``2*n``; returns complex64 ``[n]``.
+    Jittable; runs on device so only bytes cross the host↔device boundary.
+    """
+    x = (raw.astype(jnp.float32) - IQ_CENTER) / IQ_SCALE
+    pairs = x.reshape(-1, 2)
+    return jax.lax.complex(pairs[:, 0], pairs[:, 1])
+
+
+def iq_to_bytes(iq: jax.Array) -> jax.Array:
+    """Encode complex samples to interleaved u8 I/Q bytes (inverse contract).
+
+    Values are scaled by 127.5, offset to 127.5 and clamped to [0, 255] —
+    matching the simulators' quantization (simulator.go:146-161).
+    Rounds to nearest, matching ``uint8(x*127.5 + 127.5 + 0.5)``.
+    """
+    comps = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1)
+    scaled = comps * IQ_SCALE + IQ_CENTER
+    return jnp.clip(jnp.round(scaled), 0.0, 255.0).astype(jnp.uint8).reshape(-1)
+
+
+def split_blocks(iq: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Split a capture into its three equal blocks (ref1, tgt, ref2).
+
+    Mirrors processor.go:208-267: block 1 and 3 are the reference
+    frequency, block 2 is the target. Trailing samples beyond ``3*n`` are
+    dropped (the capture tool writes exactly 3×n, but real files can carry
+    partial trailing buffers).
+    """
+    n = iq.shape[0] // NUM_BLOCKS
+    return iq[:n], iq[n : 2 * n], iq[2 * n : 3 * n]
+
+
+@dataclasses.dataclass
+class DatCapture:
+    """A decoded capture: device-resident complex64 blocks plus metadata."""
+
+    ref1: jax.Array  # first reference-frequency block
+    tgt: jax.Array  # target-frequency block
+    ref2: jax.Array  # second reference-frequency block
+    path: str = ""
+    station: str = ""
+
+    @property
+    def block_len(self) -> int:
+        return int(self.ref1.shape[0])
+
+    @property
+    def ref(self) -> jax.Array:
+        """Both REF blocks concatenated — reference-parity view
+        (processor.go:208-238 concatenates blocks 1+3)."""
+        return jnp.concatenate([self.ref1, self.ref2])
+
+
+_decode = jax.jit(bytes_to_iq)
+
+
+def load_dat(path: str, station: str = "") -> DatCapture:
+    """Load and decode a ``.dat`` capture file.
+
+    The raw bytes are memory-mapped on the host, shipped to device as u8,
+    and widened to complex64 there (processor.go:166-205 equivalent).
+    """
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
+    usable = (len(raw) // (2 * NUM_BLOCKS)) * (2 * NUM_BLOCKS)
+    iq = _decode(jnp.asarray(raw[:usable]))
+    ref1, tgt, ref2 = split_blocks(iq)
+    return DatCapture(ref1=ref1, tgt=tgt, ref2=ref2, path=path, station=station)
+
+
+def save_dat(path: str, ref1, tgt, ref2) -> int:
+    """Write three complex blocks as a byte-contract ``.dat`` file.
+
+    Returns the number of bytes written. Blocks must be equal length
+    (the collector's validateDataFile checks size = 3×n,
+    collector.go:178-203).
+    """
+    if not (ref1.shape[0] == tgt.shape[0] == ref2.shape[0]):
+        raise ValueError("all three blocks must have equal length")
+    chunks = [np.asarray(iq_to_bytes(b)) for b in (ref1, tgt, ref2)]
+    with open(path, "wb") as f:
+        for c in chunks:
+            f.write(c.tobytes())
+    return os.path.getsize(path)

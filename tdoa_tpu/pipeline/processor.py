@@ -1,0 +1,241 @@
+"""The end-to-end TDOA processor: captures → TDOAs → position fix.
+
+Capability parity with processor.go's ProcessTDOA (processor.go:739-929),
+rebuilt TPU-first:
+
+- all three blocks of all stations are correlated in ONE batched jitted
+  program: signals stack to ``[3·n_st, L]`` and the per-block station pairs
+  become one pair list, so every FFT rides the same XLA computation;
+- the reference-signal clock correction the reference left unwired
+  (processor.go:853-858 just picks the TGT delays) is implemented: the two
+  REF blocks bracket the TGT block, so the per-pair clock offset is
+  *interpolated* to the TGT block's midpoint and subtracted, and the known
+  reference-transmitter geometry removes the REF propagation term;
+- TDOAs are converted to range differences and solved by multi-start
+  Levenberg-Marquardt over all pairs (solve/multilateration.py).
+
+Sanity gates mirror PROJECT_NOTES.md:29-32: physical TDOAs for the network
+are bounded by baseline/c, so measurements beyond that are flagged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdoa_tpu.geo import lla_to_ecef
+from tdoa_tpu.io.datfile import DatCapture, load_dat
+from tdoa_tpu.io.stations import StationTable, load_station_table, station_from_filename
+from tdoa_tpu.ops.corr import correlate_pairs
+from tdoa_tpu.solve.multilateration import FixResult, solve_fix, station_pairs
+from tdoa_tpu.utils.constants import (
+    DEFAULT_MAX_LAG,
+    DEFAULT_SAMPLE_RATE,
+    SPEED_OF_LIGHT,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcessorConfig:
+    ref_freq: float
+    tgt_freq: float
+    sample_rate: float = DEFAULT_SAMPLE_RATE
+    max_lag: int = DEFAULT_MAX_LAG
+    seg_len: Optional[int] = 1 << 21  # stream long blocks through segments
+    weighting: str = "ht"  # Hannan-Thomson ML weighting (ops/corr.py)
+    clock_correction: bool = True
+    solve_z: bool = False
+    # Like the reference's 1 s truncation (processor.go:772-783) but
+    # optional: None processes the full capture.
+    truncate_samples: Optional[int] = None
+
+
+@dataclasses.dataclass
+class TDOAResult:
+    fix: FixResult
+    station_names: List[str]
+    pair_idx: np.ndarray  # [m, 2]
+    tgt_delay_samples: np.ndarray  # [m] raw TGT correlation delays
+    ref_delay_samples: np.ndarray  # [m, 2] raw REF-block delays (blocks 1, 3)
+    clock_offset_samples: np.ndarray  # [m] interpolated pair clock offsets
+    corrected_tdoa_samples: np.ndarray  # [m] what the solver consumed
+    tdoa_seconds: np.ndarray  # [m]
+    quality: np.ndarray  # [m] TGT peak-to-sidelobe ratios
+    peak_value: np.ndarray  # [m] TGT correlation peaks
+    warnings: List[str] = dataclasses.field(default_factory=list)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_lag", "seg_len", "weighting", "clock_correction"),
+)
+def process_blocks(
+    ref1: jax.Array,  # [n_st, L] complex64
+    tgt: jax.Array,
+    ref2: jax.Array,
+    pair_idx: jax.Array,  # [m, 2]
+    ref_geo_tdoa: jax.Array,  # [m] reference-tx geometric TDOA, samples
+    max_lag: int = DEFAULT_MAX_LAG,
+    seg_len: Optional[int] = None,
+    weighting: str = "phat",
+    clock_correction: bool = True,
+):
+    """The fused device program: 3 blocks × all pairs → corrected TDOAs.
+
+    Returns (corrected_tdoa, tgt_delay, ref_delays [m,2], quality, peak).
+    All three blocks correlate in one batched call; DC removal happens
+    on-device (the standard preprocessing of processor.go:469-499 — the
+    remaining filter cascade there exists to prop up a weak time-domain
+    correlator and is superseded by GCC weighting).
+    """
+    n_st = ref1.shape[0]
+    m = pair_idx.shape[0]
+    x = jnp.concatenate([ref1, tgt, ref2], axis=0)  # [3*n_st, L]
+    x = x - jnp.mean(x, axis=-1, keepdims=True)  # DC removal
+    # Pair lists for each block, offset into the stacked station axis.
+    offsets = jnp.arange(3, dtype=jnp.int32)[:, None, None] * n_st
+    all_pairs = (pair_idx[None, :, :] + offsets).reshape(3 * m, 2)
+    res = correlate_pairs(
+        x, all_pairs, max_lag=max_lag, seg_len=seg_len, weighting=weighting
+    )
+    delays = res.delay.reshape(3, m)
+    quality = res.quality.reshape(3, m)
+    peaks = res.peak_value.reshape(3, m)
+    ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)  # [m, 2]
+    tgt_delay = delays[1]
+    if clock_correction:
+        # REF blocks 1 and 3 bracket TGT; blocks are contiguous and equal
+        # length, so the TGT midpoint sits exactly between the REF
+        # midpoints — the clock offset there is the plain average.
+        ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
+        clock = ref_mid - ref_geo_tdoa  # remove REF propagation term
+        corrected = tgt_delay - clock
+    else:
+        clock = jnp.zeros_like(tgt_delay)
+        corrected = tgt_delay
+    return corrected, tgt_delay, ref_delays, clock, quality, peaks
+
+
+class TDOAProcessor:
+    """High-level orchestrator mirroring the reference CLI contract
+    (``processor ref_freq target_freq csv dat1 dat2 dat3...``,
+    processor.go:1047-1051)."""
+
+    def __init__(self, config: ProcessorConfig, stations: StationTable):
+        self.config = config
+        self.stations = stations
+
+    @classmethod
+    def from_csv(
+        cls, ref_freq: float, tgt_freq: float, csv_path: str, **cfg
+    ) -> "TDOAProcessor":
+        table = load_station_table(csv_path, reference_freq=ref_freq)
+        return cls(ProcessorConfig(ref_freq=ref_freq, tgt_freq=tgt_freq, **cfg), table)
+
+    def _ref_geo_tdoa_samples(self, names: Sequence[str], pairs: np.ndarray) -> np.ndarray:
+        """Geometric REF-transmitter TDOA per pair, in samples. Zero when
+        the reference transmitter's position is unknown (then the clock
+        correction still cancels the *common* clock+geometry term, which
+        shifts all TDOAs consistently)."""
+        if self.stations.reference_tx is None:
+            return np.zeros(len(pairs))
+        lla = self.stations.lla_array(names)
+        st = lla_to_ecef(lla)
+        tx = lla_to_ecef(
+            np.array(
+                [
+                    self.stations.reference_tx.lat,
+                    self.stations.reference_tx.lon,
+                    self.stations.reference_tx.elev,
+                ]
+            )
+        )
+        d = np.linalg.norm(st - tx, axis=-1)
+        tau = d / SPEED_OF_LIGHT * self.config.sample_rate
+        return tau[pairs[:, 1]] - tau[pairs[:, 0]]
+
+    def process_captures(
+        self, captures: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]
+    ) -> TDOAResult:
+        """Run the pipeline on in-memory blocks {station: (ref1, tgt, ref2)}."""
+        cfg = self.config
+        names = [n for n in captures.keys()]
+        if len(names) < 3:
+            raise ValueError("need at least 3 stations for a 2D fix")
+        pairs = station_pairs(len(names))
+
+        def prep(b):
+            if cfg.truncate_samples is not None:
+                b = b[: cfg.truncate_samples]
+            return b
+
+        ref1 = jnp.stack([prep(captures[n][0]) for n in names])
+        tgt = jnp.stack([prep(captures[n][1]) for n in names])
+        ref2 = jnp.stack([prep(captures[n][2]) for n in names])
+
+        ref_geo = self._ref_geo_tdoa_samples(names, pairs)
+        corrected, tgt_d, ref_d, clock, quality, peaks = process_blocks(
+            ref1,
+            tgt,
+            ref2,
+            jnp.asarray(pairs),
+            jnp.asarray(ref_geo, jnp.float32),
+            max_lag=cfg.max_lag,
+            seg_len=cfg.seg_len,
+            weighting=cfg.weighting,
+            clock_correction=cfg.clock_correction,
+        )
+        corrected = np.asarray(corrected, np.float64)
+        tdoa_s = corrected / cfg.sample_rate
+
+        warnings: List[str] = []
+        lla = self.stations.lla_array(names)
+        ecef = lla_to_ecef(lla)
+        for k, (i, j) in enumerate(pairs):
+            bl = np.linalg.norm(ecef[i] - ecef[j])
+            max_tdoa = bl / SPEED_OF_LIGHT
+            if abs(tdoa_s[k]) > max_tdoa * 1.05:
+                warnings.append(
+                    f"pair {names[i]}-{names[j]}: TDOA {tdoa_s[k]*1e6:.2f} us "
+                    f"exceeds baseline limit {max_tdoa*1e6:.2f} us"
+                )
+
+        q = np.asarray(quality[1], np.float64)
+        fix = solve_fix(
+            lla,
+            tdoa_s,
+            weights=q / np.maximum(q.max(), 1e-9),
+            pair_idx=pairs,
+            solve_z=cfg.solve_z,
+        )
+        return TDOAResult(
+            fix=fix,
+            station_names=names,
+            pair_idx=pairs,
+            tgt_delay_samples=np.asarray(tgt_d, np.float64),
+            ref_delay_samples=np.asarray(ref_d, np.float64),
+            clock_offset_samples=np.asarray(clock, np.float64),
+            corrected_tdoa_samples=corrected,
+            tdoa_seconds=tdoa_s,
+            quality=q,
+            peak_value=np.asarray(peaks[1], np.float64),
+            warnings=warnings,
+        )
+
+    def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:
+        """Load ``.dat`` files (station identity from filenames,
+        processor.go:110-122) and process them."""
+        captures: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
+        known = self.stations.names
+        for path in dat_paths:
+            st = station_from_filename(path, known)
+            if st is None:
+                raise ValueError(f"cannot infer station from filename: {path}")
+            cap: DatCapture = load_dat(path, station=st)
+            captures[st] = (cap.ref1, cap.tgt, cap.ref2)
+        return self.process_captures(captures)

@@ -1,0 +1,43 @@
+"""Physically-true propagation delays for simulation.
+
+The reference's simulators encode TDOA only as a carrier-phase offset
+(simulator.go:111-117, weak_signal_simulator.go:162-169) — the envelope is
+never actually shifted, so its correlator is exercised only through an
+aliased carrier tone. Here a delay shifts the *complex envelope* by the
+exact fractional number of samples (frequency-domain phase ramp) **and**
+rotates the carrier phase (``exp(-j2πf_c τ)``), which is what a real
+down-converted capture of a delayed RF signal looks like.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def fractional_delay(x: jax.Array, delay_samples: jax.Array) -> jax.Array:
+    """Circularly delay a complex signal by a (possibly fractional) number
+    of samples via an FFT phase ramp. Positive delay shifts the signal
+    later. Exact for bandlimited signals; circular wrap is negligible when
+    |delay| ≪ len(x)."""
+    n = x.shape[-1]
+    f = jnp.fft.fftfreq(n)  # cycles/sample
+    ramp = jnp.exp(-2j * jnp.pi * f * delay_samples)
+    return jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * ramp.astype(jnp.complex64), axis=-1)
+
+
+def apply_channel(
+    x: jax.Array,
+    delay_samples: jax.Array,
+    carrier_freq_hz: float,
+    sample_rate: float,
+    amplitude: jax.Array = 1.0,
+) -> jax.Array:
+    """Delay + carrier rotation + path amplitude: the point-source channel.
+
+    ``x`` is the transmitted complex envelope; the received envelope is
+    ``amplitude · x(t − τ) · exp(−j2π f_c τ)`` with ``τ`` in samples.
+    """
+    tau_s = delay_samples / sample_rate
+    phase = jnp.exp(-2j * jnp.pi * carrier_freq_hz * tau_s).astype(jnp.complex64)
+    return amplitude * phase * fractional_delay(x, delay_samples)

@@ -1,0 +1,232 @@
+"""Multi-station capture simulation with ground truth.
+
+Capability parity with simulator.go (ideal 3-station captures) and
+weak_signal_simulator.go (impairment model: Gaussian noise, impulses,
+phase drift, DC offset — weak_signal_simulator.go:46-53, 89-126), with two
+physics fixes the rebuild needs to be self-validating:
+
+- delays are true fractional *sample* shifts of the modulated envelope
+  (sim/delay.py), not carrier-phase-only offsets;
+- per-station clock offsets and drifts are modeled, so the dual-frequency
+  [REF|TGT|REF] clock-cancellation path can be exercised end-to-end.
+
+Every simulated capture ships with a ``SimTruth`` carrying the exact
+geometric TDOAs and clock terms, pair-ordered like
+``solve.station_pairs`` — the test suite asserts the full pipeline
+recovers them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdoa_tpu.geo import lla_to_ecef
+from tdoa_tpu.io.datfile import save_dat
+from tdoa_tpu.sim.delay import apply_channel
+from tdoa_tpu.sim.source import fm_source
+from tdoa_tpu.solve.multilateration import station_pairs
+from tdoa_tpu.utils.constants import DEFAULT_SAMPLE_RATE, SPEED_OF_LIGHT
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseProfile:
+    """Receiver-side impairment menu (weak_signal_simulator.go:46-53)."""
+
+    signal_amplitude: float = 0.5  # envelope amplitude at the nearest station
+    noise_amplitude: float = 0.005  # AWGN std per I/Q component
+    impulse_rate: float = 0.0  # fraction of samples hit by impulses
+    impulse_amplitude: float = 0.0  # impulse magnitude (absolute)
+    phase_drift_rad_s: float = 0.0  # slow LO phase rotation
+    dc_offset: float = 0.0  # additive DC on both I and Q
+
+
+IDEAL_PROFILE = NoiseProfile()
+# Mirrors the reference's weak-REF profile: ~80% of full-scale is noise,
+# 0.1% impulse samples at 5×, 0.05 rad/s drift, small DC
+# (weak_signal_simulator.go:180-195).
+WEAK_REF_PROFILE = NoiseProfile(
+    signal_amplitude=0.2,
+    noise_amplitude=0.28,  # 0.8 envelope split across I/Q components
+    impulse_rate=0.001,
+    impulse_amplitude=1.0,
+    phase_drift_rad_s=0.05,
+    dc_offset=0.05,
+)
+STRONG_TGT_PROFILE = NoiseProfile(signal_amplitude=0.6, noise_amplitude=0.02)
+
+
+@dataclasses.dataclass
+class SimScene:
+    """A static scene: receivers, two transmitters, clocks, impairments."""
+
+    station_names: Tuple[str, ...]
+    station_lla: np.ndarray  # [n, 3]
+    ref_tx_lla: np.ndarray  # [3] reference transmitter (known position)
+    tgt_tx_lla: np.ndarray  # [3] target transmitter (to be located)
+    ref_freq: float = 162_400_000.0
+    tgt_freq: float = 101_900_000.0
+    sample_rate: float = DEFAULT_SAMPLE_RATE
+    block_len: int = 1 << 18  # samples per [REF|TGT|REF] block
+    clock_offsets_s: Optional[np.ndarray] = None  # [n] at capture start
+    clock_drifts_ppm: Optional[np.ndarray] = None  # [n] fractional rate error
+    ref_profile: NoiseProfile = IDEAL_PROFILE
+    tgt_profile: NoiseProfile = IDEAL_PROFILE
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class SimTruth:
+    pair_idx: np.ndarray  # [m, 2]
+    tgt_tdoa_samples: np.ndarray  # [m] geometric TDOA (what a perfect fix needs)
+    ref_tdoa_samples: np.ndarray  # [m] geometric TDOA of the reference tx
+    clock_offset_samples: np.ndarray  # [n, 3] effective offset per block
+    measured_ref_delay: np.ndarray  # [m, 2] expected REF-block correlation delays
+    measured_tgt_delay: np.ndarray  # [m] expected TGT-block correlation delay
+    station_delays_samples: np.ndarray  # [n, 2] (ref, tgt) geometric delays
+
+
+def _geometric_delays_samples(scene: SimScene) -> Tuple[np.ndarray, np.ndarray]:
+    st = lla_to_ecef(scene.station_lla)
+    d_ref = np.linalg.norm(st - lla_to_ecef(scene.ref_tx_lla), axis=-1)
+    d_tgt = np.linalg.norm(st - lla_to_ecef(scene.tgt_tx_lla), axis=-1)
+    fs = scene.sample_rate
+    return d_ref / SPEED_OF_LIGHT * fs, d_tgt / SPEED_OF_LIGHT * fs
+
+
+def compute_truth(scene: SimScene) -> SimTruth:
+    n = len(scene.station_names)
+    tau_ref, tau_tgt = _geometric_delays_samples(scene)
+    pairs = station_pairs(n)
+    fs = scene.sample_rate
+    offs = np.zeros(n) if scene.clock_offsets_s is None else np.asarray(scene.clock_offsets_s)
+    drifts = np.zeros(n) if scene.clock_drifts_ppm is None else np.asarray(scene.clock_drifts_ppm)
+    # Effective clock offset at each block's midpoint, in samples.
+    block_mid_t = (np.arange(3) + 0.5) * scene.block_len / fs
+    clock = (offs[:, None] + 1e-6 * drifts[:, None] * block_mid_t[None, :]) * fs  # [n, 3]
+
+    i, j = pairs[:, 0], pairs[:, 1]
+    ref_tdoa = tau_ref[j] - tau_ref[i]
+    tgt_tdoa = tau_tgt[j] - tau_tgt[i]
+    meas_ref = np.stack(
+        [
+            ref_tdoa + (clock[j, 0] - clock[i, 0]),
+            ref_tdoa + (clock[j, 2] - clock[i, 2]),
+        ],
+        axis=-1,
+    )
+    meas_tgt = tgt_tdoa + (clock[j, 1] - clock[i, 1])
+    return SimTruth(
+        pair_idx=pairs,
+        tgt_tdoa_samples=tgt_tdoa,
+        ref_tdoa_samples=ref_tdoa,
+        clock_offset_samples=clock,
+        measured_ref_delay=meas_ref,
+        measured_tgt_delay=meas_tgt,
+        station_delays_samples=np.stack([tau_ref, tau_tgt], axis=-1),
+    )
+
+
+def _receive_block(
+    key: jax.Array,
+    src: jax.Array,
+    delays: jax.Array,  # [n] samples (geometry + clock)
+    amps: jax.Array,  # [n]
+    carrier: float,
+    profile: NoiseProfile,
+    sample_rate: float,
+) -> jax.Array:
+    """Simulate one block at every station: channel + impairments. [n, L]."""
+    n_st = delays.shape[0]
+    length = src.shape[0]
+    rx = jax.vmap(
+        lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
+    )(delays, amps)
+
+    k_noise_i, k_noise_q, k_imp, k_impphase, k_phase0 = jax.random.split(key, 5)
+    noise = profile.noise_amplitude * (
+        jax.random.normal(k_noise_i, (n_st, length))
+        + 1j * jax.random.normal(k_noise_q, (n_st, length))
+    )
+    rx = rx + noise.astype(jnp.complex64)
+
+    if profile.impulse_rate > 0:
+        hits = jax.random.bernoulli(k_imp, profile.impulse_rate, (n_st, length))
+        phases = jax.random.uniform(k_impphase, (n_st, length), maxval=2 * np.pi)
+        rx = rx + jnp.where(
+            hits, profile.impulse_amplitude * jnp.exp(1j * phases), 0.0
+        ).astype(jnp.complex64)
+
+    if profile.phase_drift_rad_s != 0.0:
+        t = jnp.arange(length) / sample_rate
+        phi0 = jax.random.uniform(k_phase0, (n_st, 1), maxval=2 * np.pi)
+        rx = rx * jnp.exp(1j * (profile.phase_drift_rad_s * t[None, :] + phi0)).astype(
+            jnp.complex64
+        )
+
+    if profile.dc_offset != 0.0:
+        rx = rx + (profile.dc_offset + 1j * profile.dc_offset)
+
+    return rx
+
+
+def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], SimTruth]:
+    """Run the scene. Returns ({station: (ref1, tgt, ref2)}, truth).
+
+    Each block is an independent FM-of-noise realization from the proper
+    transmitter, received at all stations with geometric + clock delays,
+    path-loss amplitudes, and the block's impairment profile.
+    """
+    truth = compute_truth(scene)
+    tau_ref, tau_tgt = truth.station_delays_samples[:, 0], truth.station_delays_samples[:, 1]
+    n = len(scene.station_names)
+    fs = scene.sample_rate
+
+    st_ecef = lla_to_ecef(scene.station_lla)
+    d_ref = np.linalg.norm(st_ecef - lla_to_ecef(scene.ref_tx_lla), axis=-1)
+    d_tgt = np.linalg.norm(st_ecef - lla_to_ecef(scene.tgt_tx_lla), axis=-1)
+    amp_ref = scene.ref_profile.signal_amplitude * (d_ref.min() / d_ref)
+    amp_tgt = scene.tgt_profile.signal_amplitude * (d_tgt.min() / d_tgt)
+
+    key = jax.random.PRNGKey(scene.seed)
+    keys = jax.random.split(key, 6)
+    blocks = []
+    specs = [
+        (0, scene.ref_freq, tau_ref, amp_ref, scene.ref_profile),
+        (1, scene.tgt_freq, tau_tgt, amp_tgt, scene.tgt_profile),
+        (2, scene.ref_freq, tau_ref, amp_ref, scene.ref_profile),
+    ]
+    for b, (bi, carrier, tau, amp, profile) in enumerate(specs):
+        src = fm_source(keys[b], scene.block_len, fs)
+        delays = jnp.asarray(
+            tau + np.asarray(truth.clock_offset_samples[:, bi]), jnp.float32
+        )
+        rx = _receive_block(
+            keys[3 + b % 3], src, delays, jnp.asarray(amp, jnp.float32),
+            carrier, profile, fs,
+        )
+        blocks.append(rx)
+
+    captures = {
+        name: (blocks[0][k], blocks[1][k], blocks[2][k])
+        for k, name in enumerate(scene.station_names)
+    }
+    return captures, truth
+
+
+def write_scene_captures(
+    scene: SimScene, out_dir: str, prefix: str = "sim-", epoch: int = 1_700_000_000
+) -> Tuple[Dict[str, str], SimTruth]:
+    """Simulate and write byte-contract ``.dat`` files
+    (``{prefix}{station}-{epoch}.dat``, simulator.go:163-178 convention)."""
+    captures, truth = simulate_scene(scene)
+    paths = {}
+    for name, (r1, t, r2) in captures.items():
+        path = f"{out_dir}/{prefix}{name}-{epoch}.dat"
+        save_dat(path, r1, t, r2)
+        paths[name] = path
+    return paths, truth

@@ -1,0 +1,15 @@
+from tdoa_tpu.solve.multilateration import (
+    solve_tdoa_enu,
+    solve_tdoa_enu_multistart,
+    solve_fix,
+    station_pairs,
+    FixResult,
+)
+
+__all__ = [
+    "solve_tdoa_enu",
+    "solve_tdoa_enu_multistart",
+    "solve_fix",
+    "station_pairs",
+    "FixResult",
+]

@@ -1,0 +1,198 @@
+"""Hyperbolic multilateration: TDOA range differences → position.
+
+A jittable adaptive Levenberg-Marquardt least-squares solver over *all*
+C(n,2) station pairs (the reference's Gauss-Newton at processor.go:932-1020
+used only the first two pairwise measurements and froze z; here every pair
+contributes a residual, weights are supported, and z can optionally be
+solved).
+
+Sign convention: ``tdoa[m]`` for pair ``(i, j)`` is the arrival-time delay
+at station *j* relative to station *i*; the model residual is
+``(||x − s_j|| − ||x − s_i||) − c·tdoa[m]``.
+
+The solve happens in a local ENU frame (meters, origin ≈ network centroid)
+where float32 is millimetre-accurate, so the whole solver stays on device
+and can be vmapped over batches of measurements (multi-target tracking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdoa_tpu.geo import enu_to_lla, lla_to_enu
+from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
+
+
+def station_pairs(n: int) -> np.ndarray:
+    """Upper-triangle index pairs [(0,1), (0,2), ..., (n-2,n-1)] as [m, 2]."""
+    return np.array(
+        [(i, j) for i in range(n) for j in range(i + 1, n)], dtype=np.int32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "solve_z"))
+def solve_tdoa_enu(
+    stations_enu: jax.Array,  # [n, 3] float32, local ENU meters
+    pair_idx: jax.Array,  # [m, 2] int32
+    range_diffs: jax.Array,  # [m] meters, c * tdoa
+    weights: Optional[jax.Array] = None,  # [m] relative confidence
+    x0: Optional[jax.Array] = None,  # [3] initial guess, ENU
+    iters: int = 40,
+    solve_z: bool = False,
+):
+    """Adaptive-LM hyperbolic solve. Returns (position [3], rms_residual).
+
+    ``solve_z=False`` freezes the up-coordinate at ``x0[2]`` (2D fix — the
+    right call for a 3-station network, where z is unobservable).
+    """
+    stations_enu = stations_enu.astype(jnp.float32)
+    m = pair_idx.shape[0]
+    w = jnp.ones((m,), jnp.float32) if weights is None else weights.astype(jnp.float32)
+    if x0 is None:
+        x0 = jnp.mean(stations_enu, axis=0)
+    x0 = x0.astype(jnp.float32)
+
+    si = stations_enu[pair_idx[:, 0]]  # [m, 3]
+    sj = stations_enu[pair_idx[:, 1]]
+    rd = range_diffs.astype(jnp.float32)
+
+    n_dim = 3 if solve_z else 2
+    eye = jnp.eye(n_dim, dtype=jnp.float32)
+
+    def residuals_jac(x):
+        di = x - si  # [m, 3]
+        dj = x - sj
+        ri = jnp.linalg.norm(di, axis=-1)
+        rj = jnp.linalg.norm(dj, axis=-1)
+        r = (rj - ri) - rd  # [m]
+        jac = dj / (rj[:, None] + 1e-9) - di / (ri[:, None] + 1e-9)  # [m, 3]
+        return r, jac[:, :n_dim]
+
+    def cost(x):
+        r, _ = residuals_jac(x)
+        return jnp.sum(w * r * r)
+
+    def body(_, state):
+        x, lam = state
+        r, jac = residuals_jac(x)
+        jtw = jac.T * w[None, :]  # [d, m]
+        h = jtw @ jac + lam * eye
+        g = jtw @ r
+        step = jnp.linalg.solve(h, -g)
+        x_try = x.at[:n_dim].add(step)
+        better = cost(x_try) < jnp.sum(w * r * r)
+        x_new = jnp.where(better, x_try, x)
+        lam_new = jnp.where(better, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
+        return x_new, lam_new
+
+    x, _ = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(1e-2)))
+    r, _ = residuals_jac(x)
+    rms = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-9))
+    return x, rms
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "solve_z", "n_starts"))
+def solve_tdoa_enu_multistart(
+    stations_enu: jax.Array,
+    pair_idx: jax.Array,
+    range_diffs: jax.Array,
+    weights: Optional[jax.Array] = None,
+    iters: int = 40,
+    solve_z: bool = False,
+    n_starts: int = 9,
+    start_radius_m: float = 40_000.0,
+):
+    """LM from a centroid + ring of initial guesses, vmapped on device.
+
+    TDOA hyperbolae can intersect more than once (ghost solutions,
+    especially for transmitters outside the network). Multi-start surfaces
+    every basin; callers disambiguate by residual, prior, or extra
+    stations. Returns (positions [k, 3], rms [k]) sorted by rms.
+    """
+    centroid = jnp.mean(stations_enu, axis=0)
+    angles = jnp.arange(n_starts - 1) * (2.0 * jnp.pi / max(n_starts - 1, 1))
+    ring = centroid[None, :] + start_radius_m * jnp.stack(
+        [jnp.cos(angles), jnp.sin(angles), jnp.zeros_like(angles)], axis=-1
+    )
+    starts = jnp.concatenate([centroid[None, :], ring], axis=0).astype(jnp.float32)
+    pos, rms = jax.vmap(
+        lambda x0: solve_tdoa_enu(
+            stations_enu, pair_idx, range_diffs, weights=weights,
+            x0=x0, iters=iters, solve_z=solve_z,
+        )
+    )(starts)
+    order = jnp.argsort(rms)
+    return pos[order], rms[order]
+
+
+@dataclasses.dataclass
+class FixResult:
+    lat: float
+    lon: float
+    elev: float
+    enu: np.ndarray  # [3] position in the solve frame
+    rms_residual_m: float
+    origin_lla: np.ndarray  # the ENU origin used
+    # All distinct multi-start solutions as (lla [k,3], rms [k]) sorted by
+    # rms — ghost TDOA intersections show up here for disambiguation.
+    candidates_lla: Optional[np.ndarray] = None
+    candidates_rms: Optional[np.ndarray] = None
+
+
+def solve_fix(
+    station_lla: np.ndarray,  # [n, 3] (lat°, lon°, elev m)
+    tdoas_s: Sequence[float],  # [m] seconds, pair order = station_pairs(n)
+    weights: Optional[Sequence[float]] = None,
+    pair_idx: Optional[np.ndarray] = None,
+    solve_z: bool = False,
+    n_starts: int = 9,
+) -> FixResult:
+    """Host convenience wrapper: LLA stations + TDOA seconds → lat/lon fix.
+
+    Runs a multi-start solve and reports the lowest-residual solution; all
+    distinct converged candidates ride along for ghost disambiguation.
+    """
+    station_lla = np.asarray(station_lla, dtype=np.float64)
+    n = station_lla.shape[0]
+    if pair_idx is None:
+        pair_idx = station_pairs(n)
+    origin = np.array(
+        [station_lla[:, 0].mean(), station_lla[:, 1].mean(), station_lla[:, 2].mean()]
+    )
+    enu = lla_to_enu(station_lla, origin).astype(np.float32)
+    rd = np.asarray(tdoas_s, dtype=np.float64) * SPEED_OF_LIGHT
+    w = None if weights is None else jnp.asarray(np.asarray(weights, np.float32))
+    pos_all, rms_all = solve_tdoa_enu_multistart(
+        jnp.asarray(enu),
+        jnp.asarray(pair_idx),
+        jnp.asarray(rd.astype(np.float32)),
+        weights=w,
+        solve_z=solve_z,
+        n_starts=n_starts,
+    )
+    pos_all = np.asarray(pos_all, dtype=np.float64)
+    rms_all = np.asarray(rms_all, dtype=np.float64)
+    # Deduplicate converged basins (within 30 m counts as the same point).
+    keep = []
+    for k in range(pos_all.shape[0]):
+        if not any(np.linalg.norm(pos_all[k] - pos_all[j]) < 30.0 for j in keep):
+            keep.append(k)
+    pos_all, rms_all = pos_all[keep], rms_all[keep]
+    pos = pos_all[0]
+    lla = enu_to_lla(pos, origin)
+    return FixResult(
+        lat=float(lla[0]),
+        lon=float(lla[1]),
+        elev=float(lla[2]),
+        enu=pos,
+        rms_residual_m=float(rms_all[0]),
+        origin_lla=origin,
+        candidates_lla=enu_to_lla(pos_all, origin),
+        candidates_rms=rms_all,
+    )

@@ -1,0 +1,178 @@
+"""End-to-end: simulator → .dat files → processor → fix.
+
+This is the reference's validation ladder (simulator.go:289 "Test with:
+./processor ... sim-*.dat") turned into an automated round-trip test, with
+the clock-offset physics the reference never exercised.
+"""
+
+import numpy as np
+import pytest
+
+from tdoa_tpu.geo import lla_to_enu
+from tdoa_tpu.pipeline import TDOAProcessor
+from tdoa_tpu.sim import (
+    SimScene,
+    NoiseProfile,
+    WEAK_REF_PROFILE,
+    STRONG_TGT_PROFILE,
+    simulate_scene,
+    write_scene_captures,
+)
+
+BLOCK = 1 << 17  # ~65 ms blocks keep CPU tests fast
+
+
+def _scene(omaha, **kw):
+    return SimScene(
+        station_names=omaha["names"],
+        station_lla=omaha["station_lla"],
+        ref_tx_lla=omaha["ref_tx_lla"],
+        tgt_tx_lla=omaha["tgt_tx_lla"],
+        ref_freq=omaha["ref_freq"],
+        tgt_freq=omaha["tgt_freq"],
+        block_len=BLOCK,
+        **kw,
+    )
+
+
+def _fix_error_m(fix, tgt_lla):
+    est = np.array([fix.lat, fix.lon, tgt_lla[2]])
+    return np.linalg.norm(lla_to_enu(est, tgt_lla)[:2])
+
+
+def test_truth_tables(omaha_stations):
+    from tdoa_tpu.sim.scene import compute_truth
+
+    scene = _scene(omaha_stations, clock_offsets_s=np.array([0.0, 5e-6, -3e-6]))
+    truth = compute_truth(scene)
+    # TDOAs bounded by baseline/c: < 57 us → < 114 samples
+    assert np.all(np.abs(truth.tgt_tdoa_samples) < 114)
+    # Clock offsets dominate the raw measured delays
+    assert np.abs(truth.measured_tgt_delay - truth.tgt_tdoa_samples).max() > 1
+
+
+def test_e2e_ideal_in_memory(omaha_stations, station_csv):
+    scene = _scene(omaha_stations)
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv, seg_len=None, max_lag=512
+    )
+    res = proc.process_captures(
+        {n: captures[n] for n in scene.station_names}
+    )
+    np.testing.assert_allclose(
+        res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=0.5
+    )
+    assert _fix_error_m(res.fix, scene.tgt_tx_lla) < 150.0
+    assert not res.warnings
+
+
+def test_e2e_with_clock_offsets(omaha_stations, station_csv):
+    """Per-station clock errors of ±100 samples must cancel through the
+    dual-frequency REF correction (the capability the reference's capture
+    format exists to enable)."""
+    scene = _scene(
+        omaha_stations,
+        clock_offsets_s=np.array([12e-6, -31e-6, 48e-6]),  # 24–96 samples
+        clock_drifts_ppm=np.array([0.5, -0.3, 0.2]),
+        seed=3,
+    )
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv, seg_len=None, max_lag=512
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+    # Raw TGT delays are clock-corrupted ...
+    assert np.abs(res.tgt_delay_samples - truth.tgt_tdoa_samples).max() > 10
+    # ... corrected TDOAs are not.
+    np.testing.assert_allclose(
+        res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=0.5
+    )
+    assert _fix_error_m(res.fix, scene.tgt_tx_lla) < 200.0
+
+
+def test_e2e_weak_signal(omaha_stations, station_csv):
+    """Weak-REF impairment profile (weak_signal_simulator.go parity):
+    noise, impulses, phase drift, DC — the fix must survive."""
+    scene = _scene(
+        omaha_stations,
+        ref_profile=WEAK_REF_PROFILE,
+        tgt_profile=STRONG_TGT_PROFILE,
+        clock_offsets_s=np.array([5e-6, -8e-6, 2e-6]),
+        seed=7,
+    )
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=1 << 15, max_lag=512,
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+    # At this SNR (−6…−9 dB), bandwidth (~30 kHz) and duration (65 ms) the
+    # TDOA CRLB is ~1–2 samples — the estimator must be at that floor, not
+    # above it. Real 10 s blocks integrate 150× longer (see
+    # test_integration_time_tightens_tdoa).
+    np.testing.assert_allclose(
+        res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=3.5
+    )
+    assert _fix_error_m(res.fix, scene.tgt_tx_lla) < 1500.0
+
+
+def test_e2e_through_dat_files(omaha_stations, station_csv, tmp_path):
+    """Full byte-contract round trip: simulate → write u8 .dat → filename
+    station recovery → processor → fix (the reference's whole offline
+    workflow, docs/usage.md:139-150)."""
+    scene = _scene(omaha_stations, seed=11)
+    paths, truth = write_scene_captures(scene, str(tmp_path))
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv, seg_len=None, max_lag=512
+    )
+    res = proc.process_files(sorted(paths.values()))
+    # The processor orders stations by filename; recompute the expected
+    # TDOAs for its pair ordering from the per-station truth delays.
+    tau_tgt = dict(
+        zip(scene.station_names, truth.station_delays_samples[:, 1])
+    )
+    want = [
+        tau_tgt[res.station_names[j]] - tau_tgt[res.station_names[i]]
+        for i, j in res.pair_idx
+    ]
+    np.testing.assert_allclose(res.corrected_tdoa_samples, want, atol=0.5)
+    assert _fix_error_m(res.fix, scene.tgt_tx_lla) < 200.0
+    assert set(res.station_names) == set(scene.station_names)
+
+
+def test_integration_time_tightens_tdoa(omaha_stations):
+    """Doubling integration time must shrink weak-signal TDOA error —
+    the coherent-integration gain the reference documents but never
+    demonstrates (snr_analysis.go:83-88)."""
+    import jax.numpy as jnp
+    from tdoa_tpu.ops.corr import correlate_pairs
+    from tdoa_tpu.sim.scene import simulate_scene
+
+    rms = {}
+    for blk in (1 << 14, 1 << 17):
+        sq = []
+        for seed in (23, 24, 25):
+            scene = _scene(omaha_stations, seed=seed)
+            scene = SimScene(**{**scene.__dict__, "block_len": blk,
+                                "ref_profile": NoiseProfile(
+                                    signal_amplitude=0.2, noise_amplitude=0.28)})
+            captures, truth = simulate_scene(scene)
+            x = jnp.stack([captures[n][0] for n in scene.station_names])
+            res = correlate_pairs(
+                x, jnp.asarray(truth.pair_idx), max_lag=256,
+                seg_len=1 << 13, weighting="ht",
+            )
+            sq.append((np.asarray(res.delay) - truth.measured_ref_delay[:, 0]) ** 2)
+        rms[blk] = float(np.sqrt(np.mean(sq)))
+    # 8× the integration should buy ~√8 ≈ 2.8× tighter TDOAs; accept ≥ 1.6×.
+    assert rms[1 << 17] < rms[1 << 14] / 1.6
+
+
+def test_processor_requires_three_stations(omaha_stations, station_csv):
+    scene = _scene(omaha_stations)
+    captures, _ = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(scene.ref_freq, scene.tgt_freq, station_csv)
+    two = {n: captures[n] for n in scene.station_names[:2]}
+    with pytest.raises(ValueError):
+        proc.process_captures(two)

@@ -1,0 +1,79 @@
+"""Multilateration solver tests: exact synthetic TDOAs must reproduce the
+planted transmitter (the reference solver dropped the third pair and was
+never tested — processor.go:962-968)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tdoa_tpu.geo import lla_to_enu
+from tdoa_tpu.solve import solve_fix, solve_tdoa_enu, station_pairs
+from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
+
+
+def _exact_tdoas(station_lla, tx_lla):
+    from tdoa_tpu.geo import lla_to_ecef
+
+    st = lla_to_ecef(station_lla)
+    tx = lla_to_ecef(tx_lla)
+    d = np.linalg.norm(st - tx, axis=-1)
+    pairs = station_pairs(len(station_lla))
+    return (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT, pairs
+
+
+def test_recovers_planted_transmitter(omaha_stations):
+    s = omaha_stations
+    tdoas, _ = _exact_tdoas(s["station_lla"], s["tgt_tx_lla"])
+    fix = solve_fix(s["station_lla"], tdoas)
+    # KEVO sits inside the network: metre-level recovery expected.
+    err_en = lla_to_enu(
+        np.array([fix.lat, fix.lon, s["tgt_tx_lla"][2]]), s["tgt_tx_lla"]
+    )
+    assert np.linalg.norm(err_en[:2]) < 5.0
+    assert fix.rms_residual_m < 1.0
+
+
+def test_exterior_transmitter_ghosts(omaha_stations):
+    """Outside the network the hyperbolae intersect twice; multi-start must
+    surface the true position among the candidates, each with ~zero
+    residual (the ghost is a property of 3-station TDOA, not the solver)."""
+    s = omaha_stations
+    tx = np.array([41.10, -96.20, 350.0])  # outside the triangle
+    tdoas, _ = _exact_tdoas(s["station_lla"], tx)
+    fix = solve_fix(s["station_lla"], tdoas)
+    assert fix.rms_residual_m < 1.0  # reported fix satisfies the TDOAs
+    errs = [
+        np.linalg.norm(lla_to_enu(np.array([c[0], c[1], tx[2]]), tx)[:2])
+        for c in fix.candidates_lla
+    ]
+    assert min(errs) < 100.0  # truth is among the candidates
+
+
+def test_noisy_tdoas_with_weights(omaha_stations):
+    s = omaha_stations
+    tdoas, _ = _exact_tdoas(s["station_lla"], s["tgt_tx_lla"])
+    rng = np.random.default_rng(0)
+    noisy = tdoas + rng.normal(0, 25e-9, tdoas.shape)  # 25 ns ≈ 0.05 sample
+    fix = solve_fix(s["station_lla"], noisy, weights=[1.0, 1.0, 1.0])
+    err_en = lla_to_enu(
+        np.array([fix.lat, fix.lon, s["tgt_tx_lla"][2]]), s["tgt_tx_lla"]
+    )
+    assert np.linalg.norm(err_en[:2]) < 150.0
+
+
+def test_solver_is_jit_batched(omaha_stations):
+    """vmap over a batch of TDOA sets — the multi-target tracking shape."""
+    import jax
+
+    s = omaha_stations
+    origin = s["station_lla"].mean(axis=0)
+    enu = jnp.asarray(lla_to_enu(s["station_lla"], origin), jnp.float32)
+    pairs = jnp.asarray(station_pairs(3))
+
+    tdoas, _ = _exact_tdoas(s["station_lla"], s["tgt_tx_lla"])
+    rd = jnp.asarray(tdoas * SPEED_OF_LIGHT, jnp.float32)
+    batch = jnp.stack([rd, rd * 1.001, rd * 0.999])
+
+    pos, rms = jax.vmap(lambda r: solve_tdoa_enu(enu, pairs, r))(batch)
+    assert pos.shape == (3, 3)
+    truth_enu = lla_to_enu(s["tgt_tx_lla"], origin)
+    assert np.linalg.norm(np.asarray(pos[0][:2]) - truth_enu[:2]) < 10.0
