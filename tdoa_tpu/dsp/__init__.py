@@ -1,0 +1,24 @@
+from tdoa_tpu.dsp.windows import hann, blackman_harris
+from tdoa_tpu.dsp.filters import (
+    remove_dc,
+    lowpass_taps,
+    bandpass_taps,
+    fir_filter,
+    fir_decimate,
+)
+from tdoa_tpu.dsp.fm import fm_discriminate, fm_demodulate
+from tdoa_tpu.dsp.snr import spectral_snr, psd_welch
+
+__all__ = [
+    "hann",
+    "blackman_harris",
+    "remove_dc",
+    "lowpass_taps",
+    "bandpass_taps",
+    "fir_filter",
+    "fir_decimate",
+    "fm_discriminate",
+    "fm_demodulate",
+    "spectral_snr",
+    "psd_welch",
+]

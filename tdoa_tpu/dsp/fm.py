@@ -1,0 +1,67 @@
+"""FM quadrature demodulation + decimation.
+
+Capability of rtl_fm.c's discriminator pipeline (polar_discriminant at
+rtl_fm.c:427-434, fm_demod 517-544, decimation 302-392), which the
+reference project documents as the aid for correlation (README.md:3-7) but
+never wired into its processor. Rebuilt TPU-shaped:
+
+- the discriminator is the *pairwise-product* form — phase increments
+  come from ``x[n]·conj(x[n−1])`` so there is no running state to
+  unwrap, and the whole signal demodulates as one vectorized VPU pass
+  (atan2), planar-complex so it runs on backends without complex dtype;
+- decimation is a strided windowed-sinc FIR riding the MXU
+  (dsp/filters.py), fused by XLA with the discriminator's elementwise
+  work. A hand-fused Pallas kernel lives in ops/pallas/fm_demod.py for
+  the HBM-bound long-capture path.
+
+Demodulated audio is the preferred correlation domain for FM signals:
+receiver LO offsets become DC shifts (instead of rotating phasors) and
+the audio bandwidth concentrates all correlation energy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from tdoa_tpu.dsp.filters import fir_decimate, remove_dc
+from tdoa_tpu.ops.cplx import C
+
+
+def fm_discriminate(x: C, sample_rate: float = 1.0) -> jax.Array:
+    """Instantaneous frequency in Hz (per-sample phase increment).
+
+    ``d[n] = angle(x[n]·conj(x[n−1]))·fs/2π``; d[0] = 0. The pairwise
+    product needs no phase unwrapping — increments are already in (−π, π].
+    Shape-preserving along the last axis.
+    """
+    p_re = x.re[..., 1:] * x.re[..., :-1] + x.im[..., 1:] * x.im[..., :-1]
+    p_im = x.im[..., 1:] * x.re[..., :-1] - x.re[..., 1:] * x.im[..., :-1]
+    inc = jnp.arctan2(p_im, p_re)  # radians/sample
+    inc = jnp.pad(inc, [(0, 0)] * (inc.ndim - 1) + [(1, 0)])
+    return inc * jnp.float32(sample_rate / (2.0 * jnp.pi))
+
+
+def fm_demodulate(
+    x: C,
+    sample_rate: float,
+    decim: int = 16,
+    deviation_hz: Optional[float] = None,
+    num_taps: int = 129,
+) -> jax.Array:
+    """Full demod chain: discriminator → DC removal → anti-aliased
+    decimation. Returns real audio at ``sample_rate/decim``.
+
+    DC removal strips the receiver LO frequency offset (a constant
+    instantaneous-frequency bias), standing in for rtl_fm's dc_block
+    (rtl_fm.c:613). ``deviation_hz`` normalizes audio to ≈±1 full scale.
+    """
+    d = fm_discriminate(x, sample_rate)
+    d = remove_dc(d)
+    if deviation_hz:
+        d = d / jnp.float32(deviation_hz)
+    if decim > 1:
+        d = fir_decimate(d, decim, sample_rate, num_taps=num_taps)
+    return d

@@ -23,73 +23,97 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tdoa_tpu.ops.cplx import C
 from tdoa_tpu.utils.constants import IQ_CENTER, IQ_SCALE, NUM_BLOCKS
 
 
-def bytes_to_iq(raw: jax.Array) -> jax.Array:
-    """Decode interleaved u8 I/Q bytes to complex64 samples.
+def bytes_to_iq_planar(raw: jax.Array) -> C:
+    """Decode interleaved u8 I/Q bytes to planar (re, im) float32.
 
-    ``raw`` is a uint8 array of even length ``2*n``; returns complex64 ``[n]``.
-    Jittable; runs on device so only bytes cross the host↔device boundary.
+    ``raw`` is a uint8 array of even length ``2*n``; returns C with shape
+    ``[n]``. Jittable and TPU-legal (no complex dtype); runs on device so
+    only bytes cross the host↔device boundary (1 byte/component vs 8).
     """
     x = (raw.astype(jnp.float32) - IQ_CENTER) / IQ_SCALE
     pairs = x.reshape(-1, 2)
-    return jax.lax.complex(pairs[:, 0], pairs[:, 1])
+    return C(pairs[:, 0], pairs[:, 1])
 
 
-def iq_to_bytes(iq: jax.Array) -> jax.Array:
-    """Encode complex samples to interleaved u8 I/Q bytes (inverse contract).
+def bytes_to_iq(raw: jax.Array) -> jax.Array:
+    """Decode interleaved u8 I/Q bytes to complex64 samples (host/CPU
+    convenience — the TPU backend has no complex dtype; the device path is
+    ``bytes_to_iq_planar``)."""
+    p = bytes_to_iq_planar(raw)
+    return jax.lax.complex(p.re, p.im)
+
+
+def iq_to_bytes(iq) -> jax.Array:
+    """Encode complex or planar samples to interleaved u8 I/Q bytes.
 
     Values are scaled by 127.5, offset to 127.5 and clamped to [0, 255] —
     matching the simulators' quantization (simulator.go:146-161).
     Rounds to nearest, matching ``uint8(x*127.5 + 127.5 + 0.5)``.
     """
-    comps = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1)
+    if isinstance(iq, C):
+        comps = jnp.stack([iq.re, iq.im], axis=-1)
+    else:
+        comps = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1)
     scaled = comps * IQ_SCALE + IQ_CENTER
     return jnp.clip(jnp.round(scaled), 0.0, 255.0).astype(jnp.uint8).reshape(-1)
 
 
-def split_blocks(iq: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def split_blocks(iq):
     """Split a capture into its three equal blocks (ref1, tgt, ref2).
 
     Mirrors processor.go:208-267: block 1 and 3 are the reference
     frequency, block 2 is the target. Trailing samples beyond ``3*n`` are
     dropped (the capture tool writes exactly 3×n, but real files can carry
-    partial trailing buffers).
+    partial trailing buffers). Works on complex arrays or planar C.
     """
+    if isinstance(iq, C):
+        n = iq.re.shape[0] // NUM_BLOCKS
+        return (
+            C(iq.re[:n], iq.im[:n]),
+            C(iq.re[n : 2 * n], iq.im[n : 2 * n]),
+            C(iq.re[2 * n : 3 * n], iq.im[2 * n : 3 * n]),
+        )
     n = iq.shape[0] // NUM_BLOCKS
     return iq[:n], iq[n : 2 * n], iq[2 * n : 3 * n]
 
 
 @dataclasses.dataclass
 class DatCapture:
-    """A decoded capture: device-resident complex64 blocks plus metadata."""
+    """A decoded capture: device-resident planar blocks plus metadata."""
 
-    ref1: jax.Array  # first reference-frequency block
-    tgt: jax.Array  # target-frequency block
-    ref2: jax.Array  # second reference-frequency block
+    ref1: C  # first reference-frequency block
+    tgt: C  # target-frequency block
+    ref2: C  # second reference-frequency block
     path: str = ""
     station: str = ""
 
     @property
     def block_len(self) -> int:
-        return int(self.ref1.shape[0])
+        return int(self.ref1.re.shape[0])
 
     @property
-    def ref(self) -> jax.Array:
+    def ref(self) -> C:
         """Both REF blocks concatenated — reference-parity view
         (processor.go:208-238 concatenates blocks 1+3)."""
-        return jnp.concatenate([self.ref1, self.ref2])
+        return C(
+            jnp.concatenate([self.ref1.re, self.ref2.re]),
+            jnp.concatenate([self.ref1.im, self.ref2.im]),
+        )
 
 
-_decode = jax.jit(bytes_to_iq)
+_decode = jax.jit(bytes_to_iq_planar)
 
 
 def load_dat(path: str, station: str = "") -> DatCapture:
     """Load and decode a ``.dat`` capture file.
 
     The raw bytes are memory-mapped on the host, shipped to device as u8,
-    and widened to complex64 there (processor.go:166-205 equivalent).
+    and widened to planar float32 there (processor.go:166-205 equivalent,
+    without the host-side convert loop).
     """
     raw = np.memmap(path, dtype=np.uint8, mode="r")
     usable = (len(raw) // (2 * NUM_BLOCKS)) * (2 * NUM_BLOCKS)

@@ -6,15 +6,19 @@ frequency-domain path (processor.go:539-616, which applied a forward DFT
 where an inverse belonged) with the textbook O(N log N) scheme, shaped for
 TPU:
 
+- complex signals are **planar** (re, im) float32 pairs (ops/cplx.py) and
+  every transform is the MXU-matmul FFT (ops/fft.py) — the target TPU
+  backend has no complex dtype or FFT primitive;
 - signals for all stations are FFT'd **once per segment** and every station
   pair reuses them (cross-spectra are outer products on the pair axis);
 - long captures stream through fixed-size segments under ``lax.scan``,
   coherently accumulating the cross-power spectrum on device — this is the
   "coherent integration" the reference approximates blockwise
   (processor.go:682-726) done exactly, with O(seg) memory;
-- GCC weighting (PHAT / SCOT / none) is applied to the *accumulated*
-  spectrum, then one inverse FFT per pair yields the correlation, and the
-  peak is refined to sub-sample precision (ops/peaks.py).
+- GCC weighting (PHAT / SCOT / Hannan-Thomson ML / none) applies to the
+  *accumulated* spectrum, one inverse FFT per pair yields the correlation,
+  and the peak is refined to sub-sample precision by a parabolic fit plus
+  phase-slope regression (with a carrier-phase intercept).
 
 Sign convention: for pair ``(i, j)`` the cross-spectrum is
 ``X_j · conj(X_i)``, so a **positive** delay means the signal arrives at
@@ -29,12 +33,14 @@ argument), so the ±max_lag window carries no wraparound alias.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tdoa_tpu.ops import fft as mfft
+from tdoa_tpu.ops.cplx import C, from_complex
 from tdoa_tpu.ops.peaks import parabolic_peak, peak_quality
 from tdoa_tpu.utils.constants import DEFAULT_MAX_LAG
 
@@ -55,45 +61,51 @@ class CorrResult(NamedTuple):
     corr: jax.Array  # [m, 2*max_lag+1] normalized |correlation| window
 
 
-def _accumulate_cross_spectra(x, pair_idx, seg_len, fft_len):
+def _accumulate_cross_spectra(x: C, pair_idx, seg_len: int, fft_len: int):
     """Scan segments, accumulating per-pair cross-spectra and per-station
-    spectral power. Returns (cross [m, F] complex, psd [n_st, F] float,
-    energy [n_st] float)."""
-    n_st, n = x.shape
+    spectral power. Returns (cross C[m, F], psd [n_st, F], energy [n_st])."""
+    n_st, n = x.re.shape
     n_seg = n // seg_len
-    x = x[:, : n_seg * seg_len]
 
     def seg_fft(s):
-        seg = jax.lax.dynamic_slice(x, (0, s * seg_len), (n_st, seg_len))
-        return jnp.fft.fft(seg, n=fft_len, axis=-1)
+        sl = lambda a: jax.lax.dynamic_slice(a, (0, s * seg_len), (n_st, seg_len))
+        return mfft.fft(C(sl(x.re), sl(x.im)), fft_len)
 
     def step(carry, s):
-        cross_acc, psd_acc = carry
-        xf = seg_fft(s)  # [n_st, F]
-        cross = xf[pair_idx[:, 1]] * jnp.conj(xf[pair_idx[:, 0]])  # [m, F]
-        psd = jnp.abs(xf) ** 2  # [n_st, F]
-        return (cross_acc + cross, psd_acc + psd), None
+        (cr, ci, psd) = carry
+        xf = seg_fft(s)  # C [n_st, F]
+        xj = C(xf.re[pair_idx[:, 1]], xf.im[pair_idx[:, 1]])
+        xi = C(xf.re[pair_idx[:, 0]], xf.im[pair_idx[:, 0]])
+        cross = xj.mul_conj(xi)  # [m, F]
+        return (cr + cross.re, ci + cross.im, psd + xf.abs2()), None
 
     m = pair_idx.shape[0]
+    # Adding 0·x[0,0] ties the accumulators' mesh-varying type (vma) to the
+    # input's, so the scan carry typechecks identically under shard_map
+    # (parallel/mesh.py) and in the single-chip path.
+    vma0 = 0.0 * x.re[0, 0]
     init = (
-        jnp.zeros((m, fft_len), jnp.complex64),
-        jnp.zeros((n_st, fft_len), jnp.float32),
+        jnp.zeros((m, fft_len), jnp.float32) + vma0,
+        jnp.zeros((m, fft_len), jnp.float32) + vma0,
+        jnp.zeros((n_st, fft_len), jnp.float32) + vma0,
     )
     if n_seg == 1:
-        (cross, psd), _ = step(init, 0)
+        (cr, ci, psd), _ = step(init, 0)
     else:
-        (cross, psd), _ = jax.lax.scan(step, init, jnp.arange(n_seg))
-    energy = jnp.sum(jnp.abs(x) ** 2, axis=-1)
-    return cross, psd, energy
+        (cr, ci, psd), _ = jax.lax.scan(step, init, jnp.arange(n_seg))
+    energy = jnp.sum(x.abs2()[:, : n_seg * seg_len], axis=-1)
+    return C(cr, ci), psd, energy
 
 
-def _weight_spectrum(cross, psd, pair_idx, weighting: str, eps: float):
+def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
+    mag = cross.abs()
     if weighting == "phat":
-        mag = jnp.abs(cross)
-        return cross / (mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30)
+        d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
+        return C(cross.re / d, cross.im / d)
     if weighting == "scot":
         denom = jnp.sqrt(psd[pair_idx[:, 0]] * psd[pair_idx[:, 1]])
-        return cross / (denom + eps * jnp.mean(denom, axis=-1, keepdims=True) + 1e-30)
+        d = denom + eps * jnp.mean(denom, axis=-1, keepdims=True) + 1e-30
+        return C(cross.re / d, cross.im / d)
     if weighting in ("ht", "ml"):
         # Hannan–Thomson (maximum-likelihood) GCC: PHAT phase times an
         # SNR weight |γ|²/(1−|γ|²) from the segment-averaged magnitude-
@@ -104,43 +116,41 @@ def _weight_spectrum(cross, psd, pair_idx, weighting: str, eps: float):
         # scaled PHAT.
         saa = psd[pair_idx[:, 0]]
         sbb = psd[pair_idx[:, 1]]
-        gamma2 = jnp.abs(cross) ** 2 / jnp.maximum(saa * sbb, 1e-30)
+        gamma2 = cross.abs2() / jnp.maximum(saa * sbb, 1e-30)
         gamma2 = jnp.clip(gamma2, 0.0, 0.98)
         snr_w = gamma2 / (1.0 - gamma2)
-        mag = jnp.abs(cross)
-        phase = cross / (mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30)
-        w = snr_w / jnp.maximum(
-            jnp.max(snr_w, axis=-1, keepdims=True), 1e-30
-        )
-        return phase * w
+        d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
+        w = snr_w / jnp.maximum(jnp.max(snr_w, axis=-1, keepdims=True), 1e-30)
+        s = w / d
+        return C(cross.re * s, cross.im * s)
     if weighting == "none":
         return cross
     raise ValueError(f"unknown GCC weighting: {weighting!r}")
 
 
-def _lag_window(r, max_lag):
+def _lag_window(r: jax.Array, max_lag: int) -> jax.Array:
     """Reorder the circular correlation to lags [-max_lag, ..., +max_lag]."""
     return jnp.concatenate([r[..., -max_lag:], r[..., : max_lag + 1]], axis=-1)
 
 
-def _phase_slope_refine(cross, coarse_delay, fft_len):
+def _phase_slope_refine(cross: C, coarse_delay, fft_len: int):
     """Refine a coarse delay by weighted LS on the cross-spectrum phase.
 
     For pair spectrum ``C = X_j·conj(X_i)`` a pure delay d gives
-    ``C_k ∝ exp(−j2π f_k d)``. Deramp by the coarse estimate, then solve the
-    residual slope δ from the small remaining phases, weighting bins by
-    |C|² so only coherent (in-band) bins vote. Accuracy is SNR-limited —
-    typically ≪ 0.01 sample, well past the ±0.5-sample target
-    (docs/audio-pattern-matching.md:128-131 wanted this, unbuilt).
+    ``C_k ∝ exp(−j2π f_k d)``. Deramp by the coarse estimate, then fit the
+    residual phase as φ ≈ θ − 2π f δ with bins weighted by |C|² — the
+    intercept θ absorbs the constant carrier phase offset between the two
+    receivers, and the slope recovers δ to well under 0.01 sample at
+    useful SNR (docs/audio-pattern-matching.md:128-131 wanted this,
+    unbuilt).
     """
-    f = jnp.fft.fftfreq(fft_len).astype(jnp.float32)  # cycles/sample
-    deramp = jnp.exp(2j * jnp.pi * f[None, :] * coarse_delay[:, None])
-    c = cross * deramp.astype(jnp.complex64)
-    w = jnp.abs(cross) ** 2
-    phi = jnp.angle(c)
-    # Weighted linear regression φ ≈ θ − 2π f δ. The intercept θ absorbs
-    # the constant carrier phase offset between the two receivers — without
-    # it any LO phase difference would bias the slope.
+    f = jnp.asarray(mfft.fftfreq(fft_len))  # cycles/sample
+    from tdoa_tpu.ops.cplx import exp_i
+
+    de = exp_i(2.0 * jnp.pi * f[None, :] * coarse_delay[:, None])
+    c = cross * de
+    w = cross.abs2()
+    phi = c.angle()
     sw = jnp.sum(w, axis=-1)
     swf = jnp.sum(w * f[None, :], axis=-1)
     swff = jnp.sum(w * f[None, :] ** 2, axis=-1)
@@ -149,55 +159,40 @@ def _phase_slope_refine(cross, coarse_delay, fft_len):
     det = sw * swff - swf * swf
     slope = (sw * swfp - swf * swp) / jnp.maximum(det, 1e-30)
     delta = -slope / (2.0 * jnp.pi)
-    # Guard: a garbage coarse peak (no coherence) can put |δ| anywhere;
-    # the refinement is only valid within ±1 sample of the coarse peak.
+    # Guard: the refinement is only valid within ±1 sample of the coarse
+    # peak; a garbage peak must not fling the estimate further.
     delta = jnp.clip(delta, -1.0, 1.0)
     return coarse_delay + delta
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_lag", "seg_len", "weighting", "fft_len", "refine"),
-)
-def correlate_pairs(
-    x: jax.Array,  # [n_st, N] complex64 (IQ) or float (audio, cast to complex)
-    pair_idx: jax.Array,  # [m, 2] int32
-    max_lag: int = DEFAULT_MAX_LAG,
-    seg_len: Optional[int] = None,
-    weighting: str = "phat",
-    eps: float = 1e-3,
-    fft_len: Optional[int] = None,
-    refine: str = "phase",  # "phase" | "parabolic"
+def _finish_correlation(
+    cross: C,
+    psd,
+    energy,
+    pair_idx,
+    max_lag: int,
+    weighting: str,
+    eps: float,
+    fft_len: int,
+    refine: str,
 ) -> CorrResult:
-    """All-pairs GCC cross-correlation with sub-sample peak estimation.
+    """Accumulated cross-spectra → weighted correlation → refined peaks.
 
-    ``seg_len=None`` correlates the whole signal in one FFT; otherwise the
-    capture streams through ``seg_len``-sample segments with on-device
-    coherent accumulation (constant memory in capture length).
+    Split out so the multi-chip path (parallel/mesh.py) can psum the
+    accumulators over the mesh and run this replicated tail unchanged.
     """
-    if jnp.issubdtype(x.dtype, jnp.floating):
-        x = x.astype(jnp.complex64)
-    else:
-        x = x.astype(jnp.complex64)
-    n = x.shape[1]
-    if seg_len is None or seg_len >= n:
-        seg_len = n
-    if max_lag >= seg_len:
-        raise ValueError(f"max_lag {max_lag} must be < seg_len {seg_len}")
-    if fft_len is None:
-        fft_len = next_pow2(seg_len + max_lag)
-
-    cross, psd, energy = _accumulate_cross_spectra(x, pair_idx, seg_len, fft_len)
     weighted = _weight_spectrum(cross, psd, pair_idx, weighting, eps)
-    r = jnp.fft.ifft(weighted, axis=-1)  # [m, F]
-    win = jnp.abs(_lag_window(r, max_lag))  # [m, 2*max_lag+1]
+    r = mfft.ifft(weighted)  # C [m, F]
+    win = jnp.sqrt(
+        _lag_window(r.re, max_lag) ** 2 + _lag_window(r.im, max_lag) ** 2
+    )
 
     if weighting == "none":
         # Normalize to a correlation coefficient: perfect self-match → 1
         # (ifft(A·conj(A))[0] = Σ|a|² by Parseval, so divide by √(E_a·E_b)).
         norm = jnp.sqrt(energy[pair_idx[:, 0]] * energy[pair_idx[:, 1]])
         win = win / jnp.maximum(norm, 1e-30)[:, None]
-    # PHAT/SCOT spectra are unit-magnitude, so ifft peaks are already ≤ 1
+    # PHAT-family spectra are unit-magnitude, so ifft peaks are already ≤ 1
     # with equality at perfect coherence.
 
     pos, val = parabolic_peak(win)
@@ -209,16 +204,76 @@ def correlate_pairs(
     return CorrResult(delay=delay, peak_value=val, quality=quality, corr=win)
 
 
-def correlate_two(
-    a: jax.Array,
-    b: jax.Array,
+def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[int]):
+    """Static segmentation parameters shared by single- and multi-chip paths."""
+    if seg_len is None or seg_len >= n:
+        seg_len = n
+    if max_lag >= seg_len:
+        raise ValueError(f"max_lag {max_lag} must be < seg_len {seg_len}")
+    if fft_len is None:
+        fft_len = next_pow2(seg_len + max_lag)
+    return seg_len, fft_len
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_lag", "seg_len", "weighting", "fft_len", "refine"),
+)
+def correlate_pairs_planar(
+    x: C,  # [n_st, N] planar complex
+    pair_idx: jax.Array,  # [m, 2] int32
     max_lag: int = DEFAULT_MAX_LAG,
-    **kwargs,
+    seg_len: Optional[int] = None,
+    weighting: str = "phat",
+    eps: float = 1e-3,
+    fft_len: Optional[int] = None,
+    refine: str = "phase",  # "phase" | "parabolic"
+) -> CorrResult:
+    """All-pairs GCC cross-correlation, fully TPU-legal (no complex dtype).
+
+    ``seg_len=None`` correlates the whole signal in one FFT; otherwise the
+    capture streams through ``seg_len``-sample segments with on-device
+    coherent accumulation (constant memory in capture length).
+    """
+    n = x.re.shape[1]
+    seg_len, fft_len = resolve_seg(n, max_lag, seg_len, fft_len)
+    cross, psd, energy = _accumulate_cross_spectra(x, pair_idx, seg_len, fft_len)
+    return _finish_correlation(
+        cross, psd, energy, pair_idx, max_lag, weighting, eps, fft_len, refine
+    )
+
+
+def correlate_pairs(
+    x: Union[C, jax.Array],
+    pair_idx: jax.Array,
+    max_lag: int = DEFAULT_MAX_LAG,
+    seg_len: Optional[int] = None,
+    weighting: str = "phat",
+    eps: float = 1e-3,
+    fft_len: Optional[int] = None,
+    refine: str = "phase",
+) -> CorrResult:
+    """Convenience wrapper accepting complex/real arrays (CPU/tests) or
+    planar pairs (the TPU path)."""
+    if not isinstance(x, C):
+        x = from_complex(x)
+    return correlate_pairs_planar(
+        x, pair_idx, max_lag=max_lag, seg_len=seg_len, weighting=weighting,
+        eps=eps, fft_len=fft_len, refine=refine,
+    )
+
+
+def correlate_two(
+    a, b, max_lag: int = DEFAULT_MAX_LAG, **kwargs
 ) -> CorrResult:
     """Convenience: correlate one signal pair. Positive delay ⇒ ``b`` lags
     ``a``. Result fields have the pair axis squeezed."""
-    x = jnp.stack([a, b])
-    res = correlate_pairs(
+    if not isinstance(a, C):
+        a = from_complex(a)
+    if not isinstance(b, C):
+        b = from_complex(b)
+    x = C(jnp.stack([a.re, b.re]), jnp.stack([a.im, b.im]))
+    res = correlate_pairs_planar(
         x, jnp.array([[0, 1]], jnp.int32), max_lag=max_lag, **kwargs
     )
     return CorrResult(*(v[0] for v in res))

@@ -31,7 +31,8 @@ import numpy as np
 from tdoa_tpu.geo import lla_to_ecef
 from tdoa_tpu.io.datfile import DatCapture, load_dat
 from tdoa_tpu.io.stations import StationTable, load_station_table, station_from_filename
-from tdoa_tpu.ops.corr import correlate_pairs
+from tdoa_tpu.ops.cplx import C, from_complex
+from tdoa_tpu.ops.corr import correlate_pairs_planar
 from tdoa_tpu.solve.multilateration import FixResult, solve_fix, station_pairs
 from tdoa_tpu.utils.constants import (
     DEFAULT_MAX_LAG,
@@ -75,9 +76,9 @@ class TDOAResult:
     static_argnames=("max_lag", "seg_len", "weighting", "clock_correction"),
 )
 def process_blocks(
-    ref1: jax.Array,  # [n_st, L] complex64
-    tgt: jax.Array,
-    ref2: jax.Array,
+    ref1: C,  # [n_st, L] planar complex
+    tgt: C,
+    ref2: C,
     pair_idx: jax.Array,  # [m, 2]
     ref_geo_tdoa: jax.Array,  # [m] reference-tx geometric TDOA, samples
     max_lag: int = DEFAULT_MAX_LAG,
@@ -91,17 +92,21 @@ def process_blocks(
     All three blocks correlate in one batched call; DC removal happens
     on-device (the standard preprocessing of processor.go:469-499 — the
     remaining filter cascade there exists to prop up a weak time-domain
-    correlator and is superseded by GCC weighting).
+    correlator and is superseded by GCC weighting). Fully planar: runs on
+    TPU backends without complex support.
     """
-    n_st = ref1.shape[0]
+    n_st = ref1.re.shape[0]
     m = pair_idx.shape[0]
-    x = jnp.concatenate([ref1, tgt, ref2], axis=0)  # [3*n_st, L]
-    x = x - jnp.mean(x, axis=-1, keepdims=True)  # DC removal
+    xr = jnp.concatenate([ref1.re, tgt.re, ref2.re], axis=0)  # [3*n_st, L]
+    xi = jnp.concatenate([ref1.im, tgt.im, ref2.im], axis=0)
+    xr = xr - jnp.mean(xr, axis=-1, keepdims=True)  # DC removal
+    xi = xi - jnp.mean(xi, axis=-1, keepdims=True)
     # Pair lists for each block, offset into the stacked station axis.
     offsets = jnp.arange(3, dtype=jnp.int32)[:, None, None] * n_st
     all_pairs = (pair_idx[None, :, :] + offsets).reshape(3 * m, 2)
-    res = correlate_pairs(
-        x, all_pairs, max_lag=max_lag, seg_len=seg_len, weighting=weighting
+    res = correlate_pairs_planar(
+        C(xr, xi), all_pairs, max_lag=max_lag, seg_len=seg_len,
+        weighting=weighting,
     )
     delays = res.delay.reshape(3, m)
     quality = res.quality.reshape(3, m)
@@ -160,23 +165,33 @@ class TDOAProcessor:
         return tau[pairs[:, 1]] - tau[pairs[:, 0]]
 
     def process_captures(
-        self, captures: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]
+        self, captures: Dict[str, Tuple]
     ) -> TDOAResult:
-        """Run the pipeline on in-memory blocks {station: (ref1, tgt, ref2)}."""
+        """Run the pipeline on in-memory blocks {station: (ref1, tgt, ref2)}.
+
+        Blocks may be complex arrays (CPU/simulator path) or planar C
+        pairs (the TPU `.dat` ingest path)."""
         cfg = self.config
         names = [n for n in captures.keys()]
         if len(names) < 3:
             raise ValueError("need at least 3 stations for a 2D fix")
         pairs = station_pairs(len(names))
 
-        def prep(b):
+        def prep(b) -> C:
+            if not isinstance(b, C):
+                b = from_complex(b)
             if cfg.truncate_samples is not None:
-                b = b[: cfg.truncate_samples]
+                b = C(b.re[: cfg.truncate_samples], b.im[: cfg.truncate_samples])
             return b
 
-        ref1 = jnp.stack([prep(captures[n][0]) for n in names])
-        tgt = jnp.stack([prep(captures[n][1]) for n in names])
-        ref2 = jnp.stack([prep(captures[n][2]) for n in names])
+        def stack(idx: int) -> C:
+            blocks = [prep(captures[n][idx]) for n in names]
+            return C(
+                jnp.stack([b.re for b in blocks]),
+                jnp.stack([b.im for b in blocks]),
+            )
+
+        ref1, tgt, ref2 = stack(0), stack(1), stack(2)
 
         ref_geo = self._ref_geo_tdoa_samples(names, pairs)
         corrected, tgt_d, ref_d, clock, quality, peaks = process_blocks(

@@ -1,0 +1,215 @@
+"""Signal-quality analysis — analyzer.go / fast_analyzer.go capability.
+
+Per-block metrics computed in one jitted device pass over the raw u8
+bytes (the reference scans byte-by-byte on the host, analyzer.go:141-183):
+DC offset, RMS power, I/Q imbalance, clipping (bytes touching 0/255 —
+analyzer.go semantics preserved bit-exactly by analyzing *bytes*, not
+floats), overload/dead-zone flags, plus the percentile-split spectral SNR
+(dsp/snr.py). The recommendation engine and TDOA-suitability verdict
+mirror analyzer.go:379-629 / 460-471.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdoa_tpu.dsp.snr import spectral_snr
+from tdoa_tpu.io.datfile import bytes_to_iq_planar
+from tdoa_tpu.utils.constants import IQ_CENTER, IQ_SCALE, NUM_BLOCKS
+
+
+@dataclasses.dataclass
+class BlockStats:
+    """Metrics for one frequency block (REF or TGT)."""
+
+    snr_db: float
+    power: float  # mean |x|², full scale ≡ 1
+    rms: float
+    dc_offset_i: float  # in byte units relative to 127.5
+    dc_offset_q: float
+    iq_imbalance_db: float  # 10·log10(P_I / P_Q)
+    clip_fraction: float  # bytes at 0 or 255
+    overload_fraction: float  # |sample| > 0.9 full scale
+    dead_fraction: float  # bytes within ±1 of center (127/128)
+    min_byte: int
+    max_byte: int
+
+    @property
+    def is_clipping(self) -> bool:
+        return self.clip_fraction > 1e-4  # analyzer.go clipping flag
+
+    @property
+    def is_overloaded(self) -> bool:
+        return self.overload_fraction > 0.01
+
+    @property
+    def is_dead(self) -> bool:
+        return self.dead_fraction > 0.99
+
+    @property
+    def is_noisy(self) -> bool:
+        return self.snr_db < 10.0
+
+
+@functools.partial(jax.jit, static_argnames=("nfft",))
+def _block_metrics(raw: jax.Array, nfft: int = 8192):
+    """One device pass over u8 bytes → all scalar metrics."""
+    b = raw.astype(jnp.float32)
+    i_bytes, q_bytes = b[0::2], b[1::2]
+    dc_i = jnp.mean(i_bytes) - IQ_CENTER
+    dc_q = jnp.mean(q_bytes) - IQ_CENTER
+    fi = (i_bytes - IQ_CENTER) / IQ_SCALE
+    fq = (q_bytes - IQ_CENTER) / IQ_SCALE
+    p_i = jnp.mean(fi * fi)
+    p_q = jnp.mean(fq * fq)
+    power = p_i + p_q
+    clip = jnp.mean((raw == 0) | (raw == 255))
+    mag2 = fi * fi + fq * fq
+    overload = jnp.mean(mag2 > 0.81)  # |x| > 0.9
+    dead = jnp.mean(jnp.abs(b - IQ_CENTER) < 1.5)
+    x = bytes_to_iq_planar(raw)
+    snr_db, _, _ = spectral_snr(x, nfft=nfft)
+    return (
+        snr_db,
+        power,
+        jnp.sqrt(power),
+        dc_i,
+        dc_q,
+        10.0 * jnp.log10(jnp.maximum(p_i, 1e-30) / jnp.maximum(p_q, 1e-30)),
+        clip,
+        overload,
+        dead,
+        jnp.min(raw),
+        jnp.max(raw),
+    )
+
+
+def analyze_block_bytes(raw: np.ndarray, nfft: int = 8192) -> BlockStats:
+    """Analyze one block's raw interleaved u8 bytes."""
+    vals = _block_metrics(jnp.asarray(raw), nfft=nfft)
+    (snr, power, rms, dci, dcq, imb, clip, ovl, dead, mn, mx) = [
+        v.item() for v in vals
+    ]
+    return BlockStats(
+        snr_db=snr,
+        power=power,
+        rms=rms,
+        dc_offset_i=dci,
+        dc_offset_q=dcq,
+        iq_imbalance_db=imb,
+        clip_fraction=clip,
+        overload_fraction=ovl,
+        dead_fraction=dead,
+        min_byte=int(mn),
+        max_byte=int(mx),
+    )
+
+
+@dataclasses.dataclass
+class SignalAnalysis:
+    """Full dual-frequency capture analysis (REF vs TGT separately,
+    analyzer.go:84-128)."""
+
+    ref: BlockStats
+    tgt: BlockStats
+    path: str = ""
+
+    @property
+    def suitable(self) -> bool:
+        ok, _ = assess_tdoa_suitability(self)
+        return ok
+
+
+def analyze_capture(
+    path: str, nfft: int = 8192, max_samples_per_block: int = 1 << 21
+) -> SignalAnalysis:
+    """Analyze a ``.dat`` file: block 1+3 = REF, block 2 = TGT.
+
+    ``max_samples_per_block`` bounds work like the fast analyzer's 32768
+    cap (fast_analyzer.go) while defaulting far higher since the device
+    pass is cheap.
+    """
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
+    n = len(raw) // (2 * NUM_BLOCKS) * 2  # bytes per block
+    take = min(n, 2 * max_samples_per_block)
+    ref_bytes = np.ascontiguousarray(raw[:take])
+    tgt_bytes = np.ascontiguousarray(raw[n : n + take])
+    return SignalAnalysis(
+        ref=analyze_block_bytes(ref_bytes, nfft=nfft),
+        tgt=analyze_block_bytes(tgt_bytes, nfft=nfft),
+        path=path,
+    )
+
+
+def assess_tdoa_suitability(a: SignalAnalysis) -> Tuple[bool, List[str]]:
+    """TDOA-suitability verdict (analyzer.go:460-471 + snr_analysis.go
+    tiers: ≥15 dB usable, ≥20 dB precise, ≥25 dB sub-sample)."""
+    problems: List[str] = []
+    for name, blk in (("REF", a.ref), ("TGT", a.tgt)):
+        if blk.is_dead:
+            problems.append(f"{name}: receiver appears dead (all-center bytes)")
+        if blk.is_clipping:
+            problems.append(
+                f"{name}: ADC clipping ({blk.clip_fraction*100:.2f}% of bytes)"
+            )
+        if blk.is_overloaded:
+            problems.append(f"{name}: overloaded (reduce gain)")
+        if blk.snr_db < 15.0:
+            problems.append(
+                f"{name}: SNR {blk.snr_db:.1f} dB below the 15 dB correlation floor"
+            )
+    return (not problems), problems
+
+
+def generate_recommendations(a: SignalAnalysis) -> List[str]:
+    """Human-readable gain/hardware/collection advice
+    (analyzer.go:379-629 capability)."""
+    recs: List[str] = []
+    for name, blk in (("REF", a.ref), ("TGT", a.tgt)):
+        g = f"[{name}]"
+        if blk.is_dead:
+            recs.append(f"{g} No signal: check antenna, frequency, and device.")
+            continue
+        if blk.is_clipping or blk.is_overloaded:
+            recs.append(f"{g} Reduce gain: signal is clipping/overloading the ADC.")
+        elif blk.snr_db < 15.0:
+            recs.append(
+                f"{g} Increase gain or improve antenna: SNR {blk.snr_db:.1f} dB "
+                f"< 15 dB minimum for correlation."
+            )
+        elif blk.snr_db < 25.0:
+            recs.append(
+                f"{g} Usable ({blk.snr_db:.1f} dB); ≥25 dB recommended for "
+                f"sub-sample TDOA precision."
+            )
+        else:
+            recs.append(f"{g} Good: SNR {blk.snr_db:.1f} dB.")
+        if abs(blk.dc_offset_i) > 5 or abs(blk.dc_offset_q) > 5:
+            recs.append(
+                f"{g} Large DC offset (I {blk.dc_offset_i:+.1f}, "
+                f"Q {blk.dc_offset_q:+.1f} bytes): enable offset tuning or "
+                f"check the tuner."
+            )
+        if abs(blk.iq_imbalance_db) > 3:
+            recs.append(
+                f"{g} I/Q imbalance {blk.iq_imbalance_db:+.1f} dB: hardware issue."
+            )
+    return recs
+
+
+def fast_csv_line(a: SignalAnalysis) -> str:
+    """Machine-readable calibrator interface (fast_analyzer.go:44-50):
+    ``REF,snr,power,clip,ovl`` then ``TGT,...``."""
+    lines = []
+    for name, blk in (("REF", a.ref), ("TGT", a.tgt)):
+        lines.append(
+            f"{name},{blk.snr_db:.2f},{blk.power:.6e},"
+            f"{blk.clip_fraction:.6f},{blk.overload_fraction:.6f}"
+        )
+    return "\n".join(lines)

@@ -57,10 +57,12 @@ def test_dat_file_roundtrip(tmp_path):
     cap = load_dat(path, station="kx0u")
     assert cap.block_len == 64
     # u8 quantization error ≤ half an LSB per component → ≤ √2·0.5 LSB in
-    # complex magnitude.
+    # complex magnitude. Blocks come back planar (TPU-legal); recombine.
+    from tdoa_tpu.ops.cplx import to_complex
+
     tol = 0.5 * np.sqrt(2) / 127.5 + 1e-7
     for got, want in zip((cap.ref1, cap.tgt, cap.ref2), blocks):
-        np.testing.assert_allclose(np.asarray(got), want, atol=tol)
+        np.testing.assert_allclose(np.asarray(to_complex(got)), want, atol=tol)
 
 
 def test_save_dat_rejects_unequal_blocks(tmp_path):
