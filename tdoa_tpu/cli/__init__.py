@@ -1,0 +1,23 @@
+"""Command-line tools mirroring the reference binaries (SURVEY.md §2.1).
+
+Each tool is ``python -m tdoa_tpu.cli.<name>`` with the reference's
+argument contract. Tools default to the CPU backend (interactive latency;
+the axon TPU tunnel takes minutes to warm) — set ``TDOA_TPU_PLATFORM=tpu``
+to run a tool's compute on the TPU.
+"""
+
+import os
+
+
+def setup_platform() -> None:
+    """Pick the JAX platform for CLI runs before any computation."""
+    want = os.environ.get("TDOA_TPU_PLATFORM", "cpu")
+    if want in ("cpu", "tpu", "axon"):
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_platforms", "axon" if want == "tpu" else want
+            )
+        except Exception:
+            pass  # platform already initialized; respect it

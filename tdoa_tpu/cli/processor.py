@@ -1,0 +1,90 @@
+"""TDOA processor CLI — reference contract (processor.go:1047-1051):
+
+    python -m tdoa_tpu.cli.processor <ref_freq> <target_freq> <stations.csv> \
+        <dat1> <dat2> <dat3> [...]
+
+Loads the captures, runs the batched GCC pipeline with reference-signal
+clock correction, prints per-pair TDOAs and the position fix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tdoa_tpu.cli import setup_platform
+
+
+def main(argv=None) -> int:
+    setup_platform()
+    p = argparse.ArgumentParser(
+        prog="processor",
+        description="Offline TDOA processing: .dat captures -> position fix",
+    )
+    p.add_argument("ref_freq", type=float, help="reference frequency, Hz")
+    p.add_argument("target_freq", type=float, help="target frequency, Hz")
+    p.add_argument("csv", help="lat-lon-table.csv station geometry")
+    p.add_argument("dat_files", nargs="+", help=".dat capture files (>= 3)")
+    p.add_argument("--max-lag", type=int, default=20000,
+                   help="correlation search window, samples (default 20000)")
+    p.add_argument("--seg-len", type=int, default=1 << 21,
+                   help="streaming segment length, samples")
+    p.add_argument("--weighting", default="ht",
+                   choices=["ht", "ml", "phat", "scot", "none"])
+    p.add_argument("--no-clock-correction", action="store_true",
+                   help="skip dual-frequency reference clock removal")
+    p.add_argument("--truncate-s", type=float, default=None,
+                   help="use only the first N seconds of each block")
+    args = p.parse_args(argv)
+
+    from tdoa_tpu.pipeline import TDOAProcessor
+    from tdoa_tpu.utils.constants import DEFAULT_SAMPLE_RATE
+
+    trunc = (
+        int(args.truncate_s * DEFAULT_SAMPLE_RATE)
+        if args.truncate_s is not None
+        else None
+    )
+    proc = TDOAProcessor.from_csv(
+        args.ref_freq,
+        args.target_freq,
+        args.csv,
+        max_lag=args.max_lag,
+        seg_len=args.seg_len,
+        weighting=args.weighting,
+        clock_correction=not args.no_clock_correction,
+        truncate_samples=trunc,
+    )
+    print(f"Processing {len(args.dat_files)} captures "
+          f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)")
+    try:
+        res = proc.process_files(args.dat_files)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    names = res.station_names
+    print("\nPer-pair measurements:")
+    for k, (i, j) in enumerate(res.pair_idx):
+        print(
+            f"  {names[i]:>8s} - {names[j]:<8s} "
+            f"raw {res.tgt_delay_samples[k]:+9.2f}  "
+            f"clock {res.clock_offset_samples[k]:+9.2f}  "
+            f"TDOA {res.corrected_tdoa_samples[k]:+9.3f} samples "
+            f"({res.tdoa_seconds[k]*1e6:+8.3f} us)  "
+            f"quality {res.quality[k]:.1f}"
+        )
+    for w in res.warnings:
+        print(f"  WARNING: {w}")
+    fix = res.fix
+    print(f"\nPosition fix: {fix.lat:.6f}, {fix.lon:.6f}  "
+          f"(elev {fix.elev:.0f} m, residual {fix.rms_residual_m:.1f} m)")
+    if fix.candidates_lla is not None and len(fix.candidates_lla) > 1:
+        print("Other candidate solutions (TDOA ghosts):")
+        for lla, rms in zip(fix.candidates_lla[1:], fix.candidates_rms[1:]):
+            print(f"  {lla[0]:.6f}, {lla[1]:.6f}  (residual {rms:.1f} m)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -245,12 +245,19 @@ class TDOAProcessor:
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:
         """Load ``.dat`` files (station identity from filenames,
         processor.go:110-122) and process them."""
+        import os
+
         captures: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
         known = self.stations.names
         for path in dat_paths:
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"capture file not found: {path}")
             st = station_from_filename(path, known)
             if st is None:
-                raise ValueError(f"cannot infer station from filename: {path}")
+                raise ValueError(
+                    f"cannot infer station from filename: {path} "
+                    f"(known stations: {', '.join(known)})"
+                )
             cap: DatCapture = load_dat(path, station=st)
             captures[st] = (cap.ref1, cap.tgt, cap.ref2)
         return self.process_captures(captures)

@@ -178,9 +178,14 @@ def solve_fix(
     )
     pos_all = np.asarray(pos_all, dtype=np.float64)
     rms_all = np.asarray(rms_all, dtype=np.float64)
-    # Deduplicate converged basins (within 30 m counts as the same point).
+    # Deduplicate converged basins (within 30 m counts as the same point)
+    # and drop unconverged strays: a genuine alternate TDOA intersection
+    # has a residual comparable to the best solution's, not km-scale.
     keep = []
+    rms_gate = max(3.0 * rms_all[0], 50.0)
     for k in range(pos_all.shape[0]):
+        if k > 0 and rms_all[k] > rms_gate:
+            continue
         if not any(np.linalg.norm(pos_all[k] - pos_all[j]) < 30.0 for j in keep):
             keep.append(k)
     pos_all, rms_all = pos_all[keep], rms_all[keep]

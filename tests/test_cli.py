@@ -1,0 +1,118 @@
+"""CLI smoke tests — drive each tool as a subprocess, the way the
+reference's CI asserts usage strings (build.yml:51-55) but end-to-end."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(mod, *args, check=True):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["TDOA_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", f"tdoa_tpu.cli.{mod}", *map(str, args)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    if check and r.returncode != 0:
+        raise AssertionError(
+            f"{mod} failed ({r.returncode}):\n{r.stdout}\n{r.stderr}"
+        )
+    return r
+
+
+@pytest.mark.parametrize(
+    "mod",
+    [
+        "processor",
+        "reader",
+        "analyzer",
+        "fast_analyzer",
+        "simulator",
+        "weak_signal_simulator",
+        "collector",
+        "gain_calibrator",
+        "simple_corr",
+        "correlation_sanity",
+        "snr_analysis",
+    ],
+)
+def test_usage_strings(mod):
+    r = run_cli(mod, "--help")
+    assert "usage" in r.stdout.lower()
+
+
+def test_snr_analysis_output():
+    r = run_cli("snr_analysis")
+    assert "kx0u" in r.stdout
+    assert "Coherent integration" in r.stdout
+
+
+def test_simple_corr_passes():
+    r = run_cli("simple_corr", "--n", 16384)
+    assert "ALL PASS" in r.stdout
+
+
+@pytest.mark.slow
+def test_sim_to_processor_workflow(tmp_path, station_csv):
+    """The full documented workflow: simulator → reader → analyzer →
+    processor (docs/usage.md capability)."""
+    r = run_cli(
+        "simulator",
+        "--duration-s", 0.4,
+        "--out", str(tmp_path),
+        "--clock-offsets-us", 12, -7, 23,
+    )
+    assert "wrote" in r.stdout
+    dats = sorted(str(p) for p in tmp_path.glob("sim-*.dat"))
+    assert len(dats) == 3
+
+    r = run_cli("reader", dats[0])
+    assert "RESULT: OK" in r.stdout
+
+    r = run_cli("fast_analyzer", dats[0])
+    assert r.stdout.startswith("REF,")
+
+    r = run_cli("correlation_sanity", dats[0])
+    assert "PASS" in r.stdout
+
+    r = run_cli(
+        "processor",
+        162400000, 101900000, station_csv, *dats,
+        "--max-lag", 512, "--seg-len", 65536,
+    )
+    assert "Position fix:" in r.stdout
+    # Fix should land near KEVO (41.3089, -96.0262)
+    for line in r.stdout.splitlines():
+        if line.startswith("Position fix:"):
+            lat = float(line.split()[2].rstrip(","))
+            lon = float(line.split()[3])
+            assert abs(lat - 41.3089) < 0.01
+            assert abs(lon + 96.0262) < 0.01
+
+
+def test_collector_sim_backend(tmp_path):
+    r = run_cli(
+        "collector",
+        162400000, 101900000, 0, "kx0u",
+        "--backend", "sim",
+        "--duration", 1,
+        "--out", str(tmp_path),
+    )
+    assert "Validated" in r.stdout
+    files = list(tmp_path.glob("kx0u-*.dat"))
+    assert len(files) == 1
+
+
+def test_gain_calibrator_sim_backend():
+    r = run_cli("gain_calibrator", 162400000, 101900000, "--backend", "sim")
+    assert "Recommended collection command" in r.stdout
+    assert "converged" in r.stdout
