@@ -1,0 +1,114 @@
+"""Headline benchmark: 3-station capture → position fix on one chip.
+
+Measures the full processing program (u8 decode → DC removal → segmented
+all-pairs GCC correlation over all three [REF|TGT|REF] blocks → clock
+correction) in steady state, end-to-end on device, and reports correlation
+throughput in Msamples/s/chip.
+
+Baseline: the north-star target from BASELINE.md — a 3×100 s @ 2 Msps
+capture (600 M samples) to a fix in < 1 s on one v5e chip, i.e.
+600 Msamples/s. ``vs_baseline`` = measured / 600. (The reference itself
+publishes no numbers; its O(maxLag·N) correlator needs ~4×10¹⁰ MACs per
+pair, minutes on CPU — SURVEY.md §6.)
+
+Environment knobs:
+  BENCH_SECONDS     capture seconds to simulate (default 100; the driver
+                    full run). Work and samples scale linearly.
+  BENCH_SEG         segment length (default 2^21).
+  BENCH_MAX_LAG     correlation window (default 20000 — the reference's).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    seconds = float(os.environ.get("BENCH_SECONDS", "100"))
+    seg_len = int(os.environ.get("BENCH_SEG", str(1 << 21)))
+    max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
+    fs = 2_000_000.0
+    n_st = 3
+
+    block_len = int(seconds * fs / 3)
+    # Keep blocks a multiple of seg_len so the scan covers everything.
+    block_len = max(block_len // seg_len, 1) * seg_len
+    total_samples = 3 * block_len * n_st
+
+    from tdoa_tpu.ops.cplx import C
+    from tdoa_tpu.pipeline.processor import process_blocks
+
+    # Synthesize station blocks directly on device from cheap RNG — the
+    # benchmark measures processing, not simulation; correlation cost is
+    # data-independent.
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def make_block(k):
+        kr, ki = jax.random.split(k)
+        return C(
+            jax.random.normal(kr, (n_st, block_len), jnp.float32),
+            jax.random.normal(ki, (n_st, block_len), jnp.float32),
+        )
+
+    keys = jax.random.split(key, 3)
+    ref1, tgt, ref2 = (make_block(k) for k in keys)
+    jax.block_until_ready((ref1.re, tgt.re, ref2.re))
+
+    pair_idx = jnp.asarray(np.array([[0, 1], [0, 2], [1, 2]], np.int32))
+    ref_geo = jnp.zeros(3, jnp.float32)
+
+    def run():
+        out = process_blocks(
+            ref1, tgt, ref2, pair_idx, ref_geo,
+            max_lag=max_lag, seg_len=seg_len, weighting="ht",
+        )
+        # block_until_ready does not synchronize on the axon tunnel
+        # backend; a scalar device→host transfer does.
+        float(out[0][0])
+        return out
+
+    t0 = time.time()
+    run()  # compile + first run
+    compile_s = time.time() - t0
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    steady_s = (time.time() - t0) / iters
+
+    throughput = total_samples / steady_s / 1e6  # Msamples/s/chip
+    target = 600.0  # Msamples/s == 3x100s capture in 1 s
+    print(
+        json.dumps(
+            {
+                "metric": "corr_throughput",
+                "value": round(throughput, 2),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(throughput / target, 3),
+                "detail": {
+                    "capture_seconds": seconds,
+                    "total_samples": total_samples,
+                    "steady_latency_s": round(steady_s, 4),
+                    "compile_plus_first_run_s": round(compile_s, 1),
+                    "seg_len": seg_len,
+                    "max_lag": max_lag,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

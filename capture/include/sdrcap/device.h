@@ -1,0 +1,56 @@
+// SDR device abstraction for the capture engine.
+//
+// Plays the role of the librtlsdr C API surface the reference capture
+// stack is built on (librtlsdr-2freq/include/rtl-sdr.h: rtlsdr_open,
+// set_center_freq, set_sample_rate, set_tuner_gain, read_async,
+// cancel_async), reduced to the contract the 2-frequency capture engine
+// actually needs. Implementations:
+//  - SimDevice (sim_device.cc): hardware-free deterministic source whose
+//    output responds to frequency and gain, so retune/gain logic is
+//    observable in tests;
+//  - a real USB RTL-SDR backend would slot in here unchanged.
+#pragma once
+
+#include <cstdint>
+#include <functional>
+#include <memory>
+#include <string>
+
+namespace sdrcap {
+
+// Asynchronous delivery callback: a contiguous, in-order run of
+// interleaved u8 I/Q bytes. Called from the engine's dispatch context,
+// strictly serialized (see ring.h) — callbacks may retune the device,
+// exactly like the reference's restructured event loop
+// (librtlsdr-2freq/src/librtlsdr.c:1826-1894).
+using StreamCallback = std::function<void(const uint8_t* data, size_t len)>;
+
+class Device {
+ public:
+  virtual ~Device() = default;
+
+  virtual bool set_sample_rate(uint32_t rate_hz) = 0;
+  virtual bool set_center_freq(uint32_t freq_hz) = 0;
+  virtual bool set_tuner_gain_db(double gain_db) = 0;
+  virtual bool set_agc(bool enabled) = 0;
+  virtual uint32_t center_freq() const = 0;
+  virtual uint32_t sample_rate() const = 0;
+
+  // Synchronous read of exactly `len` bytes (rtlsdr_read_sync parity).
+  virtual bool read_sync(uint8_t* out, size_t len) = 0;
+
+  // Start streaming; `cb` receives in-order byte runs until cancel_async.
+  // Blocks until streaming ends (like rtlsdr_read_async).
+  virtual bool read_async(const StreamCallback& cb, size_t buf_len,
+                          size_t num_buffers) = 0;
+
+  // Request streaming stop; safe from within the callback.
+  virtual void cancel_async() = 0;
+
+  // Diagnostics (librtlsdr.c:1684-1703 xfer_errors parity).
+  virtual uint64_t transfer_errors() const { return 0; }
+};
+
+std::unique_ptr<Device> MakeSimDevice(uint64_t seed);
+
+}  // namespace sdrcap

@@ -1,0 +1,83 @@
+#include "sdrcap/capture_engine.h"
+
+#include <algorithm>
+#include <cstdio>
+
+namespace sdrcap {
+
+CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
+                               const ByteSink& sink) {
+  CaptureStats stats;
+  if (cfg.samples_per_freq == 0 || cfg.freq1_hz == 0 || cfg.freq2_hz == 0) {
+    stats.error = "freq1, freq2 and samples_per_freq are required";
+    return stats;
+  }
+
+  dev.set_sample_rate(cfg.sample_rate);
+  // AGC hard-disabled before manual gains (rtl_sdr.c:262-268).
+  dev.set_agc(false);
+  dev.set_tuner_gain_db(cfg.gain1_db);
+  dev.set_center_freq(cfg.freq1_hz);
+
+  const uint64_t block_bytes = cfg.samples_per_freq * 2;
+  const uint64_t total_bytes = 3 * block_bytes;
+  uint64_t written = 0;
+  bool aborted = false;
+
+  dev.read_async(
+      [&](const uint8_t* data, size_t len) {
+        size_t off = 0;
+        while (off < len && written < total_bytes) {
+          const uint64_t block = written / block_bytes;  // 0, 1, 2
+          const uint64_t block_end = (block + 1) * block_bytes;
+          const size_t chunk = static_cast<size_t>(
+              std::min<uint64_t>(len - off, block_end - written));
+          if (!sink(data + off, chunk)) {  // short-write abort
+            stats.error = "sink write failed";
+            aborted = true;
+            dev.cancel_async();
+            return;
+          }
+          written += chunk;
+          off += chunk;
+          if (written == block_end && written < total_bytes) {
+            // Block boundary: retune + regain inline, on the dispatch
+            // thread — the serialized queue guarantees no samples from
+            // the old tuning arrive after this point
+            // (rtl_sdr.c:122-135's double gain-set sandwich is folded
+            // into one atomic device update here).
+            const bool to_second = (written == block_bytes);
+            dev.set_tuner_gain_db(to_second ? cfg.gain2_db : cfg.gain1_db);
+            dev.set_center_freq(to_second ? cfg.freq2_hz : cfg.freq1_hz);
+            dev.set_tuner_gain_db(to_second ? cfg.gain2_db : cfg.gain1_db);
+            ++stats.retunes;
+          }
+        }
+        if (written >= total_bytes) dev.cancel_async();
+      },
+      cfg.buf_len, cfg.num_buffers);
+
+  stats.bytes_written = written;
+  stats.transfer_errors = dev.transfer_errors();
+  stats.completed = !aborted && written == total_bytes;
+  if (!stats.completed && stats.error.empty())
+    stats.error = "capture ended before reaching 3*n samples";
+  return stats;
+}
+
+CaptureStats CaptureToFile(Device& dev, const CaptureConfig& cfg,
+                           const std::string& path) {
+  FILE* f = std::fopen(path.c_str(), "wb");
+  if (!f) {
+    CaptureStats s;
+    s.error = "cannot open output file: " + path;
+    return s;
+  }
+  CaptureStats s = RunTwoFreqCapture(dev, cfg, [&](const uint8_t* d, size_t n) {
+    return std::fwrite(d, 1, n, f) == n;
+  });
+  std::fclose(f);
+  return s;
+}
+
+}  // namespace sdrcap

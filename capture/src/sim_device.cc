@@ -1,0 +1,132 @@
+// Hardware-free SDR device: a deterministic synthetic front-end.
+//
+// Stands in for the USB RTL-SDR so the whole capture stack (ordered
+// async engine, retune logic, gain handling, CLI tools) is exercisable
+// and testable in CI, mirroring how the reference system leans on its
+// simulators for hardware-free validation (SURVEY.md §4.2). The signal
+// model responds to tuner state: a narrowband FM-like tone whose
+// baseband offset derives from the tuned frequency and whose amplitude
+// follows gain — so a retune or gain change mid-stream visibly changes
+// the output, which is exactly what the block-boundary tests assert.
+#include "sdrcap/device.h"
+#include "sdrcap/ring.h"
+
+#include <atomic>
+#include <cmath>
+#include <cstring>
+#include <random>
+#include <thread>
+
+namespace sdrcap {
+namespace {
+
+class SimDevice final : public Device {
+ public:
+  explicit SimDevice(uint64_t seed) : rng_(seed) {}
+
+  bool set_sample_rate(uint32_t rate_hz) override {
+    sample_rate_ = rate_hz;
+    return true;
+  }
+  bool set_center_freq(uint32_t freq_hz) override {
+    center_freq_.store(freq_hz, std::memory_order_relaxed);
+    return true;
+  }
+  bool set_tuner_gain_db(double gain_db) override {
+    gain_db_.store(gain_db, std::memory_order_relaxed);
+    return true;
+  }
+  bool set_agc(bool enabled) override {
+    agc_ = enabled;
+    return true;
+  }
+  uint32_t center_freq() const override {
+    return center_freq_.load(std::memory_order_relaxed);
+  }
+  uint32_t sample_rate() const override { return sample_rate_; }
+
+  bool read_sync(uint8_t* out, size_t len) override {
+    generate(out, len);
+    return true;
+  }
+
+  bool read_async(const StreamCallback& cb, size_t buf_len,
+                  size_t num_buffers) override {
+    cancel_.store(false);
+    OrderedTransferQueue q(num_buffers, buf_len);
+
+    // Producer: fills buffers the way the USB bulk endpoint would.
+    std::thread producer([&] {
+      while (!cancel_.load(std::memory_order_acquire)) {
+        Transfer* t = q.acquire_free();
+        if (!t) break;
+        generate(t->data.data(), t->data.size());
+        t->len = t->data.size();
+        q.submit_filled(t);
+      }
+      q.shutdown();
+    });
+
+    // Dispatcher (this thread): strictly in-order serialized callbacks;
+    // the callback may call set_center_freq / set_tuner_gain_db /
+    // cancel_async, mirroring rtl_sdr.c's boundary retunes.
+    while (Transfer* t = q.pop_in_order()) {
+      cb(t->data.data(), t->len);
+      q.release(t);
+      if (cancel_.load(std::memory_order_acquire)) break;
+    }
+    q.shutdown();
+    producer.join();
+    return true;
+  }
+
+  void cancel_async() override {
+    cancel_.store(true, std::memory_order_release);
+  }
+
+ private:
+  void generate(uint8_t* out, size_t len) {
+    const double fs = sample_rate_;
+    const uint32_t fc = center_freq();
+    const double gain = gain_db_.load(std::memory_order_relaxed);
+    // Signal: tone at an offset derived from the tuned frequency
+    // (so "what station am I hearing" tracks retunes), amplitude from
+    // gain relative to 40 dB full scale; plus white noise.
+    const double off_hz = 50e3 + (fc % 997) * 37.0;
+    const double amp = std::min(0.9, 0.5 * std::pow(10.0, (gain - 40.0) / 20.0));
+    const double noise = 0.02;
+    std::normal_distribution<double> nd(0.0, noise);
+    const double w = 2.0 * M_PI * off_hz / fs;
+    for (size_t i = 0; i + 1 < len; i += 2) {
+      const double ph = phase_;
+      phase_ += w;
+      if (phase_ > 2.0 * M_PI) phase_ -= 2.0 * M_PI;
+      const double iv = amp * std::cos(ph) + nd(rng_);
+      const double qv = amp * std::sin(ph) + nd(rng_);
+      out[i] = clamp_u8(iv * 127.5 + 127.5);
+      out[i + 1] = clamp_u8(qv * 127.5 + 127.5);
+    }
+  }
+
+  static uint8_t clamp_u8(double v) {
+    if (v < 0.0) return 0;
+    if (v > 255.0) return 255;
+    return static_cast<uint8_t>(v + 0.5);
+  }
+
+  uint32_t sample_rate_ = 2'000'000;
+  std::atomic<uint32_t> center_freq_{100'000'000};
+  std::atomic<double> gain_db_{28.0};
+  bool agc_ = false;
+  std::atomic<bool> cancel_{false};
+  double phase_ = 0.0;
+  std::mt19937_64 rng_;
+};
+
+}  // namespace
+
+std::unique_ptr<Device> MakeSimDevice(uint64_t seed) {
+  return std::make_unique<SimDevice>(seed);
+}
+
+}  // namespace sdrcap
