@@ -1,0 +1,147 @@
+// Device-configuration tool — rtl_eeprom.c capability on a file-backed
+// EEPROM image (the sim stack's persistent device identity): the same
+// 256-byte layout real RTL dongles use — VID/PID, config flags, and
+// three UTF-16-ish prefixed strings (manufacturer, product, serial).
+//
+//   sdr_eeprom -I image.bin                 # read & print
+//   sdr_eeprom -I image.bin -g              # generate default image
+//   sdr_eeprom -I image.bin -m MFG -p PROD -S SERIAL   # write fields
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr size_t kEepromSize = 256;
+
+struct Config {
+  uint16_t vid = 0x0bda, pid = 0x2838;
+  bool have_serial = true, remote_wakeup = false, enable_ir = false;
+  std::string manufacturer = "Realtek";
+  std::string product = "RTL2838UHIDIR";
+  std::string serial = "00000001";
+};
+
+// Strings are stored as: len byte (2n+2), 0x03, then n UCS-2LE chars.
+size_t put_string(std::vector<uint8_t>& e, size_t pos, const std::string& s) {
+  e[pos] = (uint8_t)(s.size() * 2 + 2);
+  e[pos + 1] = 0x03;
+  for (size_t i = 0; i < s.size(); ++i) {
+    e[pos + 2 + 2 * i] = s[i];
+    e[pos + 3 + 2 * i] = 0x00;
+  }
+  return pos + 2 + 2 * s.size();
+}
+
+size_t get_string(const std::vector<uint8_t>& e, size_t pos, std::string* out) {
+  if (pos + 2 > e.size() || e[pos + 1] != 0x03) return pos;
+  const size_t n = (e[pos] - 2) / 2;
+  out->clear();
+  for (size_t i = 0; i < n && pos + 3 + 2 * i < e.size(); ++i)
+    out->push_back((char)e[pos + 2 + 2 * i]);
+  return pos + e[pos];
+}
+
+std::vector<uint8_t> serialize(const Config& c) {
+  std::vector<uint8_t> e(kEepromSize, 0);
+  e[0] = 0x28;
+  e[1] = 0x32;
+  e[2] = c.vid & 0xff;
+  e[3] = c.vid >> 8;
+  e[4] = c.pid & 0xff;
+  e[5] = c.pid >> 8;
+  e[6] = (c.have_serial ? 0xa5 : 0x00);
+  e[7] = (c.remote_wakeup ? 0x01 : 0x00) | (c.enable_ir ? 0x02 : 0x00);
+  size_t pos = 0x09;
+  pos = put_string(e, pos, c.manufacturer);
+  pos = put_string(e, pos, c.product);
+  put_string(e, pos, c.serial);
+  return e;
+}
+
+bool parse(const std::vector<uint8_t>& e, Config* c) {
+  if (e.size() < kEepromSize || e[0] != 0x28 || e[1] != 0x32) return false;
+  c->vid = e[2] | (e[3] << 8);
+  c->pid = e[4] | (e[5] << 8);
+  c->have_serial = e[6] == 0xa5;
+  c->remote_wakeup = e[7] & 0x01;
+  c->enable_ir = e[7] & 0x02;
+  size_t pos = 0x09;
+  pos = get_string(e, pos, &c->manufacturer);
+  pos = get_string(e, pos, &c->product);
+  get_string(e, pos, &c->serial);
+  return true;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string image;
+  Config c;
+  bool generate = false, write = false;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() { return argv[++i]; };
+    if (a == "-I") image = next();
+    else if (a == "-g") generate = true;
+    else if (a == "-m") { c.manufacturer = next(); write = true; }
+    else if (a == "-p") { c.product = next(); write = true; }
+    else if (a == "-S") { c.serial = next(); write = true; }
+    else if (a == "--help" || image.empty()) {
+      std::fprintf(stderr,
+                   "Usage: sdr_eeprom -I image.bin [-g] [-m MFG] [-p PROD] "
+                   "[-S SERIAL]\n");
+      return a == "--help" ? 0 : 2;
+    }
+  }
+
+  if (!generate) {
+    FILE* f = std::fopen(image.c_str(), "rb");
+    if (f) {
+      std::vector<uint8_t> e(kEepromSize);
+      if (std::fread(e.data(), 1, e.size(), f) == kEepromSize) {
+        Config cur;
+        if (parse(e, &cur)) {
+          if (!write) {
+            std::printf("Vendor ID:\t\t0x%04x\n", cur.vid);
+            std::printf("Product ID:\t\t0x%04x\n", cur.pid);
+            std::printf("Manufacturer:\t\t%s\n", cur.manufacturer.c_str());
+            std::printf("Product:\t\t%s\n", cur.product.c_str());
+            std::printf("Serial number:\t\t%s\n", cur.serial.c_str());
+            std::printf("Serial number enabled:\t%s\n",
+                        cur.have_serial ? "yes" : "no");
+            std::printf("IR endpoint enabled:\t%s\n",
+                        cur.enable_ir ? "yes" : "no");
+            std::printf("Remote wakeup enabled:\t%s\n",
+                        cur.remote_wakeup ? "yes" : "no");
+            std::fclose(f);
+            return 0;
+          }
+          // Start edits from the current content.
+          std::string m = c.manufacturer, p = c.product, s = c.serial;
+          bool em = m != "Realtek", ep = p != "RTL2838UHIDIR",
+               es = s != "00000001";
+          c = cur;
+          if (em) c.manufacturer = m;
+          if (ep) c.product = p;
+          if (es) c.serial = s;
+        }
+      }
+      std::fclose(f);
+    } else if (!write) {
+      std::fprintf(stderr, "cannot open %s (use -g to generate)\n",
+                   image.c_str());
+      return 1;
+    }
+  }
+
+  auto e = serialize(c);
+  FILE* f = std::fopen(image.c_str(), "wb");
+  if (!f) { std::perror("open image"); return 1; }
+  std::fwrite(e.data(), 1, e.size(), f);
+  std::fclose(f);
+  std::printf("wrote %s (%zu bytes)\n", image.c_str(), e.size());
+  return 0;
+}

@@ -1,0 +1,145 @@
+// Host-side FM demodulator — rtl_fm.c capability: stream (or read a
+// file of) u8 IQ, quadrature-discriminate, decimate, de-emphasize, and
+// write s16 audio. The accelerator path (tdoa_tpu.dsp.fm / the Pallas
+// kernel) is the production demod; this tool covers the reference's
+// standalone-listening use and gives the capture stack a pure-native
+// smoke path. Pipeline mirrors rtl_fm's stages: polar_discriminant
+// (rtl_fm.c:427-434) → low-pass decimation (302-322) → de-emphasis
+// (596) → DC block (613).
+//
+//   sdr_fm [-M fm|raw] [-s rate] [-r audio_rate] [-d deemph_us]
+//          [-i in.iq|--live seconds] [-f tune_hz] out.raw
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "sdrcap/device.h"
+
+namespace {
+
+struct Demod {
+  double prev_re = 1.0, prev_im = 0.0;
+  double deemph_state = 0.0, dc_avg = 0.0;
+  double deemph_alpha = 0.0;
+  int decim = 16;
+  std::vector<double> acc;
+  int acc_n = 0;
+  double acc_v = 0.0;
+
+  void configure(double fs, int decim_, double deemph_us) {
+    decim = decim_;
+    deemph_alpha =
+        deemph_us > 0 ? 1.0 - std::exp(-1.0 / (fs / decim * deemph_us * 1e-6))
+                      : 0.0;
+  }
+
+  // Consume one IQ sample; returns true + fills `out` when an audio
+  // sample is ready.
+  bool push(double re, double im, int16_t* out) {
+    // Discriminator: angle of x[n] * conj(x[n-1]).
+    const double pr = re * prev_re + im * prev_im;
+    const double pi = im * prev_re - re * prev_im;
+    prev_re = re;
+    prev_im = im;
+    const double d = std::atan2(pi, pr);  // [-pi, pi] rad/sample
+    // Boxcar decimation (rtl_fm low_pass parity).
+    acc_v += d;
+    if (++acc_n < decim) return false;
+    double a = acc_v / decim;
+    acc_v = 0.0;
+    acc_n = 0;
+    // De-emphasis single-pole IIR.
+    if (deemph_alpha > 0.0) {
+      deemph_state += deemph_alpha * (a - deemph_state);
+      a = deemph_state;
+    }
+    // DC block.
+    dc_avg = 0.999 * dc_avg + 0.001 * a;
+    a -= dc_avg;
+    const double s = a / M_PI * 32767.0;
+    *out = (int16_t)std::max(-32767.0, std::min(32767.0, s));
+    return true;
+  }
+};
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string mode = "fm", in_path, out_path;
+  double rate = 2'000'000, live_seconds = 0, deemph_us = 75.0;
+  uint32_t tune = 100'000'000;
+  int audio_decim = 16;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() { return argv[++i]; };
+    if (a == "-M") mode = next();
+    else if (a == "-s") rate = std::atof(next());
+    else if (a == "-r") audio_decim = (int)(rate / std::atof(next()));
+    else if (a == "-d") deemph_us = std::atof(next());
+    else if (a == "-i") in_path = next();
+    else if (a == "-f") tune = std::strtoul(next(), nullptr, 10);
+    else if (a == "--live") live_seconds = std::atof(next());
+    else if (a == "--help") {
+      std::fprintf(stderr,
+                   "Usage: sdr_fm [-M fm|raw] [-s rate] [-r audio_rate] "
+                   "[-d deemph_us] (-i in.iq | --live sec) [-f hz] out.raw\n");
+      return 0;
+    } else if (a[0] != '-') out_path = a;
+  }
+  if (out_path.empty() || (in_path.empty() && live_seconds <= 0)) {
+    std::fprintf(stderr, "need an input (-i or --live) and an output file\n");
+    return 2;
+  }
+  FILE* out = std::fopen(out_path.c_str(), "wb");
+  if (!out) { std::perror("open out"); return 1; }
+
+  Demod dm;
+  dm.configure(rate, audio_decim, mode == "fm" ? deemph_us : 0.0);
+  uint64_t audio_samples = 0;
+
+  auto process = [&](const uint8_t* data, size_t len) {
+    int16_t s;
+    for (size_t k = 0; k + 1 < len; k += 2) {
+      const double re = (data[k] - 127.5) / 127.5;
+      const double im = (data[k + 1] - 127.5) / 127.5;
+      if (mode == "raw") {
+        const int16_t pair[2] = {(int16_t)(re * 32767), (int16_t)(im * 32767)};
+        std::fwrite(pair, sizeof(pair), 1, out);
+        ++audio_samples;
+      } else if (dm.push(re, im, &s)) {
+        std::fwrite(&s, sizeof(s), 1, out);
+        ++audio_samples;
+      }
+    }
+  };
+
+  if (!in_path.empty()) {
+    FILE* in = std::fopen(in_path.c_str(), "rb");
+    if (!in) { std::perror("open in"); return 1; }
+    std::vector<uint8_t> buf(1 << 16);
+    size_t n;
+    while ((n = std::fread(buf.data(), 1, buf.size(), in)) > 0)
+      process(buf.data(), n);
+    std::fclose(in);
+  } else {
+    auto dev = sdrcap::MakeSimDevice(3);
+    dev->set_sample_rate((uint32_t)rate);
+    dev->set_center_freq(tune);
+    const uint64_t want_bytes = (uint64_t)(live_seconds * rate) * 2;
+    uint64_t got = 0;
+    dev->read_async(
+        [&](const uint8_t* d, size_t len) {
+          process(d, len);
+          got += len;
+          if (got >= want_bytes) dev->cancel_async();
+        },
+        262144, 8);
+  }
+  std::fclose(out);
+  std::fprintf(stderr, "wrote %llu audio samples at %.0f Hz\n",
+               (unsigned long long)audio_samples, rate / audio_decim);
+  return 0;
+}

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                    choices=["ht", "ml", "phat", "scot", "none"])
     p.add_argument("--no-clock-correction", action="store_true",
                    help="skip dual-frequency reference clock removal")
+    p.add_argument("--mode", default="iq", choices=["iq", "fm"],
+                   help="correlate raw IQ or FM-demodulated audio")
+    p.add_argument("--fm-decim", type=int, default=8,
+                   help="audio decimation factor for --mode fm")
     p.add_argument("--truncate-s", type=float, default=None,
                    help="use only the first N seconds of each block")
     args = p.parse_args(argv)
@@ -54,6 +58,8 @@ def main(argv=None) -> int:
         weighting=args.weighting,
         clock_correction=not args.no_clock_correction,
         truncate_samples=trunc,
+        mode=args.mode,
+        fm_decim=args.fm_decim,
     )
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)")

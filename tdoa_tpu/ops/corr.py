@@ -116,8 +116,10 @@ def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
         # scaled PHAT.
         saa = psd[pair_idx[:, 0]]
         sbb = psd[pair_idx[:, 1]]
-        gamma2 = cross.abs2() / jnp.maximum(saa * sbb, 1e-30)
-        gamma2 = jnp.clip(gamma2, 0.0, 0.98)
+        # sqrt-form avoids overflowing the 4th-power product for large
+        # spectral magnitudes.
+        gamma = mag / jnp.maximum(jnp.sqrt(saa) * jnp.sqrt(sbb), 1e-30)
+        gamma2 = jnp.clip(gamma * gamma, 0.0, 0.98)
         snr_w = gamma2 / (1.0 - gamma2)
         d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
         w = snr_w / jnp.maximum(jnp.max(snr_w, axis=-1, keepdims=True), 1e-30)
@@ -237,6 +239,13 @@ def correlate_pairs_planar(
     """
     n = x.re.shape[1]
     seg_len, fft_len = resolve_seg(n, max_lag, seg_len, fft_len)
+    # Per-station RMS pre-scaling: delay-invariant, and keeps the
+    # accumulated |spectrum|² products (HT coherence uses 4th powers of
+    # the input scale) inside float32 range for inputs of any unit —
+    # e.g. FM audio in raw Hz.
+    rms = jnp.sqrt(jnp.mean(x.abs2(), axis=-1, keepdims=True))
+    inv = 1.0 / jnp.maximum(rms, 1e-30)
+    x = C(x.re * inv, x.im * inv)
     cross, psd, energy = _accumulate_cross_spectra(x, pair_idx, seg_len, fft_len)
     return _finish_correlation(
         cross, psd, energy, pair_idx, max_lag, weighting, eps, fft_len, refine

@@ -4,19 +4,24 @@ Why a hand kernel: the demod chain reads IQ at the full capture rate
 (2 Msps × 2 floats) but writes audio at rate/D — the intermediate
 instantaneous-frequency array is pure HBM waste if materialized. This
 kernel keeps the full-rate intermediate in VMEM only: each grid step DMAs
-one input tile (with filter-length halo), runs the quadrature
-discriminator (pairwise conjugate product → atan2, the vectorization of
-rtl_fm.c:427-434's polar_discriminant), applies the decimating FIR
-in-register via a strided tap loop, and writes only the decimated audio
-tile. HBM traffic drops from (2 + 1/D + 1) to (2 + 1/D) floats/sample —
-and, more importantly, the atan2 never waits on an HBM round-trip.
+one input tile (with halo), runs the quadrature discriminator (pairwise
+conjugate product → polynomial atan2, the vectorization of
+rtl_fm.c:427-434's polar_discriminant), and applies the decimating FIR
+**as two MXU matmuls** — writing only the decimated audio tile.
 
-The discriminator output d[n] uses x[n]·conj(x[n−1]), so each tile needs
-one extra leading sample; the FIR needs K−1 more — a K-sample halo total,
-handled by overlapping DMA slices from a left-padded input.
+The matmul trick (everything stays 128-lane aligned, which Mosaic
+requires): view the discriminator output as rows of 128 samples,
+``d2d[r, q] = d[128r + q]``. With decimation D (D | 128) each row owns
+J = 128/D outputs, and a K-tap FIR (K ≤ 128) touches at most rows r and
+r+1:
 
-Grid: one program per output tile of T samples (= T·D input samples).
-All shapes are static; tiles are (8·k, 128)-friendly.
+    y[J·r + j] = Σ_q d2d[r, q]·A[q, j] + Σ_q d2d[r+1, q]·B[q, j]
+    A[q, j] = h[q − D·j]        (0 ≤ q − D·j < K)
+    B[q, j] = h[q + 128 − D·j]  (0 ≤ q + 128 − D·j < K)
+
+A and B are static (128, J) matrices, so the whole FIR+decimate is
+``d2d[:T] @ A + roll(d2d, −1 row)[:T] @ B`` — two systolic-array passes
+per tile, no unaligned slicing, no lane gathers.
 """
 
 from __future__ import annotations
@@ -34,12 +39,14 @@ from tdoa_tpu.dsp.filters import lowpass_taps
 from tdoa_tpu.ops.cplx import C
 from tdoa_tpu.utils.platform import default_interpret_mode
 
+_LANES = 128
+
 
 def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
     """Polynomial atan2 for Pallas TPU (no atan2 lowering exists).
 
     Octant reduction + odd minimax polynomial on [0, 1]; max error
-    ~1e-5 rad — far below the discriminator's noise floor. The VPU-
+    ~2e-6 rad — far below the discriminator's noise floor. The VPU-
     friendly cousin of rtl_fm.c:436-457's fast_atan2.
     """
     ax = jnp.abs(x)
@@ -48,7 +55,6 @@ def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
     lo = jnp.minimum(ax, ay)
     a = lo / jnp.maximum(hi, 1e-30)
     s = a * a
-    # Minimax coefficients for atan(a), a in [0,1].
     r = a * (
         0.99997726
         + s * (-0.33262347
@@ -61,52 +67,71 @@ def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.where(y < 0, -r, r)
 
 
-def _kernel(taps_ref, xr_hbm, xi_hbm, out_ref, scratch_r, scratch_i, sems,
-            *, tile_out: int, decim: int, k_taps: int, inv_dev: float):
+def _tap_matrices(taps: np.ndarray, decim: int) -> tuple:
+    """The static (128, 128/decim) FIR-decimation matrices A and B."""
+    k_taps = len(taps)
+    j_out = _LANES // decim
+    a = np.zeros((_LANES, j_out), np.float32)
+    b = np.zeros((_LANES, j_out), np.float32)
+    for j in range(j_out):
+        for q in range(_LANES):
+            k = q - decim * j
+            if 0 <= k < k_taps:
+                a[q, j] = taps[k]
+            k2 = q + _LANES - decim * j
+            if 0 <= k2 < k_taps:
+                b[q, j] = taps[k2]
+    return a, b
+
+
+def _kernel(a_ref, b_ref, xr_hbm, xi_hbm, out_ref, scratch_r, scratch_i,
+            sems, *, tile_rows: int, inv_dev: float):
     i = pl.program_id(0)
-    tile_in = tile_out * decim
-    halo = k_taps  # 1 (discriminator) + k_taps - 1 (FIR)
-    start = i * tile_in
+    win = tile_rows + 2  # +1 leading row (look-back), +1 trailing (FIR halo)
 
     cp_r = pltpu.make_async_copy(
-        xr_hbm.at[0, pl.ds(start, tile_in + halo)],
-        scratch_r.at[0, pl.ds(0, tile_in + halo)],
-        sems.at[0],
+        xr_hbm.at[pl.ds(i * tile_rows, win), :], scratch_r, sems.at[0]
     )
     cp_i = pltpu.make_async_copy(
-        xi_hbm.at[0, pl.ds(start, tile_in + halo)],
-        scratch_i.at[0, pl.ds(0, tile_in + halo)],
-        sems.at[1],
+        xi_hbm.at[pl.ds(i * tile_rows, win), :], scratch_i, sems.at[1]
     )
     cp_r.start()
     cp_i.start()
     cp_r.wait()
     cp_i.wait()
 
-    xr = scratch_r[0, :]
-    xi = scratch_i[0, :]
-    n = tile_in + halo
-    # Quadrature discriminator: angle(x[n]·conj(x[n-1])).
-    a_r, a_i = xr[1:n], xi[1:n]
-    b_r, b_i = xr[: n - 1], xi[: n - 1]
-    p_re = a_r * b_r + a_i * b_i
-    p_im = a_i * b_r - a_r * b_i
-    disc = _atan2(p_im, p_re) * jnp.float32(inv_dev)  # [tile_in + halo - 1]
+    xr = scratch_r[:, :]  # [win, 128]
+    xi = scratch_i[:, :]
 
-    # Decimating FIR: y[t] = Σ_k h[k]·disc[t·D + k], accumulated in-register.
-    def tap_body(k, acc):
-        sl = jax.lax.dynamic_slice(disc, (k,), (tile_in,))
-        return acc + taps_ref[0, k] * sl.reshape(tile_out, decim)[:, 0]
+    # One-sample look-back on the 2-D layout, with no unaligned slicing:
+    # prev[r, q] = x[r, q−1] for q > 0 (lane roll), and x[r−1, 127] for
+    # q = 0 (lane roll of the row roll).
+    def prev_of(x2d):
+        rl = pltpu.roll(x2d, shift=1, axis=1)
+        rlr = pltpu.roll(rl, shift=1, axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
+        return jnp.where(col == 0, rlr, rl)
 
-    acc = jax.lax.fori_loop(
-        0, k_taps, tap_body, jnp.zeros((tile_out,), jnp.float32)
+    pr, pi = prev_of(xr), prev_of(xi)
+    # Quadrature discriminator: angle(x[g]·conj(x[g−1])).
+    p_re = xr * pr + xi * pi
+    p_im = xi * pr - xr * pi
+    disc = _atan2(p_im, p_re) * jnp.float32(inv_dev)  # [win, 128]
+    # Window row 0 exists only as look-back; drop it (roll keeps slices
+    # starting at row 0, which Mosaic requires).
+    dwin = pltpu.roll(disc, shift=win - 1, axis=0)  # dwin[r] = disc[r+1]
+
+    t0 = dwin[:tile_rows, :]
+    t1 = pltpu.roll(dwin, shift=win - 1, axis=0)[:tile_rows, :]  # row r+1
+    y = jnp.dot(t0, a_ref[:, :], preferred_element_type=jnp.float32) + jnp.dot(
+        t1, b_ref[:, :], preferred_element_type=jnp.float32
     )
-    out_ref[0, :] = acc
+    out_ref[:, :] = y
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("decim", "num_taps", "tile_out", "interpret"),
+    static_argnames=("decim", "num_taps", "tile_rows", "interpret"),
 )
 def fm_demod_decimate_pallas(
     x: C,  # [n] planar IQ at the capture rate
@@ -114,57 +139,59 @@ def fm_demod_decimate_pallas(
     deviation_hz: float = 25e3,
     decim: int = 16,
     num_taps: int = 128,
-    tile_out: int = 1024,
+    tile_rows: int = 256,  # input rows of 128 samples per grid step
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Demodulate+decimate one signal. Returns audio [n // decim] float32.
+    """Demodulate+decimate one signal. Returns audio [≈n // decim] f32.
 
     The audio is scaled so ±deviation maps to ±1 (phase increments ×
     fs/(2π·deviation)). DC (receiver LO offset) is removed afterwards by
-    the caller if needed.
+    the caller if needed. Constraints: decim | 128, num_taps ≤ 128.
     """
     if interpret is None:
         interpret = default_interpret_mode()
+    if _LANES % decim != 0:
+        raise ValueError("decim must divide 128")
+    if num_taps > _LANES:
+        raise ValueError("num_taps must be <= 128")
     n = x.re.shape[-1]
-    n_out = n // decim
-    n_tiles = max(n_out // tile_out, 1)
-    n_out = n_tiles * tile_out
-    n_in = n_out * decim
-    halo = num_taps
+    tile_in = tile_rows * _LANES
+    n_tiles = max(n // tile_in, 1)
+    n_in = n_tiles * tile_in
+    j_out = _LANES // decim
 
     taps = lowpass_taps(0.45 * sample_rate / decim, sample_rate, num_taps - 1)
     taps = np.concatenate([taps, np.zeros(num_taps - len(taps), np.float32)])
-    # Left-pad by 1 (discriminator d[0]) and right-pad the halo.
-    def pad(a):
-        a = a[:n_in]
-        return jnp.pad(a, (1, halo))[None, :]
+    a_mat, b_mat = _tap_matrices(taps, decim)
+
+    # Lay the signal out as rows of 128 with one zero row on each side:
+    # the leading row feeds the first sample's look-back, the trailing
+    # row the last output row's FIR halo.
+    def pad(arr):
+        arr = arr[:n_in]
+        return jnp.pad(arr, (_LANES, _LANES)).reshape(-1, _LANES)
 
     xr, xi = pad(x.re), pad(x.im)
     inv_dev = sample_rate / (2.0 * np.pi * deviation_hz)
 
     out = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            tile_out=tile_out,
-            decim=decim,
-            k_taps=num_taps,
-            inv_dev=inv_dev,
-        ),
+        functools.partial(_kernel, tile_rows=tile_rows, inv_dev=inv_dev),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # taps
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # B
             pl.BlockSpec(memory_space=pl.ANY),  # x re (HBM, manual DMA)
             pl.BlockSpec(memory_space=pl.ANY),  # x im
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_out), lambda i: (0, i), memory_space=pltpu.VMEM
+            (tile_rows, j_out), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_rows, j_out), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, tile_out * decim + halo + 128), jnp.float32),
-            pltpu.VMEM((1, tile_out * decim + halo + 128), jnp.float32),
+            pltpu.VMEM((tile_rows + 2, _LANES), jnp.float32),
+            pltpu.VMEM((tile_rows + 2, _LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray(taps)[None, :], xr, xi)
-    return out[0]
+    )(jnp.asarray(a_mat), jnp.asarray(b_mat), xr, xi)
+    return out.reshape(-1)

@@ -50,6 +50,8 @@ class ProcessorConfig:
     seg_len: Optional[int] = 1 << 21  # stream long blocks through segments
     weighting: str = "ht"  # Hannan-Thomson ML weighting (ops/corr.py)
     clock_correction: bool = True
+    mode: str = "iq"  # "iq" raw correlation | "fm" audio-domain correlation
+    fm_decim: int = 8  # audio decimation for mode="fm"
     solve_z: bool = False
     # Like the reference's 1 s truncation (processor.go:772-783) but
     # optional: None processes the full capture.
@@ -73,7 +75,10 @@ class TDOAResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_lag", "seg_len", "weighting", "clock_correction"),
+    static_argnames=(
+        "max_lag", "seg_len", "weighting", "clock_correction", "mode",
+        "fm_decim", "sample_rate",
+    ),
 )
 def process_blocks(
     ref1: C,  # [n_st, L] planar complex
@@ -85,16 +90,30 @@ def process_blocks(
     seg_len: Optional[int] = None,
     weighting: str = "phat",
     clock_correction: bool = True,
+    mode: str = "iq",  # "iq" | "fm"
+    fm_decim: int = 8,
+    sample_rate: float = DEFAULT_SAMPLE_RATE,
 ):
     """The fused device program: 3 blocks × all pairs → corrected TDOAs.
 
-    Returns (corrected_tdoa, tgt_delay, ref_delays [m,2], quality, peak).
-    All three blocks correlate in one batched call; DC removal happens
-    on-device (the standard preprocessing of processor.go:469-499 — the
-    remaining filter cascade there exists to prop up a weak time-domain
-    correlator and is superseded by GCC weighting). Fully planar: runs on
-    TPU backends without complex support.
+    Returns (corrected_tdoa, tgt_delay, ref_delays [m,2], quality, peak),
+    all delays in IQ samples. All three blocks correlate in one batched
+    call; DC removal happens on-device (the standard preprocessing of
+    processor.go:469-499 — the remaining filter cascade there exists to
+    prop up a weak time-domain correlator and is superseded by GCC
+    weighting). Fully planar: runs on TPU backends without complex
+    support.
+
+    ``mode="fm"`` correlates the FM-demodulated *audio* instead of raw
+    IQ — the "FM audio demodulation to aid correlation" capability the
+    reference documents (README.md:3-7) but never wired into its
+    processor. Audio correlation is immune to carrier phase/LO offsets
+    (they become DC, removed on demod) and concentrates all energy into
+    the audio band; timing resolution is bandwidth-limited, so delays
+    come back ``fm_decim`` × coarser before sub-sample refinement.
     """
+    from tdoa_tpu.dsp.fm import fm_demodulate
+
     n_st = ref1.re.shape[0]
     m = pair_idx.shape[0]
     xr = jnp.concatenate([ref1.re, tgt.re, ref2.re], axis=0)  # [3*n_st, L]
@@ -104,11 +123,26 @@ def process_blocks(
     # Pair lists for each block, offset into the stacked station axis.
     offsets = jnp.arange(3, dtype=jnp.int32)[:, None, None] * n_st
     all_pairs = (pair_idx[None, :, :] + offsets).reshape(3 * m, 2)
+
+    if mode == "fm":
+        audio = fm_demodulate(C(xr, xi), sample_rate, decim=fm_decim)
+        x_corr = C(audio, jnp.zeros_like(audio))
+        scale = float(fm_decim)
+        max_lag_c = max(max_lag // fm_decim + 2, 16)
+        seg_c = None if seg_len is None else max(seg_len // fm_decim, 4 * max_lag_c)
+    elif mode == "iq":
+        x_corr = C(xr, xi)
+        scale = 1.0
+        max_lag_c = max_lag
+        seg_c = seg_len
+    else:
+        raise ValueError(f"unknown processing mode: {mode!r}")
+
     res = correlate_pairs_planar(
-        C(xr, xi), all_pairs, max_lag=max_lag, seg_len=seg_len,
+        x_corr, all_pairs, max_lag=max_lag_c, seg_len=seg_c,
         weighting=weighting,
     )
-    delays = res.delay.reshape(3, m)
+    delays = res.delay.reshape(3, m) * jnp.float32(scale)
     quality = res.quality.reshape(3, m)
     peaks = res.peak_value.reshape(3, m)
     ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)  # [m, 2]
@@ -204,6 +238,9 @@ class TDOAProcessor:
             seg_len=cfg.seg_len,
             weighting=cfg.weighting,
             clock_correction=cfg.clock_correction,
+            mode=cfg.mode,
+            fm_decim=cfg.fm_decim,
+            sample_rate=cfg.sample_rate,
         )
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate

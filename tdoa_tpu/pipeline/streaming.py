@@ -1,0 +1,195 @@
+"""Streaming correlation and multi-target tracking.
+
+Two capabilities on top of the batch pipeline:
+
+1. **Incremental cross-spectrum accumulation** (``CorrAccumulator``): the
+   segmented correlator's accumulator exposed as explicit functional
+   state. Feed capture chunks as they arrive (stream ingest, or segments
+   of a capture too long to hold), checkpoint the state between chunks
+   (it is O(fft_len), capture-length independent — the natural resume
+   point the reference lacks entirely, SURVEY.md §5 "Checkpoint/resume:
+   none"), and finalize to delays at any time. Finalizing does not
+   consume the state — estimates can be emitted continuously while
+   integration keeps deepening (the reference's documented-but-unbuilt
+   coherent-integration plan, snr_analysis.go:83-88).
+
+2. **Multi-target tracking** (``TargetTracker``): per-window fixes from
+   continuous processing, smoothed by an alpha-beta filter in the local
+   ENU frame — the "streaming multi-target" configuration of
+   BASELINE.json. Position/velocity state per target; batched solves ride
+   the vmapped LM solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tdoa_tpu.geo import enu_to_lla, lla_to_enu
+from tdoa_tpu.ops.corr import (
+    CorrResult,
+    _accumulate_cross_spectra,
+    _finish_correlation,
+    next_pow2,
+)
+from tdoa_tpu.ops.cplx import C
+from tdoa_tpu.solve.multilateration import solve_tdoa_enu, station_pairs
+from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
+
+
+class AccState(NamedTuple):
+    """Checkpointable accumulator: everything needed to resume or
+    finalize a long-running correlation."""
+
+    cross_re: jax.Array  # [m, F]
+    cross_im: jax.Array  # [m, F]
+    psd: jax.Array  # [n_st, F]
+    energy: jax.Array  # [n_st]
+    n_samples: jax.Array  # scalar — samples integrated so far
+
+
+def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
+    return AccState(
+        cross_re=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        cross_im=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        psd=jnp.zeros((n_st, fft_len), jnp.float32),
+        energy=jnp.zeros((n_st,), jnp.float32),
+        n_samples=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("seg_len", "fft_len"))
+def acc_update(
+    state: AccState,
+    chunk: C,  # [n_st, L] planar; L a multiple of seg_len
+    pair_idx: jax.Array,
+    seg_len: int,
+    fft_len: int,
+) -> AccState:
+    """Integrate one capture chunk into the accumulator."""
+    cross, psd, energy = _accumulate_cross_spectra(
+        chunk, pair_idx, seg_len, fft_len
+    )
+    return AccState(
+        cross_re=state.cross_re + cross.re,
+        cross_im=state.cross_im + cross.im,
+        psd=state.psd + psd,
+        energy=state.energy + energy,
+        n_samples=state.n_samples + chunk.re.shape[-1],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_lag", "weighting", "fft_len")
+)
+def acc_finalize(
+    state: AccState,
+    pair_idx: jax.Array,
+    max_lag: int,
+    weighting: str = "ht",
+    eps: float = 1e-3,
+    fft_len: Optional[int] = None,
+) -> CorrResult:
+    """Current delay estimates from the accumulated spectra (state is
+    untouched — keep integrating afterwards)."""
+    if fft_len is None:
+        fft_len = state.cross_re.shape[-1]
+    return _finish_correlation(
+        C(state.cross_re, state.cross_im),
+        state.psd,
+        state.energy,
+        pair_idx,
+        max_lag,
+        weighting,
+        eps,
+        fft_len,
+        "phase",
+    )
+
+
+@dataclasses.dataclass
+class Track:
+    """Alpha-beta smoothed target track in the network's ENU frame."""
+
+    pos_enu: np.ndarray  # [3]
+    vel_enu: np.ndarray  # [3] m/s
+    last_t: float
+    n_updates: int = 1
+    quality: float = 0.0
+
+    def lla(self, origin_lla: np.ndarray) -> np.ndarray:
+        return enu_to_lla(self.pos_enu, origin_lla)
+
+
+class TargetTracker:
+    """Continuous multi-target tracking from per-window TDOA sets.
+
+    Each call to ``update`` takes one processing window's TDOAs per
+    target (seconds, pair-ordered), solves all targets in one vmapped
+    device call, and folds the fixes into alpha-beta tracks.
+    """
+
+    def __init__(
+        self,
+        station_lla: np.ndarray,
+        alpha: float = 0.5,
+        beta: float = 0.1,
+        solve_z: bool = False,
+    ):
+        self.station_lla = np.asarray(station_lla, dtype=np.float64)
+        self.origin = self.station_lla.mean(axis=0)
+        self.enu = jnp.asarray(
+            lla_to_enu(self.station_lla, self.origin), jnp.float32
+        )
+        self.pairs = jnp.asarray(station_pairs(len(station_lla)))
+        self.alpha = alpha
+        self.beta = beta
+        self.solve_z = solve_z
+        self.tracks: Dict[str, Track] = {}
+
+        self._solve_batch = jax.jit(
+            jax.vmap(
+                lambda rd: solve_tdoa_enu(
+                    self.enu, self.pairs, rd, solve_z=solve_z
+                )
+            )
+        )
+
+    def update(
+        self,
+        t: float,
+        tdoas_s: Dict[str, np.ndarray],  # target id -> [m] seconds
+        qualities: Optional[Dict[str, float]] = None,
+    ) -> Dict[str, Track]:
+        if not tdoas_s:
+            return self.tracks
+        ids = list(tdoas_s.keys())
+        rd = jnp.asarray(
+            np.stack([np.asarray(tdoas_s[i]) * SPEED_OF_LIGHT for i in ids]),
+            jnp.float32,
+        )
+        pos, rms = self._solve_batch(rd)
+        pos = np.asarray(pos, np.float64)
+        for k, tid in enumerate(ids):
+            q = float(qualities[tid]) if qualities else 0.0
+            meas = pos[k]
+            tr = self.tracks.get(tid)
+            if tr is None:
+                self.tracks[tid] = Track(
+                    pos_enu=meas, vel_enu=np.zeros(3), last_t=t, quality=q
+                )
+                continue
+            dt = max(t - tr.last_t, 1e-6)
+            pred = tr.pos_enu + tr.vel_enu * dt
+            resid = meas - pred
+            tr.pos_enu = pred + self.alpha * resid
+            tr.vel_enu = tr.vel_enu + (self.beta / dt) * resid
+            tr.last_t = t
+            tr.n_updates += 1
+            tr.quality = q
+        return self.tracks

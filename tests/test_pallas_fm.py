@@ -40,7 +40,7 @@ def _reference_chain(iq, decim=16, num_taps=128):
 def test_kernel_matches_reference_chain():
     iq, _ = _fm_iq(1 << 15)
     got = np.asarray(
-        fm_demod_decimate_pallas(from_complex(jnp.asarray(iq)), tile_out=256)
+        fm_demod_decimate_pallas(from_complex(jnp.asarray(iq)), tile_rows=32)
     )
     want = _reference_chain(iq)
     assert got.shape == want.shape
@@ -50,7 +50,7 @@ def test_kernel_matches_reference_chain():
 def test_kernel_recovers_audio():
     iq, audio = _fm_iq(1 << 16, seed=3)
     got = np.asarray(
-        fm_demod_decimate_pallas(from_complex(jnp.asarray(iq)), tile_out=512)
+        fm_demod_decimate_pallas(from_complex(jnp.asarray(iq)), tile_rows=64)
     )
     want = audio.reshape(-1, 16).mean(-1)
     m = min(len(got), len(want))

@@ -169,6 +169,24 @@ def test_integration_time_tightens_tdoa(omaha_stations):
     assert rms[1 << 17] < rms[1 << 14] / 1.6
 
 
+def test_e2e_fm_mode(omaha_stations, station_csv):
+    """Audio-domain correlation (mode='fm'): the 'FM demod to aid
+    correlation' capability (reference README.md:3-7, unwired there).
+    Timing is audio-bandwidth-limited, so tolerances are coarser than IQ
+    mode but must survive a strong LO/carrier rotation unscathed."""
+    scene = _scene(omaha_stations, seed=31, clock_offsets_s=np.array([8e-6, -4e-6, 15e-6]))
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=None, max_lag=512, mode="fm", fm_decim=8,
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+    np.testing.assert_allclose(
+        res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=16.0
+    )
+    assert _fix_error_m(res.fix, scene.tgt_tx_lla) < 4000.0
+
+
 def test_processor_requires_three_stations(omaha_stations, station_csv):
     scene = _scene(omaha_stations)
     captures, _ = simulate_scene(scene)

@@ -1,0 +1,139 @@
+"""Streaming accumulation + multi-target tracking tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tdoa_tpu.geo import lla_to_ecef, lla_to_enu
+from tdoa_tpu.ops.corr import correlate_pairs_planar, next_pow2
+from tdoa_tpu.ops.cplx import C, from_complex
+from tdoa_tpu.pipeline.streaming import (
+    TargetTracker,
+    acc_finalize,
+    acc_init,
+    acc_update,
+)
+from tdoa_tpu.sim import fm_source, fractional_delay
+from tdoa_tpu.solve.multilateration import station_pairs
+from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
+
+
+def _stack(sigs):
+    x = jnp.stack(sigs)
+    return C(jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
+
+
+def test_incremental_matches_batch():
+    """Chunked accumulation must reproduce the one-shot result exactly
+    (same segmentation), and estimates must be available mid-stream."""
+    n = 1 << 16
+    seg = 1 << 13
+    base = fm_source(jax.random.PRNGKey(0), n, 2e6)
+    x = _stack([base, fractional_delay(base, jnp.float32(23.75))])
+    pairs = jnp.asarray([[0, 1]], jnp.int32)
+    fft_len = next_pow2(seg + 128)
+
+    batch = correlate_pairs_planar(
+        x, pairs, max_lag=128, seg_len=seg, weighting="ht"
+    )
+
+    state = acc_init(2, 1, fft_len)
+    chunk_len = 1 << 14  # 2 segments per chunk
+    mid_delay = None
+    for c in range(n // chunk_len):
+        chunk = C(
+            x.re[:, c * chunk_len : (c + 1) * chunk_len],
+            x.im[:, c * chunk_len : (c + 1) * chunk_len],
+        )
+        state = acc_update(state, chunk, pairs, seg, fft_len)
+        if c == 0:
+            mid = acc_finalize(state, pairs, max_lag=128)
+            mid_delay = float(mid.delay[0])
+
+    final = acc_finalize(state, pairs, max_lag=128)
+    assert abs(mid_delay - 23.75) < 0.1  # usable estimate after 1 chunk
+    # Note: batch path pre-scales by total RMS; accumulate path is raw.
+    # Delays must agree to sub-sample regardless.
+    np.testing.assert_allclose(
+        float(final.delay[0]), float(batch.delay[0]), atol=5e-3
+    )
+    assert int(state.n_samples) == n
+
+
+def test_accumulator_state_is_checkpointable():
+    """The state round-trips through host numpy (checkpoint/resume)."""
+    n, seg = 1 << 14, 1 << 12
+    base = fm_source(jax.random.PRNGKey(1), n, 2e6)
+    x = _stack([base, fractional_delay(base, jnp.float32(-7.5))])
+    pairs = jnp.asarray([[0, 1]], jnp.int32)
+    fft_len = next_pow2(seg + 64)
+
+    state = acc_init(2, 1, fft_len)
+    half = C(x.re[:, : n // 2], x.im[:, : n // 2])
+    state = acc_update(state, half, pairs, seg, fft_len)
+
+    # "Checkpoint": pull to host, rebuild, resume.
+    saved = jax.tree.map(np.asarray, state)
+    restored = jax.tree.map(jnp.asarray, saved)
+    rest = C(x.re[:, n // 2 :], x.im[:, n // 2 :])
+    state2 = acc_update(restored, rest, pairs, seg, fft_len)
+    res = acc_finalize(state2, pairs, max_lag=64)
+    assert abs(float(res.delay[0]) + 7.5) < 0.05
+
+
+def test_target_tracker_converges(omaha_stations):
+    s = omaha_stations
+    st = lla_to_ecef(s["station_lla"])
+    pairs = station_pairs(3)
+
+    def tdoas_for(tx_lla):
+        d = np.linalg.norm(st - lla_to_ecef(tx_lla), axis=-1)
+        return (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+
+    tracker = TargetTracker(s["station_lla"])
+    rng = np.random.default_rng(0)
+    truth_a = s["tgt_tx_lla"]
+    truth_b = np.array([41.22, -96.00, 350.0])
+    for k in range(10):
+        noise = rng.normal(0, 10e-9, 3)  # 10 ns TDOA jitter per window
+        tracker.update(
+            t=float(k),
+            tdoas_s={
+                "A": tdoas_for(truth_a) + noise,
+                "B": tdoas_for(truth_b) + noise,
+            },
+        )
+    tracks = tracker.tracks
+    assert set(tracks) == {"A", "B"}
+    for tid, truth in (("A", truth_a), ("B", truth_b)):
+        lla = tracks[tid].lla(tracker.origin)
+        err = np.linalg.norm(
+            lla_to_enu(np.array([lla[0], lla[1], truth[2]]), truth)[:2]
+        )
+        assert err < 150.0, (tid, err)
+        assert tracks[tid].n_updates == 10
+
+
+def test_tracker_follows_moving_target(omaha_stations):
+    """A target drifting ~30 m/s: the alpha-beta filter must keep the
+    track within a few hundred meters while smoothing the jitter."""
+    s = omaha_stations
+    st = lla_to_ecef(s["station_lla"])
+    pairs = station_pairs(3)
+    tracker = TargetTracker(s["station_lla"], alpha=0.6, beta=0.3)
+    rng = np.random.default_rng(1)
+    base = np.array(s["tgt_tx_lla"])
+    for k in range(15):
+        tx = base + np.array([0.0003 * k, 0.0, 0.0])  # ~33 m north/step
+        d = np.linalg.norm(st - lla_to_ecef(tx), axis=-1)
+        tdoa = (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+        tracker.update(float(k), {"mover": tdoa + rng.normal(0, 5e-9, 3)})
+    lla = tracker.tracks["mover"].lla(tracker.origin)
+    final_truth = base + np.array([0.0003 * 14, 0.0, 0.0])
+    err = np.linalg.norm(
+        lla_to_enu(np.array([lla[0], lla[1], final_truth[2]]), final_truth)[:2]
+    )
+    assert err < 300.0
+    # Velocity estimate should point roughly north at ~33 m/s.
+    v = tracker.tracks["mover"].vel_enu
+    assert v[1] > 10.0
