@@ -207,13 +207,32 @@ def _finish_correlation(
 
 
 def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[int]):
-    """Static segmentation parameters shared by single- and multi-chip paths."""
-    if seg_len is None or seg_len >= n:
+    """Static segmentation parameters shared by single- and multi-chip paths.
+
+    Anti-aliasing needs ``seg_len + max_lag ≤ fft_len``. Rather than
+    doubling the FFT (the naive ``next_pow2(seg+lag)``, which doubles the
+    dominant FLOP cost), keep the FFT at ``next_pow2(seg)`` and *shrink
+    the segment* by max_lag — a ~1% increase in segment count instead of
+    a 2× increase in transform work. A whole-signal correlation
+    (seg_len=None / seg covers n) still pads up, since shrinking would
+    drop samples.
+    """
+    whole = seg_len is None or seg_len >= n
+    if whole:
         seg_len = n
+        if fft_len is None:
+            fft_len = next_pow2(seg_len + max_lag)
+    elif fft_len is None:
+        fft_len = next_pow2(seg_len)
+        if seg_len + max_lag > fft_len:
+            if max_lag < fft_len // 2:
+                seg_len = fft_len - max_lag
+            else:
+                fft_len = next_pow2(seg_len + max_lag)
     if max_lag >= seg_len:
         raise ValueError(f"max_lag {max_lag} must be < seg_len {seg_len}")
-    if fft_len is None:
-        fft_len = next_pow2(seg_len + max_lag)
+    if seg_len + max_lag > fft_len:
+        raise ValueError("fft_len too small for seg_len + max_lag")
     return seg_len, fft_len
 
 

@@ -69,34 +69,45 @@ def _twiddle(n1: int, n2: int) -> C:
     return C(jnp.cos(ang), jnp.sin(ang))
 
 
-def _dft_last(x: C, n: int) -> C:
+def _mm_cast(precision: str):
+    """Operand dtype for the DFT matmuls. ``bf16`` runs the MXU at full
+    rate with f32 accumulation — relative error ~1e-2 per stage, fine for
+    coarse peak search, not for the phase-slope path. Default f32."""
+    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+
+def _dft_last(x: C, n: int, precision: str) -> C:
     """Direct DFT along the last axis via MXU matmul (n ≤ _BASE)."""
     cr, si = _dft_mats(n)
-    wr, wi = jnp.asarray(cr), jnp.asarray(si)
+    t = _mm_cast(precision)
+    wr, wi = jnp.asarray(cr, t), jnp.asarray(si, t)
+    xr, xi = x.re.astype(t), x.im.astype(t)
     f32 = jnp.float32
-    yr = jnp.matmul(x.re, wr, preferred_element_type=f32) - jnp.matmul(
-        x.im, wi, preferred_element_type=f32
+    yr = jnp.matmul(xr, wr, preferred_element_type=f32) - jnp.matmul(
+        xi, wi, preferred_element_type=f32
     )
-    yi = jnp.matmul(x.re, wi, preferred_element_type=f32) + jnp.matmul(
-        x.im, wr, preferred_element_type=f32
+    yi = jnp.matmul(xr, wi, preferred_element_type=f32) + jnp.matmul(
+        xi, wr, preferred_element_type=f32
     )
     return C(yr, yi)
 
 
-def _fft_last(x: C, n: int) -> C:
+def _fft_last(x: C, n: int, precision: str) -> C:
     """FFT along the last axis, any power-of-two n."""
     if n <= _BASE:
-        return _dft_last(x, n)
+        return _dft_last(x, n, precision)
     n1, n2 = _split(n)
     batch = x.re.shape[:-1]
     x = C(x.re.reshape(*batch, n1, n2), x.im.reshape(*batch, n1, n2))
     # DFT_N1 along axis -2: contract the DFT matrix with the n1 axis.
     cr, si = _dft_mats(n1)
-    wr, wi = jnp.asarray(cr), jnp.asarray(si)
+    t = _mm_cast(precision)
+    wr, wi = jnp.asarray(cr, t), jnp.asarray(si, t)
     f32 = jnp.float32
 
     def dft_axis2(r, i):
         # [..., n1, n2] with D[k1, j1]: einsum over j1.
+        r, i = r.astype(t), i.astype(t)
         yr = jnp.einsum("kj,...jm->...km", wr, r, preferred_element_type=f32) - (
             jnp.einsum("kj,...jm->...km", wi, i, preferred_element_type=f32)
         )
@@ -107,13 +118,13 @@ def _fft_last(x: C, n: int) -> C:
 
     y = dft_axis2(x.re, x.im)
     y = y * _twiddle(n1, n2)
-    y = _fft_last(y, n2)  # recurse along the last axis
+    y = _fft_last(y, n2, precision)  # recurse along the last axis
     # Output index is N1·k2 + k1 → transpose (k1, k2) → (k2, k1), flatten.
     y = C(jnp.swapaxes(y.re, -1, -2), jnp.swapaxes(y.im, -1, -2))
     return C(y.re.reshape(*batch, n), y.im.reshape(*batch, n))
 
 
-def fft(x: C, n: Optional[int] = None) -> C:
+def fft(x: C, n: Optional[int] = None, precision: str = "f32") -> C:
     """Planar FFT along the last axis. ``n`` (power of two) zero-pads or
     truncates, numpy-style."""
     ln = x.re.shape[-1]
@@ -127,22 +138,24 @@ def fft(x: C, n: Optional[int] = None) -> C:
             x = C(jnp.pad(x.re, pad), jnp.pad(x.im, pad))
         else:
             x = C(x.re[..., :n], x.im[..., :n])
-    return _fft_last(x, n)
+    return _fft_last(x, n, precision)
 
 
-def ifft(x: C, n: Optional[int] = None) -> C:
+def ifft(x: C, n: Optional[int] = None, precision: str = "f32") -> C:
     """Planar inverse FFT along the last axis (conjugation trick)."""
     ln = x.re.shape[-1]
     if n is None:
         n = ln
-    y = fft(C(x.re, -x.im), n)
+    y = fft(C(x.re, -x.im), n, precision)
     inv = jnp.float32(1.0 / n)
     return C(y.re * inv, -y.im * inv)
 
 
-def fft_real(x: jax.Array, n: Optional[int] = None) -> C:
+def fft_real(x: jax.Array, n: Optional[int] = None, precision: str = "f32") -> C:
     """FFT of a real signal (planar output, full spectrum)."""
-    return fft(C(x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)), n)
+    return fft(
+        C(x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)), n, precision
+    )
 
 
 def fftfreq(n: int) -> np.ndarray:
