@@ -53,4 +53,8 @@ class Device {
 
 std::unique_ptr<Device> MakeSimDevice(uint64_t seed);
 
+// Replays interleaved u8 I/Q from a file (loops at EOF); nullptr when
+// the file cannot be opened.
+std::unique_ptr<Device> MakeFileDevice(const std::string& path);
+
 }  // namespace sdrcap

@@ -17,7 +17,7 @@ void usage() {
       stderr,
       "Usage: sdr_capture -f freq1_hz -h freq2_hz -1 gain1_db -2 gain2_db\n"
       "                   -n samples_per_freq [-s sample_rate]\n"
-      "                   [--sim-seed N] output.dat\n"
+      "                   [--sim-seed N] [--replay file.iq] output.dat\n"
       "Captures 3*n interleaved u8 I/Q samples as [F1 | F2 | F1] blocks\n"
       "with seamless retuning (dual-frequency .dat contract).\n");
 }
@@ -27,7 +27,7 @@ void usage() {
 int main(int argc, char** argv) {
   sdrcap::CaptureConfig cfg;
   uint64_t seed = 1;
-  std::string out;
+  std::string out, replay;
   bool have_g1 = false, have_g2 = false;
 
   for (int i = 1; i < argc; ++i) {
@@ -46,6 +46,7 @@ int main(int argc, char** argv) {
     else if (a == "-2") { cfg.gain2_db = std::atof(next()); have_g2 = true; }
     else if (a == "-n") cfg.samples_per_freq = std::strtoull(next(), nullptr, 10);
     else if (a == "--sim-seed") seed = std::strtoull(next(), nullptr, 10);
+    else if (a == "--replay") replay = next();
     else if (a == "--help") { usage(); return 0; }
     else if (a[0] != '-') out = a;
     else { usage(); return 2; }
@@ -56,7 +57,12 @@ int main(int argc, char** argv) {
     return 2;
   }
 
-  auto dev = sdrcap::MakeSimDevice(seed);
+  auto dev = replay.empty() ? sdrcap::MakeSimDevice(seed)
+                            : sdrcap::MakeFileDevice(replay);
+  if (!dev) {
+    std::fprintf(stderr, "cannot open replay file: %s\n", replay.c_str());
+    return 1;
+  }
   std::fprintf(stderr,
                "Capturing 3 x %llu samples: %u Hz (g=%.1f) / %u Hz (g=%.1f) "
                "at %u sps -> %s\n",

@@ -84,24 +84,17 @@ def _tap_matrices(taps: np.ndarray, decim: int) -> tuple:
     return a, b
 
 
-def _kernel(a_ref, b_ref, xr_hbm, xi_hbm, out_ref, scratch_r, scratch_i,
-            sems, *, tile_rows: int, inv_dev: float):
-    i = pl.program_id(0)
-    win = tile_rows + 2  # +1 leading row (look-back), +1 trailing (FIR halo)
+_HALO_ROWS = 8  # sublane-aligned; only 2 rows are actually consumed
 
-    cp_r = pltpu.make_async_copy(
-        xr_hbm.at[pl.ds(i * tile_rows, win), :], scratch_r, sems.at[0]
-    )
-    cp_i = pltpu.make_async_copy(
-        xi_hbm.at[pl.ds(i * tile_rows, win), :], scratch_i, sems.at[1]
-    )
-    cp_r.start()
-    cp_i.start()
-    cp_r.wait()
-    cp_i.wait()
 
-    xr = scratch_r[:, :]  # [win, 128]
-    xi = scratch_i[:, :]
+def _kernel(a_ref, b_ref, xr_ref, xi_ref, hr_ref, hi_ref, out_ref,
+            *, tile_rows: int, inv_dev: float):
+    # Auto-blocked inputs (the target runtime faults on manual
+    # make_async_copy DMA, so overlap comes from a precomputed halo
+    # array instead): main block rows + the next 8 rows.
+    win = tile_rows + _HALO_ROWS
+    xr = jnp.concatenate([xr_ref[:, :], hr_ref[0]], axis=0)  # [win, 128]
+    xi = jnp.concatenate([xi_ref[:, :], hi_ref[0]], axis=0)
 
     # One-sample look-back on the 2-D layout, with no unaligned slicing:
     # prev[r, q] = x[r, q−1] for q > 0 (lane roll), and x[r−1, 127] for
@@ -164,14 +157,24 @@ def fm_demod_decimate_pallas(
     taps = np.concatenate([taps, np.zeros(num_taps - len(taps), np.float32)])
     a_mat, b_mat = _tap_matrices(taps, decim)
 
-    # Lay the signal out as rows of 128 with one zero row on each side:
-    # the leading row feeds the first sample's look-back, the trailing
-    # row the last output row's FIR halo.
+    # Lay the signal out as rows of 128: one zero row in front (the first
+    # sample's look-back) and enough zero rows behind that every tile's
+    # 8-row halo exists.
+    total_rows = n_tiles * tile_rows + _HALO_ROWS
+
     def pad(arr):
         arr = arr[:n_in]
-        return jnp.pad(arr, (_LANES, _LANES)).reshape(-1, _LANES)
+        right = total_rows * _LANES - n_in - _LANES
+        return jnp.pad(arr, (_LANES, right)).reshape(total_rows, _LANES)
 
     xr, xi = pad(x.re), pad(x.im)
+    # Per-tile halo: the 8 rows following each tile's block (gathered by
+    # XLA outside the kernel — ~3% duplicate input traffic instead of
+    # manual overlapping DMA, which this runtime faults on).
+    halo_idx = (np.arange(1, n_tiles + 1)[:, None] * tile_rows
+                + np.arange(_HALO_ROWS)[None, :])
+    hr = xr[jnp.asarray(halo_idx)]
+    hi = xi[jnp.asarray(halo_idx)]
     inv_dev = sample_rate / (2.0 * np.pi * deviation_hz)
 
     out = pl.pallas_call(
@@ -180,18 +183,19 @@ def fm_demod_decimate_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # A
             pl.BlockSpec(memory_space=pltpu.VMEM),  # B
-            pl.BlockSpec(memory_space=pl.ANY),  # x re (HBM, manual DMA)
-            pl.BlockSpec(memory_space=pl.ANY),  # x im
+            pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # x re block
+            pl.BlockSpec((tile_rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # x im block
+            pl.BlockSpec((1, _HALO_ROWS, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # re halo
+            pl.BlockSpec((1, _HALO_ROWS, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # im halo
         ],
         out_specs=pl.BlockSpec(
             (tile_rows, j_out), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile_rows, j_out), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_rows + 2, _LANES), jnp.float32),
-            pltpu.VMEM((tile_rows + 2, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
-    )(jnp.asarray(a_mat), jnp.asarray(b_mat), xr, xi)
+    )(jnp.asarray(a_mat), jnp.asarray(b_mat), xr, xi, hr, hi)
     return out.reshape(-1)
