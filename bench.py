@@ -16,6 +16,7 @@ Environment knobs:
                     full run). Work and samples scale linearly.
   BENCH_SEG         segment length (default 2^21).
   BENCH_MAX_LAG     correlation window (default 20000 — the reference's).
+  BENCH_FFT_PRECISION  f32 (default) | bf16 DFT-matmul operands.
 
 Prints ONE JSON line.
 """
@@ -36,6 +37,7 @@ def main() -> None:
     seconds = float(os.environ.get("BENCH_SECONDS", "100"))
     seg_len = int(os.environ.get("BENCH_SEG", str(1 << 21)))
     max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
+    fft_precision = os.environ.get("BENCH_FFT_PRECISION", "f32")
     fs = 2_000_000.0
     n_st = 3
 
@@ -71,6 +73,7 @@ def main() -> None:
         out = process_blocks(
             ref1, tgt, ref2, pair_idx, ref_geo,
             max_lag=max_lag, seg_len=seg_len, weighting="ht",
+            fft_precision=fft_precision,
         )
         # block_until_ready does not synchronize on the axon tunnel
         # backend; a scalar device→host transfer does.
@@ -103,6 +106,7 @@ def main() -> None:
                     "compile_plus_first_run_s": round(compile_s, 1),
                     "seg_len": seg_len,
                     "max_lag": max_lag,
+                    "fft_precision": fft_precision,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -37,6 +37,8 @@ def main(argv=None) -> int:
                    help="correlate raw IQ or FM-demodulated audio")
     p.add_argument("--fm-decim", type=int, default=8,
                    help="audio decimation factor for --mode fm")
+    p.add_argument("--json", action="store_true",
+                   help="emit one machine-readable JSON line instead of text")
     p.add_argument("--truncate-s", type=float, default=None,
                    help="use only the first N seconds of each block")
     args = p.parse_args(argv)
@@ -62,7 +64,8 @@ def main(argv=None) -> int:
         fm_decim=args.fm_decim,
     )
     print(f"Processing {len(args.dat_files)} captures "
-          f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)")
+          f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",
+          file=sys.stderr if args.json else sys.stdout)
     try:
         res = proc.process_files(args.dat_files)
     except (FileNotFoundError, ValueError) as e:
@@ -70,6 +73,26 @@ def main(argv=None) -> int:
         return 2
 
     names = res.station_names
+    if args.json:
+        import json
+
+        fix = res.fix
+        print(json.dumps({
+            "fix": {"lat": fix.lat, "lon": fix.lon, "elev": fix.elev,
+                    "rms_residual_m": fix.rms_residual_m},
+            "stations": names,
+            "pairs": [[names[i], names[j]] for i, j in res.pair_idx],
+            "tdoa_us": [s * 1e6 for s in res.tdoa_seconds],
+            "raw_delay_samples": list(res.tgt_delay_samples),
+            "clock_offset_samples": list(res.clock_offset_samples),
+            "quality": list(res.quality),
+            "warnings": res.warnings,
+            "candidates": None if fix.candidates_lla is None else [
+                {"lat": c[0], "lon": c[1], "rms_m": r}
+                for c, r in zip(fix.candidates_lla, fix.candidates_rms)
+            ],
+        }))
+        return 0
     print("\nPer-pair measurements:")
     for k, (i, j) in enumerate(res.pair_idx):
         print(

@@ -1,0 +1,100 @@
+"""Continuous processing CLI: a directory of epoch-stamped captures →
+per-epoch fixes → smoothed target track.
+
+The streaming shape of the system (BASELINE.json config #5): each
+collection round produces ``{station}-{epoch}.dat`` files; this tool
+groups them by epoch, runs the standard pipeline per window, and feeds
+the fixes through the alpha-beta tracker (pipeline/streaming.py).
+
+    python -m tdoa_tpu.cli.stream_processor <ref_freq> <tgt_freq> \
+        <stations.csv> <capture_dir> [--target-id T]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections import defaultdict
+
+from tdoa_tpu.cli import setup_platform
+
+
+def main(argv=None) -> int:
+    setup_platform()
+    p = argparse.ArgumentParser(prog="stream_processor")
+    p.add_argument("ref_freq", type=float)
+    p.add_argument("target_freq", type=float)
+    p.add_argument("csv")
+    p.add_argument("capture_dir")
+    p.add_argument("--target-id", default="target")
+    p.add_argument("--max-lag", type=int, default=20000)
+    p.add_argument("--seg-len", type=int, default=1 << 21)
+    p.add_argument("--min-stations", type=int, default=3)
+    args = p.parse_args(argv)
+
+    from tdoa_tpu.io.stations import (
+        load_station_table,
+        parse_epoch_from_filename,
+        station_from_filename,
+    )
+    from tdoa_tpu.pipeline import TDOAProcessor
+    from tdoa_tpu.pipeline.streaming import TargetTracker
+
+    table = load_station_table(args.csv, reference_freq=args.ref_freq)
+    known = table.names
+
+    # Group captures by epoch.
+    windows = defaultdict(dict)
+    for fn in sorted(os.listdir(args.capture_dir)):
+        if not fn.endswith(".dat"):
+            continue
+        st = station_from_filename(fn, known)
+        ep = parse_epoch_from_filename(fn)
+        if st is None or ep is None:
+            print(f"skipping {fn} (unknown station/epoch)", file=sys.stderr)
+            continue
+        windows[ep][st] = os.path.join(args.capture_dir, fn)
+    if not windows:
+        print("no usable captures found", file=sys.stderr)
+        return 1
+
+    proc = TDOAProcessor.from_csv(
+        args.ref_freq, args.target_freq, args.csv,
+        max_lag=args.max_lag, seg_len=args.seg_len,
+    )
+    lla = table.lla_array([n for n in known])
+    # Tracker over the station set actually present in the first window.
+    tracker = None
+
+    for ep in sorted(windows):
+        files = windows[ep]
+        if len(files) < args.min_stations:
+            print(f"epoch {ep}: only {len(files)} stations — skipped")
+            continue
+        res = proc.process_files(sorted(files.values()))
+        if tracker is None:
+            order = res.station_names
+            tracker = TargetTracker(table.lla_array(order))
+        tracker.update(
+            float(ep),
+            {args.target_id: res.tdoa_seconds},
+            qualities={args.target_id: float(res.quality.mean())},
+        )
+        tr = tracker.tracks[args.target_id]
+        tlla = tr.lla(tracker.origin)
+        print(
+            f"epoch {ep}: fix {res.fix.lat:.6f},{res.fix.lon:.6f} "
+            f"(rms {res.fix.rms_residual_m:.1f} m)  "
+            f"track {tlla[0]:.6f},{tlla[1]:.6f} "
+            f"v=({tr.vel_enu[0]:+.1f},{tr.vel_enu[1]:+.1f}) m/s "
+            f"[{tr.n_updates} updates]"
+        )
+    if tracker is None:
+        print("no complete windows", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,7 +61,9 @@ class CorrResult(NamedTuple):
     corr: jax.Array  # [m, 2*max_lag+1] normalized |correlation| window
 
 
-def _accumulate_cross_spectra(x: C, pair_idx, seg_len: int, fft_len: int):
+def _accumulate_cross_spectra(
+    x: C, pair_idx, seg_len: int, fft_len: int, fft_precision: str = "f32"
+):
     """Scan segments, accumulating per-pair cross-spectra and per-station
     spectral power. Returns (cross C[m, F], psd [n_st, F], energy [n_st])."""
     n_st, n = x.re.shape
@@ -69,7 +71,7 @@ def _accumulate_cross_spectra(x: C, pair_idx, seg_len: int, fft_len: int):
 
     def seg_fft(s):
         sl = lambda a: jax.lax.dynamic_slice(a, (0, s * seg_len), (n_st, seg_len))
-        return mfft.fft(C(sl(x.re), sl(x.im)), fft_len)
+        return mfft.fft(C(sl(x.re), sl(x.im)), fft_len, fft_precision)
 
     def step(carry, s):
         (cr, ci, psd) = carry
@@ -238,7 +240,10 @@ def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_lag", "seg_len", "weighting", "fft_len", "refine"),
+    static_argnames=(
+        "max_lag", "seg_len", "weighting", "fft_len", "refine",
+        "fft_precision",
+    ),
 )
 def correlate_pairs_planar(
     x: C,  # [n_st, N] planar complex
@@ -249,6 +254,7 @@ def correlate_pairs_planar(
     eps: float = 1e-3,
     fft_len: Optional[int] = None,
     refine: str = "phase",  # "phase" | "parabolic"
+    fft_precision: str = "f32",  # "f32" | "bf16" (ops/fft.py)
 ) -> CorrResult:
     """All-pairs GCC cross-correlation, fully TPU-legal (no complex dtype).
 
@@ -265,7 +271,9 @@ def correlate_pairs_planar(
     rms = jnp.sqrt(jnp.mean(x.abs2(), axis=-1, keepdims=True))
     inv = 1.0 / jnp.maximum(rms, 1e-30)
     x = C(x.re * inv, x.im * inv)
-    cross, psd, energy = _accumulate_cross_spectra(x, pair_idx, seg_len, fft_len)
+    cross, psd, energy = _accumulate_cross_spectra(
+        x, pair_idx, seg_len, fft_len, fft_precision
+    )
     return _finish_correlation(
         cross, psd, energy, pair_idx, max_lag, weighting, eps, fft_len, refine
     )

@@ -37,9 +37,13 @@ import jax.numpy as jnp
 
 from tdoa_tpu.ops.cplx import C
 
-# Largest direct-DFT radix. 128 matches the MXU tile edge; every stage's
-# DFT matrix is then exactly one tile wide.
-_BASE = 128
+# Largest direct-DFT radix. 128 matches the MXU tile edge; larger bases
+# trade extra MXU FLOPs (the unit with headroom) for fewer recursion
+# levels and therefore fewer inter-stage relayouts (the observed
+# bottleneck). Env-tunable for benchmarking; read once at import.
+import os as _os
+
+_BASE = int(_os.environ.get("TDOA_FFT_BASE", "128"))
 
 
 @functools.lru_cache(maxsize=None)

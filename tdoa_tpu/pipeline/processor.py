@@ -77,7 +77,7 @@ class TDOAResult:
     jax.jit,
     static_argnames=(
         "max_lag", "seg_len", "weighting", "clock_correction", "mode",
-        "fm_decim", "sample_rate",
+        "fm_decim", "sample_rate", "fft_precision",
     ),
 )
 def process_blocks(
@@ -93,6 +93,7 @@ def process_blocks(
     mode: str = "iq",  # "iq" | "fm"
     fm_decim: int = 8,
     sample_rate: float = DEFAULT_SAMPLE_RATE,
+    fft_precision: str = "f32",
 ):
     """The fused device program: 3 blocks × all pairs → corrected TDOAs.
 
@@ -140,7 +141,7 @@ def process_blocks(
 
     res = correlate_pairs_planar(
         x_corr, all_pairs, max_lag=max_lag_c, seg_len=seg_c,
-        weighting=weighting,
+        weighting=weighting, fft_precision=fft_precision,
     )
     delays = res.delay.reshape(3, m) * jnp.float32(scale)
     quality = res.quality.reshape(3, m)

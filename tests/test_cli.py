@@ -43,6 +43,7 @@ def run_cli(mod, *args, check=True):
         "simple_corr",
         "correlation_sanity",
         "snr_analysis",
+        "stream_processor",
     ],
 )
 def test_usage_strings(mod):

@@ -1,0 +1,112 @@
+"""Beyond the 3-station minimum: 4-5 station networks, 3D solves, and
+redundant-pair robustness (the reference was hard-wired to exactly the
+first two pairs; the rebuild must scale with C(n,2))."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tdoa_tpu.geo import lla_to_ecef, lla_to_enu
+from tdoa_tpu.pipeline import TDOAProcessor
+from tdoa_tpu.pipeline.processor import ProcessorConfig
+from tdoa_tpu.io.stations import Station, StationTable
+from tdoa_tpu.sim import SimScene, simulate_scene
+from tdoa_tpu.solve import solve_fix, station_pairs
+from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
+
+FIVE_LLA = np.array(
+    [
+        [41.18660274289527, -95.96064116595667, 355.69],
+        [41.24669616513154, -96.08366304481238, 329.0],
+        [41.32916620016985, -96.03513381562004, 373.18],
+        [41.26, -95.90, 340.0],
+        [41.36, -96.12, 360.0],
+    ]
+)
+NAMES = ("kx0u", "n3pay", "kf0mtl", "st4", "st5")
+
+
+def _exact_tdoas(lla, tx):
+    st = lla_to_ecef(lla)
+    d = np.linalg.norm(st - lla_to_ecef(tx), axis=-1)
+    p = station_pairs(len(lla))
+    return (d[p[:, 1]] - d[p[:, 0]]) / SPEED_OF_LIGHT, p
+
+
+def test_five_station_solve_all_pairs():
+    tx = np.array([41.28, -96.01, 350.0])
+    tdoas, p = _exact_tdoas(FIVE_LLA, tx)
+    assert len(p) == 10  # C(5,2)
+    fix = solve_fix(FIVE_LLA, tdoas)
+    err = np.linalg.norm(
+        lla_to_enu(np.array([fix.lat, fix.lon, tx[2]]), tx)[:2]
+    )
+    assert err < 5.0
+
+
+def test_five_station_3d_solve():
+    """With 5 stations and elevation spread, z becomes weakly observable."""
+    tx = np.array([41.28, -96.01, 1850.0])  # airborne transmitter
+    tdoas, _ = _exact_tdoas(FIVE_LLA, tx)
+    fix = solve_fix(FIVE_LLA, tdoas, solve_z=True)
+    err2d = np.linalg.norm(
+        lla_to_enu(np.array([fix.lat, fix.lon, tx[2]]), tx)[:2]
+    )
+    assert err2d < 50.0
+    # Flat networks observe altitude poorly; just demand the right side
+    # of the ground.
+    assert fix.elev > 600.0
+
+
+def test_four_station_pipeline_end_to_end():
+    names = NAMES[:4]
+    lla = FIVE_LLA[:4]
+    scene = SimScene(
+        station_names=names,
+        station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=np.array([41.30888549464701, -96.02619229605524, 356.0]),
+        block_len=1 << 16,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6, -2e-6]),
+        seed=41,
+    )
+    captures, truth = simulate_scene(scene)
+    table = StationTable(
+        stations=[Station(n, *row) for n, row in zip(names, lla)],
+        reference_tx=Station("162400000", *scene.ref_tx_lla),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(
+            ref_freq=scene.ref_freq, tgt_freq=scene.tgt_freq,
+            seg_len=None, max_lag=512,
+        ),
+        table,
+    )
+    res = proc.process_captures({n: captures[n] for n in names})
+    assert len(res.pair_idx) == 6  # C(4,2)
+    np.testing.assert_allclose(
+        res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=0.5
+    )
+    err = np.linalg.norm(
+        lla_to_enu(
+            np.array([res.fix.lat, res.fix.lon, scene.tgt_tx_lla[2]]),
+            scene.tgt_tx_lla,
+        )[:2]
+    )
+    assert err < 150.0
+
+
+def test_one_bad_pair_downweighted():
+    """Redundancy pays: with 5 stations, one corrupted TDOA (zero weight)
+    must not break the fix — the exact failure mode the reference's
+    2-pair solver could not survive."""
+    tx = np.array([41.30, -96.04, 352.0])
+    tdoas, p = _exact_tdoas(FIVE_LLA, tx)
+    bad = tdoas.copy()
+    bad[3] += 30e-6  # a wildly wrong measurement
+    w = np.ones(len(p))
+    w[3] = 0.0
+    fix = solve_fix(FIVE_LLA, bad, weights=w)
+    err = np.linalg.norm(
+        lla_to_enu(np.array([fix.lat, fix.lon, tx[2]]), tx)[:2]
+    )
+    assert err < 10.0
