@@ -51,6 +51,11 @@ class Device {
   virtual uint64_t transfer_errors() const { return 0; }
 };
 
+// Snap a requested gain to the tuner's discrete gain table — the
+// convenience.c:112-137 nearest_gain behavior. The default table is the
+// R820T/R828D ladder (the tuner in RTL-SDR V4, README.md:37).
+double NearestGainDb(double requested_db);
+
 std::unique_ptr<Device> MakeSimDevice(uint64_t seed);
 
 // Replays interleaved u8 I/Q from a file (loops at EOF); nullptr when

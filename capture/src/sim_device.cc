@@ -33,7 +33,9 @@ class SimDevice final : public Device {
     return true;
   }
   bool set_tuner_gain_db(double gain_db) override {
-    gain_db_.store(gain_db, std::memory_order_relaxed);
+    // Real tuners have a discrete gain ladder; snap like the reference's
+    // nearest_gain so calibration sees hardware-faithful quantization.
+    gain_db_.store(NearestGainDb(gain_db), std::memory_order_relaxed);
     return true;
   }
   bool set_agc(bool enabled) override {
@@ -124,6 +126,24 @@ class SimDevice final : public Device {
 };
 
 }  // namespace
+
+double NearestGainDb(double requested_db) {
+  // R820T gain steps in dB (tenths in the hardware API).
+  static const double kGains[] = {
+      0.0, 0.9, 1.4, 2.7, 3.7, 7.7, 8.7, 12.5, 14.4, 15.7, 16.6, 19.7,
+      20.7, 22.9, 25.4, 28.0, 29.7, 32.8, 33.8, 36.4, 37.2, 38.6, 40.2,
+      42.1, 43.4, 43.9, 44.5, 48.0, 49.6};
+  double best = kGains[0];
+  double err = 1e9;
+  for (double g : kGains) {
+    const double e = std::abs(g - requested_db);
+    if (e < err) {
+      err = e;
+      best = g;
+    }
+  }
+  return best;
+}
 
 std::unique_ptr<Device> MakeSimDevice(uint64_t seed) {
   return std::make_unique<SimDevice>(seed);

@@ -92,10 +92,20 @@ static void test_sink_abort() {
   std::puts("sink_abort OK");
 }
 
+// Gain requests snap to the tuner's discrete ladder (nearest_gain).
+static void test_nearest_gain() {
+  assert(NearestGainDb(28.0) == 28.0);
+  assert(NearestGainDb(27.0) == 28.0);  // 27 → nearer to 28.0 than 25.4
+  assert(NearestGainDb(-5.0) == 0.0);
+  assert(NearestGainDb(60.0) == 49.6);
+  std::puts("nearest_gain OK");
+}
+
 int main() {
   test_ordered_queue();
   test_capture_blocks();
   test_sink_abort();
+  test_nearest_gain();
   std::puts("ALL NATIVE TESTS PASS");
   return 0;
 }

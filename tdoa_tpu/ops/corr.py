@@ -62,24 +62,45 @@ class CorrResult(NamedTuple):
 
 
 def _accumulate_cross_spectra(
-    x: C, pair_idx, seg_len: int, fft_len: int, fft_precision: str = "f32"
+    x: C,
+    pair_idx,
+    seg_len: int,
+    fft_len: int,
+    fft_precision: str = "f32",
+    seg_batch: int = 1,
 ):
     """Scan segments, accumulating per-pair cross-spectra and per-station
-    spectral power. Returns (cross C[m, F], psd [n_st, F], energy [n_st])."""
+    spectral power. Returns (cross C[m, F], psd [n_st, F], energy [n_st]).
+
+    ``seg_batch`` segments FFT together per scan step and reduce before
+    touching the accumulators. Measured on v5e: 1 wins (1540 vs 1403
+    Ms/s at 4 — the larger per-step working set costs more than the
+    carry traffic it saves); kept as a knob for other parts.
+    """
     n_st, n = x.re.shape
     n_seg = n // seg_len
+    while seg_batch > 1 and n_seg % seg_batch:
+        seg_batch -= 1
+    n_steps = n_seg // seg_batch
 
     def seg_fft(s):
-        sl = lambda a: jax.lax.dynamic_slice(a, (0, s * seg_len), (n_st, seg_len))
+        """FFT a batch of segments: [n_st, B, F]."""
+        sl = lambda a: jax.lax.dynamic_slice(
+            a, (0, s * seg_batch * seg_len), (n_st, seg_batch * seg_len)
+        ).reshape(n_st, seg_batch, seg_len)
         return mfft.fft(C(sl(x.re), sl(x.im)), fft_len, fft_precision)
 
     def step(carry, s):
         (cr, ci, psd) = carry
-        xf = seg_fft(s)  # C [n_st, F]
+        xf = seg_fft(s)  # C [n_st, B, F]
         xj = C(xf.re[pair_idx[:, 1]], xf.im[pair_idx[:, 1]])
         xi = C(xf.re[pair_idx[:, 0]], xf.im[pair_idx[:, 0]])
-        cross = xj.mul_conj(xi)  # [m, F]
-        return (cr + cross.re, ci + cross.im, psd + xf.abs2()), None
+        cross = xj.mul_conj(xi)  # [m, B, F]
+        return (
+            cr + jnp.sum(cross.re, axis=1),
+            ci + jnp.sum(cross.im, axis=1),
+            psd + jnp.sum(xf.abs2(), axis=1),
+        ), None
 
     m = pair_idx.shape[0]
     # Adding 0·x[0,0] ties the accumulators' mesh-varying type (vma) to the
@@ -91,10 +112,10 @@ def _accumulate_cross_spectra(
         jnp.zeros((m, fft_len), jnp.float32) + vma0,
         jnp.zeros((n_st, fft_len), jnp.float32) + vma0,
     )
-    if n_seg == 1:
+    if n_steps == 1:
         (cr, ci, psd), _ = step(init, 0)
     else:
-        (cr, ci, psd), _ = jax.lax.scan(step, init, jnp.arange(n_seg))
+        (cr, ci, psd), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     energy = jnp.sum(x.abs2()[:, : n_seg * seg_len], axis=-1)
     return C(cr, ci), psd, energy
 
