@@ -14,7 +14,7 @@ pair, minutes on CPU — SURVEY.md §6.)
 Environment knobs:
   BENCH_SECONDS     capture seconds to simulate (default 100; the driver
                     full run). Work and samples scale linearly.
-  BENCH_SEG         segment length (default 2^18 — the measured optimum
+  BENCH_SEG         segment length (default 2^16 — the measured optimum
                     on v5e).
   BENCH_MAX_LAG     correlation window (default 20000 — the reference's).
   BENCH_FFT_PRECISION  f32 (default) | bf16 DFT-matmul operands.
@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 def main() -> None:
     seconds = float(os.environ.get("BENCH_SECONDS", "100"))
-    seg_len = int(os.environ.get("BENCH_SEG", str(1 << 18)))
+    seg_len = int(os.environ.get("BENCH_SEG", str(1 << 16)))
     max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
     fft_precision = os.environ.get("BENCH_FFT_PRECISION", "f32")
     fs = 2_000_000.0

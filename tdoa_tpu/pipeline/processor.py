@@ -47,10 +47,10 @@ class ProcessorConfig:
     tgt_freq: float
     sample_rate: float = DEFAULT_SAMPLE_RATE
     max_lag: int = DEFAULT_MAX_LAG
-    # Streaming segment length. 2^18 measured fastest on v5e (2.76 GS/s
-    # vs 1.54 at 2^21 — smaller working sets win until FFT zero-padding
-    # overhead dominates); still >10x the max_lag window.
-    seg_len: Optional[int] = 1 << 18
+    # Streaming segment length. 2^16 measured fastest on v5e (3.41 GS/s
+    # vs 1.54 at 2^21 — smaller working sets win even with 30% FFT zero-padding
+    # overhead); the 20000-sample search window bounds how small segments can go.
+    seg_len: Optional[int] = 1 << 16
     weighting: str = "ht"  # Hannan-Thomson ML weighting (ops/corr.py)
     clock_correction: bool = True
     mode: str = "iq"  # "iq" raw correlation | "fm" audio-domain correlation

@@ -93,6 +93,18 @@ def test_all_pairs_batched():
     np.testing.assert_allclose(np.asarray(res.delay), want, atol=0.05)
 
 
+def test_large_delay_small_segments():
+    """NTP-scale clock offsets (the reason for the reference's ±20000
+    window, ±10 ms at 2 Msps) must survive segments not much larger than
+    the delay — segment-edge energy loss tapers but does not break the
+    peak."""
+    a = _sig(n=1 << 19, seed=33)
+    b = fractional_delay(a, jnp.float32(15000.25))
+    res = correlate_two(a, b, max_lag=20000, seg_len=1 << 16, weighting="ht")
+    assert float(res.delay) == pytest.approx(15000.25, abs=0.05)
+    assert float(res.quality) > 20
+
+
 def test_correlation_lags_axis():
     lags = correlation_lags(5)
     np.testing.assert_array_equal(lags, np.arange(-5, 6))
