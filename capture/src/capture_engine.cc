@@ -20,6 +20,21 @@ CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
   dev.set_center_freq(cfg.freq1_hz);
 
   const uint64_t block_bytes = cfg.samples_per_freq * 2;
+  // Samples in flight between generation and dispatch carry the OLD
+  // tuning when a boundary retune fires — the transition region every
+  // buffered SDR stream has. Cap the in-flight window to a fraction of
+  // a block so the region stays negligible even for short captures
+  // (with un-paced simulated producers it would otherwise swallow the
+  // whole capture).
+  size_t buf_len = cfg.buf_len;
+  size_t num_buffers = cfg.num_buffers;
+  const uint64_t inflight_budget = std::max<uint64_t>(block_bytes / 8, 4096);
+  if (buf_len > inflight_budget) {
+    buf_len = static_cast<size_t>(inflight_budget / 4096 * 4096);
+    if (buf_len < 4096) buf_len = 4096;
+  }
+  while (num_buffers > 2 && num_buffers * buf_len > inflight_budget)
+    --num_buffers;
   const uint64_t total_bytes = 3 * block_bytes;
   uint64_t written = 0;
   bool aborted = false;
@@ -55,7 +70,7 @@ CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
         }
         if (written >= total_bytes) dev.cancel_async();
       },
-      cfg.buf_len, cfg.num_buffers);
+      buf_len, num_buffers);
 
   stats.bytes_written = written;
   stats.transfer_errors = dev.transfer_errors();

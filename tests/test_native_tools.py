@@ -1,0 +1,180 @@
+"""Native-layer integration tests: build (if needed) and drive each C++
+tool as a subprocess — the whole capture stack without hardware."""
+
+import os
+import shutil
+import socket
+import struct
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILD = os.path.join(REPO, "capture", "build")
+
+
+def _ensure_built():
+    if os.path.exists(os.path.join(BUILD, "sdr_capture")):
+        return True
+    if shutil.which("cmake") is None:
+        return False
+    gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+    try:
+        subprocess.check_call(
+            ["cmake", "-S", os.path.join(REPO, "capture"), "-B", BUILD, *gen],
+            stdout=subprocess.DEVNULL,
+        )
+        subprocess.check_call(
+            ["cmake", "--build", BUILD, "--parallel"], stdout=subprocess.DEVNULL
+        )
+        return True
+    except subprocess.CalledProcessError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _ensure_built(), reason="native toolchain unavailable"
+)
+
+
+def tool(name):
+    return os.path.join(BUILD, name)
+
+
+def test_engine_unit_tests():
+    out = subprocess.check_output([tool("engine_test")], text=True)
+    assert "ALL NATIVE TESTS PASS" in out
+
+
+def test_capture_produces_valid_dat(tmp_path):
+    path = str(tmp_path / "cap.dat")
+    subprocess.check_call(
+        [tool("sdr_capture"), "-f", "162400000", "-h", "101900000",
+         "-1", "30", "-2", "20", "-n", "100000", path],
+        stderr=subprocess.DEVNULL,
+    )
+    raw = np.fromfile(path, np.uint8)
+    assert len(raw) == 600000
+    # Gain drop on the middle block must be visible in the bytes.
+    blocks = raw.reshape(3, -1).astype(np.float64)
+    power = ((blocks - 127.5) / 127.5) ** 2
+    p = power.mean(axis=1)
+    assert p[1] < p[0] * 0.7
+    assert abs(p[0] - p[2]) / p[0] < 0.5
+
+
+def test_capture_replay_backend(tmp_path):
+    src = tmp_path / "src.iq"
+    rng = np.random.default_rng(0)
+    src.write_bytes(rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+    out = str(tmp_path / "cap.dat")
+    subprocess.check_call(
+        [tool("sdr_capture"), "--replay", str(src), "-f", "1000000",
+         "-h", "2000000", "-1", "10", "-2", "10", "-n", "5000", out],
+        stderr=subprocess.DEVNULL,
+    )
+    assert os.path.getsize(out) == 30000
+
+
+def test_capture_requires_both_gains(tmp_path):
+    r = subprocess.run(
+        [tool("sdr_capture"), "-f", "1", "-h", "2", "-n", "10",
+         str(tmp_path / "x.dat")],
+        capture_output=True,
+    )
+    assert r.returncode == 2
+
+
+def test_server_protocol():
+    port = 18765
+    srv = subprocess.Popen(
+        [tool("sdr_server"), "-p", str(port), "--once"],
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        for _ in range(50):
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=1)
+                break
+            except OSError:
+                time.sleep(0.1)
+        else:
+            pytest.fail("server did not come up")
+        hdr = s.recv(12)
+        assert hdr[:4] == b"RTL0"
+        s.sendall(struct.pack(">BI", 0x01, 162400000))
+        s.sendall(struct.pack(">BI", 0x04, 280))
+        data = b""
+        while len(data) < 32768:
+            chunk = s.recv(65536)
+            assert chunk
+            data += chunk
+        s.close()
+    finally:
+        srv.wait(timeout=10)
+
+
+def test_power_scan_csv(tmp_path):
+    out = str(tmp_path / "scan.csv")
+    subprocess.check_call(
+        [tool("sdr_power"), "-f", "100000000:104000000:10000",
+         "-n", "8192", out],
+        stderr=subprocess.DEVNULL,
+    )
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) >= 2  # ≥ 2 tunings to cover 4 MHz at 2.048 Msps
+    fields = lines[0].split(", ")
+    assert float(fields[2]) == 100000000.0  # hz_low
+    assert all(float(v) < 0 for v in fields[6:10])  # dB values
+
+
+def test_fm_demod_file_mode(tmp_path):
+    # Synthesize an NBFM tone capture and demodulate it.
+    n = 200000
+    t = np.arange(n) / 2e6
+    audio = np.sin(2 * np.pi * 1e3 * t)
+    phase = 2 * np.pi * 25e3 / 2e6 * np.cumsum(audio)
+    iq = 0.8 * np.exp(1j * phase)
+    raw = np.empty(2 * n, np.uint8)
+    raw[0::2] = np.clip(iq.real * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    raw[1::2] = np.clip(iq.imag * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    src = tmp_path / "tone.iq"
+    src.write_bytes(raw.tobytes())
+    out = str(tmp_path / "audio.raw")
+    subprocess.check_call(
+        [tool("sdr_fm"), "-i", str(src), "-s", "2000000", "-r", "125000",
+         "-d", "0", out],
+        stderr=subprocess.DEVNULL,
+    )
+    audio_out = np.frombuffer(open(out, "rb").read(), np.int16).astype(np.float64)
+    # The 1 kHz tone must dominate the demodulated spectrum.
+    spec = np.abs(np.fft.rfft(audio_out[500:-500]))
+    f = np.fft.rfftfreq(len(audio_out) - 1000, 1 / 125000)
+    peak_f = f[np.argmax(spec[1:]) + 1]
+    assert abs(peak_f - 1000) < 50
+
+
+def test_adsb_selftest():
+    out = subprocess.check_output([tool("sdr_adsb"), "--selftest"], text=True)
+    assert "SELFTEST PASS" in out
+
+
+def test_eeprom_roundtrip(tmp_path):
+    img = str(tmp_path / "ee.bin")
+    subprocess.check_call([tool("sdr_eeprom"), "-I", img, "-g"],
+                          stdout=subprocess.DEVNULL)
+    subprocess.check_call(
+        [tool("sdr_eeprom"), "-I", img, "-S", "TDOA0042"],
+        stdout=subprocess.DEVNULL,
+    )
+    out = subprocess.check_output([tool("sdr_eeprom"), "-I", img], text=True)
+    assert "TDOA0042" in out
+    assert "0x0bda" in out
+
+
+def test_sdr_test_reports_rate():
+    out = subprocess.check_output([tool("sdr_test"), "-t", "1"], text=True)
+    assert "in-order callbacks" in out
+    assert "transfer errors: 0" in out
