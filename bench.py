@@ -39,6 +39,7 @@ def main() -> None:
     seg_len = int(os.environ.get("BENCH_SEG", str(1 << 16)))
     max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
     fft_precision = os.environ.get("BENCH_FFT_PRECISION", "f32")
+    seg_batch = int(os.environ.get("BENCH_SEG_BATCH", "1"))
     fs = 2_000_000.0
     n_st = 3
 
@@ -74,7 +75,7 @@ def main() -> None:
         out = process_blocks(
             ref1, tgt, ref2, pair_idx, ref_geo,
             max_lag=max_lag, seg_len=seg_len, weighting="ht",
-            fft_precision=fft_precision,
+            fft_precision=fft_precision, seg_batch=seg_batch,
         )
         # block_until_ready does not synchronize on the axon tunnel
         # backend; a scalar device→host transfer does.
@@ -108,6 +109,7 @@ def main() -> None:
                     "seg_len": seg_len,
                     "max_lag": max_lag,
                     "fft_precision": fft_precision,
+                    "seg_batch": seg_batch,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -263,7 +263,7 @@ def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[
     jax.jit,
     static_argnames=(
         "max_lag", "seg_len", "weighting", "fft_len", "refine",
-        "fft_precision",
+        "fft_precision", "seg_batch",
     ),
 )
 def correlate_pairs_planar(
@@ -276,6 +276,7 @@ def correlate_pairs_planar(
     fft_len: Optional[int] = None,
     refine: str = "phase",  # "phase" | "parabolic"
     fft_precision: str = "f32",  # "f32" | "bf16" (ops/fft.py)
+    seg_batch: int = 1,
 ) -> CorrResult:
     """All-pairs GCC cross-correlation, fully TPU-legal (no complex dtype).
 
@@ -293,7 +294,7 @@ def correlate_pairs_planar(
     inv = 1.0 / jnp.maximum(rms, 1e-30)
     x = C(x.re * inv, x.im * inv)
     cross, psd, energy = _accumulate_cross_spectra(
-        x, pair_idx, seg_len, fft_len, fft_precision
+        x, pair_idx, seg_len, fft_len, fft_precision, seg_batch
     )
     return _finish_correlation(
         cross, psd, energy, pair_idx, max_lag, weighting, eps, fft_len, refine

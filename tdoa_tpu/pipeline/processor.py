@@ -80,7 +80,7 @@ class TDOAResult:
     jax.jit,
     static_argnames=(
         "max_lag", "seg_len", "weighting", "clock_correction", "mode",
-        "fm_decim", "sample_rate", "fft_precision",
+        "fm_decim", "sample_rate", "fft_precision", "seg_batch",
     ),
 )
 def process_blocks(
@@ -97,6 +97,7 @@ def process_blocks(
     fm_decim: int = 8,
     sample_rate: float = DEFAULT_SAMPLE_RATE,
     fft_precision: str = "f32",
+    seg_batch: int = 1,
 ):
     """The fused device program: 3 blocks × all pairs → corrected TDOAs.
 
@@ -145,6 +146,7 @@ def process_blocks(
     res = correlate_pairs_planar(
         x_corr, all_pairs, max_lag=max_lag_c, seg_len=seg_c,
         weighting=weighting, fft_precision=fft_precision,
+        seg_batch=seg_batch,
     )
     delays = res.delay.reshape(3, m) * jnp.float32(scale)
     quality = res.quality.reshape(3, m)
@@ -252,6 +254,7 @@ class TDOAProcessor:
         warnings: List[str] = []
         lla = self.stations.lla_array(names)
         ecef = lla_to_ecef(lla)
+        q_arr = np.asarray(quality[1], np.float64)
         for k, (i, j) in enumerate(pairs):
             bl = np.linalg.norm(ecef[i] - ecef[j])
             max_tdoa = bl / SPEED_OF_LIGHT
@@ -260,12 +263,27 @@ class TDOAProcessor:
                     f"pair {names[i]}-{names[j]}: TDOA {tdoa_s[k]*1e6:.2f} us "
                     f"exceeds baseline limit {max_tdoa*1e6:.2f} us"
                 )
+            if q_arr[k] < 5.0:
+                warnings.append(
+                    f"pair {names[i]}-{names[j]}: weak correlation "
+                    f"(peak-to-sidelobe {q_arr[k]:.1f}) — measurement "
+                    f"downweighted"
+                )
 
         q = np.asarray(quality[1], np.float64)
+        # Quadratic quality weighting with a hard gate: a pair whose
+        # correlation peak barely clears the sidelobe floor carries no
+        # usable timing — letting it vote at all can drag the solve by
+        # hundreds of km (its residual is unbounded). Gate only while
+        # enough healthy pairs remain to fix a position.
+        w = (q / np.maximum(q.max(), 1e-9)) ** 2
+        gated = w * (q >= 5.0)
+        if np.count_nonzero(gated) >= min(3, len(pairs)):
+            w = gated
         fix = solve_fix(
             lla,
             tdoa_s,
-            weights=q / np.maximum(q.max(), 1e-9),
+            weights=w,
             pair_idx=pairs,
             solve_z=cfg.solve_z,
         )

@@ -95,6 +95,67 @@ def test_four_station_pipeline_end_to_end():
     assert err < 150.0
 
 
+def test_broken_station_detected_and_survived():
+    """Failure injection: one of four stations returns pure noise (dead
+    antenna). The pipeline must flag its pairs as weak and the
+    quality-weighted solve must still land, carried by the healthy
+    pairs — recovery the reference (which hard-used the first two pairs)
+    had no path to."""
+    import jax
+
+    names = NAMES[:4]
+    lla = FIVE_LLA[:4]
+    scene = SimScene(
+        station_names=names,
+        station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=np.array([41.30888549464701, -96.02619229605524, 356.0]),
+        block_len=1 << 16,
+        seed=47,
+    )
+    captures, truth = simulate_scene(scene)
+    # Break station 4: pure noise in every block.
+    keys = jax.random.split(jax.random.PRNGKey(99), 6)
+    broken = tuple(
+        0.1 * (jax.random.normal(keys[2 * b], (1 << 16,))
+               + 1j * jax.random.normal(keys[2 * b + 1], (1 << 16,))).astype(
+            jnp.complex64)
+        for b in range(3)
+    )
+    caps = {n: captures[n] for n in names}
+    caps["st4"] = broken
+
+    table = StationTable(
+        stations=[Station(n, *row) for n, row in zip(names, lla)],
+        reference_tx=Station("162400000", *scene.ref_tx_lla),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(
+            ref_freq=scene.ref_freq, tgt_freq=scene.tgt_freq,
+            seg_len=1 << 13, max_lag=512,
+        ),
+        table,
+    )
+    res = proc.process_captures(caps)
+    # Broken-station pairs flagged...
+    assert any("weak correlation" in w for w in res.warnings)
+    # ...and their quality is far below the healthy pairs'.
+    st4_pairs = [k for k, (i, j) in enumerate(res.pair_idx)
+                 if "st4" in (res.station_names[i], res.station_names[j])]
+    healthy = [k for k in range(len(res.pair_idx)) if k not in st4_pairs]
+    assert max(res.quality[k] for k in st4_pairs) < min(
+        res.quality[k] for k in healthy
+    )
+    # Fix still lands near the planted transmitter.
+    err = np.linalg.norm(
+        lla_to_enu(
+            np.array([res.fix.lat, res.fix.lon, scene.tgt_tx_lla[2]]),
+            scene.tgt_tx_lla,
+        )[:2]
+    )
+    assert err < 500.0
+
+
 def test_one_bad_pair_downweighted():
     """Redundancy pays: with 5 stations, one corrupted TDOA (zero weight)
     must not break the fix — the exact failure mode the reference's
