@@ -44,6 +44,7 @@ def run_cli(mod, *args, check=True):
         "correlation_sanity",
         "snr_analysis",
         "stream_processor",
+        "caf_search",
     ],
 )
 def test_usage_strings(mod):
