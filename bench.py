@@ -40,6 +40,7 @@ def main() -> None:
     max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
     fft_precision = os.environ.get("BENCH_FFT_PRECISION", "f32")
     seg_batch = int(os.environ.get("BENCH_SEG_BATCH", "1"))
+    accumulator = os.environ.get("BENCH_ACCUM", "xla")  # xla | pallas
     fs = 2_000_000.0
     n_st = 3
 
@@ -71,7 +72,31 @@ def main() -> None:
     pair_idx = jnp.asarray(np.array([[0, 1], [0, 2], [1, 2]], np.int32))
     ref_geo = jnp.zeros(3, jnp.float32)
 
-    def run():
+    if accumulator == "pallas":
+        # One fused VMEM-resident kernel per block (blocks are
+        # independent 3-station groups; n_st=3 keeps the accumulators
+        # inside VMEM).
+        from tdoa_tpu.ops.corr import correlate_pairs_fused
+
+        base_pairs = ((0, 1), (0, 2), (1, 2))
+
+        @jax.jit
+        def fused_all(r1, tg, r2):
+            return [
+                correlate_pairs_fused(
+                    blk, base_pairs, max_lag=max_lag,
+                    weighting="ht", precision=fft_precision,
+                ).delay
+                for blk in (r1, tg, r2)
+            ]
+
+        def run():
+            outs = fused_all(ref1, tgt, ref2)
+            float(outs[0][0])  # single sync for the whole program
+            return outs
+
+    else:
+      def run():
         out = process_blocks(
             ref1, tgt, ref2, pair_idx, ref_geo,
             max_lag=max_lag, seg_len=seg_len, weighting="ht",
@@ -110,6 +135,7 @@ def main() -> None:
                     "max_lag": max_lag,
                     "fft_precision": fft_precision,
                     "seg_batch": seg_batch,
+                    "accumulator": accumulator,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -301,6 +301,39 @@ def correlate_pairs_planar(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs", "max_lag", "weighting", "refine", "precision"),
+)
+def correlate_pairs_fused(
+    x: C,  # [n_st, N] planar
+    pairs: tuple,  # static ((i, j), ...) pair tuple
+    max_lag: int = DEFAULT_MAX_LAG,
+    weighting: str = "ht",
+    eps: float = 1e-3,
+    refine: str = "phase",
+    precision: str = "f32",
+) -> CorrResult:
+    """GCC correlation through the fused Pallas segment kernel
+    (ops/pallas/corr_accum.py): FFT + cross-spectra + accumulation in one
+    VMEM-resident program. Fixed geometry (seg 45056, fft 65536); the
+    finish stage is shared with the XLA path."""
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        FFT_LEN,
+        accumulate_cross_spectra_pallas,
+    )
+
+    rms = jnp.sqrt(jnp.mean(x.abs2(), axis=-1, keepdims=True))
+    x = C(x.re / jnp.maximum(rms, 1e-30), x.im / jnp.maximum(rms, 1e-30))
+    cross, psd, energy = accumulate_cross_spectra_pallas(
+        x, pairs, precision=precision
+    )
+    return _finish_correlation(
+        cross, psd, energy, jnp.asarray(np.array(pairs, np.int32)),
+        max_lag, weighting, eps, FFT_LEN, refine,
+    )
+
+
 def correlate_pairs(
     x: Union[C, jax.Array],
     pair_idx: jax.Array,

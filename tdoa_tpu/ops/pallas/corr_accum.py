@@ -1,0 +1,177 @@
+"""Fused segment-correlator kernel: FFT + cross-spectra + accumulate.
+
+One Pallas program does, per capture segment, what the XLA path spreads
+over many HLOs and HBM round-trips:
+
+    load segment (all stations) → zero-pad → 65536-point FFT per signal
+    (two 256×256 DFT matmuls with a twiddle rotation between — all in
+    VMEM) → per-pair cross-spectra + per-station PSD → accumulate
+
+The accumulators live in VMEM across the whole grid (constant output
+index ⇒ Pallas keeps the block resident; nothing is flushed per step),
+so the only HBM traffic in the loop is reading the input segments. The
+FFT emits the spectrum in the *digit-permuted* layout [k1, k2] (true
+frequency index = 256·k2 + k1) — cross-spectra and PSD accumulate in
+that layout consistently, and the caller un-permutes once at finalize
+(a single cheap transpose outside the kernel).
+
+Constraints (by construction): fft_len = 65536 = 256², seg_len = 45056
+(= 176·256 rows of data + 80 zero rows), station count and pair list
+static. Falls back to the XLA path for anything else (ops/corr.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tdoa_tpu.ops.cplx import C
+from tdoa_tpu.utils.platform import default_interpret_mode
+
+R = 256  # radix: fft_len = R*R
+SEG_ROWS = 176  # data rows per segment (multiple of 8 — Mosaic sublane rule)
+PAD_ROWS = R - SEG_ROWS  # 80 zero rows
+FFT_LEN = R * R  # 65536
+SEG_LEN = SEG_ROWS * R  # 45056
+
+
+@functools.lru_cache(maxsize=None)
+def _mats() -> Tuple[np.ndarray, ...]:
+    j, k = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
+    ang = -2.0 * np.pi * ((j * k) % R) / R
+    wr, wi = np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    # Twiddle T[k1, j2] = exp(-2πi k1 j2 / R²)
+    k1, j2 = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
+    tang = -2.0 * np.pi * ((k1 * j2) % FFT_LEN) / FFT_LEN
+    tr, ti = np.cos(tang).astype(np.float32), np.sin(tang).astype(np.float32)
+    return wr, wi, tr, ti
+
+
+def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, tr_ref, ti_ref,
+            cr_ref, ci_ref, psd_ref,
+            sxr, sxi,
+            *, n_st: int, pairs: Tuple[Tuple[int, int], ...], mm_dtype):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _init():
+        cr_ref[...] = jnp.zeros_like(cr_ref)
+        ci_ref[...] = jnp.zeros_like(ci_ref)
+        psd_ref[...] = jnp.zeros_like(psd_ref)
+
+    f32 = jnp.float32
+    wr = wr_ref[:, :].astype(mm_dtype)
+    wi = wi_ref[:, :].astype(mm_dtype)
+
+    def cmatmul(ar, ai, br, bi):
+        """(ar+jai) @ (br+jbi) with f32 accumulation."""
+        ar = ar.astype(mm_dtype)
+        ai = ai.astype(mm_dtype)
+        rr = jnp.dot(ar, br, preferred_element_type=f32) - jnp.dot(
+            ai, bi, preferred_element_type=f32)
+        ri = jnp.dot(ar, bi, preferred_element_type=f32) + jnp.dot(
+            ai, br, preferred_element_type=f32)
+        return rr, ri
+
+    zeros_pad = jnp.zeros((PAD_ROWS, R), jnp.float32)
+    # FFT each station's segment; park spectra in scratch [n_st, R, R].
+    for st in range(n_st):
+        x2r = jnp.concatenate([xr_ref[st], zeros_pad], axis=0)  # [R, R]
+        x2i = jnp.concatenate([xi_ref[st], zeros_pad], axis=0)
+        # Stage 1: DFT over rows — W @ x.
+        a_r, a_i = cmatmul(wr, wi, x2r.astype(mm_dtype), x2i.astype(mm_dtype))
+        # Twiddle rotation (f32 elementwise).
+        t_r = a_r * tr_ref[:, :] - a_i * ti_ref[:, :]
+        t_i = a_r * ti_ref[:, :] + a_i * tr_ref[:, :]
+        # Stage 2: DFT over columns — x @ W.
+        b_r, b_i = cmatmul(t_r, t_i, wr, wi)
+        sxr[st] = b_r
+        sxi[st] = b_i
+        psd_ref[st] += b_r * b_r + b_i * b_i
+
+    for m, (i, j) in enumerate(pairs):
+        # X_j · conj(X_i)
+        jr, ji = sxr[j], sxi[j]
+        ir, ii = sxr[i], sxi[i]
+        cr_ref[m] += jr * ir + ji * ii
+        ci_ref[m] += ji * ir - jr * ii
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs", "precision", "interpret"),
+)
+def accumulate_cross_spectra_pallas(
+    x: C,  # [n_st, N] planar; N is truncated to a multiple of SEG_LEN
+    pairs: Tuple[Tuple[int, int], ...],
+    precision: str = "f32",
+    interpret: Optional[bool] = None,
+):
+    """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
+    FFT_LEN], energy [n_st]) in TRUE frequency order, matching
+    ops.corr._accumulate_cross_spectra with seg_len=SEG_LEN,
+    fft_len=FFT_LEN.
+    """
+    if interpret is None:
+        interpret = default_interpret_mode()
+    n_st, n = x.re.shape
+    n_seg = n // SEG_LEN
+    use = n_seg * SEG_LEN
+    m = len(pairs)
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    # [n_st, n_seg*SEG_ROWS, R] — rows of 256 lanes, XLA-side reshape.
+    x3r = x.re[:, :use].reshape(n_st, n_seg * SEG_ROWS, R)
+    x3i = x.im[:, :use].reshape(n_st, n_seg * SEG_ROWS, R)
+
+    wr, wi, tr, ti = (jnp.asarray(a) for a in _mats())
+
+    cr, ci, psd = pl.pallas_call(
+        functools.partial(
+            _kernel, n_st=n_st, pairs=pairs, mm_dtype=mm_dtype
+        ),
+        grid=(n_seg,),
+        in_specs=[
+            pl.BlockSpec((n_st, SEG_ROWS, R), lambda s: (0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_st, SEG_ROWS, R), lambda s: (0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W re
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W im
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # twiddle re
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # twiddle im
+        ],
+        out_specs=(
+            pl.BlockSpec((m, R, R), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, R, R), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_st, R, R), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, R, R), jnp.float32),
+            jax.ShapeDtypeStruct((m, R, R), jnp.float32),
+            jax.ShapeDtypeStruct((n_st, R, R), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_st, R, R), jnp.float32),
+            pltpu.VMEM((n_st, R, R), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x3r, x3i, wr, wi, tr, ti)
+
+    # Un-permute once: true index = 256·k2 + k1 ⇒ transpose (k1,k2).
+    def unperm(a):
+        return jnp.swapaxes(a, -1, -2).reshape(*a.shape[:-2], FFT_LEN)
+
+    cross = C(unperm(cr), unperm(ci))
+    psd_t = unperm(psd)
+    energy = jnp.sum(x.re[:, :use] ** 2 + x.im[:, :use] ** 2, axis=-1)
+    return cross, psd_t, energy

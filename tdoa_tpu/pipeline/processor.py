@@ -59,6 +59,10 @@ class ProcessorConfig:
     # Like the reference's 1 s truncation (processor.go:772-783) but
     # optional: None processes the full capture.
     truncate_samples: Optional[int] = None
+    # Correlator backend: "auto" uses the fused Pallas kernel on TPU
+    # (ops/pallas/corr_accum.py — ~2x, BENCHLOG) when the geometry
+    # allows, else the XLA scan path. "xla"/"pallas" force.
+    accumulator: str = "auto"
 
 
 @dataclasses.dataclass
@@ -81,6 +85,7 @@ class TDOAResult:
     static_argnames=(
         "max_lag", "seg_len", "weighting", "clock_correction", "mode",
         "fm_decim", "sample_rate", "fft_precision", "seg_batch",
+        "accumulator", "pairs_static",
     ),
 )
 def process_blocks(
@@ -98,6 +103,8 @@ def process_blocks(
     sample_rate: float = DEFAULT_SAMPLE_RATE,
     fft_precision: str = "f32",
     seg_batch: int = 1,
+    accumulator: str = "xla",  # "xla" | "pallas" (needs pairs_static)
+    pairs_static: Optional[Tuple[Tuple[int, int], ...]] = None,
 ):
     """The fused device program: 3 blocks × all pairs → corrected TDOAs.
 
@@ -143,14 +150,34 @@ def process_blocks(
     else:
         raise ValueError(f"unknown processing mode: {mode!r}")
 
-    res = correlate_pairs_planar(
-        x_corr, all_pairs, max_lag=max_lag_c, seg_len=seg_c,
-        weighting=weighting, fft_precision=fft_precision,
-        seg_batch=seg_batch,
-    )
-    delays = res.delay.reshape(3, m) * jnp.float32(scale)
-    quality = res.quality.reshape(3, m)
-    peaks = res.peak_value.reshape(3, m)
+    if accumulator == "pallas" and mode == "iq" and pairs_static is not None:
+        # Fused VMEM-resident kernel per block (ops/pallas/corr_accum.py):
+        # one outer jit chains all three, single dispatch. bf16 DFT
+        # operands — measured indistinguishable from f32 on delay
+        # estimates, ~2x end-to-end (BENCHLOG).
+        from tdoa_tpu.ops.corr import correlate_pairs_fused
+
+        outs = [
+            correlate_pairs_fused(
+                C(x_corr.re[b * n_st : (b + 1) * n_st],
+                  x_corr.im[b * n_st : (b + 1) * n_st]),
+                pairs_static, max_lag=max_lag_c, weighting=weighting,
+                precision="bf16",
+            )
+            for b in range(3)
+        ]
+        delays = jnp.stack([o.delay for o in outs]) * jnp.float32(scale)
+        quality = jnp.stack([o.quality for o in outs])
+        peaks = jnp.stack([o.peak_value for o in outs])
+    else:
+        res = correlate_pairs_planar(
+            x_corr, all_pairs, max_lag=max_lag_c, seg_len=seg_c,
+            weighting=weighting, fft_precision=fft_precision,
+            seg_batch=seg_batch,
+        )
+        delays = res.delay.reshape(3, m) * jnp.float32(scale)
+        quality = res.quality.reshape(3, m)
+        peaks = res.peak_value.reshape(3, m)
     ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)  # [m, 2]
     tgt_delay = delays[1]
     if clock_correction:
@@ -233,6 +260,21 @@ class TDOAProcessor:
 
         ref1, tgt, ref2 = stack(0), stack(1), stack(2)
 
+        accumulator = cfg.accumulator
+        if accumulator == "auto":
+            from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+            from tdoa_tpu.utils.platform import on_tpu
+
+            block_len = int(ref1.re.shape[1])
+            ok = (
+                on_tpu()
+                and cfg.mode == "iq"
+                and len(names) <= 4
+                and cfg.max_lag < SEG_LEN
+                and block_len >= SEG_LEN
+            )
+            accumulator = "pallas" if ok else "xla"
+
         ref_geo = self._ref_geo_tdoa_samples(names, pairs)
         corrected, tgt_d, ref_d, clock, quality, peaks = process_blocks(
             ref1,
@@ -247,6 +289,8 @@ class TDOAProcessor:
             mode=cfg.mode,
             fm_decim=cfg.fm_decim,
             sample_rate=cfg.sample_rate,
+            accumulator=accumulator,
+            pairs_static=tuple(map(tuple, pairs.tolist())),
         )
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
