@@ -56,7 +56,8 @@ def _mats() -> Tuple[np.ndarray, ...]:
 def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, tr_ref, ti_ref,
             cr_ref, ci_ref, psd_ref,
             sxr, sxi,
-            *, n_st: int, pairs: Tuple[Tuple[int, int], ...], mm_dtype):
+            *, n_st: int, pairs: Tuple[Tuple[int, int], ...], mm_dtype,
+            segs_per_step: int):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -80,38 +81,49 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, tr_ref, ti_ref,
         return rr, ri
 
     zeros_pad = jnp.zeros((PAD_ROWS, R), jnp.float32)
-    # FFT each station's segment; park spectra in scratch [n_st, R, R].
-    for st in range(n_st):
-        x2r = jnp.concatenate([xr_ref[st], zeros_pad], axis=0)  # [R, R]
-        x2i = jnp.concatenate([xi_ref[st], zeros_pad], axis=0)
-        # Stage 1: DFT over rows — W @ x.
-        a_r, a_i = cmatmul(wr, wi, x2r.astype(mm_dtype), x2i.astype(mm_dtype))
-        # Twiddle rotation (f32 elementwise).
-        t_r = a_r * tr_ref[:, :] - a_i * ti_ref[:, :]
-        t_i = a_r * ti_ref[:, :] + a_i * tr_ref[:, :]
-        # Stage 2: DFT over columns — x @ W.
-        b_r, b_i = cmatmul(t_r, t_i, wr, wi)
-        sxr[st] = b_r
-        sxi[st] = b_i
-        psd_ref[st] += b_r * b_r + b_i * b_i
+    # Several segments per grid step amortize Pallas' per-step cost
+    # (grid bookkeeping + block fetch setup) over more MXU work.
+    for g in range(segs_per_step):
+        r0 = g * SEG_ROWS
+        # FFT each station's segment; park spectra in scratch [n_st, R, R].
+        for st in range(n_st):
+            x2r = jnp.concatenate(
+                [xr_ref[st, r0 : r0 + SEG_ROWS, :], zeros_pad], axis=0
+            )  # [R, R]
+            x2i = jnp.concatenate(
+                [xi_ref[st, r0 : r0 + SEG_ROWS, :], zeros_pad], axis=0
+            )
+            # Stage 1: DFT over rows — W @ x.
+            a_r, a_i = cmatmul(
+                wr, wi, x2r.astype(mm_dtype), x2i.astype(mm_dtype)
+            )
+            # Twiddle rotation (f32 elementwise).
+            t_r = a_r * tr_ref[:, :] - a_i * ti_ref[:, :]
+            t_i = a_r * ti_ref[:, :] + a_i * tr_ref[:, :]
+            # Stage 2: DFT over columns — x @ W.
+            b_r, b_i = cmatmul(t_r, t_i, wr, wi)
+            sxr[st] = b_r
+            sxi[st] = b_i
+            psd_ref[st] += b_r * b_r + b_i * b_i
 
-    for m, (i, j) in enumerate(pairs):
-        # X_j · conj(X_i)
-        jr, ji = sxr[j], sxi[j]
-        ir, ii = sxr[i], sxi[i]
-        cr_ref[m] += jr * ir + ji * ii
-        ci_ref[m] += ji * ir - jr * ii
+        for m, (i, j) in enumerate(pairs):
+            # X_j · conj(X_i)
+            jr, ji = sxr[j], sxi[j]
+            ir, ii = sxr[i], sxi[i]
+            cr_ref[m] += jr * ir + ji * ii
+            ci_ref[m] += ji * ir - jr * ii
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "precision", "interpret"),
+    static_argnames=("pairs", "precision", "interpret", "segs_per_step"),
 )
 def accumulate_cross_spectra_pallas(
     x: C,  # [n_st, N] planar; N is truncated to a multiple of SEG_LEN
     pairs: Tuple[Tuple[int, int], ...],
     precision: str = "f32",
     interpret: Optional[bool] = None,
+    segs_per_step: int = 1,  # 1 measured best on v5e (4: 5956 vs 6465 Ms/s)
 ):
     """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
     FFT_LEN], energy [n_st]) in TRUE frequency order, matching
@@ -122,6 +134,9 @@ def accumulate_cross_spectra_pallas(
         interpret = default_interpret_mode()
     n_st, n = x.re.shape
     n_seg = n // SEG_LEN
+    while segs_per_step > 1 and n_seg % segs_per_step:
+        segs_per_step -= 1
+    n_steps = n_seg // segs_per_step
     use = n_seg * SEG_LEN
     m = len(pairs)
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -132,15 +147,17 @@ def accumulate_cross_spectra_pallas(
 
     wr, wi, tr, ti = (jnp.asarray(a) for a in _mats())
 
+    step_rows = segs_per_step * SEG_ROWS
     cr, ci, psd = pl.pallas_call(
         functools.partial(
-            _kernel, n_st=n_st, pairs=pairs, mm_dtype=mm_dtype
+            _kernel, n_st=n_st, pairs=pairs, mm_dtype=mm_dtype,
+            segs_per_step=segs_per_step,
         ),
-        grid=(n_seg,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((n_st, SEG_ROWS, R), lambda s: (0, s, 0),
+            pl.BlockSpec((n_st, step_rows, R), lambda s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_st, SEG_ROWS, R), lambda s: (0, s, 0),
+            pl.BlockSpec((n_st, step_rows, R), lambda s: (0, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W re
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W im
