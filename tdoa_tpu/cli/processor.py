@@ -79,7 +79,13 @@ def main(argv=None) -> int:
         fix = res.fix
         print(json.dumps({
             "fix": {"lat": fix.lat, "lon": fix.lon, "elev": fix.elev,
-                    "rms_residual_m": fix.rms_residual_m},
+                    "rms_residual_m": fix.rms_residual_m,
+                    "ellipse_1sigma_m": None if fix.ellipse is None else
+                    {"semi_major": fix.ellipse[0],
+                     "semi_minor": fix.ellipse[1],
+                     "azimuth_deg": fix.ellipse[2]}},
+            "tdoa_std_us": None if res.tdoa_std_s is None else
+            [s * 1e6 for s in res.tdoa_std_s],
             "stations": names,
             "pairs": [[names[i], names[j]] for i, j in res.pair_idx],
             "tdoa_us": [s * 1e6 for s in res.tdoa_seconds],
@@ -100,14 +106,20 @@ def main(argv=None) -> int:
             f"raw {res.tgt_delay_samples[k]:+9.2f}  "
             f"clock {res.clock_offset_samples[k]:+9.2f}  "
             f"TDOA {res.corrected_tdoa_samples[k]:+9.3f} samples "
-            f"({res.tdoa_seconds[k]*1e6:+8.3f} us)  "
-            f"quality {res.quality[k]:.1f}"
+            f"({res.tdoa_seconds[k]*1e6:+8.3f} us"
+            + (f" ± {res.tdoa_std_s[k]*1e6:.3f}"
+               if res.tdoa_std_s is not None else "")
+            + f")  quality {res.quality[k]:.1f}"
         )
     for w in res.warnings:
         print(f"  WARNING: {w}")
     fix = res.fix
     print(f"\nPosition fix: {fix.lat:.6f}, {fix.lon:.6f}  "
           f"(elev {fix.elev:.0f} m, residual {fix.rms_residual_m:.1f} m)")
+    if fix.ellipse is not None:
+        maj, mnr, az = fix.ellipse
+        print(f"1-sigma error ellipse: {maj:.1f} m x {mnr:.1f} m "
+              f"at {az:.0f} deg E of N")
     if fix.candidates_lla is not None and len(fix.candidates_lla) > 1:
         print("Other candidate solutions (TDOA ghosts):")
         for lla, rms in zip(fix.candidates_lla[1:], fix.candidates_rms[1:]):

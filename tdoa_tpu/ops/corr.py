@@ -59,6 +59,8 @@ class CorrResult(NamedTuple):
     peak_value: jax.Array  # [m] normalized peak magnitude
     quality: jax.Array  # [m] peak-to-sidelobe ratio
     corr: jax.Array  # [m, 2*max_lag+1] normalized |correlation| window
+    delay_std: jax.Array  # [m] 1σ delay standard error (samples); 0 when
+    #                         the phase-slope refinement didn't run
 
 
 def _accumulate_cross_spectra(
@@ -183,11 +185,27 @@ def _phase_slope_refine(cross: C, coarse_delay, fft_len: int):
     swfp = jnp.sum(w * f[None, :] * phi, axis=-1)
     det = sw * swff - swf * swf
     slope = (sw * swfp - swf * swp) / jnp.maximum(det, 1e-30)
+    intercept = (swff * swp - swf * swfp) / jnp.maximum(det, 1e-30)
     delta = -slope / (2.0 * jnp.pi)
     # Guard: the refinement is only valid within ±1 sample of the coarse
     # peak; a garbage peak must not fling the estimate further.
     delta = jnp.clip(delta, -1.0, 1.0)
-    return coarse_delay + delta
+
+    # Standard error of the slope, scale-invariant in the (relative)
+    # weights: var(slope) ≈ σ_r² / (n_eff · S_f) with
+    #   σ_r² = Σw·r²/Σw     (weighted residual phase variance),
+    #   S_f  = Σw(f−f̄)²/Σw  (weighted spread of frequency),
+    #   n_eff = (Σw)²/Σw²   (effective number of independent bins).
+    # For uniform weights this is the classic OLS slope variance; /2π
+    # converts to samples — the error bar the solver covariance consumes.
+    resid = phi - (intercept[:, None] - 2.0 * jnp.pi * f[None, :]
+                   * delta[:, None])
+    sw_safe = jnp.maximum(sw, 1e-30)
+    sigma_r2 = jnp.sum(w * resid * resid, axis=-1) / sw_safe
+    s_f = jnp.maximum(swff / sw_safe - (swf / sw_safe) ** 2, 1e-30)
+    n_eff = sw_safe**2 / jnp.maximum(jnp.sum(w * w, axis=-1), 1e-30)
+    delay_std = jnp.sqrt(sigma_r2 / (n_eff * s_f)) / (2.0 * jnp.pi)
+    return coarse_delay + delta, delay_std
 
 
 def _finish_correlation(
@@ -224,9 +242,14 @@ def _finish_correlation(
     delay = pos - jnp.float32(max_lag)
     if refine == "phase":
         coarse = jnp.round(delay)
-        delay = _phase_slope_refine(cross, coarse, fft_len)
+        delay, delay_std = _phase_slope_refine(cross, coarse, fft_len)
+    else:
+        delay_std = jnp.zeros_like(delay)
     quality = peak_quality(win)
-    return CorrResult(delay=delay, peak_value=val, quality=quality, corr=win)
+    return CorrResult(
+        delay=delay, peak_value=val, quality=quality, corr=win,
+        delay_std=delay_std,
+    )
 
 
 def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[int]):

@@ -74,7 +74,7 @@ def correlate_pairs_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(C(P(None, axis), P(None, axis)), P(None)),
-        out_specs=CorrResult(P(), P(), P(), P()),
+        out_specs=CorrResult(P(), P(), P(), P(), P()),
     )
     def run(xl: C, pairs):
         cross, psd, energy = _accumulate_cross_spectra(
@@ -123,13 +123,18 @@ def process_blocks_sharded(
     delays = res.delay.reshape(3, m)
     quality = res.quality.reshape(3, m)
     peaks = res.peak_value.reshape(3, m)
+    stds = res.delay_std.reshape(3, m)
     ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)
     tgt_delay = delays[1]
     if clock_correction:
         ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
         clock = ref_mid - ref_geo_tdoa
         corrected = tgt_delay - clock
+        corrected_std = jnp.sqrt(
+            stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
+        )
     else:
         clock = jnp.zeros_like(tgt_delay)
         corrected = tgt_delay
-    return corrected, tgt_delay, ref_delays, clock, quality, peaks
+        corrected_std = stds[1]
+    return corrected, tgt_delay, ref_delays, clock, quality, peaks, corrected_std

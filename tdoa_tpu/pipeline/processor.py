@@ -77,6 +77,7 @@ class TDOAResult:
     tdoa_seconds: np.ndarray  # [m]
     quality: np.ndarray  # [m] TGT peak-to-sidelobe ratios
     peak_value: np.ndarray  # [m] TGT correlation peaks
+    tdoa_std_s: Optional[np.ndarray] = None  # [m] 1σ TDOA errors, seconds
     warnings: List[str] = dataclasses.field(default_factory=list)
 
 
@@ -167,6 +168,7 @@ def process_blocks(
             for b in range(3)
         ]
         delays = jnp.stack([o.delay for o in outs]) * jnp.float32(scale)
+        stds = jnp.stack([o.delay_std for o in outs]) * jnp.float32(scale)
         quality = jnp.stack([o.quality for o in outs])
         peaks = jnp.stack([o.peak_value for o in outs])
     else:
@@ -176,6 +178,7 @@ def process_blocks(
             seg_batch=seg_batch,
         )
         delays = res.delay.reshape(3, m) * jnp.float32(scale)
+        stds = res.delay_std.reshape(3, m) * jnp.float32(scale)
         quality = res.quality.reshape(3, m)
         peaks = res.peak_value.reshape(3, m)
     ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)  # [m, 2]
@@ -187,10 +190,16 @@ def process_blocks(
         ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
         clock = ref_mid - ref_geo_tdoa  # remove REF propagation term
         corrected = tgt_delay - clock
+        # Corrected-TDOA 1σ: the two REF estimates average, so their
+        # variances enter at 1/4 each.
+        corrected_std = jnp.sqrt(
+            stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
+        )
     else:
         clock = jnp.zeros_like(tgt_delay)
         corrected = tgt_delay
-    return corrected, tgt_delay, ref_delays, clock, quality, peaks
+        corrected_std = stds[1]
+    return corrected, tgt_delay, ref_delays, clock, quality, peaks, corrected_std
 
 
 class TDOAProcessor:
@@ -276,7 +285,7 @@ class TDOAProcessor:
             accumulator = "pallas" if ok else "xla"
 
         ref_geo = self._ref_geo_tdoa_samples(names, pairs)
-        corrected, tgt_d, ref_d, clock, quality, peaks = process_blocks(
+        corrected, tgt_d, ref_d, clock, quality, peaks, corr_std = process_blocks(
             ref1,
             tgt,
             ref2,
@@ -294,6 +303,7 @@ class TDOAProcessor:
         )
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
+        tdoa_std_s = np.asarray(corr_std, np.float64) / cfg.sample_rate
 
         warnings: List[str] = []
         lla = self.stations.lla_array(names)
@@ -330,6 +340,7 @@ class TDOAProcessor:
             weights=w,
             pair_idx=pairs,
             solve_z=cfg.solve_z,
+            tdoa_sigma_s=tdoa_std_s,
         )
         return TDOAResult(
             fix=fix,
@@ -342,6 +353,7 @@ class TDOAProcessor:
             tdoa_seconds=tdoa_s,
             quality=q,
             peak_value=np.asarray(peaks[1], np.float64),
+            tdoa_std_s=tdoa_std_s,
             warnings=warnings,
         )
 

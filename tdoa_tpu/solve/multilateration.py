@@ -131,6 +131,43 @@ def solve_tdoa_enu_multistart(
     return pos[order], rms[order]
 
 
+def fix_covariance_enu(
+    stations_enu: np.ndarray,  # [n, 3]
+    pair_idx: np.ndarray,  # [m, 2]
+    pos_enu: np.ndarray,  # [3] solution
+    sigma_m: np.ndarray,  # [m] 1σ range-difference errors, meters
+) -> np.ndarray:
+    """2×2 east-north covariance of the fix by linear error propagation:
+    Cov = (Jᵀ W J)⁻¹ with J the range-difference Jacobian at the solution
+    and W = diag(1/σ²). Host-side numpy (tiny)."""
+    si = stations_enu[pair_idx[:, 0]]
+    sj = stations_enu[pair_idx[:, 1]]
+    di = pos_enu - si
+    dj = pos_enu - sj
+    ui = di / np.maximum(np.linalg.norm(di, axis=-1, keepdims=True), 1e-9)
+    uj = dj / np.maximum(np.linalg.norm(dj, axis=-1, keepdims=True), 1e-9)
+    jac = (uj - ui)[:, :2]  # [m, 2]
+    w = 1.0 / np.maximum(np.asarray(sigma_m) ** 2, 1e-12)
+    jtj = jac.T @ (jac * w[:, None])
+    try:
+        return np.linalg.inv(jtj)
+    except np.linalg.LinAlgError:
+        return np.full((2, 2), np.inf)
+
+
+def error_ellipse(cov2: np.ndarray, k_sigma: float = 1.0):
+    """(semi_major_m, semi_minor_m, azimuth_deg east-of-north) of the
+    k-sigma confidence ellipse for a 2×2 EN covariance."""
+    vals, vecs = np.linalg.eigh(cov2)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    major = k_sigma * float(np.sqrt(max(vals[0], 0.0)))
+    minor = k_sigma * float(np.sqrt(max(vals[1], 0.0)))
+    # vecs[:,0] = (east, north) of the major axis.
+    azimuth = float(np.degrees(np.arctan2(vecs[0, 0], vecs[1, 0]))) % 180.0
+    return major, minor, azimuth
+
+
 @dataclasses.dataclass
 class FixResult:
     lat: float
@@ -143,6 +180,11 @@ class FixResult:
     # rms — ghost TDOA intersections show up here for disambiguation.
     candidates_lla: Optional[np.ndarray] = None
     candidates_rms: Optional[np.ndarray] = None
+    # 1σ east-north covariance (m²) and ellipse (semi-major m,
+    # semi-minor m, azimuth° E-of-N), from measurement error propagation
+    # — present when the caller supplied per-pair TDOA uncertainties.
+    cov_en: Optional[np.ndarray] = None
+    ellipse: Optional[tuple] = None
 
 
 def solve_fix(
@@ -152,11 +194,14 @@ def solve_fix(
     pair_idx: Optional[np.ndarray] = None,
     solve_z: bool = False,
     n_starts: int = 9,
+    tdoa_sigma_s: Optional[Sequence[float]] = None,
 ) -> FixResult:
     """Host convenience wrapper: LLA stations + TDOA seconds → lat/lon fix.
 
     Runs a multi-start solve and reports the lowest-residual solution; all
     distinct converged candidates ride along for ghost disambiguation.
+    ``tdoa_sigma_s`` (per-pair 1σ TDOA errors, seconds) adds a position
+    covariance and confidence ellipse by linear propagation.
     """
     station_lla = np.asarray(station_lla, dtype=np.float64)
     n = station_lla.shape[0]
@@ -191,6 +236,14 @@ def solve_fix(
     pos_all, rms_all = pos_all[keep], rms_all[keep]
     pos = pos_all[0]
     lla = enu_to_lla(pos, origin)
+    cov_en = None
+    ellipse = None
+    if tdoa_sigma_s is not None:
+        sigma_m = np.asarray(tdoa_sigma_s, dtype=np.float64) * SPEED_OF_LIGHT
+        cov_en = fix_covariance_enu(
+            np.asarray(enu, np.float64), np.asarray(pair_idx), pos, sigma_m
+        )
+        ellipse = error_ellipse(cov_en)
     return FixResult(
         lat=float(lla[0]),
         lon=float(lla[1]),
@@ -200,4 +253,6 @@ def solve_fix(
         origin_lla=origin,
         candidates_lla=enu_to_lla(pos_all, origin),
         candidates_rms=rms_all,
+        cov_en=cov_en,
+        ellipse=ellipse,
     )
