@@ -40,7 +40,12 @@ def main() -> None:
     max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
     fft_precision = os.environ.get("BENCH_FFT_PRECISION", "f32")
     seg_batch = int(os.environ.get("BENCH_SEG_BATCH", "1"))
-    accumulator = os.environ.get("BENCH_ACCUM", "xla")  # xla | pallas
+    # xla | pallas | auto: the fused Pallas kernel is ~2x on TPU but its
+    # bf16 matmuls are pathologically slow under CPU interpret mode.
+    accumulator = os.environ.get("BENCH_ACCUM", "auto")
+    if accumulator == "auto":
+        plat = jax.devices()[0].platform.lower()
+        accumulator = "pallas" if ("tpu" in plat or plat == "axon") else "xla"
     fs = 2_000_000.0
     n_st = 3
 
@@ -73,27 +78,19 @@ def main() -> None:
     ref_geo = jnp.zeros(3, jnp.float32)
 
     if accumulator == "pallas":
-        # One fused VMEM-resident kernel per block (blocks are
-        # independent 3-station groups; n_st=3 keeps the accumulators
-        # inside VMEM).
-        from tdoa_tpu.ops.corr import correlate_pairs_fused
-
+        # The real pipeline program: fused VMEM-resident kernel per block
+        # (independent 3-station groups), one dispatch, clock correction
+        # included.
         base_pairs = ((0, 1), (0, 2), (1, 2))
 
-        @jax.jit
-        def fused_all(r1, tg, r2):
-            return [
-                correlate_pairs_fused(
-                    blk, base_pairs, max_lag=max_lag,
-                    weighting="ht", precision=fft_precision,
-                ).delay
-                for blk in (r1, tg, r2)
-            ]
-
         def run():
-            outs = fused_all(ref1, tgt, ref2)
-            float(outs[0][0])  # single sync for the whole program
-            return outs
+            out = process_blocks(
+                ref1, tgt, ref2, pair_idx, ref_geo,
+                max_lag=max_lag, seg_len=seg_len, weighting="ht",
+                accumulator="pallas", pairs_static=base_pairs,
+            )
+            float(out[0][0])  # single sync for the whole program
+            return out
 
     else:
       def run():

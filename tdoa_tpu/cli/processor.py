@@ -12,6 +12,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+import numpy as np
+
 from tdoa_tpu.cli import setup_platform
 
 
@@ -91,6 +93,7 @@ def main(argv=None) -> int:
             "tdoa_us": [s * 1e6 for s in res.tdoa_seconds],
             "raw_delay_samples": list(res.tgt_delay_samples),
             "clock_offset_samples": list(res.clock_offset_samples),
+            "clock_drift_ppm": None if res.clock_drift_ppm is None else list(res.clock_drift_ppm),
             "quality": list(res.quality),
             "warnings": res.warnings,
             "candidates": None if fix.candidates_lla is None else [
@@ -111,6 +114,12 @@ def main(argv=None) -> int:
                if res.tdoa_std_s is not None else "")
             + f")  quality {res.quality[k]:.1f}"
         )
+    if res.clock_drift_ppm is not None and np.abs(res.clock_drift_ppm).max() > 0.05:
+        drifts = ", ".join(
+            f"{names[i]}-{names[j]} {res.clock_drift_ppm[k]:+.2f} ppm"
+            for k, (i, j) in enumerate(res.pair_idx)
+        )
+        print(f"  clock drift (from dual REF blocks): {drifts}")
     for w in res.warnings:
         print(f"  WARNING: {w}")
     fix = res.fix

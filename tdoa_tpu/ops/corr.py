@@ -326,7 +326,9 @@ def correlate_pairs_planar(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "max_lag", "weighting", "refine", "precision"),
+    static_argnames=(
+        "pairs", "max_lag", "weighting", "refine", "precision", "remove_dc",
+    ),
 )
 def correlate_pairs_fused(
     x: C,  # [n_st, N] planar
@@ -336,20 +338,20 @@ def correlate_pairs_fused(
     eps: float = 1e-3,
     refine: str = "phase",
     precision: str = "f32",
+    remove_dc: bool = False,
 ) -> CorrResult:
     """GCC correlation through the fused Pallas segment kernel
     (ops/pallas/corr_accum.py): FFT + cross-spectra + accumulation in one
-    VMEM-resident program. Fixed geometry (seg 45056, fft 65536); the
-    finish stage is shared with the XLA path."""
+    VMEM-resident program, with DC removal and RMS prescaling folded into
+    the kernel's loads. Fixed geometry (seg 45056, fft 65536); the finish
+    stage is shared with the XLA path."""
     from tdoa_tpu.ops.pallas.corr_accum import (
         FFT_LEN,
         accumulate_cross_spectra_pallas,
     )
 
-    rms = jnp.sqrt(jnp.mean(x.abs2(), axis=-1, keepdims=True))
-    x = C(x.re / jnp.maximum(rms, 1e-30), x.im / jnp.maximum(rms, 1e-30))
     cross, psd, energy = accumulate_cross_spectra_pallas(
-        x, pairs, precision=precision
+        x, pairs, precision=precision, remove_dc=remove_dc, prescale=True
     )
     return _finish_correlation(
         cross, psd, energy, jnp.asarray(np.array(pairs, np.int32)),

@@ -53,7 +53,8 @@ def _mats() -> Tuple[np.ndarray, ...]:
     return wr, wi, tr, ti
 
 
-def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, tr_ref, ti_ref,
+def _kernel(xr_ref, xi_ref, mr_ref, mi_ref, sc_ref, wr_ref, wi_ref,
+            tr_ref, ti_ref,
             cr_ref, ci_ref, psd_ref,
             sxr, sxi,
             *, n_st: int, pairs: Tuple[Tuple[int, int], ...], mm_dtype,
@@ -86,12 +87,19 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, tr_ref, ti_ref,
     for g in range(segs_per_step):
         r0 = g * SEG_ROWS
         # FFT each station's segment; park spectra in scratch [n_st, R, R].
+        # DC removal and RMS prescale (per-station scalars, precomputed by
+        # cheap reductions) fold into the load — no separate full-signal
+        # normalization passes.
         for st in range(n_st):
             x2r = jnp.concatenate(
-                [xr_ref[st, r0 : r0 + SEG_ROWS, :], zeros_pad], axis=0
+                [(xr_ref[st, r0 : r0 + SEG_ROWS, :] - mr_ref[0, st])
+                 * sc_ref[0, st], zeros_pad],
+                axis=0,
             )  # [R, R]
             x2i = jnp.concatenate(
-                [xi_ref[st, r0 : r0 + SEG_ROWS, :], zeros_pad], axis=0
+                [(xi_ref[st, r0 : r0 + SEG_ROWS, :] - mi_ref[0, st])
+                 * sc_ref[0, st], zeros_pad],
+                axis=0,
             )
             # Stage 1: DFT over rows — W @ x.
             a_r, a_i = cmatmul(
@@ -116,7 +124,10 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, tr_ref, ti_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "precision", "interpret", "segs_per_step"),
+    static_argnames=(
+        "pairs", "precision", "interpret", "segs_per_step", "remove_dc",
+        "prescale",
+    ),
 )
 def accumulate_cross_spectra_pallas(
     x: C,  # [n_st, N] planar; N is truncated to a multiple of SEG_LEN
@@ -124,11 +135,16 @@ def accumulate_cross_spectra_pallas(
     precision: str = "f32",
     interpret: Optional[bool] = None,
     segs_per_step: int = 1,  # 1 measured best on v5e (4: 5956 vs 6465 Ms/s)
+    remove_dc: bool = False,
+    prescale: bool = False,
 ):
     """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
     FFT_LEN], energy [n_st]) in TRUE frequency order, matching
     ops.corr._accumulate_cross_spectra with seg_len=SEG_LEN,
-    fft_len=FFT_LEN.
+    fft_len=FFT_LEN. ``remove_dc``/``prescale`` fold per-station mean
+    subtraction and 1/RMS scaling into the kernel's loads (the scalars
+    themselves are cheap read-only reductions) — no extra full-signal
+    normalization passes over HBM.
     """
     if interpret is None:
         interpret = default_interpret_mode()
@@ -140,6 +156,25 @@ def accumulate_cross_spectra_pallas(
     use = n_seg * SEG_LEN
     m = len(pairs)
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    power = jnp.mean(
+        x.re[:, :use] ** 2 + x.im[:, :use] ** 2, axis=-1
+    )  # [n_st]
+    if remove_dc:
+        mean_r = jnp.mean(x.re[:, :use], axis=-1)
+        mean_i = jnp.mean(x.im[:, :use], axis=-1)
+    else:
+        mean_r = jnp.zeros((n_st,), jnp.float32)
+        mean_i = jnp.zeros((n_st,), jnp.float32)
+    # Power of the demeaned signal (exact: E|x−m|² = E|x|² − |m|²).
+    power_dm = jnp.maximum(power - mean_r**2 - mean_i**2, 1e-30)
+    if prescale:
+        scale = 1.0 / jnp.sqrt(power_dm)
+        energy = jnp.full((n_st,), float(use), jnp.float32)
+    else:
+        scale = jnp.ones((n_st,), jnp.float32)
+        energy = power_dm * use
+    mean_r, mean_i, scale = (a[None, :] for a in (mean_r, mean_i, scale))
 
     # [n_st, n_seg*SEG_ROWS, R] — rows of 256 lanes, XLA-side reshape.
     x3r = x.re[:, :use].reshape(n_st, n_seg * SEG_ROWS, R)
@@ -159,6 +194,9 @@ def accumulate_cross_spectra_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_st, step_rows, R), lambda s: (0, s, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # station means re
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # station means im
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # station scales
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W re
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W im
             pl.BlockSpec(memory_space=pltpu.VMEM),  # twiddle re
@@ -182,7 +220,7 @@ def accumulate_cross_spectra_pallas(
             pltpu.VMEM((n_st, R, R), jnp.float32),
         ],
         interpret=interpret,
-    )(x3r, x3i, wr, wi, tr, ti)
+    )(x3r, x3i, mean_r, mean_i, scale, wr, wi, tr, ti)
 
     # Un-permute once: true index = 256·k2 + k1 ⇒ transpose (k1,k2).
     def unperm(a):
@@ -190,5 +228,4 @@ def accumulate_cross_spectra_pallas(
 
     cross = C(unperm(cr), unperm(ci))
     psd_t = unperm(psd)
-    energy = jnp.sum(x.re[:, :use] ** 2 + x.im[:, :use] ** 2, axis=-1)
     return cross, psd_t, energy

@@ -78,6 +78,10 @@ class TDOAResult:
     quality: np.ndarray  # [m] TGT peak-to-sidelobe ratios
     peak_value: np.ndarray  # [m] TGT correlation peaks
     tdoa_std_s: Optional[np.ndarray] = None  # [m] 1σ TDOA errors, seconds
+    # [m] relative clock-rate difference per pair (station j vs i), ppm,
+    # measured from the two REF blocks' delay difference — the drift
+    # diagnostic the dual-REF capture format makes free.
+    clock_drift_ppm: Optional[np.ndarray] = None
     warnings: List[str] = dataclasses.field(default_factory=list)
 
 
@@ -129,6 +133,42 @@ def process_blocks(
 
     n_st = ref1.re.shape[0]
     m = pair_idx.shape[0]
+
+    if accumulator == "pallas" and mode == "iq" and pairs_static is not None:
+        # Fused VMEM-resident kernel per block (ops/pallas/corr_accum.py),
+        # all three chained in this one jit (single dispatch). No
+        # concatenated [3n, L] copy — at 100 s captures that copy alone
+        # is 4.8 GB and OOMs HBM. bf16 DFT operands — measured
+        # indistinguishable from f32 on delays, ~2x end-to-end (BENCHLOG).
+        from tdoa_tpu.ops.corr import correlate_pairs_fused
+
+        outs = [
+            correlate_pairs_fused(
+                blk, pairs_static, max_lag=max_lag,
+                weighting=weighting, precision="bf16", remove_dc=True,
+            )
+            for blk in (ref1, tgt, ref2)
+        ]
+        delays = jnp.stack([o.delay for o in outs])
+        stds = jnp.stack([o.delay_std for o in outs])
+        quality = jnp.stack([o.quality for o in outs])
+        peaks = jnp.stack([o.peak_value for o in outs])
+        ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)
+        tgt_delay = delays[1]
+        if clock_correction:
+            ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
+            clock = ref_mid - ref_geo_tdoa
+            corrected = tgt_delay - clock
+            corrected_std = jnp.sqrt(
+                stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
+            )
+        else:
+            clock = jnp.zeros_like(tgt_delay)
+            corrected = tgt_delay
+            corrected_std = stds[1]
+        return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
+                corrected_std)
+
     xr = jnp.concatenate([ref1.re, tgt.re, ref2.re], axis=0)  # [3*n_st, L]
     xi = jnp.concatenate([ref1.im, tgt.im, ref2.im], axis=0)
     xr = xr - jnp.mean(xr, axis=-1, keepdims=True)  # DC removal
@@ -151,36 +191,15 @@ def process_blocks(
     else:
         raise ValueError(f"unknown processing mode: {mode!r}")
 
-    if accumulator == "pallas" and mode == "iq" and pairs_static is not None:
-        # Fused VMEM-resident kernel per block (ops/pallas/corr_accum.py):
-        # one outer jit chains all three, single dispatch. bf16 DFT
-        # operands — measured indistinguishable from f32 on delay
-        # estimates, ~2x end-to-end (BENCHLOG).
-        from tdoa_tpu.ops.corr import correlate_pairs_fused
-
-        outs = [
-            correlate_pairs_fused(
-                C(x_corr.re[b * n_st : (b + 1) * n_st],
-                  x_corr.im[b * n_st : (b + 1) * n_st]),
-                pairs_static, max_lag=max_lag_c, weighting=weighting,
-                precision="bf16",
-            )
-            for b in range(3)
-        ]
-        delays = jnp.stack([o.delay for o in outs]) * jnp.float32(scale)
-        stds = jnp.stack([o.delay_std for o in outs]) * jnp.float32(scale)
-        quality = jnp.stack([o.quality for o in outs])
-        peaks = jnp.stack([o.peak_value for o in outs])
-    else:
-        res = correlate_pairs_planar(
-            x_corr, all_pairs, max_lag=max_lag_c, seg_len=seg_c,
-            weighting=weighting, fft_precision=fft_precision,
-            seg_batch=seg_batch,
-        )
-        delays = res.delay.reshape(3, m) * jnp.float32(scale)
-        stds = res.delay_std.reshape(3, m) * jnp.float32(scale)
-        quality = res.quality.reshape(3, m)
-        peaks = res.peak_value.reshape(3, m)
+    res = correlate_pairs_planar(
+        x_corr, all_pairs, max_lag=max_lag_c, seg_len=seg_c,
+        weighting=weighting, fft_precision=fft_precision,
+        seg_batch=seg_batch,
+    )
+    delays = res.delay.reshape(3, m) * jnp.float32(scale)
+    stds = res.delay_std.reshape(3, m) * jnp.float32(scale)
+    quality = res.quality.reshape(3, m)
+    peaks = res.peak_value.reshape(3, m)
     ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)  # [m, 2]
     tgt_delay = delays[1]
     if clock_correction:
@@ -304,6 +323,10 @@ class TDOAProcessor:
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
         tdoa_std_s = np.asarray(corr_std, np.float64) / cfg.sample_rate
+        # REF-block midpoints sit at 0.5·L and 2.5·L — two blocks apart.
+        block_len = int(ref1.re.shape[1])
+        ref_d = np.asarray(ref_d, np.float64)
+        drift_ppm = (ref_d[:, 1] - ref_d[:, 0]) / (2 * block_len) * 1e6
 
         warnings: List[str] = []
         lla = self.stations.lla_array(names)
@@ -347,13 +370,14 @@ class TDOAProcessor:
             station_names=names,
             pair_idx=pairs,
             tgt_delay_samples=np.asarray(tgt_d, np.float64),
-            ref_delay_samples=np.asarray(ref_d, np.float64),
+            ref_delay_samples=ref_d,
             clock_offset_samples=np.asarray(clock, np.float64),
             corrected_tdoa_samples=corrected,
             tdoa_seconds=tdoa_s,
             quality=q,
             peak_value=np.asarray(peaks[1], np.float64),
             tdoa_std_s=tdoa_std_s,
+            clock_drift_ppm=drift_ppm,
             warnings=warnings,
         )
 

@@ -194,3 +194,19 @@ def test_processor_requires_three_stations(omaha_stations, station_csv):
     two = {n: captures[n] for n in scene.station_names[:2]}
     with pytest.raises(ValueError):
         proc.process_captures(two)
+
+
+def test_clock_drift_reported(omaha_stations, station_csv):
+    """Per-pair clock drift measured from the two REF blocks must match
+    the simulated drift rates."""
+    drifts = np.array([2.0, -3.0, 1.0])  # ppm
+    scene = _scene(omaha_stations, clock_drifts_ppm=drifts, seed=51)
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv, seg_len=None, max_lag=512
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+    want = np.array([
+        drifts[j] - drifts[i] for i, j in res.pair_idx
+    ])
+    np.testing.assert_allclose(res.clock_drift_ppm, want, atol=0.3)
