@@ -1,0 +1,56 @@
+"""Driver-surface smoke tests: bench.py and __graft_entry__ must never
+break — the round driver runs them unattended."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_valid_json():
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        BENCH_SECONDS="0.3",
+        BENCH_MAX_LAG="1000",
+        BENCH_SEG=str(1 << 16),
+        BENCH_ACCUM="xla",
+        PYTHONPATH=REPO,
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["metric"] == "corr_throughput"
+    assert d["unit"] == "Msamples/s/chip"
+    assert d["value"] > 0
+    assert "vs_baseline" in d
+
+
+def test_graft_entry_contract():
+    code = """
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, %r)
+import __graft_entry__ as g
+fn, args = g.entry()
+out = jax.jit(fn)(*args)
+assert len(out) == 7
+g.dryrun_multichip(8)
+g.dryrun_multichip(4)
+print("GRAFT OK")
+""" % REPO
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "GRAFT OK" in r.stdout
