@@ -13,6 +13,8 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def hann(n: int) -> np.ndarray:
+    if n <= 1:
+        return np.ones(max(n, 1), np.float32)
     k = np.arange(n)
     return (0.5 - 0.5 * np.cos(2 * np.pi * k / (n - 1))).astype(np.float32)
 
@@ -20,6 +22,8 @@ def hann(n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def blackman_harris(n: int) -> np.ndarray:
     """4-term Blackman-Harris (analyzer.go:300-320 coefficients)."""
+    if n <= 1:
+        return np.ones(max(n, 1), np.float32)
     k = np.arange(n)
     a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
     w = (

@@ -65,15 +65,18 @@ def validate_dat_structure(
                 f"{expected_duration_s:.2f}s"
             )
 
-    raw = np.memmap(path, dtype=np.uint8, mode="r")
     stats: List[BlockStats] = []
-    bpb = per_block * 2  # bytes per block
-    take = min(bpb, 2 * max_samples_per_block)
-    for b in range(NUM_BLOCKS):
-        chunk = np.ascontiguousarray(raw[b * bpb : b * bpb + take])
-        if len(chunk) == 0:
-            continue
-        stats.append(analyze_block_bytes(chunk))
+    if size > 0:
+        raw = np.memmap(path, dtype=np.uint8, mode="r")
+        bpb = per_block * 2  # bytes per block
+        take = min(bpb, 2 * max_samples_per_block)
+        for b in range(NUM_BLOCKS):
+            chunk = np.ascontiguousarray(raw[b * bpb : b * bpb + take])
+            if len(chunk) < 2:
+                continue
+            stats.append(analyze_block_bytes(chunk))
+    else:
+        problems.append("file is empty")
 
     ref_ok = True
     if len(stats) == 3:
