@@ -126,7 +126,7 @@ def _kernel(xr_ref, xi_ref, mr_ref, mi_ref, sc_ref, wr_ref, wi_ref,
     jax.jit,
     static_argnames=(
         "pairs", "precision", "interpret", "segs_per_step", "remove_dc",
-        "prescale",
+        "prescale", "vma",
     ),
 )
 def accumulate_cross_spectra_pallas(
@@ -137,6 +137,7 @@ def accumulate_cross_spectra_pallas(
     segs_per_step: int = 1,  # 1 measured best on v5e (4: 5956 vs 6465 Ms/s)
     remove_dc: bool = False,
     prescale: bool = False,
+    vma: Optional[frozenset] = None,
 ):
     """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
     FFT_LEN], energy [n_st]) in TRUE frequency order, matching
@@ -144,7 +145,8 @@ def accumulate_cross_spectra_pallas(
     fft_len=FFT_LEN. ``remove_dc``/``prescale`` fold per-station mean
     subtraction and 1/RMS scaling into the kernel's loads (the scalars
     themselves are cheap read-only reductions) — no extra full-signal
-    normalization passes over HBM.
+    normalization passes over HBM. ``vma`` declares the outputs' varying
+    mesh axes when called inside shard_map (jax check_vma typing).
     """
     if interpret is None:
         interpret = default_interpret_mode()
@@ -211,9 +213,9 @@ def accumulate_cross_spectra_pallas(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((m, R, R), jnp.float32),
-            jax.ShapeDtypeStruct((m, R, R), jnp.float32),
-            jax.ShapeDtypeStruct((n_st, R, R), jnp.float32),
+            jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((n_st, R, R), jnp.float32, vma=vma),
         ),
         scratch_shapes=[
             pltpu.VMEM((n_st, R, R), jnp.float32),

@@ -54,6 +54,8 @@ def correlate_pairs_sharded(
     eps: float = 1e-3,
     refine: str = "phase",
     axis: str = "sp",
+    accumulator: str = "xla",  # "xla" | "pallas" (fused kernel per chip)
+    pairs_static: Optional[tuple] = None,  # required for "pallas"
 ) -> CorrResult:
     """Sequence-parallel GCC correlation: time axis sharded over ``mesh``.
 
@@ -62,24 +64,51 @@ def correlate_pairs_sharded(
     replicated. Results are numerically identical to the single-chip path
     up to float reassociation (cross-segment edge products are dropped by
     segmentation in both paths).
+
+    ``accumulator="pallas"`` runs the fused VMEM-resident segment kernel
+    (ops/pallas/corr_accum.py) on every chip's local chunk — the
+    max-performance configuration: per-chip Pallas compute, one XLA psum
+    over ICI.
     """
     d = mesh.shape[axis]
     n_st, n = x.re.shape
     per = (n // d)
-    seg_len_r, fft_len = resolve_seg(per, max_lag, seg_len, None)
+    if accumulator == "pallas":
+        from tdoa_tpu.ops.pallas.corr_accum import (
+            FFT_LEN,
+            SEG_LEN,
+            accumulate_cross_spectra_pallas,
+        )
+
+        if pairs_static is None:
+            raise ValueError("pallas accumulator needs a static pair tuple")
+        per = (per // SEG_LEN) * SEG_LEN
+        fft_len = FFT_LEN
+    else:
+        seg_len_r, fft_len = resolve_seg(per, max_lag, seg_len, None)
     use = per * d
     x = C(x.re[:, :use], x.im[:, :use])
 
+    # The pallas variant disables shard_map's varying-axis typing: the
+    # kernel's internals mix mesh-varying data with invariant constants,
+    # which the checker (and the CPU interpreter) cannot type; numerics
+    # are unaffected (verified against the XLA path).
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(C(P(None, axis), P(None, axis)), P(None)),
         out_specs=CorrResult(P(), P(), P(), P(), P()),
+        check_vma=(accumulator != "pallas"),
     )
     def run(xl: C, pairs):
-        cross, psd, energy = _accumulate_cross_spectra(
-            xl, pairs, seg_len_r, fft_len
-        )
+        if accumulator == "pallas":
+            cross, psd, energy = accumulate_cross_spectra_pallas(
+                xl, pairs_static, precision="bf16", prescale=False,
+            )
+        else:
+            cross, psd, energy = _accumulate_cross_spectra(
+                xl, pairs, seg_len_r, fft_len
+            )
         cross = C(
             jax.lax.psum(cross.re, axis), jax.lax.psum(cross.im, axis)
         )

@@ -92,3 +92,24 @@ def test_sharded_process_blocks_end_to_end(omaha_stations):
     np.testing.assert_allclose(
         np.asarray(corrected), truth.tgt_tdoa_samples, atol=0.6
     )
+
+
+def test_sharded_pallas_accumulator():
+    """The fused Pallas kernel per chip + one psum (max-performance
+    multi-chip configuration) matches planted truth on the CPU mesh."""
+    from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+
+    n = SEG_LEN * 8
+    base = fm_source(jax.random.PRNGKey(3), n, 2e6)
+    sigs = [base, fractional_delay(base, jnp.float32(17.25)),
+            fractional_delay(base, jnp.float32(-33.5))]
+    x = _planar_stack(sigs)
+    pairs_t = ((0, 1), (0, 2), (1, 2))
+    pairs = jnp.asarray(np.array(pairs_t, np.int32))
+    res = correlate_pairs_sharded(
+        x, pairs, make_mesh(8), max_lag=128,
+        accumulator="pallas", pairs_static=pairs_t,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.delay), [17.25, -33.5, -50.75], atol=0.1
+    )
