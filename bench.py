@@ -49,13 +49,23 @@ def main() -> None:
     fs = 2_000_000.0
     n_st = 3
 
-    block_len = int(seconds * fs / 3)
-    # Keep blocks a multiple of seg_len so the scan covers everything.
-    block_len = max(block_len // seg_len, 1) * seg_len
-    total_samples = 3 * block_len * n_st
-
     from tdoa_tpu.ops.cplx import C
     from tdoa_tpu.pipeline.processor import process_blocks
+
+    block_len = int(seconds * fs / 3)
+    if accumulator == "pallas":
+        # The fused kernel's segment is fixed (45056); align blocks to it
+        # so the kernel consumes every sample with no slice copy — the
+        # real ingest path decodes u8 straight into this shape.
+        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+
+        block_len = max(block_len // SEG_LEN, 1) * SEG_LEN
+        block_dtype = jnp.bfloat16  # the kernel's native operand storage
+    else:
+        # Keep blocks a multiple of seg_len so the scan covers everything.
+        block_len = max(block_len // seg_len, 1) * seg_len
+        block_dtype = jnp.float32
+    total_samples = 3 * block_len * n_st
 
     # Synthesize station blocks directly on device from cheap RNG — the
     # benchmark measures processing, not simulation; correlation cost is
@@ -66,8 +76,8 @@ def main() -> None:
     def make_block(k):
         kr, ki = jax.random.split(k)
         return C(
-            jax.random.normal(kr, (n_st, block_len), jnp.float32),
-            jax.random.normal(ki, (n_st, block_len), jnp.float32),
+            jax.random.normal(kr, (n_st, block_len), jnp.float32).astype(block_dtype),
+            jax.random.normal(ki, (n_st, block_len), jnp.float32).astype(block_dtype),
         )
 
     keys = jax.random.split(key, 3)

@@ -3,21 +3,47 @@
 One Pallas program does, per capture segment, what the XLA path spreads
 over many HLOs and HBM round-trips:
 
-    load segment (all stations) → zero-pad → 65536-point FFT per signal
-    (two 256×256 DFT matmuls with a twiddle rotation between — all in
-    VMEM) → per-pair cross-spectra + per-station PSD → accumulate
+    load segment (all stations) → 65536-point FFT per signal (two DFT
+    matmuls with a twiddle rotation between — all in VMEM) → per-pair
+    cross-spectra + per-station PSD + per-station spectral sum →
+    accumulate
 
 The accumulators live in VMEM across the whole grid (constant output
 index ⇒ Pallas keeps the block resident; nothing is flushed per step),
-so the only HBM traffic in the loop is reading the input segments. The
-FFT emits the spectrum in the *digit-permuted* layout [k1, k2] (true
-frequency index = 256·k2 + k1) — cross-spectra and PSD accumulate in
-that layout consistently, and the caller un-permutes once at finalize
-(a single cheap transpose outside the kernel).
+so the only HBM traffic in the loop is reading each input sample ONCE.
+The FFT emits the spectrum in the *digit-permuted* layout [k1, k2]
+(true frequency index = 256·k2 + k1) — all accumulators use that layout
+consistently, and the caller un-permutes once at finalize (a single
+cheap transpose outside the kernel).
+
+Performance notes (measured on v5e, 3 stations × 66.5 Msample block):
+
+- **Zero rows never reach the MXU.** The segment occupies 176 of the
+  256 stage-1 rows; instead of zero-padding and contracting over 256,
+  stage 1 uses the 256×176 column slice of the DFT matrix — exact by
+  linearity, 31% less stage-1 work, and no pad-concatenate copies.
+- **Operands are *stored* bf16, not cast bf16.** The MXU multiplies
+  bf16 natively; under ``--xla_allow_excess_precision`` an in-kernel
+  ``astype(bfloat16)`` is elidable and the matmul silently runs at f32
+  operand width. Keeping the input blocks and DFT matrices in bf16
+  VMEM, and round-tripping the twiddled intermediate through a bf16
+  scratch buffer, pins every matmul to true bf16 operands — the
+  arithmetic is bit-identical to the old cast-based path (Mosaic's
+  default matmul truncates f32 operands to bf16 anyway) at ~2.5× the
+  speed: ~6 ms vs ~15 ms per 66.5 Msample 3-station block.
+- **No statistics prologue.** DC removal and RMS normalization need the
+  block mean and power — but the mean is the accumulated spectral sum's
+  DC bin (X(0) = Σxₙ) and the power is Parseval on the accumulated PSD,
+  so both fall out of the kernel's own outputs. DC removal then folds
+  in at finalize by linearity: FFT(x−m) = FFT(x) − m·D with D the
+  transform of the segment's rectangular window, giving
+  Σ(Xⱼ−AⱼD)(Xᵢ−AᵢD)* from the raw accumulators in one cheap
+  [n_pairs, fft_len] elementwise pass. RMS prescaling is a per-station
+  scalar on the same accumulators. Nothing ever re-reads the signal.
 
 Constraints (by construction): fft_len = 65536 = 256², seg_len = 45056
-(= 176·256 rows of data + 80 zero rows), station count and pair list
-static. Falls back to the XLA path for anything else (ops/corr.py).
+(= 176·256 rows of data), station count and pair list static. Falls
+back to the XLA path for anything else (ops/corr.py).
 """
 
 from __future__ import annotations
@@ -36,7 +62,7 @@ from tdoa_tpu.utils.platform import default_interpret_mode
 
 R = 256  # radix: fft_len = R*R
 SEG_ROWS = 176  # data rows per segment (multiple of 8 — Mosaic sublane rule)
-PAD_ROWS = R - SEG_ROWS  # 80 zero rows
+PAD_ROWS = R - SEG_ROWS  # 80 implicit zero rows (never materialized)
 FFT_LEN = R * R  # 65536
 SEG_LEN = SEG_ROWS * R  # 45056
 
@@ -53,11 +79,20 @@ def _mats() -> Tuple[np.ndarray, ...]:
     return wr, wi, tr, ti
 
 
-def _kernel(xr_ref, xi_ref, mr_ref, mi_ref, sc_ref, wr_ref, wi_ref,
-            tr_ref, ti_ref,
-            cr_ref, ci_ref, psd_ref,
-            sxr, sxi,
-            *, n_st: int, pairs: Tuple[Tuple[int, int], ...], mm_dtype,
+@functools.lru_cache(maxsize=None)
+def _dc_window() -> Tuple[np.ndarray, np.ndarray]:
+    """FFT of the segment's rectangular window (SEG_LEN ones, zero-padded
+    to FFT_LEN), true frequency order. DC removal folds in with it at
+    finalize: FFT(x − m) = FFT(x) − m·D."""
+    d = np.fft.fft(np.ones(SEG_LEN), FFT_LEN)
+    return d.real.astype(np.float32), d.imag.astype(np.float32)
+
+
+def _kernel(xr_ref, xi_ref,
+            wcr_ref, wci_ref, wr_ref, wi_ref, tr_ref, ti_ref,
+            cr_ref, ci_ref, psd_ref, sr_ref, si_ref,
+            tsr, tsi,
+            *, n_st: int, pairs: Tuple[Tuple[int, int], ...],
             segs_per_step: int):
     s = pl.program_id(0)
 
@@ -66,60 +101,54 @@ def _kernel(xr_ref, xi_ref, mr_ref, mi_ref, sc_ref, wr_ref, wi_ref,
         cr_ref[...] = jnp.zeros_like(cr_ref)
         ci_ref[...] = jnp.zeros_like(ci_ref)
         psd_ref[...] = jnp.zeros_like(psd_ref)
+        sr_ref[...] = jnp.zeros_like(sr_ref)
+        si_ref[...] = jnp.zeros_like(si_ref)
 
     f32 = jnp.float32
-    wr = wr_ref[:, :].astype(mm_dtype)
-    wi = wi_ref[:, :].astype(mm_dtype)
+    wcr = wcr_ref[:, :]  # [R, SEG_ROWS] DFT columns hitting the data rows
+    wci = wci_ref[:, :]
+    wr = wr_ref[:, :]  # [R, R] full DFT (stage 2)
+    wi = wi_ref[:, :]
+    tr = tr_ref[:, :]
+    ti = ti_ref[:, :]
 
-    def cmatmul(ar, ai, br, bi):
-        """(ar+jai) @ (br+jbi) with f32 accumulation."""
-        ar = ar.astype(mm_dtype)
-        ai = ai.astype(mm_dtype)
-        rr = jnp.dot(ar, br, preferred_element_type=f32) - jnp.dot(
-            ai, bi, preferred_element_type=f32)
-        ri = jnp.dot(ar, bi, preferred_element_type=f32) + jnp.dot(
-            ai, br, preferred_element_type=f32)
-        return rr, ri
-
-    zeros_pad = jnp.zeros((PAD_ROWS, R), jnp.float32)
     # Several segments per grid step amortize Pallas' per-step cost
-    # (grid bookkeeping + block fetch setup) over more MXU work.
+    # over more MXU work (1 measured best on v5e; kept as a knob).
     for g in range(segs_per_step):
         r0 = g * SEG_ROWS
-        # FFT each station's segment; park spectra in scratch [n_st, R, R].
-        # DC removal and RMS prescale (per-station scalars, precomputed by
-        # cheap reductions) fold into the load — no separate full-signal
-        # normalization passes.
+        brs, bis = [], []
         for st in range(n_st):
-            x2r = jnp.concatenate(
-                [(xr_ref[st, r0 : r0 + SEG_ROWS, :] - mr_ref[0, st])
-                 * sc_ref[0, st], zeros_pad],
-                axis=0,
-            )  # [R, R]
-            x2i = jnp.concatenate(
-                [(xi_ref[st, r0 : r0 + SEG_ROWS, :] - mi_ref[0, st])
-                 * sc_ref[0, st], zeros_pad],
-                axis=0,
-            )
-            # Stage 1: DFT over rows — W @ x.
-            a_r, a_i = cmatmul(
-                wr, wi, x2r.astype(mm_dtype), x2i.astype(mm_dtype)
-            )
-            # Twiddle rotation (f32 elementwise).
-            t_r = a_r * tr_ref[:, :] - a_i * ti_ref[:, :]
-            t_i = a_r * ti_ref[:, :] + a_i * tr_ref[:, :]
-            # Stage 2: DFT over columns — x @ W.
-            b_r, b_i = cmatmul(t_r, t_i, wr, wi)
-            sxr[st] = b_r
-            sxi[st] = b_i
+            xr = xr_ref[st, r0 : r0 + SEG_ROWS, :]  # [SEG_ROWS, R], mm dtype
+            xi = xi_ref[st, r0 : r0 + SEG_ROWS, :]
+            # Stage 1: DFT over rows — W[:, :SEG_ROWS] @ x (zero rows of
+            # the padded segment contribute nothing; exact by linearity).
+            a_r = (jnp.dot(wcr, xr, preferred_element_type=f32)
+                   - jnp.dot(wci, xi, preferred_element_type=f32))
+            a_i = (jnp.dot(wcr, xi, preferred_element_type=f32)
+                   + jnp.dot(wci, xr, preferred_element_type=f32))
+            # Twiddle rotation (f32 elementwise), then materialize the
+            # stage-2 operands in mm-dtype scratch: a bare astype is
+            # elidable under allow_excess_precision, which would demote
+            # the stage-2 matmuls to f32-operand speed.
+            tsr[...] = (a_r * tr - a_i * ti).astype(tsr.dtype)
+            tsi[...] = (a_r * ti + a_i * tr).astype(tsi.dtype)
+            # Stage 2: DFT over columns — t @ W.
+            t_r = tsr[...]
+            t_i = tsi[...]
+            b_r = (jnp.dot(t_r, wr, preferred_element_type=f32)
+                   - jnp.dot(t_i, wi, preferred_element_type=f32))
+            b_i = (jnp.dot(t_r, wi, preferred_element_type=f32)
+                   + jnp.dot(t_i, wr, preferred_element_type=f32))
+            brs.append(b_r)
+            bis.append(b_i)
             psd_ref[st] += b_r * b_r + b_i * b_i
+            sr_ref[st] += b_r
+            si_ref[st] += b_i
 
         for m, (i, j) in enumerate(pairs):
             # X_j · conj(X_i)
-            jr, ji = sxr[j], sxi[j]
-            ir, ii = sxr[i], sxi[i]
-            cr_ref[m] += jr * ir + ji * ii
-            ci_ref[m] += ji * ir - jr * ii
+            cr_ref[m] += brs[j] * brs[i] + bis[j] * bis[i]
+            ci_ref[m] += bis[j] * brs[i] - brs[j] * bis[i]
 
 
 @functools.partial(
@@ -134,7 +163,7 @@ def accumulate_cross_spectra_pallas(
     pairs: Tuple[Tuple[int, int], ...],
     precision: str = "f32",
     interpret: Optional[bool] = None,
-    segs_per_step: int = 1,  # 1 measured best on v5e (4: 5956 vs 6465 Ms/s)
+    segs_per_step: int = 1,  # 1 measured best on v5e
     remove_dc: bool = False,
     prescale: bool = False,
     vma: Optional[frozenset] = None,
@@ -142,10 +171,18 @@ def accumulate_cross_spectra_pallas(
     """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
     FFT_LEN], energy [n_st]) in TRUE frequency order, matching
     ops.corr._accumulate_cross_spectra with seg_len=SEG_LEN,
-    fft_len=FFT_LEN. ``remove_dc``/``prescale`` fold per-station mean
-    subtraction and 1/RMS scaling into the kernel's loads (the scalars
-    themselves are cheap read-only reductions) — no extra full-signal
-    normalization passes over HBM. ``vma`` declares the outputs' varying
+    fft_len=FFT_LEN.
+
+    ``precision="bf16"`` stores the input blocks and DFT matrices as
+    bf16 so every matmul runs true-bf16 operands (see module notes —
+    numerically identical to Mosaic's default f32-operand truncation,
+    ~2.5× faster). Passing ``x`` already in bf16 makes the staging
+    free; f32 input costs one fused convert pass.
+
+    ``remove_dc`` subtracts each station's block mean; ``prescale``
+    normalizes each station to unit RMS. Both are finalize-time algebra
+    on the kernel's accumulators (see module notes) — the signal is
+    read exactly once either way. ``vma`` declares the outputs' varying
     mesh axes when called inside shard_map (jax check_vma typing).
     """
     if interpret is None:
@@ -155,40 +192,37 @@ def accumulate_cross_spectra_pallas(
     while segs_per_step > 1 and n_seg % segs_per_step:
         segs_per_step -= 1
     n_steps = n_seg // segs_per_step
+    n_seg = n_steps * segs_per_step
     use = n_seg * SEG_LEN
     m = len(pairs)
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    f32 = jnp.float32
 
-    power = jnp.mean(
-        x.re[:, :use] ** 2 + x.im[:, :use] ** 2, axis=-1
-    )  # [n_st]
-    if remove_dc:
-        mean_r = jnp.mean(x.re[:, :use], axis=-1)
-        mean_i = jnp.mean(x.im[:, :use], axis=-1)
-    else:
-        mean_r = jnp.zeros((n_st,), jnp.float32)
-        mean_i = jnp.zeros((n_st,), jnp.float32)
-    # Power of the demeaned signal (exact: E|x−m|² = E|x|² − |m|²).
-    power_dm = jnp.maximum(power - mean_r**2 - mean_i**2, 1e-30)
-    if prescale:
-        scale = 1.0 / jnp.sqrt(power_dm)
-        energy = jnp.full((n_st,), float(use), jnp.float32)
-    else:
-        scale = jnp.ones((n_st,), jnp.float32)
-        energy = power_dm * use
-    mean_r, mean_i, scale = (a[None, :] for a in (mean_r, mean_i, scale))
+    # [n_st, n_seg*SEG_ROWS, R] in mm dtype. For bf16 input this is a
+    # free bitcast view; f32 input pays one fused slice+convert copy.
+    x3r = x.re[:, :use].reshape(n_st, n_seg * SEG_ROWS, R).astype(mm_dtype)
+    x3i = x.im[:, :use].reshape(n_st, n_seg * SEG_ROWS, R).astype(mm_dtype)
 
-    # [n_st, n_seg*SEG_ROWS, R] — rows of 256 lanes, XLA-side reshape.
-    x3r = x.re[:, :use].reshape(n_st, n_seg * SEG_ROWS, R)
-    x3i = x.im[:, :use].reshape(n_st, n_seg * SEG_ROWS, R)
-
-    wr, wi, tr, ti = (jnp.asarray(a) for a in _mats())
+    wr, wi, tr, ti = _mats()
+    consts = (
+        jnp.asarray(wr[:, :SEG_ROWS].copy(), mm_dtype),  # stage-1 cut re
+        jnp.asarray(wi[:, :SEG_ROWS].copy(), mm_dtype),  # stage-1 cut im
+        jnp.asarray(wr, mm_dtype),
+        jnp.asarray(wi, mm_dtype),
+        jnp.asarray(tr),
+        jnp.asarray(ti),
+    )
 
     step_rows = segs_per_step * SEG_ROWS
-    cr, ci, psd = pl.pallas_call(
+    big = pl.BlockSpec((m, R, R), lambda s: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    big_st = pl.BlockSpec((n_st, R, R), lambda s: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    shape_m = jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma)
+    shape_st = jax.ShapeDtypeStruct((n_st, R, R), jnp.float32, vma=vma)
+    cr, ci, psd, s_r, s_i = pl.pallas_call(
         functools.partial(
-            _kernel, n_st=n_st, pairs=pairs, mm_dtype=mm_dtype,
-            segs_per_step=segs_per_step,
+            _kernel, n_st=n_st, pairs=pairs, segs_per_step=segs_per_step,
         ),
         grid=(n_steps,),
         in_specs=[
@@ -196,38 +230,56 @@ def accumulate_cross_spectra_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_st, step_rows, R), lambda s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # station means re
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # station means im
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # station scales
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W re
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W im
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # twiddle re
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # twiddle im
-        ],
-        out_specs=(
-            pl.BlockSpec((m, R, R), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, R, R), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_st, R, R), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((n_st, R, R), jnp.float32, vma=vma),
-        ),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(big, big, big_st, big_st, big_st),
+        out_shape=(shape_m, shape_m, shape_st, shape_st, shape_st),
         scratch_shapes=[
-            pltpu.VMEM((n_st, R, R), jnp.float32),
-            pltpu.VMEM((n_st, R, R), jnp.float32),
+            pltpu.VMEM((R, R), mm_dtype),
+            pltpu.VMEM((R, R), mm_dtype),
         ],
         interpret=interpret,
-    )(x3r, x3i, mean_r, mean_i, scale, wr, wi, tr, ti)
+    )(x3r, x3i, *consts)
 
     # Un-permute once: true index = 256·k2 + k1 ⇒ transpose (k1,k2).
     def unperm(a):
         return jnp.swapaxes(a, -1, -2).reshape(*a.shape[:-2], FFT_LEN)
 
-    cross = C(unperm(cr), unperm(ci))
-    psd_t = unperm(psd)
-    return cross, psd_t, energy
+    cr, ci, psd = unperm(cr), unperm(ci), unperm(psd)
+    pair_arr = np.asarray(pairs, np.int32)
+
+    if remove_dc:
+        s_r, s_i = unperm(s_r), unperm(s_i)
+        # Block mean from the spectral sum's DC bin: Σ_seg X(0) = Σ xₙ.
+        mean_r = s_r[:, 0] / use  # [n_st]
+        mean_i = s_i[:, 0] / use
+        dr, di = (jnp.asarray(a) for a in _dc_window())
+        # A_st = m_st · D  (per-station DC spectrum), [n_st, F] planar.
+        a_r = mean_r[:, None] * dr[None, :] - mean_i[:, None] * di[None, :]
+        a_i = mean_r[:, None] * di[None, :] + mean_i[:, None] * dr[None, :]
+        # Σ(Xⱼ−Aⱼ)(Xᵢ−Aᵢ)* = cross − Aⱼ∘S̄ᵢ − Āᵢ∘Sⱼ + n_seg·Aⱼ∘Āᵢ
+        i_idx, j_idx = pair_arr[:, 0], pair_arr[:, 1]
+        ajr, aji = a_r[j_idx], a_i[j_idx]
+        air, aii = a_r[i_idx], a_i[i_idx]
+        sir, sii = s_r[i_idx], s_i[i_idx]
+        sjr, sji = s_r[j_idx], s_i[j_idx]
+        cr = (cr - (ajr * sir + aji * sii) - (air * sjr + aii * sji)
+              + n_seg * (ajr * air + aji * aii))
+        ci = (ci - (aji * sir - ajr * sii) - (air * sji - aii * sjr)
+              + n_seg * (aji * air - ajr * aii))
+        # Σ|X−A|² = psd − 2Re(Ā∘S) + n_seg|A|²
+        psd = (psd - 2.0 * (a_r * s_r + a_i * s_i)
+               + n_seg * (a_r * a_r + a_i * a_i))
+    # Demeaned per-station power via Parseval: Σₙ|x−m|² = (1/F)Σₖ psd'.
+    power_dm = jnp.maximum(jnp.sum(psd, axis=-1) / FFT_LEN / use, 1e-30)
+
+    if prescale:
+        # Deferred unit-RMS normalization: per-station scalars.
+        sc = 1.0 / jnp.sqrt(power_dm)
+        s_pair = sc[pair_arr[:, 0]] * sc[pair_arr[:, 1]]
+        cr = cr * s_pair[:, None]
+        ci = ci * s_pair[:, None]
+        psd = psd * (sc * sc)[:, None]
+        energy = jnp.full((n_st,), float(use), f32) + 0.0 * power_dm
+    else:
+        energy = power_dm * use
+    return C(cr, ci), psd, energy

@@ -169,8 +169,12 @@ def process_blocks(
         return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
                 corrected_std)
 
-    xr = jnp.concatenate([ref1.re, tgt.re, ref2.re], axis=0)  # [3*n_st, L]
-    xi = jnp.concatenate([ref1.im, tgt.im, ref2.im], axis=0)
+    # Blocks may arrive bf16 (the fused path's native storage); the XLA
+    # path computes in f32.
+    xr = jnp.concatenate(
+        [ref1.re, tgt.re, ref2.re], axis=0).astype(jnp.float32)  # [3*n_st, L]
+    xi = jnp.concatenate(
+        [ref1.im, tgt.im, ref2.im], axis=0).astype(jnp.float32)
     xr = xr - jnp.mean(xr, axis=-1, keepdims=True)  # DC removal
     xi = xi - jnp.mean(xi, axis=-1, keepdims=True)
     # Pair lists for each block, offset into the stacked station axis.
