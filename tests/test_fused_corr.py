@@ -29,3 +29,88 @@ def test_fused_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(fused.delay), [33.75, -11.5, -45.25], atol=0.05
     )
+
+
+def test_fused_dc_removal_linearity():
+    """remove_dc folds in at finalize (FFT(x−m) = FFT(x) − m·D); it must
+    match explicitly demeaning the signal before the kernel."""
+    from tdoa_tpu.ops.pallas.corr_accum import accumulate_cross_spectra_pallas
+
+    n = SEG_LEN * 2
+    key = jax.random.PRNGKey(3)
+    kr, ki = jax.random.split(key)
+    re = jax.random.normal(kr, (2, n), jnp.float32) + 0.21
+    im = jax.random.normal(ki, (2, n), jnp.float32) - 0.13
+    x = C(re, im)
+    pairs = ((0, 1),)
+    cross_dc, psd_dc, energy_dc = accumulate_cross_spectra_pallas(
+        x, pairs, remove_dc=True
+    )
+    x_dm = C(re - jnp.mean(re, axis=-1, keepdims=True),
+             im - jnp.mean(im, axis=-1, keepdims=True))
+    cross_ref, psd_ref, energy_ref = accumulate_cross_spectra_pallas(
+        x_dm, pairs, remove_dc=False
+    )
+    scale = float(jnp.max(jnp.abs(cross_ref.re)))
+    np.testing.assert_allclose(
+        np.asarray(cross_dc.re) / scale, np.asarray(cross_ref.re) / scale,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cross_dc.im) / scale, np.asarray(cross_ref.im) / scale,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(energy_dc), np.asarray(energy_ref), rtol=1e-4
+    )
+
+
+def test_fused_prescale_is_unit_rms_normalization():
+    """Deferred per-station scaling must equal pre-scaling the signal."""
+    from tdoa_tpu.ops.pallas.corr_accum import accumulate_cross_spectra_pallas
+
+    n = SEG_LEN
+    key = jax.random.PRNGKey(4)
+    kr, ki = jax.random.split(key)
+    re = 3.7 * jax.random.normal(kr, (2, n), jnp.float32)
+    im = 3.7 * jax.random.normal(ki, (2, n), jnp.float32)
+    x = C(re, im)
+    pairs = ((0, 1),)
+    cross_s, psd_s, energy_s = accumulate_cross_spectra_pallas(
+        x, pairs, prescale=True
+    )
+    rms = jnp.sqrt(jnp.mean(re**2 + im**2, axis=-1, keepdims=True))
+    xn = C(re / rms, im / rms)
+    cross_n, psd_n, energy_n = accumulate_cross_spectra_pallas(
+        xn, pairs, prescale=False
+    )
+    scale = float(jnp.max(jnp.abs(cross_n.re)))
+    np.testing.assert_allclose(
+        np.asarray(cross_s.re) / scale, np.asarray(cross_n.re) / scale,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(psd_s) / scale, np.asarray(psd_n) / scale, atol=1e-4
+    )
+    # prescale reports energy = sample count (unit-RMS convention).
+    np.testing.assert_allclose(np.asarray(energy_s), float(n), rtol=1e-4)
+
+
+def test_fused_accepts_bf16_blocks():
+    """bf16 planar input (the TPU path's native storage) must flow
+    through and deliver the same delays as f32 input."""
+    n = SEG_LEN * 2
+    base = fm_source(jax.random.PRNGKey(5), n, 2e6)
+    sigs = [base, fractional_delay(base, jnp.float32(17.25))]
+    x = jnp.stack(sigs)
+    xp = C(jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
+    x16 = C(xp.re.astype(jnp.bfloat16), xp.im.astype(jnp.bfloat16))
+    pairs_t = ((0, 1),)
+    f32res = correlate_pairs_fused(xp, pairs_t, max_lag=64, weighting="ht",
+                                   remove_dc=True)
+    b16res = correlate_pairs_fused(x16, pairs_t, max_lag=64, weighting="ht",
+                                   remove_dc=True)
+    np.testing.assert_allclose(
+        np.asarray(b16res.delay), np.asarray(f32res.delay), atol=5e-3
+    )
+    np.testing.assert_allclose(np.asarray(b16res.delay), [17.25], atol=0.05)
