@@ -16,8 +16,12 @@ def setup_platform() -> None:
         import jax
 
         try:
-            jax.config.update(
-                "jax_platforms", "axon" if want == "tpu" else want
-            )
+            if want == "cpu":
+                jax.config.update("jax_platforms", "cpu")
+            # "tpu"/"axon": leave the config alone — the accelerator is
+            # already the default backend whatever name its plugin
+            # registers under (real hardware: "tpu"; remote tunnel:
+            # "axon" via JAX_PLATFORMS). Overriding here would permit a
+            # silent CPU fallback the environment deliberately forbids.
         except Exception:
             pass  # platform already initialized; respect it

@@ -27,15 +27,21 @@ from tdoa_tpu.ops.cplx import C
 from tdoa_tpu.utils.constants import IQ_CENTER, IQ_SCALE, NUM_BLOCKS
 
 
-def bytes_to_iq_planar(raw: jax.Array) -> C:
-    """Decode interleaved u8 I/Q bytes to planar (re, im) float32.
+def bytes_to_iq_planar(raw: jax.Array, dtype=jnp.float32) -> C:
+    """Decode interleaved u8 I/Q bytes to planar (re, im) ``dtype``.
 
     ``raw`` is a uint8 array of even length ``2*n``; returns C with shape
     ``[n]``. Jittable and TPU-legal (no complex dtype); runs on device so
     only bytes cross the host↔device boundary (1 byte/component vs 8).
+
+    ``dtype=jnp.bfloat16`` decodes straight into the fused correlator's
+    native operand storage (ops/pallas/corr_accum.py) — same decode cost,
+    half the HBM written, and the hot kernel then reads true-bf16 with no
+    conversion pass. Quantization: u8 levels land within 2⁻⁸ relative of
+    their f32 values; delay estimates are unaffected (tests).
     """
     x = (raw.astype(jnp.float32) - IQ_CENTER) / IQ_SCALE
-    pairs = x.reshape(-1, 2)
+    pairs = x.astype(dtype).reshape(-1, 2)
     return C(pairs[:, 0], pairs[:, 1])
 
 
@@ -105,19 +111,20 @@ class DatCapture:
         )
 
 
-_decode = jax.jit(bytes_to_iq_planar)
+_decode = jax.jit(bytes_to_iq_planar, static_argnames=("dtype",))
 
 
-def load_dat(path: str, station: str = "") -> DatCapture:
+def load_dat(path: str, station: str = "", dtype=jnp.float32) -> DatCapture:
     """Load and decode a ``.dat`` capture file.
 
     The raw bytes are memory-mapped on the host, shipped to device as u8,
-    and widened to planar float32 there (processor.go:166-205 equivalent,
-    without the host-side convert loop).
+    and widened to planar ``dtype`` there (processor.go:166-205
+    equivalent, without the host-side convert loop). The TPU processing
+    path passes ``dtype=jnp.bfloat16`` (see ``bytes_to_iq_planar``).
     """
     raw = np.memmap(path, dtype=np.uint8, mode="r")
     usable = (len(raw) // (2 * NUM_BLOCKS)) * (2 * NUM_BLOCKS)
-    iq = _decode(jnp.asarray(raw[:usable]))
+    iq = _decode(jnp.asarray(raw[:usable]), dtype=dtype)
     ref1, tgt, ref2 = split_blocks(iq)
     return DatCapture(ref1=ref1, tgt=tgt, ref2=ref2, path=path, station=station)
 

@@ -390,6 +390,19 @@ class TDOAProcessor:
         processor.go:110-122) and process them."""
         import os
 
+        from tdoa_tpu.utils.platform import on_tpu
+
+        # When the fused Pallas correlator will run (TPU, IQ mode),
+        # decode straight into its native bf16 operand storage — the
+        # signal then reaches the kernel with zero conversion passes.
+        # The XLA fallback upcasts to f32 inside process_blocks.
+        cfg = self.config
+        dtype = (
+            jnp.bfloat16
+            if (on_tpu() and cfg.mode == "iq"
+                and cfg.accumulator in ("auto", "pallas"))
+            else jnp.float32
+        )
         captures: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
         known = self.stations.names
         for path in dat_paths:
@@ -401,6 +414,6 @@ class TDOAProcessor:
                     f"cannot infer station from filename: {path} "
                     f"(known stations: {', '.join(known)})"
                 )
-            cap: DatCapture = load_dat(path, station=st)
+            cap: DatCapture = load_dat(path, station=st, dtype=dtype)
             captures[st] = (cap.ref1, cap.tgt, cap.ref2)
         return self.process_captures(captures)

@@ -91,3 +91,28 @@ def test_station_from_filename():
     assert station_from_filename("unknown-1.dat", names) is None
     assert parse_epoch_from_filename("kx0u-1723000000.dat") == 1723000000
     assert parse_epoch_from_filename("kx0u.dat") is None
+
+
+def test_load_dat_bf16_decode(tmp_path):
+    """bf16 decode (the TPU fused path's storage) stays within u8
+    quantization error of the f32 decode and flows through save/load."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tdoa_tpu.io.datfile import load_dat, save_dat
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    blocks = [
+        (rng.standard_normal(n) * 0.4 + 1j * rng.standard_normal(n) * 0.4
+         ).astype(np.complex64)
+        for _ in range(3)
+    ]
+    p = str(tmp_path / "bf16-test.dat")
+    save_dat(p, *blocks)
+    cap32 = load_dat(p)
+    cap16 = load_dat(p, dtype=jnp.bfloat16)
+    assert cap16.ref1.re.dtype == jnp.bfloat16
+    for b32, b16 in ((cap32.ref1, cap16.ref1), (cap32.tgt, cap16.tgt)):
+        err = np.max(np.abs(np.asarray(b32.re, np.float32)
+                            - np.asarray(b16.re, np.float32)))
+        assert err < 4e-3  # one bf16 ulp at |x| <= 1
