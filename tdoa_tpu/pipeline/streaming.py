@@ -63,18 +63,43 @@ def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("seg_len", "fft_len"))
+@functools.partial(
+    jax.jit, static_argnames=("seg_len", "fft_len", "pairs_static")
+)
 def acc_update(
     state: AccState,
     chunk: C,  # [n_st, L] planar; L a multiple of seg_len
     pair_idx: jax.Array,
     seg_len: int,
     fft_len: int,
+    pairs_static: Optional[Tuple[Tuple[int, int], ...]] = None,
 ) -> AccState:
-    """Integrate one capture chunk into the accumulator."""
-    cross, psd, energy = _accumulate_cross_spectra(
-        chunk, pair_idx, seg_len, fft_len
+    """Integrate one capture chunk into the accumulator.
+
+    Pass ``pairs_static`` (the pair list as a static tuple) to route the
+    chunk through the fused Pallas kernel on TPU when the accumulator
+    geometry matches it (fft_len 65536, seg_len 45056) — the streaming
+    path then integrates at the batch pipeline's kernel speed; bf16
+    chunks flow straight through (see ops/pallas/corr_accum.py).
+    """
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        FFT_LEN as _P_FFT,
+        SEG_LEN as _P_SEG,
+        accumulate_cross_spectra_pallas,
     )
+    from tdoa_tpu.utils.platform import on_tpu
+
+    if (pairs_static is not None and on_tpu() and fft_len == _P_FFT
+            and seg_len == _P_SEG and chunk.re.shape[-1] >= _P_SEG):
+        cross, psd, energy = accumulate_cross_spectra_pallas(
+            chunk, pairs_static, precision="bf16"
+        )
+    else:
+        chunk = C(chunk.re.astype(jnp.float32),
+                  chunk.im.astype(jnp.float32))
+        cross, psd, energy = _accumulate_cross_spectra(
+            chunk, pair_idx, seg_len, fft_len
+        )
     return AccState(
         cross_re=state.cross_re + cross.re,
         cross_im=state.cross_im + cross.im,
