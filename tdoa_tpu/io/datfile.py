@@ -45,6 +45,35 @@ def bytes_to_iq_planar(raw: jax.Array, dtype=jnp.float32) -> C:
     return C(pairs[:, 0], pairs[:, 1])
 
 
+def u16_to_iq_planar(packed: jax.Array, dtype=jnp.float32) -> C:
+    """Decode I/Q from little-endian-packed uint16 words (I = low byte,
+    Q = high byte) to planar (re, im) ``dtype``.
+
+    This is the TPU-fast decode: ``bytes_to_iq_planar``'s
+    ``reshape(-1, 2)`` + column-slice deinterleave creates a
+    pathological [n, 2] layout that costs ~6 MINUTES of XLA compile
+    time on TPU for a 12 MB capture. Viewing the same bytes as uint16
+    on the host (free) turns the deinterleave into two bitwise ops on a
+    natural 1-D array — sub-second compile, same values bit-for-bit.
+    """
+    lo = (packed & jnp.uint16(0xFF)).astype(jnp.float32)
+    hi = (packed >> jnp.uint16(8)).astype(jnp.float32)
+    re = ((lo - IQ_CENTER) / IQ_SCALE).astype(dtype)
+    im = ((hi - IQ_CENTER) / IQ_SCALE).astype(dtype)
+    return C(re, im)
+
+
+def iq_bytes_as_u16(raw: np.ndarray) -> np.ndarray:
+    """Host-side zero-copy view of interleaved u8 I/Q as packed uint16
+    (for ``u16_to_iq_planar``). Handles byte order explicitly."""
+    u16 = raw.view(np.uint16)
+    if u16.dtype.byteorder == ">" or (
+        u16.dtype.byteorder == "=" and not np.little_endian
+    ):
+        u16 = u16.byteswap()
+    return u16
+
+
 def bytes_to_iq(raw: jax.Array) -> jax.Array:
     """Decode interleaved u8 I/Q bytes to complex64 samples (host/CPU
     convenience — the TPU backend has no complex dtype; the device path is
@@ -111,20 +140,22 @@ class DatCapture:
         )
 
 
-_decode = jax.jit(bytes_to_iq_planar, static_argnames=("dtype",))
+_decode16 = jax.jit(u16_to_iq_planar, static_argnames=("dtype",))
 
 
 def load_dat(path: str, station: str = "", dtype=jnp.float32) -> DatCapture:
     """Load and decode a ``.dat`` capture file.
 
-    The raw bytes are memory-mapped on the host, shipped to device as u8,
-    and widened to planar ``dtype`` there (processor.go:166-205
-    equivalent, without the host-side convert loop). The TPU processing
-    path passes ``dtype=jnp.bfloat16`` (see ``bytes_to_iq_planar``).
+    The raw bytes are memory-mapped on the host, viewed as packed uint16
+    words (zero-copy), shipped to device, and widened to planar
+    ``dtype`` there (processor.go:166-205 equivalent, without the
+    host-side convert loop). The TPU processing path passes
+    ``dtype=jnp.bfloat16`` (see ``u16_to_iq_planar``).
     """
     raw = np.memmap(path, dtype=np.uint8, mode="r")
     usable = (len(raw) // (2 * NUM_BLOCKS)) * (2 * NUM_BLOCKS)
-    iq = _decode(jnp.asarray(raw[:usable]), dtype=dtype)
+    packed = iq_bytes_as_u16(np.ascontiguousarray(raw[:usable]))
+    iq = _decode16(jnp.asarray(packed), dtype=dtype)
     ref1, tgt, ref2 = split_blocks(iq)
     return DatCapture(ref1=ref1, tgt=tgt, ref2=ref2, path=path, station=station)
 
