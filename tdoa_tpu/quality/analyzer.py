@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tdoa_tpu.dsp.snr import spectral_snr
-from tdoa_tpu.io.datfile import bytes_to_iq_planar
+from tdoa_tpu.io.datfile import iq_bytes_as_u16
+from tdoa_tpu.ops.cplx import C
 from tdoa_tpu.utils.constants import IQ_CENTER, IQ_SCALE, NUM_BLOCKS
 
 
@@ -58,10 +59,18 @@ class BlockStats:
 
 
 @functools.partial(jax.jit, static_argnames=("nfft",))
-def _block_metrics(raw: jax.Array, nfft: int = 8192):
-    """One device pass over u8 bytes → all scalar metrics."""
-    b = raw.astype(jnp.float32)
-    i_bytes, q_bytes = b[0::2], b[1::2]
+def _block_metrics(packed: jax.Array, nfft: int = 8192):
+    """One device pass over u16-packed I/Q bytes → all scalar metrics.
+
+    ``packed`` is the capture's interleaved u8 bytes viewed as
+    little-endian uint16 (I = low byte, Q = high byte — see
+    io.datfile.iq_bytes_as_u16). The byte-pair deinterleave via strided
+    slices of a u8 array costs minutes of XLA compile time on TPU; the
+    bitwise split is layout-friendly and byte-exact."""
+    i_u8 = packed & jnp.uint16(0xFF)
+    q_u8 = packed >> jnp.uint16(8)
+    i_bytes = i_u8.astype(jnp.float32)
+    q_bytes = q_u8.astype(jnp.float32)
     dc_i = jnp.mean(i_bytes) - IQ_CENTER
     dc_q = jnp.mean(q_bytes) - IQ_CENTER
     fi = (i_bytes - IQ_CENTER) / IQ_SCALE
@@ -69,11 +78,21 @@ def _block_metrics(raw: jax.Array, nfft: int = 8192):
     p_i = jnp.mean(fi * fi)
     p_q = jnp.mean(fq * fq)
     power = p_i + p_q
-    clip = jnp.mean((raw == 0) | (raw == 255))
+
+    def byte_frac(pred_i, pred_q):
+        """Fraction over ALL bytes (analyzer.go scans byte-by-byte)."""
+        return 0.5 * (jnp.mean(pred_i) + jnp.mean(pred_q))
+
+    clip = byte_frac(
+        (i_u8 == 0) | (i_u8 == 255), (q_u8 == 0) | (q_u8 == 255)
+    )
     mag2 = fi * fi + fq * fq
     overload = jnp.mean(mag2 > 0.81)  # |x| > 0.9
-    dead = jnp.mean(jnp.abs(b - IQ_CENTER) < 1.5)
-    x = bytes_to_iq_planar(raw)
+    dead = byte_frac(
+        jnp.abs(i_bytes - IQ_CENTER) < 1.5,
+        jnp.abs(q_bytes - IQ_CENTER) < 1.5,
+    )
+    x = C(fi, fq)
     snr_db, _, _ = spectral_snr(x, nfft=nfft)
     return (
         snr_db,
@@ -85,14 +104,15 @@ def _block_metrics(raw: jax.Array, nfft: int = 8192):
         clip,
         overload,
         dead,
-        jnp.min(raw),
-        jnp.max(raw),
+        jnp.minimum(jnp.min(i_u8), jnp.min(q_u8)).astype(jnp.uint8),
+        jnp.maximum(jnp.max(i_u8), jnp.max(q_u8)).astype(jnp.uint8),
     )
 
 
 def analyze_block_bytes(raw: np.ndarray, nfft: int = 8192) -> BlockStats:
     """Analyze one block's raw interleaved u8 bytes."""
-    vals = _block_metrics(jnp.asarray(raw), nfft=nfft)
+    packed = iq_bytes_as_u16(np.ascontiguousarray(raw))
+    vals = _block_metrics(jnp.asarray(packed), nfft=nfft)
     (snr, power, rms, dci, dcq, imb, clip, ovl, dead, mn, mx) = [
         v.item() for v in vals
     ]
