@@ -138,9 +138,14 @@ def main() -> None:
                     "total_samples": total_samples,
                     "steady_latency_s": round(steady_s, 4),
                     "compile_plus_first_run_s": round(compile_s, 1),
-                    "seg_len": seg_len,
+                    # The fused kernel has fixed geometry and bf16
+                    # operands; report what actually ran, not the
+                    # XLA-path knobs it ignores.
+                    "seg_len": (45056 if accumulator == "pallas"
+                                else seg_len),
                     "max_lag": max_lag,
-                    "fft_precision": fft_precision,
+                    "fft_precision": ("bf16" if accumulator == "pallas"
+                                      else fft_precision),
                     "seg_batch": seg_batch,
                     "accumulator": accumulator,
                     "device": str(jax.devices()[0]),

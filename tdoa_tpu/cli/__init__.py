@@ -25,3 +25,16 @@ def setup_platform() -> None:
             # silent CPU fallback the environment deliberately forbids.
         except Exception:
             pass  # platform already initialized; respect it
+        if want in ("tpu", "axon"):
+            # An explicit TPU request must not silently run on CPU
+            # (plugin failed to register, JAX_PLATFORMS=cpu inherited,
+            # chip grant held by another process).
+            plat = jax.devices()[0].platform.lower()
+            if "tpu" not in plat and plat != "axon":
+                raise RuntimeError(
+                    f"TDOA_TPU_PLATFORM={want} requested but the default "
+                    f"JAX backend is '{plat}'. The TPU plugin did not "
+                    f"register — check that PYTHONPATH still includes the "
+                    f"platform plugin path and that no other process "
+                    f"holds the chip, or set TDOA_TPU_PLATFORM=cpu."
+                )

@@ -90,10 +90,14 @@ def _dc_window() -> Tuple[np.ndarray, np.ndarray]:
 
 def _kernel(xr_ref, xi_ref,
             wcr_ref, wci_ref, wr_ref, wi_ref, tr_ref, ti_ref,
-            cr_ref, ci_ref, psd_ref, sr_ref, si_ref,
-            tsr, tsi,
-            *, n_st: int, pairs: Tuple[Tuple[int, int], ...],
-            segs_per_step: int):
+            *out_refs,
+            n_st: int, pairs: Tuple[Tuple[int, int], ...],
+            segs_per_step: int, track_sums: bool):
+    if track_sums:
+        cr_ref, ci_ref, psd_ref, sr_ref, si_ref, tsr, tsi = out_refs
+    else:
+        cr_ref, ci_ref, psd_ref, tsr, tsi = out_refs
+        sr_ref = si_ref = None
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -101,8 +105,9 @@ def _kernel(xr_ref, xi_ref,
         cr_ref[...] = jnp.zeros_like(cr_ref)
         ci_ref[...] = jnp.zeros_like(ci_ref)
         psd_ref[...] = jnp.zeros_like(psd_ref)
-        sr_ref[...] = jnp.zeros_like(sr_ref)
-        si_ref[...] = jnp.zeros_like(si_ref)
+        if track_sums:
+            sr_ref[...] = jnp.zeros_like(sr_ref)
+            si_ref[...] = jnp.zeros_like(si_ref)
 
     f32 = jnp.float32
     wcr = wcr_ref[:, :]  # [R, SEG_ROWS] DFT columns hitting the data rows
@@ -142,8 +147,12 @@ def _kernel(xr_ref, xi_ref,
             brs.append(b_r)
             bis.append(b_i)
             psd_ref[st] += b_r * b_r + b_i * b_i
-            sr_ref[st] += b_r
-            si_ref[st] += b_i
+            if track_sums:
+                # Spectral sums: the DC-removal algebra's ΣX term (and
+                # the block mean, via the DC bin) — only paid for when
+                # remove_dc needs them.
+                sr_ref[st] += b_r
+                si_ref[st] += b_i
 
         for m, (i, j) in enumerate(pairs):
             # X_j · conj(X_i)
@@ -220,9 +229,13 @@ def accumulate_cross_spectra_pallas(
                           memory_space=pltpu.VMEM)
     shape_m = jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma)
     shape_st = jax.ShapeDtypeStruct((n_st, R, R), jnp.float32, vma=vma)
-    cr, ci, psd, s_r, s_i = pl.pallas_call(
+    # The spectral-sum accumulators exist only for the DC-removal
+    # algebra; without remove_dc they would be dead VMEM and writeback.
+    n_out = 5 if remove_dc else 3
+    outs = pl.pallas_call(
         functools.partial(
             _kernel, n_st=n_st, pairs=pairs, segs_per_step=segs_per_step,
+            track_sums=remove_dc,
         ),
         grid=(n_steps,),
         in_specs=[
@@ -231,14 +244,19 @@ def accumulate_cross_spectra_pallas(
             pl.BlockSpec((n_st, step_rows, R), lambda s: (0, s, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=(big, big, big_st, big_st, big_st),
-        out_shape=(shape_m, shape_m, shape_st, shape_st, shape_st),
+        out_specs=(big, big, big_st) + (big_st, big_st)[: n_out - 3],
+        out_shape=(shape_m, shape_m, shape_st)
+        + (shape_st, shape_st)[: n_out - 3],
         scratch_shapes=[
             pltpu.VMEM((R, R), mm_dtype),
             pltpu.VMEM((R, R), mm_dtype),
         ],
         interpret=interpret,
     )(x3r, x3i, *consts)
+    if remove_dc:
+        cr, ci, psd, s_r, s_i = outs
+    else:
+        cr, ci, psd = outs
 
     # Un-permute once: true index = 256·k2 + k1 ⇒ transpose (k1,k2).
     def unperm(a):

@@ -390,19 +390,34 @@ class TDOAProcessor:
         processor.go:110-122) and process them."""
         import os
 
+        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
         from tdoa_tpu.utils.platform import on_tpu
 
-        # When the fused Pallas correlator will run (TPU, IQ mode),
-        # decode straight into its native bf16 operand storage — the
-        # signal then reaches the kernel with zero conversion passes.
-        # The XLA fallback upcasts to f32 inside process_blocks.
+        # When the fused Pallas correlator will run, decode straight
+        # into its native bf16 operand storage — the signal then reaches
+        # the kernel with zero conversion passes. The predicate mirrors
+        # process_captures' accumulator="auto" decision (block length
+        # from file size: 3 blocks × 2 bytes/sample) so captures that
+        # resolve to the XLA path keep full f32 decode precision.
         cfg = self.config
-        dtype = (
-            jnp.bfloat16
-            if (on_tpu() and cfg.mode == "iq"
-                and cfg.accumulator in ("auto", "pallas"))
-            else jnp.float32
+        block_samples = [
+            os.path.getsize(p) // (2 * 3)
+            for p in dat_paths if os.path.exists(p)
+        ]
+        if cfg.truncate_samples is not None:
+            block_samples = [
+                min(b, cfg.truncate_samples) for b in block_samples
+            ]
+        pallas_ok = (
+            on_tpu()
+            and cfg.mode == "iq"
+            and cfg.accumulator in ("auto", "pallas")
+            and len(dat_paths) <= 4
+            and cfg.max_lag < SEG_LEN
+            and bool(block_samples)
+            and min(block_samples) >= SEG_LEN
         )
+        dtype = jnp.bfloat16 if pallas_ok else jnp.float32
         captures: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
         known = self.stations.names
         for path in dat_paths:

@@ -64,7 +64,8 @@ def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("seg_len", "fft_len", "pairs_static")
+    jax.jit,
+    static_argnames=("seg_len", "fft_len", "pairs_static", "precision"),
 )
 def acc_update(
     state: AccState,
@@ -73,14 +74,17 @@ def acc_update(
     seg_len: int,
     fft_len: int,
     pairs_static: Optional[Tuple[Tuple[int, int], ...]] = None,
+    precision: str = "bf16",
 ) -> AccState:
     """Integrate one capture chunk into the accumulator.
 
     Pass ``pairs_static`` (the pair list as a static tuple) to route the
     chunk through the fused Pallas kernel on TPU when the accumulator
-    geometry matches it (fft_len 65536, seg_len 45056) — the streaming
-    path then integrates at the batch pipeline's kernel speed; bf16
-    chunks flow straight through (see ops/pallas/corr_accum.py).
+    geometry matches it (fft_len 65536, seg_len 45056, ≤4 stations) —
+    the streaming path then integrates at the batch pipeline's kernel
+    speed. ``precision`` sets the kernel's matmul operand width:
+    "bf16" (default, ~2.5× faster; bf16 chunks flow straight through,
+    f32 chunks are truncated) or "f32" to keep f32 operands.
     """
     from tdoa_tpu.ops.pallas.corr_accum import (
         FFT_LEN as _P_FFT,
@@ -90,9 +94,10 @@ def acc_update(
     from tdoa_tpu.utils.platform import on_tpu
 
     if (pairs_static is not None and on_tpu() and fft_len == _P_FFT
-            and seg_len == _P_SEG and chunk.re.shape[-1] >= _P_SEG):
+            and seg_len == _P_SEG and chunk.re.shape[-1] >= _P_SEG
+            and chunk.re.shape[0] <= 4):  # kernel's VMEM station limit
         cross, psd, energy = accumulate_cross_spectra_pallas(
-            chunk, pairs_static, precision="bf16"
+            chunk, pairs_static, precision=precision
         )
     else:
         chunk = C(chunk.re.astype(jnp.float32),

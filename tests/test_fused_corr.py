@@ -114,3 +114,41 @@ def test_fused_accepts_bf16_blocks():
         np.asarray(b16res.delay), np.asarray(f32res.delay), atol=5e-3
     )
     np.testing.assert_allclose(np.asarray(b16res.delay), [17.25], atol=0.05)
+
+
+def test_fused_production_config_bf16_remove_dc():
+    """The exact kernel configuration process_blocks runs on TPU
+    (precision='bf16', remove_dc=True): bf16 scratch round-trip, bf16
+    DFT/stage-1-cut matrices, DC-bin mean + spectral-sum algebra. Small
+    input — interpret-mode bf16 matmuls are slow on CPU."""
+    from tdoa_tpu.ops.pallas.corr_accum import accumulate_cross_spectra_pallas
+
+    n = SEG_LEN * 2
+    key = jax.random.PRNGKey(9)
+    kr, ki = jax.random.split(key)
+    re = jax.random.normal(kr, (2, n), jnp.float32) + 0.17
+    im = jax.random.normal(ki, (2, n), jnp.float32) - 0.09
+    x16 = C(re.astype(jnp.bfloat16), im.astype(jnp.bfloat16))
+    pairs = ((0, 1),)
+    cross16, psd16, energy16 = accumulate_cross_spectra_pallas(
+        x16, pairs, precision="bf16", remove_dc=True, prescale=True
+    )
+    # Reference: f32 kernel on explicitly demeaned+normalized bf16 values.
+    re32 = x16.re.astype(jnp.float32)
+    im32 = x16.im.astype(jnp.float32)
+    re32 = re32 - jnp.mean(re32, axis=-1, keepdims=True)
+    im32 = im32 - jnp.mean(im32, axis=-1, keepdims=True)
+    rms = jnp.sqrt(jnp.mean(re32**2 + im32**2, axis=-1, keepdims=True))
+    xr = C(re32 / rms, im32 / rms)
+    cross_ref, psd_ref, energy_ref = accumulate_cross_spectra_pallas(
+        xr, pairs, precision="f32"
+    )
+    scale = float(jnp.max(jnp.abs(cross_ref.re)))
+    # bf16 matmul operands vs f32: bounded relative error on the spectra.
+    np.testing.assert_allclose(
+        np.asarray(cross16.re) / scale, np.asarray(cross_ref.re) / scale,
+        atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(energy16), np.asarray(energy_ref), rtol=1e-3
+    )
