@@ -62,4 +62,10 @@ std::unique_ptr<Device> MakeSimDevice(uint64_t seed);
 // the file cannot be opened.
 std::unique_ptr<Device> MakeFileDevice(const std::string& path);
 
+// Client of the rtl_tcp wire protocol (rtl_tcp.c / tools/sdr_server.cc):
+// control commands and IQ stream over one TCP socket, so the capture
+// engine drives a networked dongle exactly like local hardware. nullptr
+// when the connection or RTL0 handshake fails.
+std::unique_ptr<Device> MakeTcpDevice(const std::string& host, int port);
+
 }  // namespace sdrcap

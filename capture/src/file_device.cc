@@ -25,7 +25,7 @@ class FileDevice final : public Device {
   bool ok() const { return f_ != nullptr; }
 
   bool set_sample_rate(uint32_t rate_hz) override {
-    sample_rate_ = rate_hz;
+    sample_rate_.store(rate_hz, std::memory_order_relaxed);
     return true;
   }
   bool set_center_freq(uint32_t freq_hz) override {
@@ -35,7 +35,9 @@ class FileDevice final : public Device {
   bool set_tuner_gain_db(double) override { return true; }
   bool set_agc(bool) override { return true; }
   uint32_t center_freq() const override { return center_freq_.load(); }
-  uint32_t sample_rate() const override { return sample_rate_; }
+  uint32_t sample_rate() const override {
+    return sample_rate_.load(std::memory_order_relaxed);
+  }
 
   bool read_sync(uint8_t* out, size_t len) override {
     size_t got = 0;
@@ -82,7 +84,9 @@ class FileDevice final : public Device {
  private:
   std::string path_;
   FILE* f_ = nullptr;
-  uint32_t sample_rate_ = 2'000'000;
+  // Written by control threads (e.g. the rtl_tcp command channel)
+  // while the stream thread reads it.
+  std::atomic<uint32_t> sample_rate_{2'000'000};
   std::atomic<uint32_t> center_freq_{100'000'000};
   std::atomic<bool> cancel_{false};
 };

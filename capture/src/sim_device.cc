@@ -25,7 +25,7 @@ class SimDevice final : public Device {
   explicit SimDevice(uint64_t seed) : rng_(seed) {}
 
   bool set_sample_rate(uint32_t rate_hz) override {
-    sample_rate_ = rate_hz;
+    sample_rate_.store(rate_hz, std::memory_order_relaxed);
     return true;
   }
   bool set_center_freq(uint32_t freq_hz) override {
@@ -45,7 +45,9 @@ class SimDevice final : public Device {
   uint32_t center_freq() const override {
     return center_freq_.load(std::memory_order_relaxed);
   }
-  uint32_t sample_rate() const override { return sample_rate_; }
+  uint32_t sample_rate() const override {
+    return sample_rate_.load(std::memory_order_relaxed);
+  }
 
   bool read_sync(uint8_t* out, size_t len) override {
     generate(out, len);
@@ -88,7 +90,7 @@ class SimDevice final : public Device {
 
  private:
   void generate(uint8_t* out, size_t len) {
-    const double fs = sample_rate_;
+    const double fs = sample_rate_.load(std::memory_order_relaxed);
     const uint32_t fc = center_freq();
     const double gain = gain_db_.load(std::memory_order_relaxed);
     // Signal: tone at an offset derived from the tuned frequency
@@ -116,7 +118,9 @@ class SimDevice final : public Device {
     return static_cast<uint8_t>(v + 0.5);
   }
 
-  uint32_t sample_rate_ = 2'000'000;
+  // Written by control threads (e.g. the rtl_tcp command channel)
+  // while the stream thread reads it.
+  std::atomic<uint32_t> sample_rate_{2'000'000};
   std::atomic<uint32_t> center_freq_{100'000'000};
   std::atomic<double> gain_db_{28.0};
   bool agc_ = false;

@@ -5,6 +5,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 
 #include "sdrcap/capture_engine.h"
@@ -17,7 +18,8 @@ void usage() {
       stderr,
       "Usage: sdr_capture -f freq1_hz -h freq2_hz -1 gain1_db -2 gain2_db\n"
       "                   -n samples_per_freq [-s sample_rate]\n"
-      "                   [--sim-seed N] [--replay file.iq] output.dat\n"
+      "                   [--sim-seed N] [--replay file.iq]\n"
+      "                   [--tcp host:port] output.dat\n"
       "Captures 3*n interleaved u8 I/Q samples as [F1 | F2 | F1] blocks\n"
       "with seamless retuning (dual-frequency .dat contract).\n");
 }
@@ -27,7 +29,7 @@ void usage() {
 int main(int argc, char** argv) {
   sdrcap::CaptureConfig cfg;
   uint64_t seed = 1;
-  std::string out, replay;
+  std::string out, replay, tcp;
   bool have_g1 = false, have_g2 = false;
 
   for (int i = 1; i < argc; ++i) {
@@ -47,6 +49,7 @@ int main(int argc, char** argv) {
     else if (a == "-n") cfg.samples_per_freq = std::strtoull(next(), nullptr, 10);
     else if (a == "--sim-seed") seed = std::strtoull(next(), nullptr, 10);
     else if (a == "--replay") replay = next();
+    else if (a == "--tcp") tcp = next();
     else if (a == "--help") { usage(); return 0; }
     else if (a[0] != '-') out = a;
     else { usage(); return 2; }
@@ -57,11 +60,28 @@ int main(int argc, char** argv) {
     return 2;
   }
 
-  auto dev = replay.empty() ? sdrcap::MakeSimDevice(seed)
-                            : sdrcap::MakeFileDevice(replay);
-  if (!dev) {
-    std::fprintf(stderr, "cannot open replay file: %s\n", replay.c_str());
-    return 1;
+  std::unique_ptr<sdrcap::Device> dev;
+  if (!tcp.empty()) {
+    auto colon = tcp.rfind(':');
+    if (colon == std::string::npos) {
+      std::fprintf(stderr, "--tcp wants host:port, got: %s\n", tcp.c_str());
+      return 2;
+    }
+    dev = sdrcap::MakeTcpDevice(tcp.substr(0, colon),
+                                std::atoi(tcp.c_str() + colon + 1));
+    if (!dev) {
+      std::fprintf(stderr, "cannot connect to rtl_tcp server: %s\n",
+                   tcp.c_str());
+      return 1;
+    }
+  } else if (!replay.empty()) {
+    dev = sdrcap::MakeFileDevice(replay);
+    if (!dev) {
+      std::fprintf(stderr, "cannot open replay file: %s\n", replay.c_str());
+      return 1;
+    }
+  } else {
+    dev = sdrcap::MakeSimDevice(seed);
   }
   std::fprintf(stderr,
                "Capturing 3 x %llu samples: %u Hz (g=%.1f) / %u Hz (g=%.1f) "
