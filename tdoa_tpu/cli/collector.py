@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     p.add_argument("--gain1", type=float, default=28.0)
     p.add_argument("--gain2", type=float, default=28.0)
     p.add_argument("--backend", choices=["native", "sim"], default=None)
+    p.add_argument("--tcp", default=None, metavar="HOST:PORT",
+                   help="capture from an rtl_tcp-protocol server instead "
+                        "of local hardware (native backend)")
     p.add_argument("--csv", default="lat-lon-table.csv",
                    help="station table (sim backend geometry)")
     p.add_argument("--out", default=".")
@@ -85,8 +88,10 @@ def main(argv=None) -> int:
             "-1", f"{g1:.1f}",
             "-2", f"{g2:.1f}",
             "-n", str(samples_per_freq),
-            out_path,
         ]
+        if args.tcp:
+            cmd += ["--tcp", args.tcp]
+        cmd.append(out_path)
         print("Running:", " ".join(cmd))
         rc = subprocess.call(cmd)
         if rc != 0:

@@ -178,3 +178,49 @@ def test_sdr_test_reports_rate():
     out = subprocess.check_output([tool("sdr_test"), "-t", "1"], text=True)
     assert "in-order callbacks" in out
     assert "transfer errors: 0" in out
+
+
+def test_capture_over_tcp(tmp_path):
+    """Full 2-frequency capture through the rtl_tcp protocol: sdr_server
+    (sim device) on one end, sdr_capture --tcp on the other — retunes and
+    the 3x n byte contract cross the wire."""
+    port = 43219
+    srv = subprocess.Popen(
+        [tool("sdr_server"), "-p", str(port), "--once"],
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        for _ in range(50):
+            try:
+                socket.create_connection(("127.0.0.1", port), timeout=1).close()
+                break
+            except OSError:
+                time.sleep(0.1)
+        else:
+            pytest.fail("server did not come up")
+        # The probe connection consumed the --once slot; restart.
+        srv.wait(timeout=10)
+        srv = subprocess.Popen(
+            [tool("sdr_server"), "-p", str(port), "--once"],
+            stderr=subprocess.DEVNULL,
+        )
+        time.sleep(0.3)
+        out = tmp_path / "tcp.dat"
+        n = 50_000
+        subprocess.check_call(
+            [tool("sdr_capture"), "-f", "162400000", "-h", "101900000",
+             "-1", "30", "-2", "10", "-n", str(n), "--tcp",
+             f"127.0.0.1:{port}", str(out)],
+            stderr=subprocess.DEVNULL,
+        )
+        raw = np.fromfile(out, dtype=np.uint8)
+        assert raw.size == 3 * n * 2
+        # Block 2 captured at much lower gain: visible power drop.
+        blocks = raw.reshape(3, -1).astype(np.float64)
+        power = ((blocks - 127.5) / 127.5) ** 2
+        p = power.mean(axis=1)
+        assert p[1] < p[0] * 0.5
+        assert p[2] > p[1]
+    finally:
+        srv.kill()
+        srv.wait()
