@@ -7,7 +7,13 @@ groups them by epoch, runs the standard pipeline per window, and feeds
 the fixes through the alpha-beta tracker (pipeline/streaming.py).
 
     python -m tdoa_tpu.cli.stream_processor <ref_freq> <tgt_freq> \
-        <stations.csv> <capture_dir> [--target-id T]
+        <stations.csv> <capture_dir> [--target-id T] [--watch [SECS]]
+
+``--watch`` turns the tool into a long-running service: it keeps
+polling the directory and processes each new epoch window as its
+captures land (the deployment loop — collectors scp files in, fixes
+stream out), stopping only on Ctrl-C or ``--idle-exit`` seconds with
+nothing new.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 from collections import defaultdict
 
 from tdoa_tpu.cli import setup_platform
@@ -31,6 +38,15 @@ def main(argv=None) -> int:
     p.add_argument("--max-lag", type=int, default=20000)
     p.add_argument("--seg-len", type=int, default=1 << 21)
     p.add_argument("--min-stations", type=int, default=3)
+    p.add_argument("--watch", nargs="?", const=2.0, type=float, default=None,
+                   metavar="POLL_SECS",
+                   help="keep watching the directory for new epochs")
+    p.add_argument("--settle", type=float, default=1.0,
+                   help="seconds a window's newest file must be old "
+                        "before processing (writers may still be going)")
+    p.add_argument("--idle-exit", type=float, default=None,
+                   help="with --watch: exit after this many seconds "
+                        "without a new window (default: run forever)")
     args = p.parse_args(argv)
 
     from tdoa_tpu.io.stations import (
@@ -44,18 +60,27 @@ def main(argv=None) -> int:
     table = load_station_table(args.csv, reference_freq=args.ref_freq)
     known = table.names
 
-    # Group captures by epoch.
-    windows = defaultdict(dict)
-    for fn in sorted(os.listdir(args.capture_dir)):
-        if not fn.endswith(".dat"):
-            continue
-        st = station_from_filename(fn, known)
-        ep = parse_epoch_from_filename(fn)
-        if st is None or ep is None:
-            print(f"skipping {fn} (unknown station/epoch)", file=sys.stderr)
-            continue
-        windows[ep][st] = os.path.join(args.capture_dir, fn)
-    if not windows:
+    warned = set()
+
+    def scan_windows():
+        """Group the directory's captures by epoch."""
+        found = defaultdict(dict)
+        for fn in sorted(os.listdir(args.capture_dir)):
+            if not fn.endswith(".dat"):
+                continue
+            st = station_from_filename(fn, known)
+            ep = parse_epoch_from_filename(fn)
+            if st is None or ep is None:
+                if fn not in warned:
+                    warned.add(fn)
+                    print(f"skipping {fn} (unknown station/epoch)",
+                          file=sys.stderr)
+                continue
+            found[ep][st] = os.path.join(args.capture_dir, fn)
+        return found
+
+    windows = scan_windows()
+    if not windows and args.watch is None:
         print("no usable captures found", file=sys.stderr)
         return 1
 
@@ -67,11 +92,17 @@ def main(argv=None) -> int:
     # Tracker over the station set actually present in the first window.
     tracker = None
 
-    for ep in sorted(windows):
-        files = windows[ep]
-        if len(files) < args.min_stations:
-            print(f"epoch {ep}: only {len(files)} stations — skipped")
-            continue
+    def settled(files) -> bool:
+        """Writers may still be appending — require the window's newest
+        file to be at least --settle seconds old."""
+        try:
+            newest = max(os.path.getmtime(f) for f in files.values())
+        except OSError:
+            return False
+        return (time.time() - newest) >= args.settle
+
+    def process_window(ep, files) -> None:
+        nonlocal tracker
         res = proc.process_files(sorted(files.values()))
         if tracker is None:
             order = res.station_names
@@ -88,8 +119,41 @@ def main(argv=None) -> int:
             f"(rms {res.fix.rms_residual_m:.1f} m)  "
             f"track {tlla[0]:.6f},{tlla[1]:.6f} "
             f"v=({tr.vel_enu[0]:+.1f},{tr.vel_enu[1]:+.1f}) m/s "
-            f"[{tr.n_updates} updates]"
+            f"[{tr.n_updates} updates]",
+            flush=True,
         )
+
+    processed = set()
+    skipped_thin = set()
+    last_new = time.time()
+    while True:
+        for ep in sorted(windows):
+            if ep in processed:
+                continue
+            files = windows[ep]
+            if len(files) < args.min_stations:
+                # One-shot mode reports thin windows; watch mode keeps
+                # waiting — the missing station may still scp in.
+                if args.watch is None and ep not in skipped_thin:
+                    skipped_thin.add(ep)
+                    print(f"epoch {ep}: only {len(files)} stations — skipped")
+                continue
+            if args.watch is not None and not settled(files):
+                continue
+            process_window(ep, files)
+            processed.add(ep)
+            last_new = time.time()
+        if args.watch is None:
+            break
+        if (args.idle_exit is not None
+                and time.time() - last_new > args.idle_exit):
+            print(f"idle for {args.idle_exit} s — exiting watch")
+            break
+        try:
+            time.sleep(args.watch)
+        except KeyboardInterrupt:
+            break
+        windows = scan_windows()
     if tracker is None:
         print("no complete windows", file=sys.stderr)
         return 1

@@ -118,3 +118,38 @@ def test_gain_calibrator_sim_backend():
     r = run_cli("gain_calibrator", 162400000, 101900000, "--backend", "sim")
     assert "Recommended collection command" in r.stdout
     assert "converged" in r.stdout
+
+
+@pytest.mark.slow
+def test_stream_processor_watch_mode(tmp_path, station_csv):
+    """--watch picks up a window that lands AFTER startup, then exits on
+    --idle-exit — the continuous-deployment loop."""
+    import threading
+    import time as _time
+
+    watch_dir = tmp_path / "inbox"
+    watch_dir.mkdir()
+    sim_dir = tmp_path / "sim"
+    sim_dir.mkdir()
+    r = run_cli(
+        "simulator", "--duration-s", 0.4, "--out", str(sim_dir),
+    )
+    dats = sorted(sim_dir.glob("sim-*.dat"))
+    assert len(dats) == 3
+
+    def land_files():
+        _time.sleep(2.0)
+        for p in dats:
+            # strip the sim- prefix so station parsing sees {station}-{epoch}
+            (watch_dir / p.name[len("sim-"):]).write_bytes(p.read_bytes())
+
+    t = threading.Thread(target=land_files)
+    t.start()
+    r = run_cli(
+        "stream_processor", 162400000, 101900000, station_csv,
+        str(watch_dir), "--max-lag", 512, "--seg-len", 65536,
+        "--watch", 0.5, "--settle", 0.2, "--idle-exit", 12,
+    )
+    t.join()
+    assert "fix " in r.stdout
+    assert "exiting watch" in r.stdout
