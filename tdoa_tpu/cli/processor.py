@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                    help="emit one machine-readable JSON line instead of text")
     p.add_argument("--truncate-s", type=float, default=None,
                    help="use only the first N seconds of each block")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timings (device-synced) to stderr")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler device trace into DIR "
+                        "(TensorBoard-loadable)")
     args = p.parse_args(argv)
 
     from tdoa_tpu.pipeline import TDOAProcessor
@@ -69,11 +74,21 @@ def main(argv=None) -> int:
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",
           file=sys.stderr if args.json else sys.stdout)
+    import contextlib
+
+    from tdoa_tpu.utils.profiling import StageTimer, trace
+
+    if args.profile:
+        proc.timer = StageTimer()
+    tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
     try:
-        res = proc.process_files(args.dat_files)
+        with tracer:
+            res = proc.process_files(args.dat_files)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    if args.profile:
+        print("stage timings:\n" + proc.timer.report(), file=sys.stderr)
 
     names = res.station_names
     if args.json:

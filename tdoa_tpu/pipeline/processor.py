@@ -233,6 +233,10 @@ class TDOAProcessor:
     def __init__(self, config: ProcessorConfig, stations: StationTable):
         self.config = config
         self.stations = stations
+        # Optional per-stage wall-clock accounting (utils/profiling.py);
+        # attach a StageTimer to get load/correlate/solve splits with
+        # device-synchronized edges.
+        self.timer = None
 
     @classmethod
     def from_csv(
@@ -307,8 +311,15 @@ class TDOAProcessor:
             )
             accumulator = "pallas" if ok else "xla"
 
+        import contextlib
+
+        timer = self.timer
+        stage = timer.stage if timer is not None else (
+            lambda name: contextlib.nullcontext())
+
         ref_geo = self._ref_geo_tdoa_samples(names, pairs)
-        corrected, tgt_d, ref_d, clock, quality, peaks, corr_std = process_blocks(
+        with stage("correlate+clock"):
+            out = process_blocks(
             ref1,
             tgt,
             ref2,
@@ -323,7 +334,10 @@ class TDOAProcessor:
             sample_rate=cfg.sample_rate,
             accumulator=accumulator,
             pairs_static=tuple(map(tuple, pairs.tolist())),
-        )
+            )
+            if timer is not None:
+                timer.observe(out)
+        corrected, tgt_d, ref_d, clock, quality, peaks, corr_std = out
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
         tdoa_std_s = np.asarray(corr_std, np.float64) / cfg.sample_rate
@@ -361,14 +375,15 @@ class TDOAProcessor:
         gated = w * (q >= 5.0)
         if np.count_nonzero(gated) >= min(3, len(pairs)):
             w = gated
-        fix = solve_fix(
-            lla,
-            tdoa_s,
-            weights=w,
-            pair_idx=pairs,
-            solve_z=cfg.solve_z,
-            tdoa_sigma_s=tdoa_std_s,
-        )
+        with stage("solve"):
+            fix = solve_fix(
+                lla,
+                tdoa_s,
+                weights=w,
+                pair_idx=pairs,
+                solve_z=cfg.solve_z,
+                tdoa_sigma_s=tdoa_std_s,
+            )
         return TDOAResult(
             fix=fix,
             station_names=names,
@@ -418,17 +433,24 @@ class TDOAProcessor:
             and min(block_samples) >= SEG_LEN
         )
         dtype = jnp.bfloat16 if pallas_ok else jnp.float32
+        import contextlib
+
+        stage = self.timer.stage if self.timer is not None else (
+            lambda name: contextlib.nullcontext())
         captures: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
         known = self.stations.names
-        for path in dat_paths:
-            if not os.path.exists(path):
-                raise FileNotFoundError(f"capture file not found: {path}")
-            st = station_from_filename(path, known)
-            if st is None:
-                raise ValueError(
-                    f"cannot infer station from filename: {path} "
-                    f"(known stations: {', '.join(known)})"
-                )
-            cap: DatCapture = load_dat(path, station=st, dtype=dtype)
-            captures[st] = (cap.ref1, cap.tgt, cap.ref2)
+        with stage("load+decode"):
+            for path in dat_paths:
+                if not os.path.exists(path):
+                    raise FileNotFoundError(f"capture file not found: {path}")
+                st = station_from_filename(path, known)
+                if st is None:
+                    raise ValueError(
+                        f"cannot infer station from filename: {path} "
+                        f"(known stations: {', '.join(known)})"
+                    )
+                cap: DatCapture = load_dat(path, station=st, dtype=dtype)
+                captures[st] = (cap.ref1, cap.tgt, cap.ref2)
+            if self.timer is not None:
+                self.timer.observe([captures[st][0].re])
         return self.process_captures(captures)

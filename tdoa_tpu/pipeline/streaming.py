@@ -114,6 +114,33 @@ def acc_update(
     )
 
 
+def acc_save(path: str, state: AccState) -> None:
+    """Checkpoint the accumulator to a ``.npz`` file — the durable
+    resume point the reference has no equivalent of (SURVEY.md §5:
+    "Checkpoint/resume: none"). The state is O(fft_len) regardless of
+    how much capture has been integrated."""
+    np.savez(
+        path,
+        cross_re=np.asarray(state.cross_re),
+        cross_im=np.asarray(state.cross_im),
+        psd=np.asarray(state.psd),
+        energy=np.asarray(state.energy),
+        n_samples=np.asarray(state.n_samples),
+    )
+
+
+def acc_load(path: str) -> AccState:
+    """Resume an accumulator from ``acc_save`` output."""
+    with np.load(path) as z:
+        return AccState(
+            cross_re=jnp.asarray(z["cross_re"]),
+            cross_im=jnp.asarray(z["cross_im"]),
+            psd=jnp.asarray(z["psd"]),
+            energy=jnp.asarray(z["energy"]),
+            n_samples=jnp.asarray(z["n_samples"]),
+        )
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_lag", "weighting", "fft_len")
 )

@@ -137,3 +137,74 @@ def test_tracker_follows_moving_target(omaha_stations):
     # Velocity estimate should point roughly north at ~33 m/s.
     v = tracker.tracks["mover"].vel_enu
     assert v[1] > 10.0
+
+
+def test_acc_checkpoint_roundtrip(tmp_path):
+    """acc_save/acc_load: integrate, checkpoint, resume in a fresh
+    state, and finalize — identical delays to an uninterrupted run."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tdoa_tpu.ops.cplx import C
+    from tdoa_tpu.pipeline.streaming import (
+        acc_finalize,
+        acc_init,
+        acc_load,
+        acc_save,
+        acc_update,
+    )
+
+    seg, fft_len, max_lag = 4096, 8192, 64
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(4 * seg) + 1j * rng.standard_normal(4 * seg)
+    f = np.fft.fftfreq(4 * seg)
+    delayed = np.fft.ifft(np.fft.fft(base) * np.exp(-2j * np.pi * f * 7.25))
+    x = np.stack([base, delayed])
+    chunk = lambda k: C(
+        jnp.asarray(x.real[:, k * seg:(k + 2) * seg], jnp.float32),
+        jnp.asarray(x.imag[:, k * seg:(k + 2) * seg], jnp.float32),
+    )
+    pairs = jnp.asarray(np.array([[0, 1]], np.int32))
+
+    # Uninterrupted.
+    st = acc_init(2, 1, fft_len)
+    st = acc_update(st, chunk(0), pairs, seg, fft_len)
+    st = acc_update(st, chunk(2), pairs, seg, fft_len)
+    ref = acc_finalize(st, pairs, max_lag)
+
+    # Checkpointed between chunks.
+    st = acc_init(2, 1, fft_len)
+    st = acc_update(st, chunk(0), pairs, seg, fft_len)
+    acc_save(str(tmp_path / "ck.npz"), st)
+    st2 = acc_load(str(tmp_path / "ck.npz"))
+    st2 = acc_update(st2, chunk(2), pairs, seg, fft_len)
+    res = acc_finalize(st2, pairs, max_lag)
+
+    np.testing.assert_allclose(np.asarray(res.delay), np.asarray(ref.delay),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.delay), [7.25], atol=0.05)
+
+
+def test_stage_timer_and_processor_profile():
+    """StageTimer accumulates synced stage times and the processor
+    surfaces them via .timer."""
+    from tdoa_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        x = jnp_ones()
+        t.observe(x)
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "b" in rep and "total" in rep
+    assert t.times["a"] > 0
+
+
+def jnp_ones():
+    import jax.numpy as jnp
+
+    return jnp.ones((8,)) * 2.0
