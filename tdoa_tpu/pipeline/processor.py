@@ -305,7 +305,9 @@ class TDOAProcessor:
             ok = (
                 on_tpu()
                 and cfg.mode == "iq"
-                and len(names) <= 4
+                # 8 stations (28 pairs) measured to fit the kernel's
+                # VMEM accumulators on v5e; beyond that use XLA.
+                and len(names) <= 8
                 and cfg.max_lag < SEG_LEN
                 and block_len >= SEG_LEN
             )
@@ -427,7 +429,7 @@ class TDOAProcessor:
             on_tpu()
             and cfg.mode == "iq"
             and cfg.accumulator in ("auto", "pallas")
-            and len(dat_paths) <= 4
+            and len(dat_paths) <= 8
             and cfg.max_lag < SEG_LEN
             and bool(block_samples)
             and min(block_samples) >= SEG_LEN

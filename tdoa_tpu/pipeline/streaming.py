@@ -80,7 +80,7 @@ def acc_update(
 
     Pass ``pairs_static`` (the pair list as a static tuple) to route the
     chunk through the fused Pallas kernel on TPU when the accumulator
-    geometry matches it (fft_len 65536, seg_len 45056, ≤4 stations) —
+    geometry matches it (fft_len 65536, seg_len 45056, ≤8 stations) —
     the streaming path then integrates at the batch pipeline's kernel
     speed. ``precision`` sets the kernel's matmul operand width:
     "bf16" (default, ~2.5× faster; bf16 chunks flow straight through,
@@ -95,7 +95,7 @@ def acc_update(
 
     if (pairs_static is not None and on_tpu() and fft_len == _P_FFT
             and seg_len == _P_SEG and chunk.re.shape[-1] >= _P_SEG
-            and chunk.re.shape[0] <= 4):  # kernel's VMEM station limit
+            and chunk.re.shape[0] <= 8):  # kernel's VMEM station limit
         cross, psd, energy = accumulate_cross_spectra_pallas(
             chunk, pairs_static, precision=precision
         )
