@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from tdoa_tpu.dsp.snr import spectral_snr
-from tdoa_tpu.io.datfile import bytes_to_iq_planar, iq_to_bytes
+from tdoa_tpu.io.datfile import iq_to_bytes
 from tdoa_tpu.quality.analyzer import analyze_block_bytes, BlockStats
 
 
