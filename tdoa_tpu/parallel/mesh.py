@@ -102,8 +102,15 @@ def correlate_pairs_sharded(
     )
     def run(xl: C, pairs):
         if accumulator == "pallas":
+            # bf16 operands on real hardware; the CPU interpreter (mesh
+            # dry runs) emulates bf16 matmuls pathologically slowly and
+            # f32 validates the identical sharding/psum program.
+            from tdoa_tpu.utils.platform import on_tpu
+
             cross, psd, energy = accumulate_cross_spectra_pallas(
-                xl, pairs_static, precision="bf16", prescale=False,
+                xl, pairs_static,
+                precision="bf16" if on_tpu() else "f32",
+                prescale=False,
             )
         else:
             cross, psd, energy = _accumulate_cross_spectra(
