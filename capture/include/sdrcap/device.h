@@ -56,7 +56,9 @@ class Device {
 // R820T/R828D ladder (the tuner in RTL-SDR V4, README.md:37).
 double NearestGainDb(double requested_db);
 
-std::unique_ptr<Device> MakeSimDevice(uint64_t seed);
+// `realtime` paces generation to the configured sample rate (what real
+// hardware does); off by default so offline captures run at CPU speed.
+std::unique_ptr<Device> MakeSimDevice(uint64_t seed, bool realtime = false);
 
 // Replays interleaved u8 I/Q from a file (loops at EOF); nullptr when
 // the file cannot be opened.

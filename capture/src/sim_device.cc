@@ -12,6 +12,7 @@
 #include "sdrcap/ring.h"
 
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstring>
 #include <random>
@@ -22,7 +23,8 @@ namespace {
 
 class SimDevice final : public Device {
  public:
-  explicit SimDevice(uint64_t seed) : rng_(seed) {}
+  explicit SimDevice(uint64_t seed, bool realtime)
+      : realtime_(realtime), rng_(seed) {}
 
   bool set_sample_rate(uint32_t rate_hz) override {
     sample_rate_.store(rate_hz, std::memory_order_relaxed);
@@ -110,6 +112,22 @@ class SimDevice final : public Device {
       out[i] = clamp_u8(iv * 127.5 + 127.5);
       out[i + 1] = clamp_u8(qv * 127.5 + 127.5);
     }
+    if (realtime_) pace(len / 2, fs);
+  }
+
+  // Hold generation to the configured sample rate, the way the USB bulk
+  // endpoint is held to the ADC clock. Without this, a consumer with
+  // buffering between itself and the device (e.g. sdr_server's TCP
+  // socket) sees the whole capture generated before its first control
+  // command arrives, and mid-stream retunes/gain changes never land.
+  void pace(size_t samples, double fs) {
+    using clock = std::chrono::steady_clock;
+    if (paced_samples_ == 0) pace_start_ = clock::now();
+    paced_samples_ += samples;
+    const auto target =
+        pace_start_ + std::chrono::duration_cast<clock::duration>(
+                          std::chrono::duration<double>(paced_samples_ / fs));
+    std::this_thread::sleep_until(target);
   }
 
   static uint8_t clamp_u8(double v) {
@@ -125,6 +143,9 @@ class SimDevice final : public Device {
   std::atomic<double> gain_db_{28.0};
   bool agc_ = false;
   std::atomic<bool> cancel_{false};
+  const bool realtime_;
+  uint64_t paced_samples_ = 0;
+  std::chrono::steady_clock::time_point pace_start_;
   double phase_ = 0.0;
   std::mt19937_64 rng_;
 };
@@ -149,8 +170,8 @@ double NearestGainDb(double requested_db) {
   return best;
 }
 
-std::unique_ptr<Device> MakeSimDevice(uint64_t seed) {
-  return std::make_unique<SimDevice>(seed);
+std::unique_ptr<Device> MakeSimDevice(uint64_t seed, bool realtime) {
+  return std::make_unique<SimDevice>(seed, realtime);
 }
 
 }  // namespace sdrcap

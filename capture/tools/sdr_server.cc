@@ -96,7 +96,11 @@ int main(int argc, char** argv) {
     ++served;
     std::fprintf(stderr, "client connected\n");
 
-    auto dev = sdrcap::MakeSimDevice(seed);
+    // Realtime pacing: a networked consumer's control commands must land
+    // mid-stream the way they do against real hardware; without it the
+    // sim would generate the client's whole capture before the first
+    // retune arrives.
+    auto dev = sdrcap::MakeSimDevice(seed, /*realtime=*/true);
     dev->set_sample_rate(2'048'000);
 
     // Header: "RTL0", tuner type (5 = R820T), gain-stage count.
@@ -119,7 +123,10 @@ int main(int argc, char** argv) {
             dev->cancel_async();
           }
         },
-        65536, 8);
+        // Small transfers bound how many samples are in flight past a
+        // control command (rtl_tcp has no sample-accurate retune; this
+        // keeps the slop to a few ms at 2 Msps).
+        8192, 4);
     done.store(true);
     shutdown(fd, SHUT_RDWR);
     cmd.join();

@@ -215,10 +215,13 @@ def test_capture_over_tcp(tmp_path):
         )
         raw = np.fromfile(out, dtype=np.uint8)
         assert raw.size == 3 * n * 2
-        # Block 2 captured at much lower gain: visible power drop.
+        # Block 2 captured at much lower gain: visible power drop. TCP has
+        # no sample-accurate retune (commands race in-flight samples, as
+        # with real rtl_tcp), so judge each block by its second half where
+        # the gain change has certainly settled.
         blocks = raw.reshape(3, -1).astype(np.float64)
         power = ((blocks - 127.5) / 127.5) ** 2
-        p = power.mean(axis=1)
+        p = power[:, power.shape[1] // 2:].mean(axis=1)
         assert p[1] < p[0] * 0.5
         assert p[2] > p[1]
     finally:
