@@ -1,13 +1,14 @@
-// Host-side FM demodulator — rtl_fm.c capability: stream (or read a
-// file of) u8 IQ, quadrature-discriminate, decimate, de-emphasize, and
-// write s16 audio. The accelerator path (tdoa_tpu.dsp.fm / the Pallas
-// kernel) is the production demod; this tool covers the reference's
-// standalone-listening use and gives the capture stack a pure-native
-// smoke path. Pipeline mirrors rtl_fm's stages: polar_discriminant
-// (rtl_fm.c:427-434) → low-pass decimation (302-322) → de-emphasis
-// (596) → DC block (613).
+// Host-side demodulator — rtl_fm.c capability: stream (or read a file
+// of) u8 IQ, demodulate (FM discriminator, AM envelope, USB/LSB phasing,
+// or raw passthrough), decimate, de-emphasize, and write s16 audio. The
+// accelerator path (tdoa_tpu.dsp.fm / the Pallas kernel) is the
+// production demod; this tool covers the reference's standalone-
+// listening use and gives the capture stack a pure-native smoke path.
+// Pipeline mirrors rtl_fm's stages: polar_discriminant (rtl_fm.c:427-434)
+// / am_demod (546-561) / usb_demod+lsb_demod phasing sums (563-587) →
+// low-pass decimation (302-322) → de-emphasis (596) → DC block (613).
 //
-//   sdr_fm [-M fm|raw] [-s rate] [-r audio_rate] [-d deemph_us]
+//   sdr_fm [-M fm|am|usb|lsb|raw] [-s rate] [-r audio_rate] [-d deemph_us]
 //          [-i in.iq|--live seconds] [-f tune_hz] out.raw
 #include <cmath>
 #include <cstdio>
@@ -20,46 +21,103 @@
 
 namespace {
 
+enum class Mode { kFm, kAm, kUsb, kLsb, kRaw };
+
 struct Demod {
+  Mode mode = Mode::kFm;
   double prev_re = 1.0, prev_im = 0.0;
   double deemph_state = 0.0, dc_avg = 0.0;
   double deemph_alpha = 0.0;
   int decim = 16;
-  std::vector<double> acc;
   int acc_n = 0;
-  double acc_v = 0.0;
+  double acc_v = 0.0, acc_re = 0.0, acc_im = 0.0;
+  // SSB phasing-method state: Hilbert FIR over decimated Q, with I
+  // delayed to the filter's group-delay center.
+  static constexpr int kHilbertTaps = 255;
+  double htaps[kHilbertTaps] = {};
+  std::vector<double> ssb_i, ssb_q;  // rings, size kHilbertTaps
+  uint64_t ssb_n = 0;
 
-  void configure(double fs, int decim_, double deemph_us) {
+  void configure(Mode mode_, double fs, int decim_, double deemph_us) {
+    mode = mode_;
     decim = decim_;
     deemph_alpha =
         deemph_us > 0 ? 1.0 - std::exp(-1.0 / (fs / decim * deemph_us * 1e-6))
                       : 0.0;
+    if (mode == Mode::kUsb || mode == Mode::kLsb) {
+      ssb_i.assign(kHilbertTaps, 0.0);
+      ssb_q.assign(kHilbertTaps, 0.0);
+      // Hann-windowed ideal Hilbert transformer: h[m]=2/(pi m), odd m.
+      const int c = (kHilbertTaps - 1) / 2;
+      for (int k = 0; k < kHilbertTaps; ++k) {
+        const int m = k - c;
+        if (m % 2 != 0) {
+          const double w =
+              0.5 - 0.5 * std::cos(2.0 * M_PI * k / (kHilbertTaps - 1));
+          htaps[k] = 2.0 / (M_PI * m) * w;
+        }
+      }
+    }
   }
 
   // Consume one IQ sample; returns true + fills `out` when an audio
   // sample is ready.
   bool push(double re, double im, int16_t* out) {
-    // Discriminator: angle of x[n] * conj(x[n-1]).
-    const double pr = re * prev_re + im * prev_im;
-    const double pi = im * prev_re - re * prev_im;
-    prev_re = re;
-    prev_im = im;
-    const double d = std::atan2(pi, pr);  // [-pi, pi] rad/sample
-    // Boxcar decimation (rtl_fm low_pass parity).
-    acc_v += d;
+    if (mode == Mode::kFm) {
+      // Discriminator: angle of x[n] * conj(x[n-1]).
+      const double pr = re * prev_re + im * prev_im;
+      const double pi = im * prev_re - re * prev_im;
+      prev_re = re;
+      prev_im = im;
+      // Boxcar decimation (rtl_fm low_pass parity).
+      acc_v += std::atan2(pi, pr);  // [-pi, pi] rad/sample
+    } else {
+      // AM/SSB demodulate the *decimated* complex signal
+      // (rtl_fm runs low_pass before mode_demod, rtl_fm.c:762).
+      acc_re += re;
+      acc_im += im;
+    }
     if (++acc_n < decim) return false;
-    double a = acc_v / decim;
-    acc_v = 0.0;
+    double a;
+    const double dre = acc_re / decim, dim = acc_im / decim;
+    switch (mode) {
+      case Mode::kFm:
+        a = acc_v / decim / M_PI;
+        break;
+      case Mode::kAm:  // envelope (am_demod, rtl_fm.c:546-561)
+        a = std::sqrt(dre * dre + dim * dim);
+        break;
+      default: {  // kUsb/kLsb: true phasing method, I ∓ H{Q}. The
+        // reference's I±Q (usb_demod/lsb_demod, rtl_fm.c:563-587) is a
+        // 45° approximation with no opposite-sideband rejection.
+        const int slot = (int)(ssb_n % kHilbertTaps);
+        ssb_i[slot] = dre;
+        ssb_q[slot] = dim;
+        ++ssb_n;
+        double hq = 0.0;
+        for (int k = 0; k < kHilbertTaps; ++k) {
+          // q[n-k] lives k slots behind the just-written one.
+          const int idx = (slot - k + 8 * kHilbertTaps) % kHilbertTaps;
+          hq += htaps[k] * ssb_q[idx];
+        }
+        const double i_delayed =
+            ssb_i[(slot - (kHilbertTaps - 1) / 2 + kHilbertTaps) %
+                  kHilbertTaps];
+        a = 0.5 * (mode == Mode::kUsb ? i_delayed - hq : i_delayed + hq);
+        break;
+      }
+    }
+    acc_v = acc_re = acc_im = 0.0;
     acc_n = 0;
     // De-emphasis single-pole IIR.
     if (deemph_alpha > 0.0) {
       deemph_state += deemph_alpha * (a - deemph_state);
       a = deemph_state;
     }
-    // DC block.
+    // DC block (strips the AM carrier level / FM tuning offset).
     dc_avg = 0.999 * dc_avg + 0.001 * a;
     a -= dc_avg;
-    const double s = a / M_PI * 32767.0;
+    const double s = a * 32767.0;
     *out = (int16_t)std::max(-32767.0, std::min(32767.0, s));
     return true;
   }
@@ -84,10 +142,20 @@ int main(int argc, char** argv) {
     else if (a == "--live") live_seconds = std::atof(next());
     else if (a == "--help") {
       std::fprintf(stderr,
-                   "Usage: sdr_fm [-M fm|raw] [-s rate] [-r audio_rate] "
-                   "[-d deemph_us] (-i in.iq | --live sec) [-f hz] out.raw\n");
+                   "Usage: sdr_fm [-M fm|am|usb|lsb|raw] [-s rate] "
+                   "[-r audio_rate] [-d deemph_us] (-i in.iq | --live sec) "
+                   "[-f hz] out.raw\n");
       return 0;
     } else if (a[0] != '-') out_path = a;
+  }
+  Mode m = Mode::kFm;
+  if (mode == "am") m = Mode::kAm;
+  else if (mode == "usb") m = Mode::kUsb;
+  else if (mode == "lsb") m = Mode::kLsb;
+  else if (mode == "raw") m = Mode::kRaw;
+  else if (mode != "fm") {
+    std::fprintf(stderr, "unknown mode '%s'\n", mode.c_str());
+    return 2;
   }
   if (out_path.empty() || (in_path.empty() && live_seconds <= 0)) {
     std::fprintf(stderr, "need an input (-i or --live) and an output file\n");
@@ -97,7 +165,7 @@ int main(int argc, char** argv) {
   if (!out) { std::perror("open out"); return 1; }
 
   Demod dm;
-  dm.configure(rate, audio_decim, mode == "fm" ? deemph_us : 0.0);
+  dm.configure(m, rate, audio_decim, m == Mode::kFm ? deemph_us : 0.0);
   uint64_t audio_samples = 0;
 
   auto process = [&](const uint8_t* data, size_t len) {
@@ -105,7 +173,7 @@ int main(int argc, char** argv) {
     for (size_t k = 0; k + 1 < len; k += 2) {
       const double re = (data[k] - 127.5) / 127.5;
       const double im = (data[k + 1] - 127.5) / 127.5;
-      if (mode == "raw") {
+      if (m == Mode::kRaw) {
         const int16_t pair[2] = {(int16_t)(re * 32767), (int16_t)(im * 32767)};
         std::fwrite(pair, sizeof(pair), 1, out);
         ++audio_samples;

@@ -5,8 +5,14 @@ from tdoa_tpu.dsp.filters import (
     bandpass_taps,
     fir_filter,
     fir_decimate,
+    hilbert_taps,
 )
-from tdoa_tpu.dsp.fm import fm_discriminate, fm_demodulate
+from tdoa_tpu.dsp.fm import (
+    am_demodulate,
+    fm_discriminate,
+    fm_demodulate,
+    ssb_demodulate,
+)
 from tdoa_tpu.dsp.snr import spectral_snr, psd_welch
 
 __all__ = [
@@ -17,8 +23,11 @@ __all__ = [
     "bandpass_taps",
     "fir_filter",
     "fir_decimate",
+    "hilbert_taps",
+    "am_demodulate",
     "fm_discriminate",
     "fm_demodulate",
+    "ssb_demodulate",
     "spectral_snr",
     "psd_welch",
 ]

@@ -53,6 +53,22 @@ def bandpass_taps(
     ).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def hilbert_taps(num_taps: int = 63) -> np.ndarray:
+    """Hann-windowed FIR Hilbert transformer (−j·sgn(f) response), for the
+    phasing-method SSB demodulator. ``num_taps`` odd; zero group delay
+    relative to the unfiltered channel under 'SAME' convolution.
+
+    Signs are pre-flipped for ``fir_filter``'s cross-correlation (lax.conv
+    does not flip kernels), so ``fir_filter(sin, hilbert_taps())≈−cos``.
+    """
+    if num_taps % 2 == 0:
+        num_taps += 1
+    k = np.arange(num_taps) - (num_taps - 1) / 2
+    h = np.where(k % 2 != 0, -2.0 / (np.pi * np.where(k == 0, 1.0, k)), 0.0)
+    return (h * hann(num_taps)).astype(np.float32)
+
+
 def _conv1d(x: jax.Array, taps: jax.Array, stride: int) -> jax.Array:
     """'SAME' 1-D convolution along the last axis with optional stride."""
     shape = x.shape

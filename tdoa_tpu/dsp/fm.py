@@ -26,7 +26,7 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
-from tdoa_tpu.dsp.filters import fir_decimate, remove_dc
+from tdoa_tpu.dsp.filters import fir_decimate, fir_filter, hilbert_taps, remove_dc
 from tdoa_tpu.ops.cplx import C
 
 
@@ -65,3 +65,55 @@ def fm_demodulate(
     if decim > 1:
         d = fir_decimate(d, decim, sample_rate, num_taps=num_taps)
     return d
+
+
+def am_demodulate(
+    x: C,
+    sample_rate: float,
+    decim: int = 16,
+    num_taps: int = 129,
+) -> jax.Array:
+    """Envelope (AM) demodulation: anti-aliased complex decimation, then
+    magnitude, then DC removal (strips the carrier level).
+
+    Capability of rtl_fm.c's ``am_demod`` (rtl_fm.c:546-561), which takes
+    the magnitude of the decimated I/Q; the carrier DC is removed here
+    the way rtl_fm's dc_block option does (rtl_fm.c:613).
+    """
+    if decim > 1:
+        re = fir_decimate(x.re, decim, sample_rate, num_taps=num_taps)
+        im = fir_decimate(x.im, decim, sample_rate, num_taps=num_taps)
+    else:
+        re, im = x.re, x.im
+    env = jnp.sqrt(re * re + im * im)
+    return remove_dc(env)
+
+
+def ssb_demodulate(
+    x: C,
+    sample_rate: float,
+    sideband: str = "usb",
+    decim: int = 16,
+    num_taps: int = 129,
+) -> jax.Array:
+    """Single-sideband demodulation by the phasing method.
+
+    Capability of rtl_fm.c's ``usb_demod``/``lsb_demod``
+    (rtl_fm.c:563-587), rebuilt correctly: the reference's I±Q sum is a
+    45°-phasing approximation that does NOT reject the opposite sideband
+    (both sidebands survive it at equal magnitude). The true phasing
+    method is ``I ∓ H{Q}`` with a Hilbert transformer H — USB audio is
+    ``(I − H{Q})/2``, LSB ``(I + H{Q})/2`` — implemented as one more MXU
+    FIR pass. Decimation runs first so the Hilbert FIR operates at the
+    audio rate, where its finite length covers the voice band.
+    """
+    if sideband not in ("usb", "lsb"):
+        raise ValueError(f"sideband must be 'usb' or 'lsb', got {sideband!r}")
+    if decim > 1:
+        re = fir_decimate(x.re, decim, sample_rate, num_taps=num_taps)
+        im = fir_decimate(x.im, decim, sample_rate, num_taps=num_taps)
+    else:
+        re, im = x.re, x.im
+    hq = fir_filter(im, hilbert_taps(255))
+    audio = (re - hq if sideband == "usb" else re + hq) * jnp.float32(0.5)
+    return remove_dc(audio)

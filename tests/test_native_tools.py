@@ -227,3 +227,51 @@ def test_capture_over_tcp(tmp_path):
     finally:
         srv.kill()
         srv.wait()
+
+
+def test_am_demod_file_mode(tmp_path):
+    # Synthesize an AM tone capture and demodulate the envelope.
+    n = 200000
+    t = np.arange(n) / 2e6
+    audio = np.sin(2 * np.pi * 1e3 * t)
+    iq = (1.0 + 0.5 * audio) * 0.4 * np.exp(2j * np.pi * 10e3 * t)
+    raw = np.empty(2 * n, np.uint8)
+    raw[0::2] = np.clip(iq.real * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    raw[1::2] = np.clip(iq.imag * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    src = tmp_path / "am.iq"
+    src.write_bytes(raw.tobytes())
+    out = str(tmp_path / "audio.raw")
+    subprocess.check_call(
+        [tool("sdr_fm"), "-M", "am", "-i", str(src), "-s", "2000000",
+         "-r", "125000", out],
+        stderr=subprocess.DEVNULL,
+    )
+    audio_out = np.frombuffer(open(out, "rb").read(), np.int16).astype(np.float64)
+    spec = np.abs(np.fft.rfft(audio_out[500:-500]))
+    f = np.fft.rfftfreq(len(audio_out) - 1000, 1 / 125000)
+    peak_f = f[np.argmax(spec[1:]) + 1]
+    assert abs(peak_f - 1000) < 50
+
+
+def test_ssb_demod_file_mode(tmp_path):
+    # A +5 kHz complex tone: strong in USB output, nulled in LSB.
+    n = 200000
+    t = np.arange(n) / 2e6
+    iq = 0.6 * np.exp(2j * np.pi * 5e3 * t)
+    raw = np.empty(2 * n, np.uint8)
+    raw[0::2] = np.clip(iq.real * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    raw[1::2] = np.clip(iq.imag * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    src = tmp_path / "ssb.iq"
+    src.write_bytes(raw.tobytes())
+
+    def rms(mode):
+        out = str(tmp_path / f"{mode}.raw")
+        subprocess.check_call(
+            [tool("sdr_fm"), "-M", mode, "-i", str(src), "-s", "2000000",
+             "-r", "125000", out],
+            stderr=subprocess.DEVNULL,
+        )
+        a = np.frombuffer(open(out, "rb").read(), np.int16).astype(np.float64)
+        return np.sqrt(np.mean(a[500:-500] ** 2))
+
+    assert rms("usb") > 10 * rms("lsb")
