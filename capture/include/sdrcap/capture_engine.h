@@ -21,6 +21,9 @@ struct CaptureConfig {
   double gain1_db = 28.0;      // per-frequency gains, both mandatory
   double gain2_db = 28.0;      //   (rtl_sdr.c:213-217)
   uint64_t samples_per_freq = 0;  // n: samples per block
+  int ppm = 0;                 // crystal correction (rtl_sdr.c -p)
+  bool sync_mode = false;      // force blocking reads (rtl_sdr.c -S,
+                               //   sync fallback at rtl_sdr.c:295-321)
   size_t buf_len = 262'144;    // bytes per transfer (lib default)
   size_t num_buffers = 15;     // in-flight transfers (lib default)
 };

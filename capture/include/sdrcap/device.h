@@ -33,6 +33,12 @@ class Device {
   virtual bool set_center_freq(uint32_t freq_hz) = 0;
   virtual bool set_tuner_gain_db(double gain_db) = 0;
   virtual bool set_agc(bool enabled) = 0;
+  // Crystal frequency correction (rtlsdr_set_freq_correction parity,
+  // rtl_sdr.c's -p flag). Default: accepted but inert.
+  virtual bool set_freq_correction_ppm(int ppm) {
+    (void)ppm;
+    return true;
+  }
   virtual uint32_t center_freq() const = 0;
   virtual uint32_t sample_rate() const = 0;
 

@@ -2,6 +2,7 @@
 
 #include <algorithm>
 #include <cstdio>
+#include <vector>
 
 namespace sdrcap {
 
@@ -14,12 +15,48 @@ CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
   }
 
   dev.set_sample_rate(cfg.sample_rate);
+  if (cfg.ppm != 0) dev.set_freq_correction_ppm(cfg.ppm);
   // AGC hard-disabled before manual gains (rtl_sdr.c:262-268).
   dev.set_agc(false);
   dev.set_tuner_gain_db(cfg.gain1_db);
   dev.set_center_freq(cfg.freq1_hz);
 
   const uint64_t block_bytes = cfg.samples_per_freq * 2;
+
+  if (cfg.sync_mode) {
+    // Blocking-read fallback (rtl_sdr.c:295-321): read each block with
+    // read_sync, retuning between blocks. Sample-accurate by
+    // construction — every read completes before the next tuning.
+    std::vector<uint8_t> buf(std::min<uint64_t>(cfg.buf_len, block_bytes));
+    for (int block = 0; block < 3; ++block) {
+      if (block > 0) {
+        const bool to_second = (block == 1);
+        dev.set_tuner_gain_db(to_second ? cfg.gain2_db : cfg.gain1_db);
+        dev.set_center_freq(to_second ? cfg.freq2_hz : cfg.freq1_hz);
+        ++stats.retunes;
+      }
+      uint64_t remaining = block_bytes;
+      while (remaining > 0) {
+        const size_t chunk =
+            static_cast<size_t>(std::min<uint64_t>(buf.size(), remaining));
+        if (!dev.read_sync(buf.data(), chunk)) {
+          stats.error = "sync read failed";
+          stats.bytes_written = 3 * block_bytes - remaining;
+          return stats;
+        }
+        if (!sink(buf.data(), chunk)) {
+          stats.error = "sink write failed";
+          return stats;
+        }
+        remaining -= chunk;
+        stats.bytes_written += chunk;
+      }
+    }
+    stats.transfer_errors = dev.transfer_errors();
+    stats.completed = true;
+    return stats;
+  }
+
   // Samples in flight between generation and dispatch carry the OLD
   // tuning when a boundary retune fires — the transition region every
   // buffered SDR stream has. Cap the in-flight window to a fraction of

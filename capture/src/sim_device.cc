@@ -44,6 +44,10 @@ class SimDevice final : public Device {
     agc_ = enabled;
     return true;
   }
+  bool set_freq_correction_ppm(int ppm) override {
+    ppm_.store(ppm, std::memory_order_relaxed);
+    return true;
+  }
   uint32_t center_freq() const override {
     return center_freq_.load(std::memory_order_relaxed);
   }
@@ -98,7 +102,12 @@ class SimDevice final : public Device {
     // Signal: tone at an offset derived from the tuned frequency
     // (so "what station am I hearing" tracks retunes), amplitude from
     // gain relative to 40 dB full scale; plus white noise.
-    const double off_hz = 50e3 + (fc % 997) * 37.0;
+    // Crystal error shifts the effective LO by fc·ppm/1e6, so the
+    // baseband tone moves by the same amount — ppm correction is
+    // observable in the spectrum like on real hardware.
+    const double off_hz = 50e3 + (fc % 997) * 37.0 -
+                          (double)fc * ppm_.load(std::memory_order_relaxed) *
+                              1e-6;
     const double amp = std::min(0.9, 0.5 * std::pow(10.0, (gain - 40.0) / 20.0));
     const double noise = 0.02;
     std::normal_distribution<double> nd(0.0, noise);
@@ -141,6 +150,7 @@ class SimDevice final : public Device {
   std::atomic<uint32_t> sample_rate_{2'000'000};
   std::atomic<uint32_t> center_freq_{100'000'000};
   std::atomic<double> gain_db_{28.0};
+  std::atomic<int> ppm_{0};
   bool agc_ = false;
   std::atomic<bool> cancel_{false};
   const bool realtime_;

@@ -31,6 +31,7 @@ namespace {
 constexpr uint8_t kCmdSetFreq = 0x01;
 constexpr uint8_t kCmdSetRate = 0x02;
 constexpr uint8_t kCmdSetGain = 0x04;
+constexpr uint8_t kCmdSetPpm = 0x05;
 constexpr uint8_t kCmdSetAgc = 0x08;
 
 class TcpDevice final : public Device {
@@ -84,6 +85,9 @@ class TcpDevice final : public Device {
   }
   bool set_agc(bool enabled) override {
     return send_cmd(kCmdSetAgc, enabled ? 1 : 0);
+  }
+  bool set_freq_correction_ppm(int ppm) override {
+    return send_cmd(kCmdSetPpm, (uint32_t)ppm);
   }
   uint32_t center_freq() const override { return center_freq_.load(); }
   uint32_t sample_rate() const override {

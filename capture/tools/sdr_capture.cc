@@ -17,11 +17,13 @@ void usage() {
   std::fprintf(
       stderr,
       "Usage: sdr_capture -f freq1_hz -h freq2_hz -1 gain1_db -2 gain2_db\n"
-      "                   -n samples_per_freq [-s sample_rate]\n"
+      "                   -n samples_per_freq [-s sample_rate] [-p ppm]\n"
+      "                   [-b block_size_bytes] [-S] [-d device_index]\n"
       "                   [--sim-seed N] [--replay file.iq]\n"
       "                   [--tcp host:port] output.dat\n"
       "Captures 3*n interleaved u8 I/Q samples as [F1 | F2 | F1] blocks\n"
-      "with seamless retuning (dual-frequency .dat contract).\n");
+      "with seamless retuning (dual-frequency .dat contract).\n"
+      "-S forces blocking sync reads; '-' as output writes to stdout.\n");
 }
 
 }  // namespace
@@ -47,11 +49,17 @@ int main(int argc, char** argv) {
     else if (a == "-1") { cfg.gain1_db = std::atof(next()); have_g1 = true; }
     else if (a == "-2") { cfg.gain2_db = std::atof(next()); have_g2 = true; }
     else if (a == "-n") cfg.samples_per_freq = std::strtoull(next(), nullptr, 10);
+    else if (a == "-p") cfg.ppm = std::atoi(next());
+    else if (a == "-b") cfg.buf_len = std::strtoull(next(), nullptr, 10);
+    else if (a == "-S") cfg.sync_mode = true;
+    // Device index (rtl_sdr -d): for the sim backend each index is a
+    // distinct deterministic dongle.
+    else if (a == "-d") seed = 1 + std::strtoull(next(), nullptr, 10);
     else if (a == "--sim-seed") seed = std::strtoull(next(), nullptr, 10);
     else if (a == "--replay") replay = next();
     else if (a == "--tcp") tcp = next();
     else if (a == "--help") { usage(); return 0; }
-    else if (a[0] != '-') out = a;
+    else if (a == "-" || a[0] != '-') out = a;  // '-' = stdout
     else { usage(); return 2; }
   }
   if (out.empty() || cfg.freq1_hz == 0 || cfg.freq2_hz == 0 ||
@@ -89,7 +97,15 @@ int main(int argc, char** argv) {
                (unsigned long long)cfg.samples_per_freq, cfg.freq1_hz,
                cfg.gain1_db, cfg.freq2_hz, cfg.gain2_db, cfg.sample_rate,
                out.c_str());
-  auto stats = sdrcap::CaptureToFile(*dev, cfg, out);
+  sdrcap::CaptureStats stats;
+  if (out == "-") {
+    stats = sdrcap::RunTwoFreqCapture(
+        *dev, cfg, [](const uint8_t* d, size_t n) {
+          return std::fwrite(d, 1, n, stdout) == n;
+        });
+  } else {
+    stats = sdrcap::CaptureToFile(*dev, cfg, out);
+  }
   if (!stats.completed) {
     std::fprintf(stderr, "capture failed: %s (wrote %llu bytes)\n",
                  stats.error.c_str(), (unsigned long long)stats.bytes_written);

@@ -46,6 +46,10 @@ void command_worker(int fd, sdrcap::Device* dev, std::atomic<bool>* done) {
         std::fprintf(stderr, "set gain %.1f dB\n", param / 10.0);
         dev->set_tuner_gain_db(param / 10.0);
         break;
+      case 0x05:
+        std::fprintf(stderr, "set ppm %d\n", (int)param);
+        dev->set_freq_correction_ppm((int)param);
+        break;
       case 0x08:
         dev->set_agc(param != 0);
         break;
