@@ -275,3 +275,51 @@ def test_ssb_demod_file_mode(tmp_path):
         return np.sqrt(np.mean(a[500:-500] ** 2))
 
     assert rms("usb") > 10 * rms("lsb")
+
+
+def test_capture_sync_mode(tmp_path):
+    """-S forces the blocking-read path (rtl_sdr.c:295-321 fallback):
+    same 3x n contract, sample-accurate retunes by construction."""
+    path = str(tmp_path / "sync.dat")
+    subprocess.check_call(
+        [tool("sdr_capture"), "-S", "-f", "162400000", "-h", "101900000",
+         "-1", "30", "-2", "10", "-n", "100000", path],
+        stderr=subprocess.DEVNULL,
+    )
+    raw = np.fromfile(path, np.uint8)
+    assert len(raw) == 600000
+    blocks = raw.reshape(3, -1).astype(np.float64)
+    power = ((blocks - 127.5) / 127.5) ** 2
+    p = power.mean(axis=1)
+    assert p[1] < p[0] * 0.5  # low-gain middle block, no slop in sync mode
+    assert p[2] > p[1]
+
+
+def test_capture_stdout(tmp_path):
+    out = subprocess.run(
+        [tool("sdr_capture"), "-f", "162400000", "-h", "101900000",
+         "-1", "30", "-2", "30", "-n", "5000", "-"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, check=True,
+    ).stdout
+    assert len(out) == 30000
+
+
+def test_capture_ppm_shifts_sim_tone(tmp_path):
+    """The sim device models crystal error: -p moves the baseband tone
+    by fc*ppm/1e6, so ppm correction is observable like on hardware."""
+    def tone_hz(ppm_args):
+        path = str(tmp_path / "ppm.dat")
+        subprocess.check_call(
+            [tool("sdr_capture"), *ppm_args, "-f", "100000000",
+             "-h", "100000000", "-1", "30", "-2", "30", "-n", "65536", path],
+            stderr=subprocess.DEVNULL,
+        )
+        raw = np.fromfile(path, np.uint8)[: 2 * 65536].astype(np.float64)
+        iq = (raw[0::2] - 127.5) / 127.5 + 1j * (raw[1::2] - 127.5) / 127.5
+        spec = np.abs(np.fft.fft(iq))
+        f = np.fft.fftfreq(len(iq), 1 / 2e6)
+        return f[np.argmax(spec)]
+
+    base = tone_hz([])
+    shifted = tone_hz(["-p", "50"])  # 100 MHz * 50 ppm = 5 kHz shift
+    assert abs((base - shifted) - 5000) < 100
