@@ -32,10 +32,11 @@ struct Demod {
   int acc_n = 0;
   double acc_v = 0.0, acc_re = 0.0, acc_im = 0.0;
   // SSB phasing-method state: Hilbert FIR over decimated Q, with I
-  // delayed to the filter's group-delay center.
-  static constexpr int kHilbertTaps = 255;
-  double htaps[kHilbertTaps] = {};
-  std::vector<double> ssb_i, ssb_q;  // rings, size kHilbertTaps
+  // delayed to the filter's group-delay center. Length scales with the
+  // audio rate so rejection holds down to ~150 Hz at any decimation.
+  int hilbert_taps = 255;
+  std::vector<double> htaps;
+  std::vector<double> ssb_i, ssb_q;  // rings, size hilbert_taps
   uint64_t ssb_n = 0;
 
   void configure(Mode mode_, double fs, int decim_, double deemph_us) {
@@ -45,15 +46,22 @@ struct Demod {
         deemph_us > 0 ? 1.0 - std::exp(-1.0 / (fs / decim * deemph_us * 1e-6))
                       : 0.0;
     if (mode == Mode::kUsb || mode == Mode::kLsb) {
-      ssb_i.assign(kHilbertTaps, 0.0);
-      ssb_q.assign(kHilbertTaps, 0.0);
+      // Transition band of the Hann-windowed transformer ≈ 4·fs/T;
+      // target ~150 Hz at the audio rate, clamped odd in [255, 4095].
+      const double fs_audio = fs / decim;
+      int t = (int)(4.0 * fs_audio / 150.0);
+      t = std::max(255, std::min(4095, t)) | 1;
+      hilbert_taps = t;
+      htaps.assign(hilbert_taps, 0.0);
+      ssb_i.assign(hilbert_taps, 0.0);
+      ssb_q.assign(hilbert_taps, 0.0);
       // Hann-windowed ideal Hilbert transformer: h[m]=2/(pi m), odd m.
-      const int c = (kHilbertTaps - 1) / 2;
-      for (int k = 0; k < kHilbertTaps; ++k) {
+      const int c = (hilbert_taps - 1) / 2;
+      for (int k = 0; k < hilbert_taps; ++k) {
         const int m = k - c;
         if (m % 2 != 0) {
           const double w =
-              0.5 - 0.5 * std::cos(2.0 * M_PI * k / (kHilbertTaps - 1));
+              0.5 - 0.5 * std::cos(2.0 * M_PI * k / (hilbert_taps - 1));
           htaps[k] = 2.0 / (M_PI * m) * w;
         }
       }
@@ -90,19 +98,19 @@ struct Demod {
       default: {  // kUsb/kLsb: true phasing method, I ∓ H{Q}. The
         // reference's I±Q (usb_demod/lsb_demod, rtl_fm.c:563-587) is a
         // 45° approximation with no opposite-sideband rejection.
-        const int slot = (int)(ssb_n % kHilbertTaps);
+        const int slot = (int)(ssb_n % hilbert_taps);
         ssb_i[slot] = dre;
         ssb_q[slot] = dim;
         ++ssb_n;
         double hq = 0.0;
-        for (int k = 0; k < kHilbertTaps; ++k) {
+        for (int k = 0; k < hilbert_taps; ++k) {
           // q[n-k] lives k slots behind the just-written one.
-          const int idx = (slot - k + 8 * kHilbertTaps) % kHilbertTaps;
+          const int idx = (slot - k + 2 * hilbert_taps) % hilbert_taps;
           hq += htaps[k] * ssb_q[idx];
         }
         const double i_delayed =
-            ssb_i[(slot - (kHilbertTaps - 1) / 2 + kHilbertTaps) %
-                  kHilbertTaps];
+            ssb_i[(slot - (hilbert_taps - 1) / 2 + hilbert_taps) %
+                  hilbert_taps];
         a = 0.5 * (mode == Mode::kUsb ? i_delayed - hq : i_delayed + hq);
         break;
       }

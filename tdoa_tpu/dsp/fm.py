@@ -81,12 +81,17 @@ def am_demodulate(
     the way rtl_fm's dc_block option does (rtl_fm.c:613).
     """
     if decim > 1:
-        re = fir_decimate(x.re, decim, sample_rate, num_taps=num_taps)
-        im = fir_decimate(x.im, decim, sample_rate, num_taps=num_taps)
-    else:
-        re, im = x.re, x.im
-    env = jnp.sqrt(re * re + im * im)
+        x = fir_decimate(x, decim, sample_rate, num_taps=num_taps)
+    env = jnp.sqrt(x.re * x.re + x.im * x.im)
     return remove_dc(env)
+
+
+def _hilbert_len(fs_audio: float, transition_hz: float) -> int:
+    """Hilbert FIR length whose transition band (≈4·fs/T for the Hann
+    window) is ``transition_hz``, clamped odd in [255, 4095]."""
+    n = int(4.0 * fs_audio / transition_hz)
+    n = max(255, min(4095, n))
+    return n | 1
 
 
 def ssb_demodulate(
@@ -95,6 +100,7 @@ def ssb_demodulate(
     sideband: str = "usb",
     decim: int = 16,
     num_taps: int = 129,
+    hilbert_transition_hz: float = 150.0,
 ) -> jax.Array:
     """Single-sideband demodulation by the phasing method.
 
@@ -105,15 +111,16 @@ def ssb_demodulate(
     method is ``I ∓ H{Q}`` with a Hilbert transformer H — USB audio is
     ``(I − H{Q})/2``, LSB ``(I + H{Q})/2`` — implemented as one more MXU
     FIR pass. Decimation runs first so the Hilbert FIR operates at the
-    audio rate, where its finite length covers the voice band.
+    audio rate; its length scales with that rate so the rejection holds
+    down to ``hilbert_transition_hz`` regardless of ``decim``.
     """
     if sideband not in ("usb", "lsb"):
         raise ValueError(f"sideband must be 'usb' or 'lsb', got {sideband!r}")
     if decim > 1:
-        re = fir_decimate(x.re, decim, sample_rate, num_taps=num_taps)
-        im = fir_decimate(x.im, decim, sample_rate, num_taps=num_taps)
-    else:
-        re, im = x.re, x.im
-    hq = fir_filter(im, hilbert_taps(255))
-    audio = (re - hq if sideband == "usb" else re + hq) * jnp.float32(0.5)
+        x = fir_decimate(x, decim, sample_rate, num_taps=num_taps)
+    hq = fir_filter(
+        x.im, hilbert_taps(_hilbert_len(sample_rate / decim,
+                                        hilbert_transition_hz))
+    )
+    audio = (x.re - hq if sideband == "usb" else x.re + hq) * jnp.float32(0.5)
     return remove_dc(audio)

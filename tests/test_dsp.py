@@ -172,6 +172,13 @@ def test_ssb_demodulate_selects_sideband():
     assert tone_power(upper, "usb") > 100 * tone_power(upper, "lsb")
     assert tone_power(lower, "lsb") > 100 * tone_power(lower, "usb")
 
+    # Rejection must hold for low voice frequencies too: the Hilbert FIR
+    # length scales with the post-decimation rate (a fixed-length
+    # transformer leaks near-DC content from the wrong sideband).
+    f_tone = 300.0
+    low = np.exp(2j * np.pi * f_tone * t).astype(np.complex64)
+    assert tone_power(low, "usb") > 100 * tone_power(low, "lsb")
+
     with pytest.raises(ValueError):
         ssb_demodulate(from_complex(jnp.zeros(64, jnp.complex64)), FS,
                        sideband="dsb")
