@@ -40,14 +40,18 @@ def ecef_to_lla(ecef: np.ndarray, iters: int = 8) -> np.ndarray:
     lon = np.arctan2(y, x)
     p = np.hypot(x, y)
     lat = np.arctan2(z, p * (1.0 - WGS84_E2))
+    # Division-free height h = p·cosφ + z·sinφ − N(1−e²sin²φ): exact for
+    # the true φ (combine p=(N+h)cosφ and z=(N(1−e²)+h)sinφ) and, unlike
+    # p/cosφ − N, well-behaved at the poles where p → 0.
+    def height(lat_):
+        s, c = np.sin(lat_), np.cos(lat_)
+        n_ = WGS84_A / np.sqrt(1.0 - WGS84_E2 * s**2)
+        return n_, p * c + z * s - n_ * (1.0 - WGS84_E2 * s**2)
+
     for _ in range(iters):
-        sin_lat = np.sin(lat)
-        n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * sin_lat**2)
-        h = p / np.cos(lat) - n
+        n, h = height(lat)
         lat = np.arctan2(z, p * (1.0 - WGS84_E2 * n / (n + h)))
-    sin_lat = np.sin(lat)
-    n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * sin_lat**2)
-    h = p / np.cos(lat) - n
+    _, h = height(lat)
     return np.stack([np.degrees(lat), np.degrees(lon), h], axis=-1)
 
 

@@ -247,9 +247,10 @@ class TDOAProcessor:
 
     def _ref_geo_tdoa_samples(self, names: Sequence[str], pairs: np.ndarray) -> np.ndarray:
         """Geometric REF-transmitter TDOA per pair, in samples. Zero when
-        the reference transmitter's position is unknown (then the clock
-        correction still cancels the *common* clock+geometry term, which
-        shifts all TDOAs consistently)."""
+        the reference transmitter's position is unknown — the clock
+        correction then still cancels each pair's clock offset but leaves
+        the REF transmitter's per-pair geometric TDOA (up to baseline/c)
+        in every corrected TDOA; process_captures surfaces a warning."""
         if self.stations.reference_tx is None:
             return np.zeros(len(pairs))
         lla = self.stations.lla_array(names)
@@ -267,6 +268,25 @@ class TDOAProcessor:
         tau = d / SPEED_OF_LIGHT * self.config.sample_rate
         return tau[pairs[:, 1]] - tau[pairs[:, 0]]
 
+    def _fused_eligible(self, n_stations: int, min_block_samples: int) -> bool:
+        """Single source of truth for routing to the fused Pallas
+        correlator (kernel geometry + VMEM limits; ops/pallas/corr_accum).
+        Used by both the accumulator="auto" decision and the bf16-decode
+        decision so they can never diverge."""
+        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+        from tdoa_tpu.utils.platform import on_tpu
+
+        cfg = self.config
+        return (
+            on_tpu()
+            and cfg.mode == "iq"
+            # 8 stations (28 pairs) measured to fit the kernel's VMEM
+            # accumulators on v5e; beyond that use XLA.
+            and n_stations <= 8
+            and cfg.max_lag < SEG_LEN
+            and min_block_samples >= SEG_LEN
+        )
+
     def process_captures(
         self, captures: Dict[str, Tuple]
     ) -> TDOAResult:
@@ -279,6 +299,15 @@ class TDOAProcessor:
         if len(names) < 3:
             raise ValueError("need at least 3 stations for a 2D fix")
         pairs = station_pairs(len(names))
+
+        # Capture-time geometry: REF1/REF2 correlation-window midpoints
+        # are two *original* block lengths apart even when the analysis
+        # window is truncated — the drift time base must use this, not
+        # the truncated length.
+        orig_block_len = min(
+            int((b if isinstance(b, C) else from_complex(b)).re.shape[-1])
+            for b in (captures[n][0] for n in names)
+        )
 
         def prep(b) -> C:
             if not isinstance(b, C):
@@ -298,20 +327,11 @@ class TDOAProcessor:
 
         accumulator = cfg.accumulator
         if accumulator == "auto":
-            from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
-            from tdoa_tpu.utils.platform import on_tpu
-
-            block_len = int(ref1.re.shape[1])
-            ok = (
-                on_tpu()
-                and cfg.mode == "iq"
-                # 8 stations (28 pairs) measured to fit the kernel's
-                # VMEM accumulators on v5e; beyond that use XLA.
-                and len(names) <= 8
-                and cfg.max_lag < SEG_LEN
-                and block_len >= SEG_LEN
+            accumulator = (
+                "pallas"
+                if self._fused_eligible(len(names), int(ref1.re.shape[1]))
+                else "xla"
             )
-            accumulator = "pallas" if ok else "xla"
 
         import contextlib
 
@@ -343,12 +363,21 @@ class TDOAProcessor:
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
         tdoa_std_s = np.asarray(corr_std, np.float64) / cfg.sample_rate
-        # REF-block midpoints sit at 0.5·L and 2.5·L — two blocks apart.
-        block_len = int(ref1.re.shape[1])
+        # REF-block midpoints sit at 0.5·L and 2.5·L of the *original*
+        # block length — two full blocks apart in capture time regardless
+        # of analysis-window truncation.
         ref_d = np.asarray(ref_d, np.float64)
-        drift_ppm = (ref_d[:, 1] - ref_d[:, 0]) / (2 * block_len) * 1e6
+        drift_ppm = (ref_d[:, 1] - ref_d[:, 0]) / (2 * orig_block_len) * 1e6
 
         warnings: List[str] = []
+        if cfg.clock_correction and self.stations.reference_tx is None:
+            warnings.append(
+                f"reference transmitter position unknown (no station row "
+                f"named '{cfg.ref_freq:.0f}'): clock correction cancels "
+                f"clock offsets but leaves the REF transmitter's per-pair "
+                f"geometric TDOA in every measurement — the fix may be "
+                f"biased"
+            )
         lla = self.stations.lla_array(names)
         ecef = lla_to_ecef(lla)
         q_arr = np.asarray(quality[1], np.float64)
@@ -407,15 +436,13 @@ class TDOAProcessor:
         processor.go:110-122) and process them."""
         import os
 
-        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
-        from tdoa_tpu.utils.platform import on_tpu
-
         # When the fused Pallas correlator will run, decode straight
         # into its native bf16 operand storage — the signal then reaches
-        # the kernel with zero conversion passes. The predicate mirrors
-        # process_captures' accumulator="auto" decision (block length
-        # from file size: 3 blocks × 2 bytes/sample) so captures that
-        # resolve to the XLA path keep full f32 decode precision.
+        # the kernel with zero conversion passes. Same _fused_eligible
+        # predicate as process_captures' accumulator="auto" decision
+        # (block length here from file size: 3 blocks × 2 bytes/sample),
+        # so captures that resolve to the XLA path keep full f32 decode
+        # precision.
         cfg = self.config
         block_samples = [
             os.path.getsize(p) // (2 * 3)
@@ -426,13 +453,9 @@ class TDOAProcessor:
                 min(b, cfg.truncate_samples) for b in block_samples
             ]
         pallas_ok = (
-            on_tpu()
-            and cfg.mode == "iq"
-            and cfg.accumulator in ("auto", "pallas")
-            and len(dat_paths) <= 8
-            and cfg.max_lag < SEG_LEN
+            cfg.accumulator in ("auto", "pallas")
             and bool(block_samples)
-            and min(block_samples) >= SEG_LEN
+            and self._fused_eligible(len(set(dat_paths)), min(block_samples))
         )
         dtype = jnp.bfloat16 if pallas_ok else jnp.float32
         import contextlib
@@ -450,6 +473,11 @@ class TDOAProcessor:
                     raise ValueError(
                         f"cannot infer station from filename: {path} "
                         f"(known stations: {', '.join(known)})"
+                    )
+                if st in captures:
+                    raise ValueError(
+                        f"two capture files resolve to station '{st}' "
+                        f"(second: {path}); pass one file per station"
                     )
                 cap: DatCapture = load_dat(path, station=st, dtype=dtype)
                 captures[st] = (cap.ref1, cap.tgt, cap.ref2)

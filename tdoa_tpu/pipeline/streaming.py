@@ -50,7 +50,10 @@ class AccState(NamedTuple):
     cross_im: jax.Array  # [m, F]
     psd: jax.Array  # [n_st, F]
     energy: jax.Array  # [n_st]
-    n_samples: jax.Array  # scalar — samples integrated so far
+    # Scalar count of integrated *segments* (samples = n_seg·seg_len).
+    # Counting segments keeps int32 honest out to ~10^14 samples; a raw
+    # sample counter would wrap after ~18 minutes at 2 Msps.
+    n_seg: jax.Array
 
 
 def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
@@ -59,7 +62,7 @@ def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
         cross_im=jnp.zeros((n_pairs, fft_len), jnp.float32),
         psd=jnp.zeros((n_st, fft_len), jnp.float32),
         energy=jnp.zeros((n_st,), jnp.float32),
-        n_samples=jnp.zeros((), jnp.int32),
+        n_seg=jnp.zeros((), jnp.int32),
     )
 
 
@@ -76,7 +79,9 @@ def acc_update(
     pairs_static: Optional[Tuple[Tuple[int, int], ...]] = None,
     precision: str = "bf16",
 ) -> AccState:
-    """Integrate one capture chunk into the accumulator.
+    """Integrate one capture chunk into the accumulator. The chunk
+    length must be a multiple of ``seg_len`` (checked at trace time) —
+    a ragged tail would otherwise be dropped while still being counted.
 
     Pass ``pairs_static`` (the pair list as a static tuple) to route the
     chunk through the fused Pallas kernel on TPU when the accumulator
@@ -86,6 +91,11 @@ def acc_update(
     "bf16" (default, ~2.5× faster; bf16 chunks flow straight through,
     f32 chunks are truncated) or "f32" to keep f32 operands.
     """
+    if chunk.re.shape[-1] % seg_len:
+        raise ValueError(
+            f"chunk length {chunk.re.shape[-1]} is not a multiple of "
+            f"seg_len {seg_len}; pad or split the chunk"
+        )
     from tdoa_tpu.ops.pallas.corr_accum import (
         FFT_LEN as _P_FFT,
         SEG_LEN as _P_SEG,
@@ -110,7 +120,7 @@ def acc_update(
         cross_im=state.cross_im + cross.im,
         psd=state.psd + psd,
         energy=state.energy + energy,
-        n_samples=state.n_samples + chunk.re.shape[-1],
+        n_seg=state.n_seg + chunk.re.shape[-1] // seg_len,
     )
 
 
@@ -125,7 +135,7 @@ def acc_save(path: str, state: AccState) -> None:
         cross_im=np.asarray(state.cross_im),
         psd=np.asarray(state.psd),
         energy=np.asarray(state.energy),
-        n_samples=np.asarray(state.n_samples),
+        n_seg=np.asarray(state.n_seg),
     )
 
 
@@ -137,7 +147,7 @@ def acc_load(path: str) -> AccState:
             cross_im=jnp.asarray(z["cross_im"]),
             psd=jnp.asarray(z["psd"]),
             energy=jnp.asarray(z["energy"]),
-            n_samples=jnp.asarray(z["n_samples"]),
+            n_seg=jnp.asarray(z["n_seg"]),
         )
 
 
@@ -199,7 +209,14 @@ class TargetTracker:
         solve_z: bool = False,
     ):
         self.station_lla = np.asarray(station_lla, dtype=np.float64)
-        self.origin = self.station_lla.mean(axis=0)
+        # Circular mean for longitude (antimeridian-safe, matching
+        # solve_fix's origin choice).
+        lon = np.radians(self.station_lla[:, 1])
+        self.origin = np.array([
+            self.station_lla[:, 0].mean(),
+            np.degrees(np.arctan2(np.sin(lon).mean(), np.cos(lon).mean())),
+            self.station_lla[:, 2].mean(),
+        ])
         self.enu = jnp.asarray(
             lla_to_enu(self.station_lla, self.origin), jnp.float32
         )
@@ -233,7 +250,7 @@ class TargetTracker:
         pos, rms = self._solve_batch(rd)
         pos = np.asarray(pos, np.float64)
         for k, tid in enumerate(ids):
-            q = float(qualities[tid]) if qualities else 0.0
+            q = float(qualities.get(tid, 0.0)) if qualities else 0.0
             meas = pos[k]
             tr = self.tracks.get(tid)
             if tr is None:

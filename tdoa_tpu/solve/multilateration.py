@@ -207,8 +207,15 @@ def solve_fix(
     n = station_lla.shape[0]
     if pair_idx is None:
         pair_idx = station_pairs(n)
+    # Circular mean for longitude: an arithmetic mean of raw degrees puts
+    # the ENU origin on the wrong side of the planet for a network
+    # straddling the ±180° antimeridian.
+    lon_rad = np.radians(station_lla[:, 1])
+    mean_lon = np.degrees(
+        np.arctan2(np.sin(lon_rad).mean(), np.cos(lon_rad).mean())
+    )
     origin = np.array(
-        [station_lla[:, 0].mean(), station_lla[:, 1].mean(), station_lla[:, 2].mean()]
+        [station_lla[:, 0].mean(), mean_lon, station_lla[:, 2].mean()]
     )
     enu = lla_to_enu(station_lla, origin).astype(np.float32)
     rd = np.asarray(tdoas_s, dtype=np.float64) * SPEED_OF_LIGHT
@@ -240,6 +247,13 @@ def solve_fix(
     ellipse = None
     if tdoa_sigma_s is not None:
         sigma_m = np.asarray(tdoa_sigma_s, dtype=np.float64) * SPEED_OF_LIGHT
+        # A pair the solver excluded (weight 0) must not tighten the
+        # covariance: its phase-slope sigma can be tiny even when its
+        # delay is garbage (e.g. a narrowband interferer).
+        if weights is not None:
+            sigma_m = np.where(
+                np.asarray(weights, np.float64) > 0.0, sigma_m, np.inf
+            )
         cov_en = fix_covariance_enu(
             np.asarray(enu, np.float64), np.asarray(pair_idx), pos, sigma_m
         )

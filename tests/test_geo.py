@@ -45,3 +45,17 @@ def test_enu_roundtrip(omaha_stations):
     # ENU distances match ECEF chord distances for short baselines.
     d01 = np.linalg.norm(enu[0] - enu[1])
     assert abs(d01 - 12_290) < 60
+
+
+def test_lla_ecef_roundtrip_poles():
+    """Height must survive the round trip at and near the poles, where
+    the naive h = p/cos(lat) − N blows up."""
+    pts = np.array([
+        [90.0, 0.0, 500.0],
+        [-90.0, 45.0, -100.0],
+        [89.9999, 10.0, 123.0],
+        [0.0, 180.0, 42.0],
+    ])
+    rt = ecef_to_lla(lla_to_ecef(pts))
+    np.testing.assert_allclose(rt[:, 0], pts[:, 0], atol=1e-9)
+    np.testing.assert_allclose(rt[:, 2], pts[:, 2], atol=1e-6)

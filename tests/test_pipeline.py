@@ -5,6 +5,8 @@ This is the reference's validation ladder (simulator.go:289 "Test with:
 the clock-offset physics the reference never exercised.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -210,3 +212,22 @@ def test_clock_drift_reported(omaha_stations, station_csv):
         drifts[j] - drifts[i] for i, j in res.pair_idx
     ])
     np.testing.assert_allclose(res.clock_drift_ppm, want, atol=0.3)
+
+
+def test_duplicate_station_files_rejected(
+    omaha_stations, station_csv, tmp_path
+):
+    """Two .dat files resolving to one station must error, not silently
+    drop a capture."""
+    import shutil
+
+    scene = _scene(omaha_stations, seed=11)
+    paths, _ = write_scene_captures(scene, str(tmp_path))
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv, seg_len=None, max_lag=512
+    )
+    first = sorted(paths.values())[0]
+    dup = str(tmp_path / ("copy-" + os.path.basename(first)))
+    shutil.copy(first, dup)
+    with pytest.raises(ValueError, match="one file per station"):
+        proc.process_files(sorted(paths.values()) + [dup])

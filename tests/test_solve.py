@@ -77,3 +77,50 @@ def test_solver_is_jit_batched(omaha_stations):
     assert pos.shape == (3, 3)
     truth_enu = lla_to_enu(s["tgt_tx_lla"], origin)
     assert np.linalg.norm(np.asarray(pos[0][:2]) - truth_enu[:2]) < 10.0
+
+
+def test_antimeridian_network():
+    """A network straddling ±180° must get a local ENU origin (an
+    arithmetic longitude mean would put it ~120° away) and recover a
+    planted transmitter."""
+    stations = np.array([
+        [52.0, 179.92, 10.0],
+        [52.08, -179.95, 20.0],
+        [51.95, -179.88, 5.0],
+    ])
+    tx = np.array([52.02, 179.99, 0.0])
+    from tdoa_tpu.geo import lla_to_ecef
+
+    st_ecef = lla_to_ecef(stations)
+    d = np.linalg.norm(st_ecef - lla_to_ecef(tx), axis=-1)
+    pairs = station_pairs(3)
+    tdoas = (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+    fix = solve_fix(stations, tdoas)
+    assert abs(fix.lat - tx[0]) < 0.01
+    # Longitude distance modulo 360.
+    dlon = (fix.lon - tx[1] + 180.0) % 360.0 - 180.0
+    assert abs(dlon) < 0.02
+    assert fix.rms_residual_m < 10.0
+
+
+def test_gated_pair_does_not_tighten_ellipse():
+    """A zero-weight (quality-gated) pair must not shrink the reported
+    covariance even if its sigma is tiny."""
+    stations = np.array([
+        [41.30, -96.02, 300.0],
+        [41.36, -95.95, 310.0],
+        [41.25, -95.90, 305.0],
+    ])
+    tx = np.array([41.31, -95.97, 300.0])
+    from tdoa_tpu.geo import lla_to_ecef
+
+    d = np.linalg.norm(lla_to_ecef(stations) - lla_to_ecef(tx), axis=-1)
+    pairs = station_pairs(3)
+    tdoas = (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+    sig = np.array([1e-8, 1e-8, 1e-12])  # third pair: absurdly confident
+    full = solve_fix(stations, tdoas, weights=[1.0, 1.0, 1.0],
+                     tdoa_sigma_s=sig)
+    gated = solve_fix(stations, tdoas, weights=[1.0, 1.0, 0.0],
+                      tdoa_sigma_s=sig)
+    # Gating the overconfident pair must grow the ellipse.
+    assert gated.ellipse[0] > full.ellipse[0] * 1.3

@@ -57,7 +57,7 @@ def test_incremental_matches_batch():
     np.testing.assert_allclose(
         float(final.delay[0]), float(batch.delay[0]), atol=5e-3
     )
-    assert int(state.n_samples) == n
+    assert int(state.n_seg) * seg == n
 
 
 def test_accumulator_state_is_checkpointable():
