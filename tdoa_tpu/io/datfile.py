@@ -94,7 +94,14 @@ def iq_to_bytes(iq) -> jax.Array:
     else:
         comps = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1)
     scaled = comps * IQ_SCALE + IQ_CENTER
-    return jnp.clip(jnp.round(scaled), 0.0, 255.0).astype(jnp.uint8).reshape(-1)
+    # floor(x + 0.5) = round-half-UP, bit-matching the reference's
+    # uint8(x*127.5 + 127.5 + 0.5); jnp.round would round half-to-even
+    # and encode exact .5 values one byte lower.
+    return (
+        jnp.clip(jnp.floor(scaled + 0.5), 0.0, 255.0)
+        .astype(jnp.uint8)
+        .reshape(-1)
+    )
 
 
 def split_blocks(iq):

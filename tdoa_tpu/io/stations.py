@@ -57,13 +57,17 @@ def load_station_table(path: str, reference_freq: Optional[float] = None) -> Sta
 
     A row whose name equals ``f"{reference_freq:.0f}"`` is the reference
     transmitter and is excluded from the receiver-station list
-    (processor.go:96-105). Other non-receiver rows (e.g. known target
-    transmitters like KEVO) land in ``extra`` only when they match neither;
-    absent a frequency hint every row is treated as a receiver, matching the
-    reference's behavior of keying purely on the frequency string.
+    (processor.go:96-105). Any other row named by a bare frequency (all
+    digits) is a transmitter keyed by that frequency and lands in
+    ``extra``. Callsign-named transmitter rows (e.g. KEVO, the target
+    transmitter in the shipped table) are indistinguishable from receivers
+    by the CSV contract and stay in ``stations`` — reference parity: its
+    processor also carries them, relying on capture filenames only ever
+    matching real receivers.
     """
     ref_name = f"{reference_freq:.0f}" if reference_freq is not None else None
     stations: List[Station] = []
+    extra: List[Station] = []
     ref_tx: Optional[Station] = None
     with open(path, newline="") as f:
         reader = csv.reader(f)
@@ -84,9 +88,13 @@ def load_station_table(path: str, reference_freq: Optional[float] = None) -> Sta
         )
         if ref_name is not None and st.name == ref_name:
             ref_tx = st
+        elif st.name.isdigit():
+            # Frequency-named row for some OTHER frequency: a known
+            # transmitter, not a receiver.
+            extra.append(st)
         else:
             stations.append(st)
-    return StationTable(stations=stations, reference_tx=ref_tx)
+    return StationTable(stations=stations, reference_tx=ref_tx, extra=extra)
 
 
 def _looks_like_data(row: List[str]) -> bool:

@@ -102,12 +102,16 @@ def caf_pairs(
         x, pair_idx, seg_len_r, fft_len, fft_precision
     )  # [m, S, F]
 
-    # PHAT-style whitening on the per-segment spectra (average magnitude
-    # over segments for a stable denominator).
+    # PHAT whitening per segment (flat spectrum ⇒ sharp delay peak),
+    # then an energy weight per segment: plain per-segment whitening
+    # would hand noise-only segments (emitter silent) the same unit vote
+    # as high-SNR ones in the slow-time Doppler sum, while whitening by
+    # the segment-averaged magnitude blunts/biases the delay peak.
     mag = jnp.sqrt(cross.abs2())
-    mbar = jnp.mean(mag, axis=1, keepdims=True)
-    d = mag + eps * jnp.mean(mbar, axis=-1, keepdims=True) + 1e-30
-    white = C(cross.re / d, cross.im / d)
+    d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
+    seg_mag = jnp.mean(mag, axis=-1, keepdims=True)  # [m, S, 1]
+    seg_w = seg_mag / (jnp.mean(seg_mag, axis=1, keepdims=True) + 1e-30)
+    white = C(cross.re / d * seg_w, cross.im / d * seg_w)
 
     # Slow-time steering: a pair with relative Doppler ν has cross-
     # spectrum phase advancing by +2π ν T_seg per segment (positive ν =

@@ -157,6 +157,9 @@ def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
 
 def _lag_window(r: jax.Array, max_lag: int) -> jax.Array:
     """Reorder the circular correlation to lags [-max_lag, ..., +max_lag]."""
+    if max_lag == 0:
+        # r[..., -0:] would select the WHOLE array, not zero elements.
+        return r[..., :1]
     return jnp.concatenate([r[..., -max_lag:], r[..., : max_lag + 1]], axis=-1)
 
 
@@ -359,9 +362,18 @@ def correlate_pairs_fused(
     stage is shared with the XLA path."""
     from tdoa_tpu.ops.pallas.corr_accum import (
         FFT_LEN,
+        SEG_LEN,
         accumulate_cross_spectra_pallas,
     )
 
+    # Alias-free window: the kernel's circular correlation equals the
+    # linear one only for |lag| ≤ fft_len − seg_len (the zero-pad slack).
+    if max_lag > FFT_LEN - SEG_LEN:
+        raise ValueError(
+            f"max_lag {max_lag} exceeds the fused kernel's alias-free "
+            f"window {FFT_LEN - SEG_LEN} (= fft {FFT_LEN} − seg {SEG_LEN}); "
+            f"use the XLA path (correlate_pairs_planar)"
+        )
     cross, psd, energy = accumulate_cross_spectra_pallas(
         x, pairs, precision=precision, remove_dc=remove_dc, prescale=True
     )

@@ -198,6 +198,11 @@ def accumulate_cross_spectra_pallas(
         interpret = default_interpret_mode()
     n_st, n = x.re.shape
     n_seg = n // SEG_LEN
+    if n_seg == 0:
+        raise ValueError(
+            f"capture length {n} is shorter than one kernel segment "
+            f"(SEG_LEN={SEG_LEN}); use the XLA path for short signals"
+        )
     while segs_per_step > 1 and n_seg % segs_per_step:
         segs_per_step -= 1
     n_steps = n_seg // segs_per_step

@@ -124,7 +124,12 @@ def _kernel(a_ref, b_ref, xr_ref, xi_ref, hr_ref, hi_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("decim", "num_taps", "tile_rows", "interpret"),
+    # sample_rate/deviation_hz parameterize host-built tap matrices and
+    # must be Python floats (they'd crash as tracers).
+    static_argnames=(
+        "sample_rate", "deviation_hz", "decim", "num_taps", "tile_rows",
+        "interpret",
+    ),
 )
 def fm_demod_decimate_pallas(
     x: C,  # [n] planar IQ at the capture rate
@@ -135,11 +140,13 @@ def fm_demod_decimate_pallas(
     tile_rows: int = 256,  # input rows of 128 samples per grid step
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Demodulate+decimate one signal. Returns audio [≈n // decim] f32.
+    """Demodulate+decimate one signal. Returns audio [n // decim] f32.
 
     The audio is scaled so ±deviation maps to ±1 (phase increments ×
     fs/(2π·deviation)). DC (receiver LO offset) is removed afterwards by
     the caller if needed. Constraints: decim | 128, num_taps ≤ 128.
+    Inputs of any length work: the last partial tile is zero-padded and
+    the output is trimmed to exactly ``n // decim``.
     """
     if interpret is None:
         interpret = default_interpret_mode()
@@ -149,7 +156,7 @@ def fm_demod_decimate_pallas(
         raise ValueError("num_taps must be <= 128")
     n = x.re.shape[-1]
     tile_in = tile_rows * _LANES
-    n_tiles = max(n // tile_in, 1)
+    n_tiles = max(-(-n // tile_in), 1)  # ceil: never drop a partial tile
     n_in = n_tiles * tile_in
     j_out = _LANES // decim
 
@@ -164,7 +171,9 @@ def fm_demod_decimate_pallas(
 
     def pad(arr):
         arr = arr[:n_in]
-        right = total_rows * _LANES - n_in - _LANES
+        # Zero-fill from the actual length (shorter than n_in for a
+        # partial final tile), not from n_in.
+        right = total_rows * _LANES - int(arr.shape[-1]) - _LANES
         return jnp.pad(arr, (_LANES, right)).reshape(total_rows, _LANES)
 
     xr, xi = pad(x.re), pad(x.im)
@@ -198,4 +207,4 @@ def fm_demod_decimate_pallas(
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile_rows, j_out), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(a_mat), jnp.asarray(b_mat), xr, xi, hr, hi)
-    return out.reshape(-1)
+    return out.reshape(-1)[: n // decim]

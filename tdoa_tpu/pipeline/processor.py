@@ -273,7 +273,7 @@ class TDOAProcessor:
         correlator (kernel geometry + VMEM limits; ops/pallas/corr_accum).
         Used by both the accumulator="auto" decision and the bf16-decode
         decision so they can never diverge."""
-        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+        from tdoa_tpu.ops.pallas.corr_accum import FFT_LEN, SEG_LEN
         from tdoa_tpu.utils.platform import on_tpu
 
         cfg = self.config
@@ -283,7 +283,8 @@ class TDOAProcessor:
             # 8 stations (28 pairs) measured to fit the kernel's VMEM
             # accumulators on v5e; beyond that use XLA.
             and n_stations <= 8
-            and cfg.max_lag < SEG_LEN
+            # Alias-free correlation window of the fixed kernel geometry.
+            and cfg.max_lag <= FFT_LEN - SEG_LEN
             and min_block_samples >= SEG_LEN
         )
 

@@ -158,7 +158,15 @@ def analyze_capture(
     raw = np.memmap(path, dtype=np.uint8, mode="r")
     n = len(raw) // (2 * NUM_BLOCKS) * 2  # bytes per block
     take = min(n, 2 * max_samples_per_block)
-    ref_bytes = np.ascontiguousarray(raw[:take])
+    # REF really is both bracketing blocks (analyzer.go:116-121 semantics):
+    # a retune glitch or gain fault confined to the SECOND REF block must
+    # show in the verdict, so sample half the budget from each.
+    # Even byte count (whole IQ pairs), at least one pair per block so
+    # tiny-but-valid captures stay analyzable.
+    half = max(take // 2 // 2 * 2, 2 if take >= 2 else 0)
+    ref_bytes = np.ascontiguousarray(
+        np.concatenate([raw[:half], raw[2 * n : 2 * n + half]])
+    )
     tgt_bytes = np.ascontiguousarray(raw[n : n + take])
     return SignalAnalysis(
         ref=analyze_block_bytes(ref_bytes, nfft=nfft),

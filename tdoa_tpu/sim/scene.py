@@ -186,9 +186,10 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
     n = len(scene.station_names)
     fs = scene.sample_rate
 
-    st_ecef = lla_to_ecef(scene.station_lla)
-    d_ref = np.linalg.norm(st_ecef - lla_to_ecef(scene.ref_tx_lla), axis=-1)
-    d_tgt = np.linalg.norm(st_ecef - lla_to_ecef(scene.tgt_tx_lla), axis=-1)
+    # 1/r path-loss amplitudes from the truth's own delays (d = τ·c/fs):
+    # one source of geometry for both timing and amplitude.
+    d_ref = np.asarray(tau_ref) * (SPEED_OF_LIGHT / fs)
+    d_tgt = np.asarray(tau_tgt) * (SPEED_OF_LIGHT / fs)
     amp_ref = scene.ref_profile.signal_amplitude * (d_ref.min() / d_ref)
     amp_tgt = scene.tgt_profile.signal_amplitude * (d_tgt.min() / d_tgt)
 

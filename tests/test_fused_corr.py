@@ -1,6 +1,7 @@
 """Fused Pallas correlator vs the XLA path (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -152,3 +153,27 @@ def test_fused_production_config_bf16_remove_dc():
     np.testing.assert_allclose(
         np.asarray(energy16), np.asarray(energy_ref), rtol=1e-3
     )
+
+
+def test_fused_rejects_aliased_max_lag():
+    """max_lag beyond the kernel's zero-pad slack would return circularly
+    aliased correlations; it must be an error, not silence."""
+    from tdoa_tpu.ops.corr import correlate_pairs_fused
+    from tdoa_tpu.ops.pallas.corr_accum import FFT_LEN, SEG_LEN
+    from tdoa_tpu.ops.cplx import C
+
+    x = C(jnp.zeros((2, SEG_LEN), jnp.float32),
+          jnp.zeros((2, SEG_LEN), jnp.float32))
+    with pytest.raises(ValueError, match="alias-free"):
+        correlate_pairs_fused(x, ((0, 1),), max_lag=FFT_LEN - SEG_LEN + 1)
+
+
+def test_fused_rejects_short_capture():
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        SEG_LEN, accumulate_cross_spectra_pallas)
+    from tdoa_tpu.ops.cplx import C
+
+    x = C(jnp.zeros((2, SEG_LEN - 100), jnp.float32),
+          jnp.zeros((2, SEG_LEN - 100), jnp.float32))
+    with pytest.raises(ValueError, match="shorter than one kernel segment"):
+        accumulate_cross_spectra_pallas(x, ((0, 1),))

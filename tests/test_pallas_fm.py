@@ -81,3 +81,26 @@ def test_kernel_lo_offset_becomes_dc():
         atol=5e-3,
     )
     assert np.mean(a1) - np.mean(a0) > 0.05  # the DC shift itself
+
+
+def test_short_and_ragged_inputs():
+    """Inputs shorter than one tile, and non-tile-multiple lengths, must
+    work: last partial tile is zero-padded, output is exactly n//decim."""
+    from tdoa_tpu.ops.pallas.fm_demod import fm_demod_decimate_pallas
+    from tdoa_tpu.ops.cplx import from_complex
+
+    fs = 2e6
+    for n in (10_000, 65_535, 32 * 1024 + 7):
+        t = np.arange(n) / fs
+        audio = np.sin(2 * np.pi * 1e3 * t)
+        phase = 2 * np.pi * 25e3 / fs * np.cumsum(audio)
+        iq = np.exp(1j * phase).astype(np.complex64)
+        out = np.asarray(
+            fm_demod_decimate_pallas(from_complex(jnp.asarray(iq)), fs,
+                                     deviation_hz=25e3)
+        )
+        assert out.shape == (n // 16,)
+        want = audio.reshape(-1, 16)[: n // 16].mean(-1) if n % 16 == 0 \
+            else audio[: n // 16 * 16].reshape(-1, 16).mean(-1)
+        corr = np.corrcoef(out[20:-20], want[20:-20])[0, 1]
+        assert corr > 0.95
