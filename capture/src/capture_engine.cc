@@ -41,8 +41,7 @@ CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
             static_cast<size_t>(std::min<uint64_t>(buf.size(), remaining));
         if (!dev.read_sync(buf.data(), chunk)) {
           stats.error = "sync read failed";
-          stats.bytes_written = 3 * block_bytes - remaining;
-          return stats;
+          return stats;  // bytes_written already tracks what was sunk
         }
         if (!sink(buf.data(), chunk)) {
           stats.error = "sink write failed";

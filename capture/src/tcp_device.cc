@@ -30,6 +30,7 @@ namespace {
 
 constexpr uint8_t kCmdSetFreq = 0x01;
 constexpr uint8_t kCmdSetRate = 0x02;
+constexpr uint8_t kCmdSetGainMode = 0x03;  // 0 = auto, 1 = manual
 constexpr uint8_t kCmdSetGain = 0x04;
 constexpr uint8_t kCmdSetPpm = 0x05;
 constexpr uint8_t kCmdSetAgc = 0x08;
@@ -79,6 +80,13 @@ class TcpDevice final : public Device {
     return send_cmd(kCmdSetFreq, freq_hz);
   }
   bool set_tuner_gain_db(double gain_db) override {
+    // Real rtl_tcp applies SET_GAIN only in manual gain mode; without
+    // the 0x03 command first, a genuine daemon silently ignores every
+    // gain we send and captures run under AGC.
+    if (!gain_mode_manual_) {
+      if (!send_cmd(kCmdSetGainMode, 1)) return false;
+      gain_mode_manual_ = true;
+    }
     // Wire unit is tenths of dB (rtl_tcp.c SET_GAIN).
     return send_cmd(kCmdSetGain,
                     (uint32_t)(NearestGainDb(gain_db) * 10.0 + 0.5));
@@ -160,6 +168,7 @@ class TcpDevice final : public Device {
   std::atomic<uint32_t> center_freq_{100'000'000};
   std::atomic<bool> cancel_{false};
   std::atomic<uint64_t> errors_{0};
+  std::atomic<bool> gain_mode_manual_{false};
   std::mutex send_mu_;  // retunes may race the initial config commands
 };
 

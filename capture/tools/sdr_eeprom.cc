@@ -6,6 +6,7 @@
 //   sdr_eeprom -I image.bin                 # read & print
 //   sdr_eeprom -I image.bin -g              # generate default image
 //   sdr_eeprom -I image.bin -m MFG -p PROD -S SERIAL   # write fields
+#include <algorithm>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -25,14 +26,22 @@ struct Config {
 };
 
 // Strings are stored as: len byte (2n+2), 0x03, then n UCS-2LE chars.
+// Truncates to what fits both the remaining image space and the 8-bit
+// length field (the descriptor format's own hard cap).
 size_t put_string(std::vector<uint8_t>& e, size_t pos, const std::string& s) {
-  e[pos] = (uint8_t)(s.size() * 2 + 2);
+  size_t n = s.size();
+  const size_t room = e.size() > pos + 2 ? (e.size() - pos - 2) / 2 : 0;
+  n = std::min({n, room, (size_t)126});  // 2n+2 must fit in uint8_t
+  if (n < s.size())
+    std::fprintf(stderr, "warning: string truncated to %zu chars\n", n);
+  if (pos + 2 > e.size()) return pos;
+  e[pos] = (uint8_t)(n * 2 + 2);
   e[pos + 1] = 0x03;
-  for (size_t i = 0; i < s.size(); ++i) {
+  for (size_t i = 0; i < n; ++i) {
     e[pos + 2 + 2 * i] = s[i];
     e[pos + 3 + 2 * i] = 0x00;
   }
-  return pos + 2 + 2 * s.size();
+  return pos + 2 + 2 * n;
 }
 
 size_t get_string(const std::vector<uint8_t>& e, size_t pos, std::string* out) {

@@ -57,6 +57,9 @@ int main(int argc, char** argv) {
         return 2;
       }
     } else if (a == "-n" && i + 1 < argc) samples = std::strtoull(argv[++i], nullptr, 10);
+    // rtl_power's integration-interval flag: accepted for CLI
+    // compatibility, unused here (one pass per tuning).
+    else if (a == "-i" && i + 1 < argc) ++i;
     else if (a == "--sim-seed" && i + 1 < argc) seed = std::strtoull(argv[++i], nullptr, 10);
     else if (a == "--help") {
       std::fprintf(stderr, "Usage: sdr_power -f low:high:bin_hz [-n samples] [out.csv]\n");

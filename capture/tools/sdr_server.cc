@@ -46,6 +46,13 @@ void command_worker(int fd, sdrcap::Device* dev, std::atomic<bool>* done) {
         std::fprintf(stderr, "set gain %.1f dB\n", param / 10.0);
         dev->set_tuner_gain_db(param / 10.0);
         break;
+      case 0x03:
+        // Tuner gain mode (0 auto / 1 manual). The sim device applies
+        // manual gains unconditionally; acknowledged for protocol parity
+        // with real rtl_tcp clients.
+        std::fprintf(stderr, "set gain mode %s\n",
+                     param ? "manual" : "auto");
+        break;
       case 0x05:
         std::fprintf(stderr, "set ppm %d\n", (int)param);
         dev->set_freq_correction_ppm((int)param);

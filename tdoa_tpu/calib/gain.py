@@ -62,7 +62,10 @@ class SimCaptureBackend:
 
     def __init__(
         self,
-        signal_dbfs_at_40: float = -6.0,
+        # -2 dBFS at 40 dB gain: full scale (clipping) is crossed right
+        # at overload_gain_db, so the calibrator's clip branch is
+        # actually reachable in simulation.
+        signal_dbfs_at_40: float = -2.0,
         noise_floor_dbfs: float = -55.0,  # snr_analysis.go:32
         overload_gain_db: float = 42.0,
         seed: int = 0,
@@ -104,13 +107,14 @@ def calibrate_frequency(
     (gain_calibrator.go:90-176 decision logic: clipping/overload → lower
     half; SNR below band → upper half; inside band → done)."""
     lo, hi = config.min_gain_db, config.max_gain_db
-    best: Optional[Tuple[float, float]] = None
     history: List[Tuple[float, float]] = []
+    clean: List[bool] = []  # per-iteration: free of clipping/overload
     for it in range(config.max_iterations):
         gain = 0.5 * (lo + hi)
         stats = _measure(backend, freq_hz, gain, config.test_samples)
         snr = stats.snr_db
         history.append((gain, snr))
+        clean.append(not (stats.is_clipping or stats.is_overloaded))
         if verbose:
             print(
                 f"  iter {it+1}: gain {gain:.1f} dB → SNR {snr:.1f} dB"
@@ -132,9 +136,14 @@ def calibrate_frequency(
             iterations=it + 1,
             history=history,
         )
-    # Not converged: report the best in-range-ish attempt (highest SNR
-    # without clipping), mirroring the reference's fallback printout.
-    usable = [(g, s) for g, s in history if s <= config.target_snr_hi_db]
+    # Not converged: report the best in-range-ish attempt — highest SNR
+    # among iterations that were actually free of clipping/overload,
+    # mirroring the reference's fallback printout. (A clipped capture can
+    # report an in-band SNR; recommending its gain would be wrong.)
+    usable = [
+        (g, s) for (g, s), ok in zip(history, clean)
+        if ok and s <= config.target_snr_hi_db
+    ]
     gain, snr = max(usable or history, key=lambda t: t[1])
     return CalibrationResult(
         freq_hz=freq_hz,

@@ -125,7 +125,10 @@ def main(argv=None) -> int:
             tgt_tx_lla=np.array(DEFAULT_TGT_TX),
             ref_freq=args.ref_freq,
             tgt_freq=args.target_freq,
-            block_len=min(samples_per_freq, 1 << 21),
+            # Honor the requested duration exactly — a silent cap here
+            # once produced 3 s captures for a requested 30 s while
+            # printing success.
+            block_len=samples_per_freq,
             seed=epoch % (1 << 31),
         )
         captures, _ = simulate_scene(scene)
@@ -139,7 +142,11 @@ def main(argv=None) -> int:
     setup_platform()
     from tdoa_tpu.quality import validate_dat_structure
 
-    rep = validate_dat_structure(out_path)
+    rep = validate_dat_structure(
+        out_path,
+        expected_duration_s=args.duration,
+        sample_rate=SAMPLE_RATE,
+    )
     if rep.problems:
         for prob in rep.problems:
             print(f"  VALIDATION: {prob}")

@@ -88,9 +88,11 @@ def main(argv=None) -> int:
         args.ref_freq, args.target_freq, args.csv,
         max_lag=args.max_lag, seg_len=args.seg_len,
     )
-    lla = table.lla_array([n for n in known])
-    # Tracker over the station set actually present in the first window.
+    # Tracker over the station set actually present in each window;
+    # rebuilt when the set changes (tracks carry over only while the
+    # geometry is stable — a different set means a different pair basis).
     tracker = None
+    tracker_order = None
 
     def settled(files) -> bool:
         """Writers may still be appending — require the window's newest
@@ -102,11 +104,18 @@ def main(argv=None) -> int:
         return (time.time() - newest) >= args.settle
 
     def process_window(ep, files) -> None:
-        nonlocal tracker
+        nonlocal tracker, tracker_order
         res = proc.process_files(sorted(files.values()))
-        if tracker is None:
-            order = res.station_names
-            tracker = TargetTracker(table.lla_array(order))
+        if tracker is None or tracker_order != res.station_names:
+            if tracker is not None:
+                print(
+                    f"station set changed "
+                    f"({','.join(tracker_order)} -> "
+                    f"{','.join(res.station_names)}); restarting tracks",
+                    file=sys.stderr,
+                )
+            tracker_order = res.station_names
+            tracker = TargetTracker(table.lla_array(tracker_order))
         tracker.update(
             float(ep),
             {args.target_id: res.tdoa_seconds},

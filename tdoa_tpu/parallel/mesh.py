@@ -82,7 +82,18 @@ def correlate_pairs_sharded(
 
         if pairs_static is None:
             raise ValueError("pallas accumulator needs a static pair tuple")
+        if max_lag > FFT_LEN - SEG_LEN:
+            raise ValueError(
+                f"max_lag {max_lag} exceeds the fused kernel's alias-free "
+                f"window {FFT_LEN - SEG_LEN}; use accumulator='xla'"
+            )
         per = (per // SEG_LEN) * SEG_LEN
+        if per == 0:
+            raise ValueError(
+                f"per-device chunk {n // d} is shorter than one kernel "
+                f"segment (SEG_LEN={SEG_LEN}); fewer devices or "
+                f"accumulator='xla'"
+            )
         fft_len = FFT_LEN
     else:
         seg_len_r, fft_len = resolve_seg(per, max_lag, seg_len, None)
