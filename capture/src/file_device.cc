@@ -41,15 +41,21 @@ class FileDevice final : public Device {
 
   bool read_sync(uint8_t* out, size_t len) override {
     size_t got = 0;
+    bool rewound = false;
     while (got < len) {
       size_t n = std::fread(out + got, 1, len - got, f_);
       if (n == 0) {
         if (std::feof(f_)) {
+          // An empty file would loop rewind→EOF forever: fail instead
+          // if a rewind produced no bytes.
+          if (rewound) return false;
           std::rewind(f_);
+          rewound = true;
           continue;
         }
         return false;
       }
+      rewound = false;
       got += n;
     }
     return true;

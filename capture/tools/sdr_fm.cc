@@ -136,6 +136,8 @@ struct Demod {
 int main(int argc, char** argv) {
   std::string mode = "fm", in_path, out_path;
   double rate = 2'000'000, live_seconds = 0, deemph_us = 75.0;
+  double audio_rate = 0;  // resolved to a decim after parsing (-r/-s
+                          // must not be order-dependent)
   uint32_t tune = 100'000'000;
   int audio_decim = 16;
   for (int i = 1; i < argc; ++i) {
@@ -143,7 +145,7 @@ int main(int argc, char** argv) {
     auto next = [&]() { return argv[++i]; };
     if (a == "-M") mode = next();
     else if (a == "-s") rate = std::atof(next());
-    else if (a == "-r") audio_decim = (int)(rate / std::atof(next()));
+    else if (a == "-r") audio_rate = std::atof(next());
     else if (a == "-d") deemph_us = std::atof(next());
     else if (a == "-i") in_path = next();
     else if (a == "-f") tune = std::strtoul(next(), nullptr, 10);
@@ -173,6 +175,8 @@ int main(int argc, char** argv) {
   if (!out) { std::perror("open out"); return 1; }
 
   Demod dm;
+  if (audio_rate > 0) audio_decim = (int)(rate / audio_rate);
+  if (audio_decim < 1) audio_decim = 1;
   dm.configure(m, rate, audio_decim, m == Mode::kFm ? deemph_us : 0.0);
   uint64_t audio_samples = 0;
 
