@@ -1,0 +1,193 @@
+"""On-hardware validation sweep: the paths the CPU test suite cannot prove.
+
+The pytest suite runs hermetically on CPU (tests/conftest.py); this script
+drives the REAL TPU chip through every hardware-only code path and checks
+end-to-end correctness against simulated ground truth:
+
+  1. full pipeline with the fused Pallas accumulator + bf16 .dat decode
+     (simulate → write .dat → process_files → fix vs planted transmitter)
+  2. fused correlator vs XLA path agreement on identical input
+  3. CAF delay-Doppler search on device
+  4. streaming accumulator routed through the fused kernel
+  5. Pallas FM demod/decimate kernel vs the XLA reference path
+
+Run from the repo root:  python scripts/tpu_validate.py
+One process, single chip; first jit is slow (tunnel warmup). Prints one
+PASS/FAIL line per check and exits nonzero on any failure.
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name}  {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    dev = jax.devices()[0]
+    plat = dev.platform.lower()
+    if not ("tpu" in plat or plat == "axon"):
+        print(f"not a TPU backend ({dev}); this sweep proves hardware paths")
+        return 2
+    print(f"device: {dev}", flush=True)
+
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.ops.cplx import C
+    from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+    from tdoa_tpu.pipeline import TDOAProcessor
+    from tdoa_tpu.sim import SimScene, write_scene_captures
+
+    omaha = {
+        "names": ("kx0u", "n3pay", "kf0mtl"),
+        "lla": np.array([
+            [41.18660274289527, -95.96064116595667, 355.69],
+            [41.24669616513154, -96.08366304481238, 329.0],
+            [41.32916620016985, -96.03513381562004, 373.18],
+        ]),
+        "ref_tx": np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        "tgt_tx": np.array([41.30888549464701, -96.02619229605524, 356.0]),
+    }
+
+    # ---- 1. full pipeline, fused kernel + bf16 decode -------------------
+    t0 = time.time()
+    scene = SimScene(
+        station_names=omaha["names"],
+        station_lla=omaha["lla"],
+        ref_tx_lla=omaha["ref_tx"],
+        tgt_tx_lla=omaha["tgt_tx"],
+        ref_freq=162.4e6,
+        tgt_freq=101.9e6,
+        block_len=2 * SEG_LEN,  # ≥ one kernel segment per block
+        clock_offsets_s=np.array([12e-6, -31e-6, 48e-6]),
+        seed=3,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        csv = os.path.join(td, "stations.csv")
+        with open(csv, "w") as f:
+            f.write("Name,Latitude,Longitude,Elevation\n")
+            f.write(f"162400000,{omaha['ref_tx'][0]},{omaha['ref_tx'][1]},"
+                    f"{omaha['ref_tx'][2]}\n")
+            for n, row in zip(omaha["names"], omaha["lla"]):
+                f.write(f"{n},{row[0]},{row[1]},{row[2]}\n")
+        paths, truth = write_scene_captures(scene, td)
+        proc = TDOAProcessor.from_csv(
+            162.4e6, 101.9e6, csv, max_lag=512, accumulator="pallas"
+        )
+        res = proc.process_files(sorted(paths.values()))
+        tau = dict(zip(scene.station_names, truth.station_delays_samples[:, 1]))
+        order = res.station_names
+        want = np.array([
+            tau[order[j]] - tau[order[i]] for i, j in res.pair_idx
+        ])
+        tdoa_err = np.abs(res.corrected_tdoa_samples - want).max()
+        est = np.array([res.fix.lat, res.fix.lon, omaha["tgt_tx"][2]])
+        fix_err = np.linalg.norm(lla_to_enu(est, omaha["tgt_tx"])[:2])
+        check(
+            "pipeline fused+bf16 e2e",
+            tdoa_err < 0.5 and fix_err < 200.0,
+            f"tdoa_err {tdoa_err:.3f} samp, fix_err {fix_err:.1f} m, "
+            f"{time.time()-t0:.0f}s",
+        )
+
+    # ---- 2. fused vs XLA agreement --------------------------------------
+    from tdoa_tpu.ops.corr import correlate_pairs_fused, correlate_pairs_planar
+
+    key = jax.random.PRNGKey(0)
+    kr, ki = jax.random.split(key)
+    n = 2 * SEG_LEN
+    base_r = jax.random.normal(kr, (n,), jnp.float32)
+    base_i = jax.random.normal(ki, (n,), jnp.float32)
+    shift = 37
+    x = C(
+        jnp.stack([base_r, jnp.roll(base_r, shift)]),
+        jnp.stack([base_i, jnp.roll(base_i, shift)]),
+    )
+    pairs = ((0, 1),)
+    rf = correlate_pairs_fused(x, pairs, max_lag=512, weighting="phat",
+                               precision="bf16")
+    rx = correlate_pairs_planar(
+        x, jnp.asarray([[0, 1]], jnp.int32), max_lag=512,
+        seg_len=SEG_LEN, fft_len=65536, weighting="phat",
+    )
+    d_f, d_x = float(rf.delay[0]), float(rx.delay[0])
+    check(
+        "fused kernel vs XLA path",
+        abs(d_f - shift) < 0.1 and abs(d_x - shift) < 0.1,
+        f"fused {d_f:.3f}, xla {d_x:.3f}, true {shift}",
+    )
+
+    # ---- 3. CAF on device ------------------------------------------------
+    from tdoa_tpu.ops.caf import caf_pairs
+    from tdoa_tpu.sim import fm_source, fractional_delay
+
+    fs = 2e6
+    nn = 1 << 17
+    src = fm_source(jax.random.PRNGKey(5), nn, fs)
+    delayed = fractional_delay(src, jnp.float32(23.5))
+    # Apply a 40 Hz relative Doppler to the delayed copy.
+    t = jnp.arange(nn) / fs
+    ph = 2 * jnp.pi * 40.0 * t
+    dre = delayed.re * jnp.cos(ph) - delayed.im * jnp.sin(ph)
+    dim = delayed.re * jnp.sin(ph) + delayed.im * jnp.cos(ph)
+    xc = C(jnp.stack([src.re, dre]), jnp.stack([src.im, dim]))
+    cres = caf_pairs(xc, jnp.asarray([[0, 1]], jnp.int32), fs,
+                     max_lag=128, seg_len=1 << 14, n_doppler=33)
+    cd, cf = float(cres.delay[0]), float(cres.doppler_hz[0])
+    check("CAF delay-Doppler", abs(cd - 23.5) < 0.5 and abs(cf - 40) < 8,
+          f"delay {cd:.2f} (want 23.5), doppler {cf:.1f} Hz (want 40)")
+
+    # ---- 4. streaming accumulator through the fused kernel ---------------
+    from tdoa_tpu.pipeline.streaming import acc_finalize, acc_init, acc_update
+
+    st = acc_init(2, 1, 65536)
+    chunk = C(x.re[:, :SEG_LEN], x.im[:, :SEG_LEN])
+    pair_idx = jnp.asarray([[0, 1]], jnp.int32)
+    st = acc_update(st, chunk, pair_idx, SEG_LEN, 65536, pairs_static=pairs)
+    st = acc_update(
+        st, C(x.re[:, SEG_LEN:], x.im[:, SEG_LEN:]), pair_idx, SEG_LEN,
+        65536, pairs_static=pairs,
+    )
+    sres = acc_finalize(st, pair_idx, max_lag=512, weighting="phat")
+    sd = float(sres.delay[0])
+    check("streaming pallas accumulate", abs(sd - shift) < 0.1,
+          f"delay {sd:.3f}, n_seg {int(st.n_seg)}")
+
+    # ---- 5. Pallas FM demod kernel vs XLA path ---------------------------
+    from tdoa_tpu.dsp import fm_demodulate
+    from tdoa_tpu.ops.pallas.fm_demod import fm_demod_decimate_pallas
+
+    na = 1 << 18
+    audio = np.sin(2 * np.pi * 1e3 * np.arange(na) / fs)
+    phase = 2 * np.pi * 25e3 / fs * np.cumsum(audio)
+    iq = np.exp(1j * phase).astype(np.complex64)
+    xa = C(jnp.asarray(iq.real), jnp.asarray(iq.imag))
+    a_pl = np.asarray(fm_demod_decimate_pallas(xa, fs, deviation_hz=25e3))
+    a_xla = np.asarray(fm_demodulate(xa, fs, decim=16, deviation_hz=25e3))
+    m = min(len(a_pl), len(a_xla))
+    corr = np.corrcoef(a_pl[100 : m - 100], a_xla[100 : m - 100])[0, 1]
+    check("pallas FM demod kernel", corr > 0.99, f"corr vs XLA {corr:.4f}")
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} FAILED: {', '.join(FAILURES)}")
+        return 1
+    print("ALL HARDWARE CHECKS PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
