@@ -118,11 +118,15 @@ def main() -> None:
     run()  # compile + first run
     compile_s = time.time() - t0
 
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
+    # Median of 5: dispatch through the device tunnel has ±5 ms
+    # run-to-run spread on identical code (BENCHLOG.md), so a mean of 3
+    # can swing ~10%; the median is stable.
+    times = []
+    for _ in range(5):
+        t0 = time.time()
         run()
-    steady_s = (time.time() - t0) / iters
+        times.append(time.time() - t0)
+    steady_s = sorted(times)[len(times) // 2]
 
     throughput = total_samples / steady_s / 1e6  # Msamples/s/chip
     target = 600.0  # Msamples/s == 3x100s capture in 1 s

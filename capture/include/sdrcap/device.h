@@ -39,6 +39,18 @@ class Device {
     (void)ppm;
     return true;
   }
+  // HF direct-sampling mode 0/1/2 (rtlsdr_set_direct_sampling,
+  // librtlsdr.c:1151) and E4000 offset tuning
+  // (rtlsdr_set_offset_tuning, librtlsdr.c:1222). Defaults inert —
+  // tuner-specific features a USB backend would implement.
+  virtual bool set_direct_sampling(int mode) {
+    (void)mode;
+    return true;
+  }
+  virtual bool set_offset_tuning(bool enabled) {
+    (void)enabled;
+    return true;
+  }
   virtual uint32_t center_freq() const = 0;
   virtual uint32_t sample_rate() const = 0;
 

@@ -34,6 +34,8 @@ constexpr uint8_t kCmdSetGainMode = 0x03;  // 0 = auto, 1 = manual
 constexpr uint8_t kCmdSetGain = 0x04;
 constexpr uint8_t kCmdSetPpm = 0x05;
 constexpr uint8_t kCmdSetAgc = 0x08;
+constexpr uint8_t kCmdSetDirect = 0x09;
+constexpr uint8_t kCmdSetOffset = 0x0a;
 
 class TcpDevice final : public Device {
  public:
@@ -96,6 +98,12 @@ class TcpDevice final : public Device {
   }
   bool set_freq_correction_ppm(int ppm) override {
     return send_cmd(kCmdSetPpm, (uint32_t)ppm);
+  }
+  bool set_direct_sampling(int mode) override {
+    return send_cmd(kCmdSetDirect, (uint32_t)mode);
+  }
+  bool set_offset_tuning(bool enabled) override {
+    return send_cmd(kCmdSetOffset, enabled ? 1 : 0);
   }
   uint32_t center_freq() const override { return center_freq_.load(); }
   uint32_t sample_rate() const override {

@@ -60,6 +60,14 @@ void command_worker(int fd, sdrcap::Device* dev, std::atomic<bool>* done) {
       case 0x08:
         dev->set_agc(param != 0);
         break;
+      case 0x09:
+        std::fprintf(stderr, "set direct sampling %u\n", param);
+        dev->set_direct_sampling((int)param);
+        break;
+      case 0x0a:
+        std::fprintf(stderr, "set offset tuning %u\n", param);
+        dev->set_offset_tuning(param != 0);
+        break;
       default:
         std::fprintf(stderr, "ignoring cmd 0x%02x\n", c.cmd);
     }

@@ -83,7 +83,10 @@ def main():
                     f"{omaha['ref_tx'][2]}\n")
             for n, row in zip(omaha["names"], omaha["lla"]):
                 f.write(f"{n},{row[0]},{row[1]},{row[2]}\n")
-        paths, truth = write_scene_captures(scene, td)
+        # The scene simulator is complex64 (CPU-only on this runtime);
+        # only the processing under test should touch the chip.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            paths, truth = write_scene_captures(scene, td)
         proc = TDOAProcessor.from_csv(
             162.4e6, 101.9e6, csv, max_lag=512, accumulator="pallas"
         )
@@ -136,14 +139,20 @@ def main():
 
     fs = 2e6
     nn = 1 << 17
-    src = fm_source(jax.random.PRNGKey(5), nn, fs)
-    delayed = fractional_delay(src, jnp.float32(23.5))
-    # Apply a 40 Hz relative Doppler to the delayed copy.
-    t = jnp.arange(nn) / fs
-    ph = 2 * jnp.pi * 40.0 * t
-    dre = delayed.re * jnp.cos(ph) - delayed.im * jnp.sin(ph)
-    dim = delayed.re * jnp.sin(ph) + delayed.im * jnp.cos(ph)
-    xc = C(jnp.stack([src.re, dre]), jnp.stack([src.im, dim]))
+    # Source synthesis uses complex64 internally → CPU; the CAF under
+    # test runs on the chip.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        src = np.asarray(fm_source(jax.random.PRNGKey(5), nn, fs))
+        delayed = np.asarray(
+            fractional_delay(jnp.asarray(src), jnp.float32(23.5))
+        )
+    # Apply a 40 Hz relative Doppler to the delayed copy (host numpy).
+    t = np.arange(nn) / fs
+    delayed = delayed * np.exp(2j * np.pi * 40.0 * t)
+    xc = C(
+        jnp.asarray(np.stack([src.real, delayed.real]), jnp.float32),
+        jnp.asarray(np.stack([src.imag, delayed.imag]), jnp.float32),
+    )
     cres = caf_pairs(xc, jnp.asarray([[0, 1]], jnp.int32), fs,
                      max_lag=128, seg_len=1 << 14, n_doppler=33)
     cd, cf = float(cres.delay[0]), float(cres.doppler_hz[0])
@@ -178,8 +187,17 @@ def main():
     a_pl = np.asarray(fm_demod_decimate_pallas(xa, fs, deviation_hz=25e3))
     a_xla = np.asarray(fm_demodulate(xa, fs, decim=16, deviation_hz=25e3))
     m = min(len(a_pl), len(a_xla))
-    corr = np.corrcoef(a_pl[100 : m - 100], a_xla[100 : m - 100])[0, 1]
-    check("pallas FM demod kernel", corr > 0.99, f"corr vs XLA {corr:.4f}")
+    # The two paths use different FIR group-delay conventions (centered
+    # 'SAME' vs causal polyphase) — align over a few audio samples
+    # before judging fidelity.
+    corr = max(
+        np.corrcoef(
+            a_pl[100 + s : m - 100 + s], a_xla[100 : m - 100]
+        )[0, 1]
+        for s in range(-8, 9)
+    )
+    check("pallas FM demod kernel", corr > 0.99,
+          f"aligned corr vs XLA {corr:.4f}")
 
     print()
     if FAILURES:
