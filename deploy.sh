@@ -39,15 +39,15 @@ if [ -x capture/build/sdr_capture ]; then
         -n 100000 "$TMP/probe.dat" 2>/dev/null
     SIZE=$(stat -c%s "$TMP/probe.dat")
     [ "$SIZE" -eq 600000 ] || { echo "  FAIL: probe capture wrong size $SIZE"; exit 1; }
-    PYTHONPATH="$REPO" TDOA_TPU_PLATFORM=cpu python3 -m tdoa_tpu.cli.reader "$TMP/probe.dat" >/dev/null \
+    PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" TDOA_TPU_PLATFORM=cpu python3 -m tdoa_tpu.cli.reader "$TMP/probe.dat" >/dev/null \
         && echo "  probe capture validates OK"
     rm -rf "$TMP"
 fi
 
 echo "[4/5] Algorithm sanity (simple_corr)"
-PYTHONPATH="$REPO" TDOA_TPU_PLATFORM=cpu python3 -m tdoa_tpu.cli.simple_corr --n 16384 | tail -1
+PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" TDOA_TPU_PLATFORM=cpu python3 -m tdoa_tpu.cli.simple_corr --n 16384 | tail -1
 
 echo "[5/5] Test suite (quick subset)"
-PYTHONPATH="$REPO" python3 -m pytest tests/test_io.py tests/test_geo.py -q --no-header | tail -1
+PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" python3 -m pytest tests/test_io.py tests/test_geo.py -q --no-header | tail -1
 
 echo "== deploy complete =="
