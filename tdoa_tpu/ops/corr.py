@@ -128,7 +128,9 @@ def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
         d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
         return C(cross.re / d, cross.im / d)
     if weighting == "scot":
-        denom = jnp.sqrt(psd[pair_idx[:, 0]] * psd[pair_idx[:, 1]])
+        denom = jnp.sqrt(
+            jnp.maximum(psd[pair_idx[:, 0]] * psd[pair_idx[:, 1]], 0.0)
+        )
         d = denom + eps * jnp.mean(denom, axis=-1, keepdims=True) + 1e-30
         return C(cross.re / d, cross.im / d)
     if weighting in ("ht", "ml"):
@@ -139,8 +141,10 @@ def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
         # decisive difference for narrowband signals in wideband noise.
         # With a single segment γ ≡ 1 and the clamp reduces this to a
         # scaled PHAT.
-        saa = psd[pair_idx[:, 0]]
-        sbb = psd[pair_idx[:, 1]]
+        # Clamp at zero defensively: an accumulator that rounds a bin's
+        # power slightly negative would NaN the sqrt and poison every lag.
+        saa = jnp.maximum(psd[pair_idx[:, 0]], 0.0)
+        sbb = jnp.maximum(psd[pair_idx[:, 1]], 0.0)
         # sqrt-form avoids overflowing the 4th-power product for large
         # spectral magnitudes.
         gamma = mag / jnp.maximum(jnp.sqrt(saa) * jnp.sqrt(sbb), 1e-30)

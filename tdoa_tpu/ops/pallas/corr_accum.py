@@ -237,6 +237,20 @@ def accumulate_cross_spectra_pallas(
     # The spectral-sum accumulators exist only for the DC-removal
     # algebra; without remove_dc they would be dead VMEM and writeback.
     n_out = 5 if remove_dc else 3
+    # Mosaic's default scoped-VMEM budget (16 MB) caps the resident
+    # accumulators at ~6 stations; request what this call actually
+    # needs so larger networks (8 stations = 28 pairs ≈ 20 MB of f32
+    # accumulators) compile. v5e has 128 MB of VMEM.
+    mm_bytes = 2 if mm_dtype == jnp.bfloat16 else 4
+    accum_bytes = (2 * m + n_st * (3 if remove_dc else 1)) * R * R * 4
+    input_bytes = 2 * 2 * n_st * step_rows * R * mm_bytes  # double-buffered
+    const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * mm_bytes + 2 * R * R * 4
+    scratch_bytes = 2 * R * R * mm_bytes
+    need = (int(1.25 * (accum_bytes + input_bytes + const_bytes
+                        + scratch_bytes)) + (2 << 20))
+    # Never request less than Mosaic's 16 MB default (a tighter bound
+    # buys nothing), never more than a safe fraction of v5e's 128 MB.
+    vmem_budget = min(max(need, 16 << 20), 100 << 20)
     outs = pl.pallas_call(
         functools.partial(
             _kernel, n_st=n_st, pairs=pairs, segs_per_step=segs_per_step,
@@ -256,6 +270,7 @@ def accumulate_cross_spectra_pallas(
             pltpu.VMEM((R, R), mm_dtype),
             pltpu.VMEM((R, R), mm_dtype),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
     )(x3r, x3i, *consts)
     if remove_dc:
@@ -289,9 +304,15 @@ def accumulate_cross_spectra_pallas(
               + n_seg * (ajr * air + aji * aii))
         ci = (ci - (aji * sir - ajr * sii) - (air * sji - aii * sjr)
               + n_seg * (aji * air - ajr * aii))
-        # Σ|X−A|² = psd − 2Re(Ā∘S) + n_seg|A|²
-        psd = (psd - 2.0 * (a_r * s_r + a_i * s_i)
-               + n_seg * (a_r * a_r + a_i * a_i))
+        # Σ|X−A|² = psd − 2Re(Ā∘S) + n_seg|A|². The cancellation of
+        # large near-equal terms (the DC bin: |X(0)|≈|A(0)|, magnitudes
+        # ~(mean·SEG_LEN)²) can round slightly NEGATIVE in f32; clamp —
+        # a negative power under HT's sqrt turns the whole spectrum NaN.
+        psd = jnp.maximum(
+            psd - 2.0 * (a_r * s_r + a_i * s_i)
+            + n_seg * (a_r * a_r + a_i * a_i),
+            0.0,
+        )
     # Demeaned per-station power via Parseval: Σₙ|x−m|² = (1/F)Σₖ psd'.
     power_dm = jnp.maximum(jnp.sum(psd, axis=-1) / FFT_LEN / use, 1e-30)
 

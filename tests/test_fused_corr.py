@@ -177,3 +177,23 @@ def test_fused_rejects_short_capture():
           jnp.zeros((2, SEG_LEN - 100), jnp.float32))
     with pytest.raises(ValueError, match="shorter than one kernel segment"):
         accumulate_cross_spectra_pallas(x, ((0, 1),))
+
+
+def test_dc_heavy_input_stays_finite():
+    """The DC-removal finalize algebra cancels large near-equal terms and
+    can round a PSD bin slightly negative; HT's sqrt must never NaN
+    (regression: an 8-station hardware run had one station's REF block
+    peg every pair at the window edge with quality=NaN)."""
+    rng = np.random.default_rng(3)
+    n = 2 * SEG_LEN
+    sig = rng.standard_normal(n).astype(np.float32) * 0.05
+    x = C(
+        jnp.stack([sig + 0.0055, np.roll(sig, 9) + 0.0048]),
+        jnp.stack([sig * 0.5 - 0.003, np.roll(sig, 9) * 0.5 + 0.004]),
+    )
+    res = correlate_pairs_fused(
+        x, ((0, 1),), max_lag=256, weighting="ht", remove_dc=True
+    )
+    assert np.isfinite(np.asarray(res.corr)).all()
+    assert np.isfinite(float(res.quality[0]))
+    assert abs(float(res.delay[0]) - 9.0) < 0.1
