@@ -10,6 +10,7 @@ end-to-end correctness against simulated ground truth:
   3. CAF delay-Doppler search on device
   4. streaming accumulator routed through the fused kernel
   5. Pallas FM demod/decimate kernel vs the XLA reference path
+  6. the kernel's full 8-station (28-pair) configuration, exact delays
 
 Run from the repo root:  python scripts/tpu_validate.py
 One process, single chip; first jit is slow (tunnel warmup). Prints one
@@ -198,6 +199,32 @@ def main():
     )
     check("pallas FM demod kernel", corr > 0.99,
           f"aligned corr vs XLA {corr:.4f}")
+
+    # ---- 6. full 8-station kernel configuration --------------------------
+    # 28 pairs of VMEM accumulators (~20 MB) exercises the computed
+    # vmem_limit_bytes request, and DC-offset inputs exercise the
+    # negative-PSD clamp in the DC-removal finalize (both were hardware-
+    # only failures once).
+    from tdoa_tpu.solve.multilateration import station_pairs
+
+    shifts = [7 * k for k in range(8)]
+    br8 = np.asarray(base_r)
+    bi8 = np.asarray(base_i)
+    x8 = C(
+        jnp.asarray(np.stack([np.roll(br8, s) + 0.005 for s in shifts]),
+                    jnp.float32),
+        jnp.asarray(np.stack([np.roll(bi8, s) - 0.004 for s in shifts]),
+                    jnp.float32),
+    )
+    pairs8 = tuple(map(tuple, station_pairs(8).tolist()))
+    r8 = correlate_pairs_fused(x8, pairs8, max_lag=512, weighting="ht",
+                               precision="bf16", remove_dc=True)
+    d8 = np.asarray(r8.delay)
+    want8 = np.array([shifts[j] - shifts[i] for i, j in pairs8])
+    err8 = np.abs(d8 - want8).max()
+    finite = bool(np.isfinite(np.asarray(r8.quality)).all())
+    check("8-station fused kernel", err8 < 0.1 and finite,
+          f"28 pairs, max delay err {err8:.3f}, finite={finite}")
 
     print()
     if FAILURES:
