@@ -43,6 +43,13 @@ class NoiseProfile:
     impulse_amplitude: float = 0.0  # impulse magnitude (absolute)
     phase_drift_rad_s: float = 0.0  # slow LO phase rotation
     dc_offset: float = 0.0  # additive DC on both I and Q
+    # Specular multipath: one delayed, attenuated echo of the direct
+    # path per station (excess delay jittered ±20% per station). Beyond
+    # the reference's menu — urban reflections are the dominant real-
+    # world TDOA error source and the correlator must prefer the first
+    # arrival.
+    multipath_amplitude: float = 0.0  # echo amplitude relative to direct
+    multipath_delay_samples: float = 0.0  # nominal excess delay
 
 
 IDEAL_PROFILE = NoiseProfile()
@@ -147,7 +154,17 @@ def _receive_block(
         lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
     )(delays, amps)
 
-    k_noise_i, k_noise_q, k_imp, k_impphase, k_phase0 = jax.random.split(key, 5)
+    (k_noise_i, k_noise_q, k_imp, k_impphase, k_phase0,
+     k_mp) = jax.random.split(key, 6)
+
+    if profile.multipath_amplitude > 0.0 and profile.multipath_delay_samples > 0.0:
+        excess = profile.multipath_delay_samples * jax.random.uniform(
+            k_mp, (n_st,), minval=0.8, maxval=1.2
+        )
+        echo = jax.vmap(
+            lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
+        )(delays + excess, amps * profile.multipath_amplitude)
+        rx = rx + echo
     noise = profile.noise_amplitude * (
         jax.random.normal(k_noise_i, (n_st, length))
         + 1j * jax.random.normal(k_noise_q, (n_st, length))

@@ -231,3 +231,34 @@ def test_duplicate_station_files_rejected(
     shutil.copy(first, dup)
     with pytest.raises(ValueError, match="one file per station"):
         proc.process_files(sorted(paths.values()) + [dup])
+
+
+def test_e2e_multipath_prefers_direct_path(omaha_stations, station_csv):
+    """A specular echo at 0.6x amplitude, ~30 samples of excess delay,
+    must not capture the correlation peak: GCC weighting keeps the fix
+    on the direct (first-arrival) path. Urban-reflection robustness the
+    reference never modeled."""
+    from tdoa_tpu.sim.scene import NoiseProfile
+
+    mp = NoiseProfile(
+        multipath_amplitude=0.6, multipath_delay_samples=30.0
+    )
+    scene = _scene(
+        omaha_stations,
+        ref_profile=mp,
+        tgt_profile=mp,
+        clock_offsets_s=np.array([8e-6, -15e-6, 22e-6]),
+        seed=13,
+    )
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=1 << 15, max_lag=512,
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+    # The echo sits ~30 samples late; locking onto it would show as a
+    # many-sample TDOA bias. Direct-path lock keeps errors ~1 sample.
+    np.testing.assert_allclose(
+        res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=3.0
+    )
+    assert _fix_error_m(res.fix, scene.tgt_tx_lla) < 1500.0
