@@ -25,16 +25,28 @@ def main(argv=None) -> int:
     _add_common_args(p)
     p.add_argument("--ref-snr-scale", type=float, default=1.0,
                    help="scale the weak-REF signal amplitude")
+    p.add_argument("--multipath-amp", type=float, default=0.0,
+                   help="specular echo amplitude relative to the direct "
+                        "path (both signals)")
+    p.add_argument("--multipath-delay", type=float, default=0.0,
+                   help="nominal echo excess delay in samples "
+                        "(jittered ±20%% per station)")
     args = p.parse_args(argv)
 
     from tdoa_tpu.sim import STRONG_TGT_PROFILE, WEAK_REF_PROFILE
     import dataclasses
 
+    mp = dict(
+        multipath_amplitude=args.multipath_amp,
+        multipath_delay_samples=args.multipath_delay,
+    )
     ref_prof = dataclasses.replace(
         WEAK_REF_PROFILE,
         signal_amplitude=WEAK_REF_PROFILE.signal_amplitude * args.ref_snr_scale,
+        **mp,
     )
-    scene = build_scene(args, ref_prof, STRONG_TGT_PROFILE)
+    tgt_prof = dataclasses.replace(STRONG_TGT_PROFILE, **mp)
+    scene = build_scene(args, ref_prof, tgt_prof)
     # Predicted per-sample SNRs (weak_signal_simulator.go:251-254 parity).
     ref_snr = 20 * np.log10(
         ref_prof.signal_amplitude / (np.sqrt(2) * ref_prof.noise_amplitude)
@@ -47,7 +59,9 @@ def main(argv=None) -> int:
           f"TGT {tgt_snr:.1f} dB (strong)")
     print(f"Impairments: {ref_prof.impulse_rate*100:.2f}% impulses, "
           f"{ref_prof.phase_drift_rad_s} rad/s drift, "
-          f"DC {ref_prof.dc_offset}")
+          f"DC {ref_prof.dc_offset}"
+          + (f", echo {args.multipath_amp}x @ ~{args.multipath_delay} samp"
+             if args.multipath_amp > 0 else ""))
     return run_and_report(scene, args.out, "weak-")
 
 
