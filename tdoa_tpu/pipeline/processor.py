@@ -416,6 +416,24 @@ class TDOAProcessor:
                 solve_z=cfg.solve_z,
                 tdoa_sigma_s=tdoa_std_s,
             )
+        # Mutually inconsistent TDOAs leave a residual the per-pair
+        # quality gate cannot see: a co-channel interferer or strong
+        # multipath produces clean, confident peaks on DIFFERENT
+        # emitters/paths. Threshold scales with the measurement noise so
+        # legitimately noisy (weak-signal) sets don't trip it.
+        sigma_m = float(np.median(tdoa_std_s)) * SPEED_OF_LIGHT
+        # A consistent set's rms residual is ~1-2× the measurement noise
+        # (weak signals inflate residual and sigma together); a mixed
+        # set — pairs locked on different emitters/paths — blows the
+        # ratio out. 5× separates the two regimes with margin both ways.
+        resid_gate = max(100.0, 5.0 * sigma_m)
+        if fix.rms_residual_m > resid_gate:
+            warnings.append(
+                f"TDOA set is internally inconsistent (rms residual "
+                f"{fix.rms_residual_m:.0f} m vs ~{sigma_m:.1f} m expected "
+                f"noise): suspect co-channel interference, multipath, or "
+                f"a wrong station assignment"
+            )
         return TDOAResult(
             fix=fix,
             station_names=names,

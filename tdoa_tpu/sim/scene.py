@@ -83,6 +83,13 @@ class SimScene:
     clock_drifts_ppm: Optional[np.ndarray] = None  # [n] fractional rate error
     ref_profile: NoiseProfile = IDEAL_PROFILE
     tgt_profile: NoiseProfile = IDEAL_PROFILE
+    # Optional co-channel interferer on the TARGET frequency: a second,
+    # independent emitter whose signal lands in the same TGT block
+    # (another real-world failure mode absent from the reference's
+    # impairment menu). Amplitude is relative to the target's at each
+    # station's nearest-approach normalization.
+    interferer_lla: Optional[np.ndarray] = None  # [3]
+    interferer_amplitude: float = 0.0
     seed: int = 0
 
 
@@ -211,7 +218,7 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
     amp_tgt = scene.tgt_profile.signal_amplitude * (d_tgt.min() / d_tgt)
 
     key = jax.random.PRNGKey(scene.seed)
-    keys = jax.random.split(key, 6)
+    keys = jax.random.split(key, 8)
     blocks = []
     specs = [
         (0, scene.ref_freq, tau_ref, amp_ref, scene.ref_profile),
@@ -227,6 +234,29 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
             keys[3 + b % 3], src, delays, jnp.asarray(amp, jnp.float32),
             carrier, profile, fs,
         )
+        if (bi == 1 and scene.interferer_lla is not None
+                and scene.interferer_amplitude > 0.0):
+            # Independent co-channel emitter: own waveform, own geometry,
+            # same station clocks; adds clean (the block's noise/
+            # impairments were already applied once by _receive_block).
+            st = lla_to_ecef(scene.station_lla)
+            d_int = np.linalg.norm(
+                st - lla_to_ecef(np.asarray(scene.interferer_lla)), axis=-1
+            )
+            tau_int = d_int / SPEED_OF_LIGHT * fs
+            # Amplitude is defined relative to the TARGET's at each
+            # station (a controllable interference-to-signal ratio);
+            # propagation *timing* still uses the interferer's own
+            # geometry.
+            amp_int = scene.interferer_amplitude * np.asarray(amp_tgt)
+            int_src = fm_source(keys[6], scene.block_len, fs)
+            int_delays = jnp.asarray(
+                tau_int + np.asarray(truth.clock_offset_samples[:, bi]),
+                jnp.float32,
+            )
+            rx = rx + jax.vmap(
+                lambda d, a: apply_channel(int_src, d, carrier, fs, a)
+            )(int_delays, jnp.asarray(amp_int, jnp.float32))
         blocks.append(rx)
 
     captures = {

@@ -262,3 +262,41 @@ def test_e2e_multipath_prefers_direct_path(omaha_stations, station_csv):
         res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=3.0
     )
     assert _fix_error_m(res.fix, scene.tgt_tx_lla) < 1500.0
+
+
+def test_e2e_cochannel_interferer(omaha_stations, station_csv):
+    """A second emitter on the target frequency at half the target's
+    power: the correlator's dominant peak stays on the target and the
+    fix holds; at equal power the quality gate must flag trouble rather
+    than silently return a confident wrong fix."""
+    def run(amp):
+        scene = _scene(
+            omaha_stations,
+            clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
+            interferer_lla=np.array([41.36, -95.90, 340.0]),
+            interferer_amplitude=amp,
+            seed=17,
+        )
+        captures, truth = simulate_scene(scene)
+        proc = TDOAProcessor.from_csv(
+            scene.ref_freq, scene.tgt_freq, station_csv,
+            seg_len=1 << 15, max_lag=512,
+        )
+        res = proc.process_captures(
+            {n: captures[n] for n in scene.station_names}
+        )
+        return res, truth
+
+    res, truth = run(0.5)
+    np.testing.assert_allclose(
+        res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=3.0
+    )
+    assert _fix_error_m(res.fix, (lambda s: s)(_scene(omaha_stations).tgt_tx_lla)) < 1500.0
+
+    # Equal-power interferer: either the TDOAs still match the target or
+    # the result is flagged (low quality / warnings) — never a silently
+    # confident wrong answer.
+    res_eq, truth_eq = run(1.0)
+    err = np.abs(res_eq.corrected_tdoa_samples - truth_eq.tgt_tdoa_samples)
+    flagged = bool(res_eq.warnings) or (np.asarray(res_eq.quality) < 8.0).any()
+    assert (err.max() < 3.0) or flagged
