@@ -42,6 +42,10 @@ def _add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--clock-offsets-us", type=float, nargs="*", default=None,
                    help="per-station clock offsets in microseconds")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--interferer", type=float, nargs=4, default=None,
+                   metavar=("LAT", "LON", "ELEV", "AMP"),
+                   help="co-channel emitter on the target frequency: "
+                        "position + amplitude relative to the target")
     p.add_argument("--out", default=".", help="output directory")
 
 
@@ -84,6 +88,9 @@ def build_scene(args, ref_profile, tgt_profile, block_len=None):
         clock_offsets_s=offsets,
         ref_profile=ref_profile,
         tgt_profile=tgt_profile,
+        interferer_lla=(np.array(args.interferer[:3])
+                        if args.interferer else None),
+        interferer_amplitude=(args.interferer[3] if args.interferer else 0.0),
         seed=args.seed,
     )
 
