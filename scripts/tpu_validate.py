@@ -52,15 +52,19 @@ def main():
     from tdoa_tpu.pipeline import TDOAProcessor
     from tdoa_tpu.sim import SimScene, write_scene_captures
 
+    # One source of truth for the deployment geometry (also what
+    # lat-lon-table.csv carries).
+    from tdoa_tpu.cli.simulator import (
+        DEFAULT_REF_TX,
+        DEFAULT_STATIONS,
+        DEFAULT_TGT_TX,
+    )
+
     omaha = {
-        "names": ("kx0u", "n3pay", "kf0mtl"),
-        "lla": np.array([
-            [41.18660274289527, -95.96064116595667, 355.69],
-            [41.24669616513154, -96.08366304481238, 329.0],
-            [41.32916620016985, -96.03513381562004, 373.18],
-        ]),
-        "ref_tx": np.array([41.25703803095629, -95.95512763589404, 349.07]),
-        "tgt_tx": np.array([41.30888549464701, -96.02619229605524, 356.0]),
+        "names": tuple(DEFAULT_STATIONS),
+        "lla": np.array(list(DEFAULT_STATIONS.values())),
+        "ref_tx": np.array(DEFAULT_REF_TX),
+        "tgt_tx": np.array(DEFAULT_TGT_TX),
     }
 
     # ---- 1. full pipeline, fused kernel + bf16 decode -------------------

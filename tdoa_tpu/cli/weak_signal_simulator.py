@@ -32,6 +32,8 @@ def main(argv=None) -> int:
                    help="nominal echo excess delay in samples "
                         "(jittered ±20%% per station)")
     args = p.parse_args(argv)
+    if (args.multipath_amp > 0) != (args.multipath_delay > 0):
+        p.error("--multipath-amp and --multipath-delay must be given together")
 
     from tdoa_tpu.sim import STRONG_TGT_PROFILE, WEAK_REF_PROFILE
     import dataclasses

@@ -147,9 +147,15 @@ def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
         sbb = jnp.maximum(psd[pair_idx[:, 1]], 0.0)
         # sqrt-form avoids overflowing the 4th-power product for large
         # spectral magnitudes.
-        gamma = mag / jnp.maximum(jnp.sqrt(saa) * jnp.sqrt(sbb), 1e-30)
+        denom = jnp.sqrt(saa) * jnp.sqrt(sbb)
+        gamma = mag / jnp.maximum(denom, 1e-30)
         gamma2 = jnp.clip(gamma * gamma, 0.0, 0.98)
         snr_w = gamma2 / (1.0 - gamma2)
+        # A bin with (near-)zero power carries no information: a tiny
+        # denominator makes gamma explode and would hand the garbage bin
+        # the MAXIMUM weight. Zero it instead.
+        floor = 1e-9 * jnp.mean(denom, axis=-1, keepdims=True)
+        snr_w = jnp.where(denom > floor, snr_w, 0.0)
         d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
         w = snr_w / jnp.maximum(jnp.max(snr_w, axis=-1, keepdims=True), 1e-30)
         s = w / d

@@ -228,11 +228,6 @@ def generate_recommendations(a: SignalAnalysis) -> List[str]:
             recs.append(
                 f"{g} I/Q imbalance {blk.iq_imbalance_db:+.1f} dB: hardware issue."
             )
-        if blk.is_noisy:
-            recs.append(
-                f"{g} Excessive noise variation: check for RF interference, "
-                f"antenna placement, or nearby EMI sources."
-            )
     return recs
 
 

@@ -153,6 +153,7 @@ def _receive_block(
     carrier: float,
     profile: NoiseProfile,
     sample_rate: float,
+    multipath_excess: Optional[jax.Array] = None,  # [n] samples, scene-static
 ) -> jax.Array:
     """Simulate one block at every station: channel + impairments. [n, L]."""
     n_st = delays.shape[0]
@@ -161,16 +162,15 @@ def _receive_block(
         lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
     )(delays, amps)
 
-    (k_noise_i, k_noise_q, k_imp, k_impphase, k_phase0,
-     k_mp) = jax.random.split(key, 6)
+    k_noise_i, k_noise_q, k_imp, k_impphase, k_phase0 = jax.random.split(key, 5)
 
-    if profile.multipath_amplitude > 0.0 and profile.multipath_delay_samples > 0.0:
-        excess = profile.multipath_delay_samples * jax.random.uniform(
-            k_mp, (n_st,), minval=0.8, maxval=1.2
-        )
+    if (profile.multipath_amplitude > 0.0 and multipath_excess is not None):
+        # The excess delay is drawn ONCE per scene (simulate_scene): a
+        # static reflector gives the same echo geometry in every block —
+        # re-drawing per block would inject fake apparent clock drift.
         echo = jax.vmap(
             lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
-        )(delays + excess, amps * profile.multipath_amplitude)
+        )(delays + multipath_excess, amps * profile.multipath_amplitude)
         rx = rx + echo
     noise = profile.noise_amplitude * (
         jax.random.normal(k_noise_i, (n_st, length))
@@ -230,9 +230,15 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
         delays = jnp.asarray(
             tau + np.asarray(truth.clock_offset_samples[:, bi]), jnp.float32
         )
+        mp_excess = None
+        if (profile.multipath_amplitude > 0.0
+                and profile.multipath_delay_samples > 0.0):
+            mp_excess = profile.multipath_delay_samples * jax.random.uniform(
+                keys[7], (n,), minval=0.8, maxval=1.2
+            )
         rx = _receive_block(
             keys[3 + b % 3], src, delays, jnp.asarray(amp, jnp.float32),
-            carrier, profile, fs,
+            carrier, profile, fs, multipath_excess=mp_excess,
         )
         if (bi == 1 and scene.interferer_lla is not None
                 and scene.interferer_amplitude > 0.0):

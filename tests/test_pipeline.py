@@ -291,7 +291,7 @@ def test_e2e_cochannel_interferer(omaha_stations, station_csv):
     np.testing.assert_allclose(
         res.corrected_tdoa_samples, truth.tgt_tdoa_samples, atol=3.0
     )
-    assert _fix_error_m(res.fix, (lambda s: s)(_scene(omaha_stations).tgt_tx_lla)) < 1500.0
+    assert _fix_error_m(res.fix, omaha_stations["tgt_tx_lla"]) < 1500.0
 
     # Equal-power interferer: either the TDOAs still match the target or
     # the result is flagged (low quality / warnings) — never a silently
