@@ -174,7 +174,7 @@ def _lag_window(r: jax.Array, max_lag: int) -> jax.Array:
 
 
 def _phase_slope_refine(cross: C, coarse_delay, fft_len: int,
-                        max_lag: int = 0):
+                        max_lag: int = 0, peak_phase=None):
     """Refine a coarse delay by weighted LS on the cross-spectrum phase.
 
     For pair spectrum ``C = X_j·conj(X_i)`` a pure delay d gives
@@ -201,7 +201,27 @@ def _phase_slope_refine(cross: C, coarse_delay, fft_len: int,
         ramp = frac.astype(jnp.float32) * jnp.float32(2.0 * np.pi / fft_len)
     else:
         ramp = two_pi * f[None, :] * coarse_delay[:, None]
-    raw = cross.angle() + ramp
+    # Re-center by the carrier-phase intercept BEFORE wrapping: with the
+    # receivers' constant phase offset θ near ±π, the wrapped in-band
+    # phases split into +π/−π clusters and the weighted LS slope blows
+    # up (observed: δ=+2.5 for a true −0.6, then clipped — a 1.6-sample
+    # bias). θ is the complex correlation's phase at the peak lag
+    # (callers pass it for free); the fit's own intercept absorbs any
+    # estimation error in θ̂.
+    if peak_phase is None:
+        # Non-hot paths (e.g. CAF): weighted mean phasor of the
+        # derampled spectrum, wrap-free by construction.
+        from tdoa_tpu.ops.cplx import exp_i
+
+        w0 = cross.abs2()
+        de = exp_i(ramp)
+        c = cross * de
+        theta = jnp.arctan2(
+            jnp.sum(w0 * c.im, axis=-1), jnp.sum(w0 * c.re, axis=-1)
+        )
+    else:
+        theta = peak_phase
+    raw = cross.angle() + ramp - theta[:, None]
     phi = raw - two_pi * jnp.round(raw / two_pi)
     sw = jnp.sum(w, axis=-1)
     swf = jnp.sum(w * f[None, :], axis=-1)
@@ -267,7 +287,15 @@ def _finish_correlation(
     delay = pos - jnp.float32(max_lag)
     if refine == "phase":
         coarse = jnp.round(delay)
-        delay, delay_std = _phase_slope_refine(cross, coarse, fft_len, max_lag)
+        # Carrier-phase intercept = the complex correlation's phase at
+        # the peak lag (free: one gather from the ifft already computed).
+        idx = jnp.mod(coarse.astype(jnp.int32), fft_len)
+        pr = jnp.take_along_axis(r.re, idx[:, None], axis=-1)[:, 0]
+        pi = jnp.take_along_axis(r.im, idx[:, None], axis=-1)[:, 0]
+        peak_phase = jnp.arctan2(pi, pr)
+        delay, delay_std = _phase_slope_refine(
+            cross, coarse, fft_len, max_lag, peak_phase
+        )
     else:
         delay_std = jnp.zeros_like(delay)
     quality = peak_quality(win)

@@ -300,3 +300,23 @@ def test_e2e_cochannel_interferer(omaha_stations, station_csv):
     err = np.abs(res_eq.corrected_tdoa_samples - truth_eq.tgt_tdoa_samples)
     flagged = bool(res_eq.warnings) or (np.asarray(res_eq.quality) < 8.0).any()
     assert (err.max() < 3.0) or flagged
+
+
+def test_clock_drift_with_truncated_analysis_window(
+    omaha_stations, station_csv
+):
+    """truncate_samples shortens the analysis window but NOT the capture-
+    time spacing of the REF blocks — the drift time base must use the
+    original block length (regression: drift came out blocks/window x
+    too large)."""
+    drifts = np.array([4.0, -2.0, 1.0])  # ppm
+    scene = _scene(omaha_stations, clock_drifts_ppm=drifts, seed=52)
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=None, max_lag=512,
+        truncate_samples=BLOCK // 2,  # analyze half of each block
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+    want = np.array([drifts[j] - drifts[i] for i, j in res.pair_idx])
+    np.testing.assert_allclose(res.clock_drift_ppm, want, atol=1.5)
