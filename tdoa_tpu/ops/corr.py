@@ -232,8 +232,13 @@ def _phase_slope_refine(cross: C, coarse_delay, fft_len: int,
     slope = (sw * swfp - swf * swp) / jnp.maximum(det, 1e-30)
     intercept = (swff * swp - swf * swfp) / jnp.maximum(det, 1e-30)
     delta = -slope / (2.0 * jnp.pi)
-    # Guard: the refinement is only valid within ±1 sample of the coarse
-    # peak; a garbage peak must not fling the estimate further.
+    # Guard: clip the correction at ±1 sample of the coarse peak. A
+    # wider, bandwidth-adaptive bound was tried (the phase slope is
+    # unambiguous much further out for narrowband signals) and REJECTED:
+    # under multipath the aggregate cross-spectrum's slope is the
+    # energy-weighted mean of direct and echo delays, and a loose bound
+    # lets the refine drift off the direct-path peak the correlation
+    # argmax correctly selected.
     delta = jnp.clip(delta, -1.0, 1.0)
 
     # Standard error of the slope, scale-invariant in the (relative)
