@@ -114,3 +114,23 @@ def test_max_lag_validation():
     a = _sig(n=1024)
     with pytest.raises(ValueError):
         correlate_two(a, a, max_lag=2048)
+
+
+@pytest.mark.parametrize("theta", [3.1, -3.1, np.pi, np.pi / 2])
+def test_refine_robust_to_carrier_phase_intercept(theta):
+    """A constant inter-receiver carrier phase near ±π used to split the
+    wrapped phases into +π/−π clusters and blow up the slope fit (a
+    stable ~1.6-sample bias in a simulated scene). The intercept
+    recentering must hold the refine to sub-sample accuracy for ANY θ.
+    Broadband signal so the coarse peak is exact and the refine (where
+    the bug lived) is what's under test — with θ=π every bin of a
+    broadband spectrum wrap-splits in the old code."""
+    key = jax.random.PRNGKey(11)
+    kr, ki = jax.random.split(key)
+    n = 1 << 15
+    a = (jax.random.normal(kr, (n,)) + 1j * jax.random.normal(ki, (n,))
+         ).astype(jnp.complex64)
+    b = fractional_delay(a, jnp.float32(-1.62))
+    b = b * np.complex64(np.exp(1j * theta))
+    res = correlate_two(a, b, max_lag=64, weighting="ht")
+    assert float(res.delay) == pytest.approx(-1.62, abs=0.02)
