@@ -276,9 +276,9 @@ def _finish_correlation(
     """
     weighted = _weight_spectrum(cross, psd, pair_idx, weighting, eps)
     r = mfft.ifft(weighted)  # C [m, F]
-    win = jnp.sqrt(
-        _lag_window(r.re, max_lag) ** 2 + _lag_window(r.im, max_lag) ** 2
-    )
+    wr = _lag_window(r.re, max_lag)
+    wi = _lag_window(r.im, max_lag)
+    win = jnp.sqrt(wr * wr + wi * wi)
 
     if weighting == "none":
         # Normalize to a correlation coefficient: perfect self-match → 1
@@ -293,10 +293,15 @@ def _finish_correlation(
     if refine == "phase":
         coarse = jnp.round(delay)
         # Carrier-phase intercept = the complex correlation's phase at
-        # the peak lag (free: one gather from the ifft already computed).
-        idx = jnp.mod(coarse.astype(jnp.int32), fft_len)
-        pr = jnp.take_along_axis(r.re, idx[:, None], axis=-1)[:, 0]
-        pi = jnp.take_along_axis(r.im, idx[:, None], axis=-1)[:, 0]
+        # the peak lag — already computed in the windowed ifft. One-hot
+        # reduction instead of a gather: dynamic gathers trigger
+        # pathological XLA TPU compile times on this runtime (same class
+        # as the u16-decode hang; a take_along_axis here stalled the
+        # bench compile past 10 minutes).
+        pos_i = jnp.round(pos).astype(jnp.int32)
+        onehot = jnp.arange(win.shape[-1])[None, :] == pos_i[:, None]
+        pr = jnp.sum(jnp.where(onehot, wr, 0.0), axis=-1)
+        pi = jnp.sum(jnp.where(onehot, wi, 0.0), axis=-1)
         peak_phase = jnp.arctan2(pi, pr)
         delay, delay_std = _phase_slope_refine(
             cross, coarse, fft_len, max_lag, peak_phase
