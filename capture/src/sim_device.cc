@@ -8,6 +8,7 @@
 // baseband offset derives from the tuned frequency and whose amplitude
 // follows gain — so a retune or gain change mid-stream visibly changes
 // the output, which is exactly what the block-boundary tests assert.
+#include "sdrcap/args.h"
 #include "sdrcap/device.h"
 #include "sdrcap/ring.h"
 
@@ -17,6 +18,7 @@
 #include <cstring>
 #include <random>
 #include <thread>
+#include <vector>
 
 namespace sdrcap {
 namespace {
@@ -24,7 +26,30 @@ namespace {
 class SimDevice final : public Device {
  public:
   explicit SimDevice(uint64_t seed, bool realtime)
-      : realtime_(realtime), rng_(seed) {}
+      : realtime_(realtime), rng_(seed) {
+    // Opt-in frequency-selective mode: SDRCAP_SIM_STATIONS is a comma-
+    // separated list of absolute transmitter frequencies (k/M/G
+    // suffixes allowed). When set, signal exists only where a station
+    // falls inside the tuned passband — which is what makes squelch-
+    // driven scanning (sdr_fm's multi-frequency mode) observable
+    // without hardware. Unset → the always-present tone below.
+    if (const char* env = std::getenv("SDRCAP_SIM_STATIONS")) {
+      std::string s(env);
+      size_t pos = 0;
+      while (pos <= s.size()) {
+        const size_t comma = s.find(',', pos);
+        const std::string tok =
+            s.substr(pos, comma == std::string::npos ? std::string::npos
+                                                     : comma - pos);
+        if (!tok.empty()) {
+          const double f = ParseFreq(tok);
+          if (f > 0) stations_hz_.push_back(f);
+        }
+        if (comma == std::string::npos) break;
+        pos = comma + 1;
+      }
+    }
+  }
 
   bool set_sample_rate(uint32_t rate_hz) override {
     sample_rate_.store(rate_hz, std::memory_order_relaxed);
@@ -105,10 +130,23 @@ class SimDevice final : public Device {
     // Crystal error shifts the effective LO by fc·ppm/1e6, so the
     // baseband tone moves by the same amount — ppm correction is
     // observable in the spectrum like on real hardware.
-    const double off_hz = 50e3 + (fc % 997) * 37.0 -
-                          (double)fc * ppm_.load(std::memory_order_relaxed) *
-                              1e-6;
-    const double amp = std::min(0.9, 0.5 * std::pow(10.0, (gain - 40.0) / 20.0));
+    const double lo_shift =
+        (double)fc * ppm_.load(std::memory_order_relaxed) * 1e-6;
+    double off_hz = 50e3 + (fc % 997) * 37.0 - lo_shift;
+    double amp = std::min(0.9, 0.5 * std::pow(10.0, (gain - 40.0) / 20.0));
+    if (!stations_hz_.empty()) {
+      // Frequency-selective mode: the nearest in-band station sets the
+      // baseband offset; out of band → noise only.
+      amp = 0.0;
+      for (double st : stations_hz_) {
+        const double off = st - (double)fc - lo_shift;
+        if (std::abs(off) < 0.45 * fs) {
+          off_hz = off;
+          amp = std::min(0.9, 0.5 * std::pow(10.0, (gain - 40.0) / 20.0));
+          break;
+        }
+      }
+    }
     const double noise = 0.02;
     std::normal_distribution<double> nd(0.0, noise);
     const double w = 2.0 * M_PI * off_hz / fs;
@@ -116,6 +154,7 @@ class SimDevice final : public Device {
       const double ph = phase_;
       phase_ += w;
       if (phase_ > 2.0 * M_PI) phase_ -= 2.0 * M_PI;
+      if (phase_ < -2.0 * M_PI) phase_ += 2.0 * M_PI;
       const double iv = amp * std::cos(ph) + nd(rng_);
       const double qv = amp * std::sin(ph) + nd(rng_);
       out[i] = clamp_u8(iv * 127.5 + 127.5);
@@ -158,6 +197,7 @@ class SimDevice final : public Device {
   std::chrono::steady_clock::time_point pace_start_;
   double phase_ = 0.0;
   std::mt19937_64 rng_;
+  std::vector<double> stations_hz_;
 };
 
 }  // namespace

@@ -8,8 +8,17 @@
 // / am_demod (546-561) / usb_demod+lsb_demod phasing sums (563-587) →
 // low-pass decimation (302-322) → de-emphasis (596) → DC block (613).
 //
-//   sdr_fm [-M fm|am|usb|lsb|raw] [-s rate] [-r audio_rate] [-d deemph_us]
-//          [-i in.iq|--live seconds] [-f tune_hz] out.raw
+// Squelch + scanning (rtl_fm.c:186-189, 1262-1282): multiple -f
+// arguments (ranges "low:high:step" supported, k/M/G suffixes) build a
+// scan list; when the squelch (-l, RMS in u8 counts) stays closed for
+// -t consecutive blocks the tool retunes to the next list entry.
+// Negative -t exits on squelch instead (rtl_fm.c:1087-1093).
+// -M wbfm expands to "-s 170k -r 32k -l 0 -E deemp" (rtl_fm.c:1123-1137).
+//
+//   sdr_fm [-M fm|wbfm|am|usb|lsb|raw] [-s rate] [-r audio_rate]
+//          [-d deemph_us] [-l squelch] [-t squelch_delay] [-g gain_db]
+//          [-p ppm] [-E edge|dc|deemp|direct|offset]
+//          (-i in.iq | --live seconds) [-f freq_or_range]... out.raw
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
@@ -17,6 +26,7 @@
 #include <string>
 #include <vector>
 
+#include "sdrcap/args.h"
 #include "sdrcap/device.h"
 
 namespace {
@@ -66,6 +76,19 @@ struct Demod {
         }
       }
     }
+  }
+
+  // Clear stream state across a scan retune so the discriminator and
+  // filters don't splice two unrelated signals together.
+  void reset() {
+    prev_re = 1.0;
+    prev_im = 0.0;
+    deemph_state = dc_avg = 0.0;
+    acc_n = 0;
+    acc_v = acc_re = acc_im = 0.0;
+    std::fill(ssb_i.begin(), ssb_i.end(), 0.0);
+    std::fill(ssb_q.begin(), ssb_q.end(), 0.0);
+    ssb_n = 0;
   }
 
   // Consume one IQ sample; returns true + fills `out` when an audio
@@ -138,25 +161,61 @@ int main(int argc, char** argv) {
   double rate = 2'000'000, live_seconds = 0, deemph_us = 75.0;
   double audio_rate = 0;  // resolved to a decim after parsing (-r/-s
                           // must not be order-dependent)
-  uint32_t tune = 100'000'000;
+  std::vector<double> freqs;
   int audio_decim = 16;
+  double squelch_level = 0.0;  // RMS threshold in u8 counts (0 = off)
+  int squelch_delay = 10;      // + = mute/scan blocks, - = exit
+  double gain_db = 0.0;        // 0 = leave the device default
+  int ppm = 0;
+  bool have_rate = false, have_audio = false, have_squelch = false;
+  bool opt_dc = false, opt_deemp = false, opt_direct = false,
+       opt_offset = false, opt_edge = false;
+  uint64_t seed = 3;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return argv[++i]; };
     if (a == "-M") mode = next();
-    else if (a == "-s") rate = std::atof(next());
-    else if (a == "-r") audio_rate = std::atof(next());
+    else if (a == "-s") { rate = sdrcap::ParseFreq(next()); have_rate = true; }
+    else if (a == "-r") { audio_rate = sdrcap::ParseFreq(next()); have_audio = true; }
     else if (a == "-d") deemph_us = std::atof(next());
     else if (a == "-i") in_path = next();
-    else if (a == "-f") tune = std::strtoul(next(), nullptr, 10);
+    else if (a == "-f") {
+      if (!sdrcap::ParseFreqSpec(next(), &freqs)) {
+        std::fprintf(stderr, "bad -f spec (want hz or low:high:step)\n");
+        return 2;
+      }
+    } else if (a == "-l") { squelch_level = std::atof(next()); have_squelch = true; }
+    else if (a == "-t") squelch_delay = std::atoi(next());
+    else if (a == "-g") gain_db = std::atof(next());
+    else if (a == "-p") ppm = std::atoi(next());
+    else if (a == "-E") {
+      std::string opt = next();
+      if (opt == "dc") opt_dc = true;
+      else if (opt == "deemp") opt_deemp = true;
+      else if (opt == "direct") opt_direct = true;
+      else if (opt == "offset") opt_offset = true;
+      else if (opt == "edge") opt_edge = true;
+      else { std::fprintf(stderr, "unknown -E option '%s'\n", opt.c_str()); return 2; }
+    }
     else if (a == "--live") live_seconds = std::atof(next());
+    else if (a == "--sim-seed") seed = std::strtoull(next(), nullptr, 10);
     else if (a == "--help") {
       std::fprintf(stderr,
-                   "Usage: sdr_fm [-M fm|am|usb|lsb|raw] [-s rate] "
-                   "[-r audio_rate] [-d deemph_us] (-i in.iq | --live sec) "
-                   "[-f hz] out.raw\n");
+                   "Usage: sdr_fm [-M fm|wbfm|am|usb|lsb|raw] [-s rate] "
+                   "[-r audio_rate] [-d deemph_us] [-l squelch] "
+                   "[-t squelch_delay] [-g gain_db] [-p ppm] "
+                   "[-E edge|dc|deemp|direct|offset] "
+                   "(-i in.iq | --live sec) [-f hz|lo:hi:step]... out.raw\n"
+                   "  multiple -f with -l scans; -t<0 exits on squelch\n");
       return 0;
     } else if (a[0] != '-') out_path = a;
+  }
+  if (mode == "wbfm") {  // rtl_fm.c:1130-1137 preset
+    mode = "fm";
+    if (!have_rate) rate = 170'000;
+    if (!have_audio) audio_rate = 32'000;
+    if (!have_squelch) squelch_level = 0.0;
+    opt_deemp = true;
   }
   Mode m = Mode::kFm;
   if (mode == "am") m = Mode::kAm;
@@ -171,16 +230,42 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "need an input (-i or --live) and an output file\n");
     return 2;
   }
+  if (freqs.empty()) freqs.push_back(100e6);
+  const bool scanning = freqs.size() > 1;
+  if (scanning && squelch_level <= 0.0) {
+    std::fprintf(stderr, "scanning requires a squelch (-l)\n");  // rtl_fm.c:1166
+    return 2;
+  }
+  if (scanning && !in_path.empty()) {
+    std::fprintf(stderr, "scanning needs a live device; using first -f only\n");
+    freqs.resize(1);
+  }
   FILE* out = std::fopen(out_path.c_str(), "wb");
   if (!out) { std::perror("open out"); return 1; }
 
   Demod dm;
   if (audio_rate > 0) audio_decim = (int)(rate / audio_rate);
   if (audio_decim < 1) audio_decim = 1;
-  dm.configure(m, rate, audio_decim, m == Mode::kFm ? deemph_us : 0.0);
+  dm.configure(m, rate, audio_decim,
+               m == Mode::kFm && (opt_deemp || deemph_us > 0) ? deemph_us : 0.0);
   uint64_t audio_samples = 0;
+  // Demod's DC block is always on (it strips the AM carrier level and
+  // FM tuning offset); -E dc is accepted for rtl_fm CLI parity.
+  (void)opt_dc;
 
-  auto process = [&](const uint8_t* data, size_t len) {
+  // Squelch/scan state. Blocks are rtl_fm-sized (16384 bytes ≈ 4 ms at
+  // 2 Msps) so scan hops have the reference's responsiveness regardless
+  // of the I/O chunking above (rtl_fm.c DEFAULT_BUF_LENGTH).
+  constexpr size_t kSquelchBlock = 16384;
+  size_t freq_idx = 0;
+  int squelch_hits = 0;
+  bool exit_requested = false;
+  sdrcap::Device* live_dev = nullptr;
+  // Lower-edge tuning offsets the LO by rate/4 (rtl_fm.c:958-966).
+  const double edge_off = opt_edge ? rate / 4.0 : 0.0;
+
+  // Demodulate one block, writing real or (squelched) zeroed audio.
+  auto demod_block = [&](const uint8_t* data, size_t len, bool mute) {
     int16_t s;
     for (size_t k = 0; k + 1 < len; k += 2) {
       const double re = (data[k] - 127.5) / 127.5;
@@ -190,9 +275,46 @@ int main(int argc, char** argv) {
         std::fwrite(pair, sizeof(pair), 1, out);
         ++audio_samples;
       } else if (dm.push(re, im, &s)) {
-        std::fwrite(&s, sizeof(s), 1, out);
+        const int16_t v = mute ? 0 : s;
+        std::fwrite(&v, sizeof(v), 1, out);
         ++audio_samples;
       }
+    }
+  };
+
+  auto process = [&](const uint8_t* data, size_t len) {
+    for (size_t off = 0; off < len && !exit_requested;
+         off += kSquelchBlock) {
+      const size_t n = std::min(kSquelchBlock, len - off);
+      bool mute = false;
+      if (squelch_level > 0.0 && m != Mode::kRaw) {
+        // RMS of the raw block in u8 counts (127.5-centered), the same
+        // scale rtl_fm's rms() sees (rtl_fm.c:589-611).
+        double acc = 0.0;
+        for (size_t k = 0; k < n; ++k) {
+          const double d = data[off + k] - 127.5;
+          acc += d * d;
+        }
+        const double rms = std::sqrt(acc / (double)n);
+        if (rms < squelch_level) {
+          mute = true;
+          ++squelch_hits;
+          if (squelch_delay < 0 && squelch_hits >= -squelch_delay) {
+            exit_requested = true;  // rtl_fm.c:1087-1093 (-t negative)
+          } else if (scanning && live_dev && squelch_hits >= squelch_delay) {
+            freq_idx = (freq_idx + 1) % freqs.size();
+            live_dev->set_center_freq((uint32_t)(freqs[freq_idx] + edge_off));
+            std::fprintf(stderr, "scan: hopping to %.0f Hz\n",
+                         freqs[freq_idx]);
+            dm.reset();
+            squelch_hits = 0;
+            return;  // drop the rest of this chunk; it predates the hop
+          }
+        } else {
+          squelch_hits = 0;
+        }
+      }
+      demod_block(data + off, n, mute);
     }
   };
 
@@ -201,22 +323,30 @@ int main(int argc, char** argv) {
     if (!in) { std::perror("open in"); return 1; }
     std::vector<uint8_t> buf(1 << 16);
     size_t n;
-    while ((n = std::fread(buf.data(), 1, buf.size(), in)) > 0)
+    while ((n = std::fread(buf.data(), 1, buf.size(), in)) > 0 &&
+           !exit_requested)
       process(buf.data(), n);
     std::fclose(in);
   } else {
-    auto dev = sdrcap::MakeSimDevice(3);
+    auto dev = sdrcap::MakeSimDevice(seed);
+    live_dev = dev.get();
     dev->set_sample_rate((uint32_t)rate);
-    dev->set_center_freq(tune);
+    dev->set_center_freq((uint32_t)(freqs[0] + edge_off));
+    if (gain_db > 0) dev->set_tuner_gain_db(gain_db);
+    if (ppm != 0) dev->set_freq_correction_ppm(ppm);
+    if (opt_direct) dev->set_direct_sampling(2);
+    if (opt_offset) dev->set_offset_tuning(true);
     const uint64_t want_bytes = (uint64_t)(live_seconds * rate) * 2;
     uint64_t got = 0;
     dev->read_async(
         [&](const uint8_t* d, size_t len) {
           process(d, len);
           got += len;
-          if (got >= want_bytes) dev->cancel_async();
+          if (got >= want_bytes || exit_requested) dev->cancel_async();
         },
         262144, 8);
+    if (scanning)
+      std::fprintf(stderr, "scan: final frequency %.0f Hz\n", freqs[freq_idx]);
   }
   std::fclose(out);
   std::fprintf(stderr, "wrote %llu audio samples at %.0f Hz\n",

@@ -323,3 +323,115 @@ def test_capture_ppm_shifts_sim_tone(tmp_path):
     base = tone_hz([])
     shifted = tone_hz(["-p", "50"])  # 100 MHz * 50 ppm = 5 kHz shift
     assert abs((base - shifted) - 5000) < 100
+
+
+def test_fm_squelch_scan_settles_on_station(tmp_path):
+    """Multi-frequency scanning (rtl_fm.c:186-189): squelch-closed
+    frequencies are hopped past; the scanner settles where the simulated
+    station actually transmits."""
+    out = str(tmp_path / "scan.raw")
+    env = dict(os.environ, SDRCAP_SIM_STATIONS="100.1M")
+    res = subprocess.run(
+        [tool("sdr_fm"), "-s", "2M", "-r", "50k", "-l", "8", "-t", "3",
+         "--live", "0.5", "-f", "99M", "-f", "100.1M", "-f", "101M",
+         "--sim-seed", "7", out],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    assert "final frequency 100100000 Hz" in res.stderr
+    # Settled audio must be unmuted (non-zero s16 samples present).
+    audio = np.fromfile(out, np.int16)
+    assert np.abs(audio[len(audio) // 2:]).max() > 0
+
+
+def test_fm_squelch_negative_delay_exits(tmp_path):
+    """-t with a negative value exits once the squelch has been closed
+    that many consecutive blocks (rtl_fm.c:1087-1093)."""
+    out = str(tmp_path / "sq.raw")
+    env = dict(os.environ, SDRCAP_SIM_STATIONS="200M")  # nothing at 100M
+    subprocess.run(
+        [tool("sdr_fm"), "-s", "2M", "-r", "50k", "-l", "50", "-t", "-5",
+         "--live", "5", "-f", "100M", out],
+        env=env, capture_output=True, text=True, check=True, timeout=60,
+    )
+    audio = np.fromfile(out, np.int16)
+    # 5 squelched 16384-byte blocks at decim 40 = 1024 muted samples,
+    # far short of the 5 s (250k samples) the stream would have run.
+    assert len(audio) == 1024
+    assert np.all(audio == 0)
+
+
+def test_fm_wbfm_preset(tmp_path):
+    """-M wbfm expands to -s 170k -r 32k with de-emphasis
+    (rtl_fm.c:1130-1137)."""
+    iq = (np.random.default_rng(5).integers(100, 156, 170_000 * 2)
+          .astype(np.uint8))
+    src = tmp_path / "in.iq"
+    iq.tofile(src)
+    out = str(tmp_path / "wbfm.raw")
+    res = subprocess.run(
+        [tool("sdr_fm"), "-M", "wbfm", "-i", str(src), out],
+        capture_output=True, text=True, check=True,
+    )
+    assert "at 32143 Hz" in res.stderr or "at 34000 Hz" in res.stderr
+    assert os.path.getsize(out) > 0
+
+
+def test_fm_freq_range_spec(tmp_path):
+    """-f low:high:step expands to a scan list (rtl_fm ranges)."""
+    out = str(tmp_path / "r.raw")
+    env = dict(os.environ, SDRCAP_SIM_STATIONS="100.2M")
+    # Narrow front-end rate (250k) so only the 100.2M tuning has the
+    # station in its passband (the sim passband is ±0.45·fs).
+    res = subprocess.run(
+        [tool("sdr_fm"), "-s", "250k", "-r", "50k", "-l", "8", "-t", "2",
+         "--live", "3", "-f", "100M:100.4M:200k", "--sim-seed", "11", out],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    assert "final frequency 100200000 Hz" in res.stderr
+
+
+def test_power_window_crop_peakhold(tmp_path):
+    """sdr_power parity options: -w window menu, -c crop scheduling,
+    -P peak hold, -i integration (rtl_power.c:121-167)."""
+    base = str(tmp_path / "b.csv")
+    subprocess.check_call(
+        [tool("sdr_power"), "-f", "88M:108M:125k", "-1", base])
+    crop = str(tmp_path / "c.csv")
+    subprocess.check_call(
+        [tool("sdr_power"), "-f", "88M:108M:125k", "-c", "20%", "-w",
+         "blackman-harris", "-1", crop])
+    b_lines = open(base).read().strip().splitlines()
+    c_lines = open(crop).read().strip().splitlines()
+    # Cropping narrows each tuning's kept band -> more tunings, fewer
+    # bins per line; coverage stays contiguous (next low <= prev high).
+    assert len(c_lines) > len(b_lines)
+    assert len(c_lines[0].split(", ")) < len(b_lines[0].split(", "))
+    prev_high = None
+    for ln in c_lines:
+        f = ln.split(", ")
+        lo, hi = float(f[2]), float(f[3])
+        if prev_high is not None:
+            assert lo <= prev_high + 1.0
+        prev_high = hi
+    assert float(c_lines[0].split(", ")[2]) <= 88e6
+
+    peak = str(tmp_path / "p.csv")
+    subprocess.check_call(
+        [tool("sdr_power"), "-f", "88M:90M:125k", "-P", "-i", "2", "-1",
+         peak])
+    avg = str(tmp_path / "a.csv")
+    subprocess.check_call(
+        [tool("sdr_power"), "-f", "88M:90M:125k", "-i", "2", "-1", avg])
+    p_db = [float(x) for x in open(peak).read().split(", ")[6:]]
+    a_db = [float(x) for x in open(avg).read().split(", ")[6:]]
+    assert len(p_db) == len(a_db)
+    # Peak hold over the same integration is >= the average everywhere.
+    assert all(p >= a - 0.01 for p, a in zip(p_db, a_db))
+
+
+def test_power_unknown_window_rejected():
+    res = subprocess.run(
+        [tool("sdr_power"), "-f", "88M:90M:125k", "-w", "bogus"],
+        capture_output=True, text=True)
+    assert res.returncode == 2
+    assert "unknown window" in res.stderr
