@@ -8,6 +8,7 @@
 #include <memory>
 #include <string>
 
+#include "sdrcap/args.h"
 #include "sdrcap/capture_engine.h"
 #include "sdrcap/device.h"
 
@@ -43,9 +44,11 @@ int main(int argc, char** argv) {
       }
       return argv[++i];
     };
-    if (a == "-f") cfg.freq1_hz = std::strtoul(next(), nullptr, 10);
-    else if (a == "-h") cfg.freq2_hz = std::strtoul(next(), nullptr, 10);
-    else if (a == "-s") cfg.sample_rate = std::strtoul(next(), nullptr, 10);
+    // Frequencies/rates accept k/M/G suffixes like the reference's
+    // atofs-parsed flags (convenience.c:39-64).
+    if (a == "-f") cfg.freq1_hz = (uint32_t)sdrcap::ParseFreq(next());
+    else if (a == "-h") cfg.freq2_hz = (uint32_t)sdrcap::ParseFreq(next());
+    else if (a == "-s") cfg.sample_rate = (uint32_t)sdrcap::ParseFreq(next());
     else if (a == "-1") { cfg.gain1_db = std::atof(next()); have_g1 = true; }
     else if (a == "-2") { cfg.gain2_db = std::atof(next()); have_g2 = true; }
     else if (a == "-n") cfg.samples_per_freq = std::strtoull(next(), nullptr, 10);
