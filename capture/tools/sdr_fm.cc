@@ -167,13 +167,19 @@ int main(int argc, char** argv) {
   int squelch_delay = 10;      // + = mute/scan blocks, - = exit
   double gain_db = 0.0;        // 0 = leave the device default
   int ppm = 0;
-  bool have_rate = false, have_audio = false, have_squelch = false;
+  bool have_rate = false, have_audio = false;
   bool opt_dc = false, opt_deemp = false, opt_direct = false,
        opt_offset = false, opt_edge = false;
   uint64_t seed = 3;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto next = [&]() { return argv[++i]; };
+    auto next = [&]() -> const char* {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "%s needs a value (see --help)\n", argv[i]);
+        std::exit(2);
+      }
+      return argv[++i];
+    };
     if (a == "-M") mode = next();
     else if (a == "-s") { rate = sdrcap::ParseFreq(next()); have_rate = true; }
     else if (a == "-r") { audio_rate = sdrcap::ParseFreq(next()); have_audio = true; }
@@ -184,7 +190,7 @@ int main(int argc, char** argv) {
         std::fprintf(stderr, "bad -f spec (want hz or low:high:step)\n");
         return 2;
       }
-    } else if (a == "-l") { squelch_level = std::atof(next()); have_squelch = true; }
+    } else if (a == "-l") squelch_level = std::atof(next());
     else if (a == "-t") squelch_delay = std::atoi(next());
     else if (a == "-g") gain_db = std::atof(next());
     else if (a == "-p") ppm = std::atoi(next());
@@ -214,7 +220,6 @@ int main(int argc, char** argv) {
     mode = "fm";
     if (!have_rate) rate = 170'000;
     if (!have_audio) audio_rate = 32'000;
-    if (!have_squelch) squelch_level = 0.0;
     opt_deemp = true;
   }
   Mode m = Mode::kFm;
@@ -231,14 +236,14 @@ int main(int argc, char** argv) {
     return 2;
   }
   if (freqs.empty()) freqs.push_back(100e6);
+  if (freqs.size() > 1 && !in_path.empty()) {
+    std::fprintf(stderr, "scanning needs a live device; using first -f only\n");
+    freqs.resize(1);
+  }
   const bool scanning = freqs.size() > 1;
   if (scanning && squelch_level <= 0.0) {
     std::fprintf(stderr, "scanning requires a squelch (-l)\n");  // rtl_fm.c:1166
     return 2;
-  }
-  if (scanning && !in_path.empty()) {
-    std::fprintf(stderr, "scanning needs a live device; using first -f only\n");
-    freqs.resize(1);
   }
   FILE* out = std::fopen(out_path.c_str(), "wb");
   if (!out) { std::perror("open out"); return 1; }
@@ -263,6 +268,15 @@ int main(int argc, char** argv) {
   sdrcap::Device* live_dev = nullptr;
   // Lower-edge tuning offsets the LO by rate/4 (rtl_fm.c:958-966).
   const double edge_off = opt_edge ? rate / 4.0 : 0.0;
+  // When scanning, stream in squelch-block-sized device buffers and,
+  // after each hop, discard the buffers the producer may have generated
+  // BEFORE the retune landed (the async engine legally runs
+  // num_buffers ahead — librtlsdr-style transfer queue). Without this,
+  // hop decisions are made on stale-frequency data and the scanner's
+  // behavior depends on a producer/consumer scheduler race.
+  const size_t live_buf_len = scanning ? kSquelchBlock : 262144;
+  const size_t live_num_bufs = scanning ? 2 : 8;
+  int settle_blocks = 0;  // blocks to mute + skip squelch after a hop
 
   // Demodulate one block, writing real or (squelched) zeroed audio.
   auto demod_block = [&](const uint8_t* data, size_t len, bool mute) {
@@ -287,6 +301,11 @@ int main(int argc, char** argv) {
          off += kSquelchBlock) {
       const size_t n = std::min(kSquelchBlock, len - off);
       bool mute = false;
+      if (settle_blocks > 0) {
+        --settle_blocks;
+        demod_block(data + off, n, /*mute=*/true);
+        continue;
+      }
       if (squelch_level > 0.0 && m != Mode::kRaw) {
         // RMS of the raw block in u8 counts (127.5-centered), the same
         // scale rtl_fm's rms() sees (rtl_fm.c:589-611).
@@ -308,6 +327,7 @@ int main(int argc, char** argv) {
                          freqs[freq_idx]);
             dm.reset();
             squelch_hits = 0;
+            settle_blocks = (int)live_num_bufs + 1;
             return;  // drop the rest of this chunk; it predates the hop
           }
         } else {
@@ -344,7 +364,7 @@ int main(int argc, char** argv) {
           got += len;
           if (got >= want_bytes || exit_requested) dev->cancel_async();
         },
-        262144, 8);
+        live_buf_len, live_num_bufs);
     if (scanning)
       std::fprintf(stderr, "scan: final frequency %.0f Hz\n", freqs[freq_idx]);
   }

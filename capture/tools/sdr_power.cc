@@ -54,7 +54,14 @@ void fft(std::vector<std::complex<double>>& a) {
 
 // The rtl_power window menu (rtl_power.c:141 + window_fn selection).
 std::vector<double> MakeWindow(const std::string& name, size_t n) {
+  static const char* kNames[] = {"rectangle", "hamming", "hann", "blackman",
+                                 "blackman-harris", "hann-poisson",
+                                 "bartlett", "youssef"};
+  bool known = false;
+  for (const char* nm : kNames) known = known || name == nm;
+  if (!known) return {};
   std::vector<double> w(n, 1.0);
+  if (n < 2) return w;  // single-bin FFT: every window degenerates to 1
   const double N = (double)(n - 1);
   for (size_t k = 0; k < n; ++k) {
     const double x = (double)k / N;           // 0..1
@@ -77,8 +84,6 @@ std::vector<double> MakeWindow(const std::string& name, size_t n) {
       // to Youssef; a cosine-series flat-top is the same capability.
       w[k] = 1.0 - 1.93 * std::cos(t) + 1.29 * std::cos(2 * t) -
              0.388 * std::cos(3 * t) + 0.028 * std::cos(4 * t);
-    } else {
-      return {};  // unknown window
     }
   }
   return w;
@@ -91,7 +96,7 @@ int main(int argc, char** argv) {
   size_t samples = 16384;
   uint64_t seed = 1;
   double interval_s = 10.0, exit_s = 0.0, crop = 0.0;
-  bool single_shot = false, peak_hold = false;
+  bool single_shot = false, peak_hold = false, have_n = false;
   double gain_db = 0.0;
   int ppm = 0;
   std::string window_name = "rectangle", out_path;
@@ -108,7 +113,10 @@ int main(int argc, char** argv) {
       f_low = sdrcap::ParseFreq(spec.substr(0, c1));
       f_high = sdrcap::ParseFreq(spec.substr(c1 + 1, c2 - c1 - 1));
       bin_hz = sdrcap::ParseFreq(spec.substr(c2 + 1));
-    } else if (a == "-n" && i + 1 < argc) samples = std::strtoull(argv[++i], nullptr, 10);
+    } else if (a == "-n" && i + 1 < argc) {
+      samples = std::strtoull(argv[++i], nullptr, 10);
+      have_n = true;
+    }
     else if (a == "-i" && i + 1 < argc) interval_s = sdrcap::ParseTime(next());
     else if (a == "-e" && i + 1 < argc) exit_s = sdrcap::ParseTime(next());
     else if (a == "-c" && i + 1 < argc) {
@@ -136,6 +144,11 @@ int main(int argc, char** argv) {
                    "blackman-harris hann-poisson bartlett youssef\n");
       return 0;
     } else if (a[0] != '-') out_path = a;
+    else {
+      std::fprintf(stderr, "bad or incomplete option '%s' (see --help)\n",
+                   a.c_str());
+      return 2;
+    }
   }
   if (f_low <= 0 || f_high <= f_low) {
     std::fprintf(stderr, "Usage: sdr_power -f low:high:bin_hz [options] [out.csv]\n");
@@ -186,8 +199,12 @@ int main(int argc, char** argv) {
       (size_t)(interval_s * (double)rate /
                ((double)centers.size() * (double)fft_n));
   if (ffts_per_tuning < 1) ffts_per_tuning = 1;
-  const size_t cap = samples / fft_n ? samples / fft_n : 1;
-  if (samples != fft_n && ffts_per_tuning > cap) ffts_per_tuning = cap;
+  // An explicit -n caps the dwell per tuning; without it the -i
+  // interval alone sets the integration depth.
+  if (have_n) {
+    const size_t cap = samples / fft_n ? samples / fft_n : 1;
+    if (ffts_per_tuning > cap) ffts_per_tuning = cap;
+  }
 
   std::vector<uint8_t> buf(fft_n * 2);
   std::vector<std::complex<double>> x(fft_n);

@@ -435,3 +435,38 @@ def test_power_unknown_window_rejected():
         capture_output=True, text=True)
     assert res.returncode == 2
     assert "unknown window" in res.stderr
+
+
+def test_power_integration_scales_without_n(tmp_path):
+    """-i alone sets integration depth; the samples column must scale
+    with the interval (regression: it was silently capped at 16384)."""
+    a = str(tmp_path / "i2.csv")
+    b = str(tmp_path / "i8.csv")
+    subprocess.check_call([tool("sdr_power"), "-f", "88M:90M:125k",
+                           "-i", "2", "-1", a])
+    subprocess.check_call([tool("sdr_power"), "-f", "88M:90M:125k",
+                           "-i", "8", "-1", b])
+    sa = int(open(a).read().split(", ")[5])
+    sb = int(open(b).read().split(", ")[5])
+    assert sb == 4 * sa
+
+
+def test_trailing_value_flags_error_cleanly():
+    """A flag missing its value must exit 2 with a message, not abort
+    (regression: std::string from NULL aborted with SIGABRT)."""
+    for cmd in ([tool("sdr_fm"), "out.raw", "-E"],
+                [tool("sdr_fm"), "out.raw", "-f"],
+                [tool("sdr_power"), "-f", "88M:90M:1M", "-w"]):
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        assert res.returncode == 2, cmd
+
+
+def test_power_single_bin_window_not_nan(tmp_path):
+    """bin >= rate gives a 1-point FFT; windows must degenerate to 1.0,
+    not divide by zero (regression: every dB column was -nan)."""
+    out = subprocess.check_output(
+        [tool("sdr_power"), "-f", "88M:108M:3M", "-w", "hann", "-1"],
+        text=True)
+    assert "nan" not in out
+    db = float(out.strip().splitlines()[0].split(", ")[6])
+    assert -60 < db < 20
