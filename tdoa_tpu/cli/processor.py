@@ -40,6 +40,9 @@ def main(argv=None) -> int:
                    help="correlate raw IQ or FM-demodulated audio")
     p.add_argument("--fm-decim", type=int, default=8,
                    help="audio decimation factor for --mode fm")
+    p.add_argument("--multi-emitter", type=int, default=1, metavar="N",
+                   help="separate up to N co-channel emitters by "
+                        "correlation-peak cycle-consistency (default 1: off)")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line instead of text")
     p.add_argument("--truncate-s", type=float, default=None,
@@ -70,6 +73,7 @@ def main(argv=None) -> int:
         truncate_samples=trunc,
         mode=args.mode,
         fm_decim=args.fm_decim,
+        multi_emitter=args.multi_emitter,
     )
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",
@@ -116,6 +120,14 @@ def main(argv=None) -> int:
                 {"lat": c[0], "lon": c[1], "rms_m": r}
                 for c, r in zip(fix.candidates_lla, fix.candidates_rms)
             ],
+            "emitters": None if res.emitters is None else [
+                {"lat": e.fix.lat, "lon": e.fix.lon,
+                 "rms_residual_m": e.fix.rms_residual_m,
+                 "tdoa_samples": list(e.tdoa_samples),
+                 "peak_value": list(e.peak_value),
+                 "max_inconsistency_samples": e.max_inconsistency_samples}
+                for e in res.emitters
+            ],
         }))
         return 0
     print("\nPer-pair measurements:")
@@ -149,6 +161,12 @@ def main(argv=None) -> int:
         print("Other candidate solutions (TDOA ghosts):")
         for lla, rms in zip(fix.candidates_lla[1:], fix.candidates_rms[1:]):
             print(f"  {lla[0]:.6f}, {lla[1]:.6f}  (residual {rms:.1f} m)")
+    if res.emitters is not None and len(res.emitters) > 1:
+        print(f"\nSeparated co-channel emitters ({len(res.emitters)}):")
+        for n_e, e in enumerate(res.emitters):
+            print(f"  emitter {n_e + 1}: {e.fix.lat:.6f}, {e.fix.lon:.6f}  "
+                  f"(residual {e.fix.rms_residual_m:.1f} m, "
+                  f"consistency {e.max_inconsistency_samples:.2f} samples)")
     return 0
 
 

@@ -63,6 +63,11 @@ class ProcessorConfig:
     # (ops/pallas/corr_accum.py — ~2x, BENCHLOG) when the geometry
     # allows, else the XLA scan path. "xla"/"pallas" force.
     accumulator: str = "auto"
+    # Multi-emitter resolution: >1 separates up to this many co-channel
+    # emitters from the per-pair top-K correlation peaks by TDOA
+    # cycle-consistency (solve/association.py) and solves each set.
+    multi_emitter: int = 1
+    emitter_tol_samples: float = 3.0
 
 
 @dataclasses.dataclass
@@ -83,6 +88,19 @@ class TDOAResult:
     # diagnostic the dual-REF capture format makes free.
     clock_drift_ppm: Optional[np.ndarray] = None
     warnings: List[str] = dataclasses.field(default_factory=list)
+    # Per-emitter fixes from multi-emitter association (config
+    # multi_emitter > 1); strongest emitter first. None when disabled.
+    emitters: Optional[List["EmitterFix"]] = None
+
+
+@dataclasses.dataclass
+class EmitterFix:
+    """One resolved co-channel emitter: its associated TDOA set + fix."""
+
+    fix: FixResult
+    tdoa_samples: np.ndarray  # [m] clock-corrected, associated per pair
+    peak_value: np.ndarray  # [m] correlation peak heights of the set
+    max_inconsistency_samples: float  # worst cycle-consistency residual
 
 
 @functools.partial(
@@ -167,7 +185,7 @@ def process_blocks(
             corrected = tgt_delay
             corrected_std = stds[1]
         return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-                corrected_std)
+                corrected_std, outs[1].corr)
 
     # Blocks may arrive bf16 (the fused path's native storage); the XLA
     # path computes in f32.
@@ -222,7 +240,9 @@ def process_blocks(
         clock = jnp.zeros_like(tgt_delay)
         corrected = tgt_delay
         corrected_std = stds[1]
-    return corrected, tgt_delay, ref_delays, clock, quality, peaks, corrected_std
+    tgt_window = res.corr.reshape(3, m, -1)[1]  # [m, 2*max_lag_c+1]
+    return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
+            corrected_std, tgt_window)
 
 
 class TDOAProcessor:
@@ -360,7 +380,8 @@ class TDOAProcessor:
             )
             if timer is not None:
                 timer.observe(out)
-        corrected, tgt_d, ref_d, clock, quality, peaks, corr_std = out
+        (corrected, tgt_d, ref_d, clock, quality, peaks, corr_std,
+         tgt_window) = out
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
         tdoa_std_s = np.asarray(corr_std, np.float64) / cfg.sample_rate
@@ -434,6 +455,63 @@ class TDOAProcessor:
                 f"noise): suspect co-channel interference, multipath, or "
                 f"a wrong station assignment"
             )
+
+        emitters: Optional[List[EmitterFix]] = None
+        if cfg.multi_emitter > 1:
+            from tdoa_tpu.solve.association import (
+                associate_emitters,
+                top_k_peaks,
+            )
+
+            # The TGT correlation window's lag axis is in correlation
+            # units: decimated audio samples for mode="fm" (rescale), IQ
+            # samples otherwise. Must mirror process_blocks' max_lag_c.
+            if cfg.mode == "fm":
+                scale = float(cfg.fm_decim)
+                max_lag_c = max(cfg.max_lag // cfg.fm_decim + 2, 16)
+            else:
+                scale = 1.0
+                max_lag_c = cfg.max_lag
+            win = np.asarray(tgt_window, np.float64)
+            k = cfg.multi_emitter + 2  # slack for sidelobes/noise peaks
+            cand = top_k_peaks(win, k=k)
+            cand_tdoa = (cand.lag - max_lag_c) * scale - np.asarray(
+                clock, np.float64
+            )[:, None]
+            with stage("associate+solve-emitters"):
+                sets = associate_emitters(
+                    cand_tdoa,
+                    cand.value,
+                    pairs,
+                    len(names),
+                    tol_samples=cfg.emitter_tol_samples,
+                    max_emitters=cfg.multi_emitter,
+                )
+                emitters = []
+                for es in sets:
+                    ew = (es.value / max(es.value.max(), 1e-9)) ** 2
+                    efix = solve_fix(
+                        lla,
+                        es.tdoa / cfg.sample_rate,
+                        weights=ew,
+                        pair_idx=pairs,
+                        solve_z=cfg.solve_z,
+                        tdoa_sigma_s=tdoa_std_s,
+                    )
+                    emitters.append(
+                        EmitterFix(
+                            fix=efix,
+                            tdoa_samples=es.tdoa,
+                            peak_value=es.value,
+                            max_inconsistency_samples=es.max_inconsistency,
+                        )
+                    )
+            if len(emitters) > 1:
+                warnings.append(
+                    f"{len(emitters)} co-channel emitters resolved; the "
+                    f"primary fix reflects the per-pair dominant peaks "
+                    f"(see emitters[] for the separated fixes)"
+                )
         return TDOAResult(
             fix=fix,
             station_names=names,
@@ -448,6 +526,7 @@ class TDOAProcessor:
             tdoa_std_s=tdoa_std_s,
             clock_drift_ppm=drift_ppm,
             warnings=warnings,
+            emitters=emitters,
         )
 
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:

@@ -239,7 +239,13 @@ class TargetTracker:
         t: float,
         tdoas_s: Dict[str, np.ndarray],  # target id -> [m] seconds
         qualities: Optional[Dict[str, float]] = None,
+        fdoa_hz: Optional[Dict[str, np.ndarray]] = None,  # per-pair Doppler
+        carrier_hz: Optional[float] = None,
     ) -> Dict[str, Track]:
+        """``fdoa_hz`` (CAF differential Dopplers, ops/caf.py sign
+        convention) upgrades the track's velocity from differentiated
+        positions to an instantaneous FDOA least-squares measurement
+        (solve/fdoa.py) — one window is enough to know the velocity."""
         if not tdoas_s:
             return self.tracks
         ids = list(tdoas_s.keys())
@@ -249,20 +255,39 @@ class TargetTracker:
         )
         pos, rms = self._solve_batch(rd)
         pos = np.asarray(pos, np.float64)
+        st_enu = np.asarray(self.enu, np.float64)
+        pairs_np = np.asarray(self.pairs)
         for k, tid in enumerate(ids):
             q = float(qualities.get(tid, 0.0)) if qualities else 0.0
             meas = pos[k]
+            v_meas = None
+            if fdoa_hz is not None and tid in fdoa_hz and carrier_hz:
+                from tdoa_tpu.solve.fdoa import solve_velocity_enu
+
+                v_meas = solve_velocity_enu(
+                    st_enu, pairs_np, meas, fdoa_hz[tid], carrier_hz,
+                    solve_z=self.solve_z,
+                ).vel_enu
             tr = self.tracks.get(tid)
             if tr is None:
                 self.tracks[tid] = Track(
-                    pos_enu=meas, vel_enu=np.zeros(3), last_t=t, quality=q
+                    pos_enu=meas,
+                    vel_enu=v_meas if v_meas is not None else np.zeros(3),
+                    last_t=t,
+                    quality=q,
                 )
                 continue
             dt = max(t - tr.last_t, 1e-6)
             pred = tr.pos_enu + tr.vel_enu * dt
             resid = meas - pred
             tr.pos_enu = pred + self.alpha * resid
-            tr.vel_enu = tr.vel_enu + (self.beta / dt) * resid
+            if v_meas is not None:
+                # Direct velocity measurement: blend instead of the
+                # beta/dt differentiation (which only corrects velocity
+                # via position residuals, several windows late).
+                tr.vel_enu = (1.0 - self.alpha) * tr.vel_enu + self.alpha * v_meas
+            else:
+                tr.vel_enu = tr.vel_enu + (self.beta / dt) * resid
             tr.last_t = t
             tr.n_updates += 1
             tr.quality = q

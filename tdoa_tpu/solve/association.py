@@ -1,0 +1,156 @@
+"""Multi-emitter TDOA association: candidate peaks → per-emitter sets.
+
+When two co-channel emitters share the target frequency, each station
+pair's correlation shows (up to) one peak per emitter. Taking only the
+argmax (reference behavior, processor.go:646-736) mixes emitters across
+pairs and produces either a wrong fix or — with the consistency gate —
+a warning. This module *separates* them: extract the top-K correlation
+peaks per pair, then associate one candidate per pair into internally
+consistent sets using the TDOA cycle-consistency constraint
+
+    tau_ij = tau_aj - tau_ai        (a = anchor station)
+
+which holds per emitter (tau_ij = t_j - t_i is a function of per-station
+arrival times). Hypotheses enumerate anchor-pair candidates (K^(n-1));
+every cross pair must have a candidate within tolerance for the
+hypothesis to survive. Greedy extraction removes used candidates and
+repeats for the next emitter.
+
+All of this runs host-side on tiny arrays ([pairs, K] candidates); the
+expensive part — the correlation windows — already exists on device.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class PeakCandidates(NamedTuple):
+    lag: np.ndarray  # [m, k] sub-sample lag positions (window units)
+    value: np.ndarray  # [m, k] peak heights (0 where no peak)
+
+
+def top_k_peaks(window: np.ndarray, k: int, guard: int = 8) -> PeakCandidates:
+    """Top-k local peaks per row of ``window`` [m, W], strongest first.
+
+    Iterative argmax with a ±guard exclusion zone (sidelobes of a taken
+    peak must not count as separate candidates), each refined by the
+    three-point parabolic fit. Rows with fewer than k real peaks pad
+    with value 0.
+    """
+    w = np.array(window, np.float64, copy=True)
+    m, n = w.shape
+    lags = np.zeros((m, k))
+    vals = np.zeros((m, k))
+    idx_all = np.arange(n)
+    for kk in range(k):
+        idx = np.argmax(w, axis=-1)
+        val = w[np.arange(m), idx]
+        ic = np.clip(idx, 1, n - 2)
+        ym1 = window[np.arange(m), ic - 1]
+        y0 = window[np.arange(m), ic]
+        yp1 = window[np.arange(m), ic + 1]
+        denom = ym1 - 2.0 * y0 + yp1
+        off = np.where(np.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+        off = np.clip(off, -0.5, 0.5)
+        interior = (idx >= 1) & (idx <= n - 2)
+        lags[:, kk] = idx + np.where(interior, off, 0.0)
+        vals[:, kk] = np.where(val > 0, val, 0.0)
+        w[np.abs(idx_all[None, :] - idx[:, None]) <= guard] = -np.inf
+    return PeakCandidates(lag=lags, value=vals)
+
+
+class EmitterSet(NamedTuple):
+    tdoa: np.ndarray  # [m] one associated TDOA per pair (samples)
+    value: np.ndarray  # [m] peak height of the chosen candidate
+    candidate_idx: np.ndarray  # [m] which of the k candidates was used
+    score: float  # sum of chosen peak heights
+    max_inconsistency: float  # worst |cand - predicted| over cross pairs
+
+
+def associate_emitters(
+    cand_tdoa: np.ndarray,  # [m, k] candidate TDOAs (clock-corrected, samples)
+    cand_value: np.ndarray,  # [m, k] peak heights (0 = no candidate)
+    pair_idx: np.ndarray,  # [m, 2] station index pairs
+    n_stations: int,
+    tol_samples: float = 3.0,
+    max_emitters: int = 2,
+    min_value_frac: float = 0.15,
+) -> List[EmitterSet]:
+    """Greedy cycle-consistent association of per-pair candidates.
+
+    Returns up to ``max_emitters`` internally consistent TDOA sets,
+    strongest first. Candidates weaker than ``min_value_frac`` of their
+    pair's strongest peak never anchor a hypothesis (noise floor), but
+    can still complete one as cross-pair matches.
+    """
+    m, k = cand_tdoa.shape
+    pair_of = {tuple(p): i for i, p in enumerate(map(tuple, pair_idx))}
+    anchor = 0
+    anchor_pairs = [pair_of[(anchor, j)] for j in range(1, n_stations)]
+    cross_pairs = [
+        (pair_of[(i, j)], i, j)
+        for i in range(1, n_stations)
+        for j in range(i + 1, n_stations)
+    ]
+
+    avail = cand_value > 0
+    floor = min_value_frac * cand_value.max(axis=1, keepdims=True)
+    results: List[EmitterSet] = []
+
+    for _ in range(max_emitters):
+        best: Optional[EmitterSet] = None
+        # Enumerate anchor-candidate combinations (K^(n-1); n and K are
+        # small — 4 stations x K=4 is 64 hypotheses).
+        for combo in np.ndindex(*([k] * len(anchor_pairs))):
+            ok = True
+            tau0 = np.zeros(n_stations)  # tau0[j] = tdoa of pair (0, j)
+            chosen = np.full(m, -1, int)
+            for ap, c in zip(anchor_pairs, combo):
+                if not avail[ap, c] or cand_value[ap, c] < floor[ap, 0]:
+                    ok = False
+                    break
+                j = pair_idx[ap, 1]
+                tau0[j] = cand_tdoa[ap, c]
+                chosen[ap] = c
+            if not ok:
+                continue
+            worst = 0.0
+            for cp, i, j in cross_pairs:
+                pred = tau0[j] - tau0[i]
+                err = np.abs(cand_tdoa[cp] - pred)
+                err = np.where(avail[cp], err, np.inf)
+                c = int(np.argmin(err))
+                if err[c] > tol_samples:
+                    ok = False
+                    break
+                chosen[cp] = c
+                worst = max(worst, float(err[c]))
+            if not ok:
+                continue
+            vals = cand_value[np.arange(m), chosen]
+            cand = EmitterSet(
+                tdoa=cand_tdoa[np.arange(m), chosen],
+                value=vals,
+                candidate_idx=chosen,
+                score=float(vals.sum()),
+                max_inconsistency=worst,
+            )
+            if best is None or cand.score > best.score:
+                best = cand
+        if best is None:
+            break
+        results.append(best)
+        avail[np.arange(m), best.candidate_idx] = False
+    return results
+
+
+# Resolution limit: two emitters whose TDOAs on a pair differ by less
+# than the correlation peak width (~ sample_rate / signal bandwidth;
+# ~40 samples for a 50 kHz FM signal at 2 Msps) merge into one peak on
+# that pair and cannot be separated in the lag domain — the association
+# then finds only the stronger emitter. Separating them needs a
+# different discriminant (Doppler via ops/caf.py, or modulation-domain
+# correlation via mode="fm").

@@ -1,0 +1,79 @@
+"""FDOA → emitter velocity: least squares on pairwise Doppler.
+
+The CAF (ops/caf.py) measures per-pair differential Doppler ν_ij; at a
+known (TDOA-solved) emitter position each pair's Doppler is LINEAR in
+the emitter velocity v:
+
+    ν_ij = (f_c / c) · v · (u_j − u_i)
+
+with u_k the unit vector from the emitter to station k (ops/caf.py sign
+convention: positive ν means station j receives up-shifted relative to
+station i, i.e. the emitter closes on j faster). C(n,2) pairs give an
+overdetermined 2D (or 3D) linear system — one small weighted lstsq, no
+iteration. This turns the tracker's differentiated-position velocity
+(lagging, noisy) into an instantaneous per-window measurement.
+
+The reference has no moving-emitter story at all (its integration plan,
+snr_analysis.go:83-88, silently assumes zero Doppler).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
+
+
+class VelocitySolution(NamedTuple):
+    vel_enu: np.ndarray  # [3] m/s (vz = 0 unless solve_z)
+    residual_hz: float  # rms Doppler residual of the fit
+    speed: float  # |vel| m/s
+
+
+def solve_velocity_enu(
+    stations_enu: np.ndarray,  # [n, 3]
+    pair_idx: np.ndarray,  # [m, 2]
+    pos_enu: np.ndarray,  # [3] emitter position (from the TDOA fix)
+    fdoa_hz: np.ndarray,  # [m] differential Doppler per pair
+    carrier_hz: float,
+    weights: Optional[np.ndarray] = None,
+    solve_z: bool = False,
+) -> VelocitySolution:
+    """Weighted least-squares emitter velocity from pairwise FDOA."""
+    st = np.asarray(stations_enu, np.float64)
+    p = np.asarray(pos_enu, np.float64)
+    u = st - p[None, :]  # emitter → station
+    u = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
+    du = u[pair_idx[:, 1]] - u[pair_idx[:, 0]]  # [m, 3]
+    n_dim = 3 if solve_z else 2
+    a = (carrier_hz / SPEED_OF_LIGHT) * du[:, :n_dim]
+    b = np.asarray(fdoa_hz, np.float64)
+    if weights is not None:
+        w = np.sqrt(np.maximum(np.asarray(weights, np.float64), 0.0))
+        a = a * w[:, None]
+        b = b * w
+    v, *_ = np.linalg.lstsq(a, b, rcond=None)
+    vel = np.zeros(3)
+    vel[:n_dim] = v
+    resid = float(np.sqrt(np.mean((a @ v - b) ** 2))) if len(b) else 0.0
+    return VelocitySolution(
+        vel_enu=vel, residual_hz=resid, speed=float(np.linalg.norm(vel))
+    )
+
+
+def expected_fdoa_hz(
+    stations_enu: np.ndarray,
+    pair_idx: np.ndarray,
+    pos_enu: np.ndarray,
+    vel_enu: np.ndarray,
+    carrier_hz: float,
+) -> np.ndarray:
+    """Forward model (the exact inverse of solve_velocity_enu) — for
+    simulation truth tables and residual checks."""
+    st = np.asarray(stations_enu, np.float64)
+    u = st - np.asarray(pos_enu, np.float64)[None, :]
+    u = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
+    du = u[pair_idx[:, 1]] - u[pair_idx[:, 0]]
+    return (carrier_hz / SPEED_OF_LIGHT) * (du @ np.asarray(vel_enu))

@@ -1,0 +1,71 @@
+"""Unit tests for multi-emitter candidate association
+(tdoa_tpu/solve/association.py)."""
+
+import numpy as np
+
+from tdoa_tpu.solve.association import (
+    associate_emitters,
+    top_k_peaks,
+)
+
+
+def _pairs3():
+    return np.array([[0, 1], [0, 2], [1, 2]])
+
+
+def test_top_k_peaks_finds_separated_peaks():
+    w = np.zeros((1, 101))
+    w[0, 30] = 1.0
+    w[0, 31] = 0.6
+    w[0, 70] = 0.8
+    cand = top_k_peaks(w, k=3, guard=5)
+    assert abs(cand.lag[0, 0] - 30) < 0.5
+    assert abs(cand.lag[0, 1] - 70) < 0.5
+    # The 31 sidelobe sits inside peak 0's guard zone: not a candidate.
+    assert cand.value[0, 2] == 0.0 or abs(cand.lag[0, 2] - 31) > 5
+
+
+def test_association_recovers_two_emitters():
+    # Emitter A arrival times [0, 10, 25]; emitter B [0, -40, 5].
+    tA = np.array([0.0, 10.0, 25.0])
+    tB = np.array([0.0, -40.0, 5.0])
+    pairs = _pairs3()
+
+    def tdoas(t):
+        return t[pairs[:, 1]] - t[pairs[:, 0]]
+
+    cand = np.stack([tdoas(tA), tdoas(tB)], axis=1)  # [3, 2]
+    vals = np.array([[1.0, 0.9], [0.8, 1.0], [1.0, 0.7]])
+    sets = associate_emitters(cand, vals, pairs, 3, max_emitters=2)
+    assert len(sets) == 2
+    got = sorted(round(s.tdoa[0]) for s in sets)
+    assert got == sorted([10, -40])
+    for s in sets:
+        assert s.max_inconsistency < 1e-9
+
+
+def test_association_rejects_inconsistent_cross_pair():
+    pairs = _pairs3()
+    # Anchor pairs say tau01=10, tau02=25 -> cross pair must be ~15,
+    # but only 40 is on offer.
+    cand = np.array([[10.0, 0.0], [25.0, 0.0], [40.0, 0.0]])
+    vals = np.array([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]])
+    sets = associate_emitters(cand, vals, pairs, 3, tol_samples=3.0)
+    assert sets == []
+
+
+def test_association_four_stations():
+    t = np.array([0.0, 7.0, -12.0, 3.0])
+    pairs = np.array(
+        [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]
+    )
+    true = t[pairs[:, 1]] - t[pairs[:, 0]]
+    rng = np.random.default_rng(0)
+    noise_peaks = rng.uniform(-50, 50, size=(6, 2))
+    cand = np.concatenate([true[:, None], noise_peaks], axis=1)
+    vals = np.concatenate(
+        [np.full((6, 1), 1.0), np.full((6, 2), 0.4)], axis=1
+    )
+    sets = associate_emitters(cand, vals, pairs, 4, max_emitters=2)
+    assert len(sets) >= 1
+    np.testing.assert_allclose(sets[0].tdoa, true, atol=1e-9)

@@ -1,0 +1,87 @@
+"""FDOA velocity solver (solve/fdoa.py) + tracker integration."""
+
+import numpy as np
+
+from tdoa_tpu.pipeline.streaming import TargetTracker
+from tdoa_tpu.solve.fdoa import expected_fdoa_hz, solve_velocity_enu
+from tdoa_tpu.solve.multilateration import station_pairs
+
+
+ST = np.array(
+    [[0.0, 0.0, 0.0], [12000.0, 2000.0, 20.0], [4000.0, 10000.0, -10.0],
+     [-6000.0, 7000.0, 5.0]]
+)
+PAIRS = station_pairs(4)
+FC = 101.9e6
+
+
+def test_velocity_roundtrip_exact():
+    pos = np.array([3000.0, 4000.0, 0.0])
+    vel = np.array([25.0, -12.0, 0.0])
+    nu = expected_fdoa_hz(ST, PAIRS, pos, vel, FC)
+    sol = solve_velocity_enu(ST, PAIRS, pos, nu, FC)
+    np.testing.assert_allclose(sol.vel_enu, vel, atol=1e-9)
+    assert sol.residual_hz < 1e-12
+    assert abs(sol.speed - np.linalg.norm(vel)) < 1e-9
+
+
+def test_velocity_noisy_weighted():
+    rng = np.random.default_rng(3)
+    pos = np.array([5000.0, 1000.0, 0.0])
+    vel = np.array([-40.0, 30.0, 0.0])
+    nu = expected_fdoa_hz(ST, PAIRS, pos, vel, FC)
+    noisy = nu + rng.normal(0.0, 0.5, nu.shape)  # 0.5 Hz CAF noise
+    sol = solve_velocity_enu(ST, PAIRS, pos, noisy, FC,
+                             weights=np.ones(len(PAIRS)))
+    # dnu/dv ~ fc/c ~ 0.34 Hz per m/s; 0.5 Hz noise -> few-m/s error.
+    assert np.linalg.norm(sol.vel_enu - vel) < 10.0
+    assert sol.residual_hz < 2.0
+
+
+def test_velocity_sign_convention_matches_caf():
+    """ops/caf.py: positive nu means station j up-shifted = emitter
+    closing on j faster than on i. Emitter moving straight at station 1
+    (pair (0,1): j=1) must produce positive nu on that pair."""
+    pos = np.array([3000.0, 1000.0, 0.0])
+    to_st1 = ST[1] - pos
+    vel = 50.0 * to_st1 / np.linalg.norm(to_st1)
+    nu = expected_fdoa_hz(ST, PAIRS, pos, vel, FC)
+    k01 = [i for i, p in enumerate(PAIRS) if tuple(p) == (0, 1)][0]
+    assert nu[k01] > 0
+
+
+def test_tracker_fdoa_gives_instant_velocity():
+    """With FDOA the very first window knows the velocity; without it
+    the alpha-beta tracker needs several windows to converge."""
+    lla = np.array(
+        [[41.18, -95.96, 355.0], [41.24, -96.08, 329.0],
+         [41.32, -96.03, 373.0]]
+    )
+    pairs = station_pairs(3)
+    from tdoa_tpu.geo import lla_to_enu
+    tr = TargetTracker(lla)
+    st_enu = np.asarray(tr.enu, np.float64)
+    pos = np.array([2000.0, 3000.0, 0.0])
+    vel = np.array([35.0, -20.0, 0.0])
+
+    def tdoas(p):
+        d = np.linalg.norm(st_enu - p[None, :], axis=-1)
+        return (d[pairs[:, 1]] - d[pairs[:, 0]]) / 299792458.0
+
+    nu = expected_fdoa_hz(st_enu, pairs, pos, vel, FC)
+    tracks = tr.update(0.0, {"t1": tdoas(pos)}, fdoa_hz={"t1": nu},
+                       carrier_hz=FC)
+    v0 = tracks["t1"].vel_enu
+    assert np.linalg.norm(v0 - vel) < 2.0  # first window, already there
+
+    tr2 = TargetTracker(lla)
+    tr2.update(0.0, {"t1": tdoas(pos)})
+    assert np.linalg.norm(tr2.tracks["t1"].vel_enu) < 1e-9  # knows nothing
+
+    # And tracking a moving emitter with FDOA keeps velocity locked.
+    for i in range(1, 4):
+        p = pos + vel * (10.0 * i)
+        nu = expected_fdoa_hz(st_enu, pairs, p, vel, FC)
+        tr.update(10.0 * i, {"t1": tdoas(p)}, fdoa_hz={"t1": nu},
+                  carrier_hz=FC)
+    assert np.linalg.norm(tr.tracks["t1"].vel_enu - vel) < 2.0

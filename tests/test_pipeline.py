@@ -320,3 +320,75 @@ def test_clock_drift_with_truncated_analysis_window(
     res = proc.process_captures({n: captures[n] for n in scene.station_names})
     want = np.array([drifts[j] - drifts[i] for i, j in res.pair_idx])
     np.testing.assert_allclose(res.clock_drift_ppm, want, atol=1.5)
+
+
+def test_e2e_multi_emitter_separation(omaha_stations, station_csv):
+    """An equal-power co-channel interferer is not just flagged: with
+    multi_emitter=2 the processor separates BOTH emitters — each
+    associated TDOA set is cycle-consistent and its fix lands near its
+    own transmitter (the reference can only ever report one argmax).
+
+    The interferer location is chosen so every pair's two TDOAs are
+    separated by >> the correlation peak width (~40 samples for the
+    ~50 kHz-wide simulated FM signal at 2 Msps) — closer emitters merge
+    into one correlation peak and are physically unresolvable in the
+    lag domain (association.py documents this limit)."""
+    intf_lla = np.array([41.05, -95.99, 340.0])
+    scene = _scene(
+        omaha_stations,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
+        interferer_lla=intf_lla,
+        interferer_amplitude=1.0,
+        seed=17,
+    )
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=1 << 15, max_lag=512, multi_emitter=2,
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+
+    assert res.emitters is not None and len(res.emitters) == 2
+    # Each separated set must match one transmitter's geometric TDOAs.
+    from tdoa_tpu.geo import lla_to_ecef
+
+    def true_tdoa(tx):
+        st = lla_to_ecef(scene.station_lla)
+        d = np.linalg.norm(st - lla_to_ecef(tx), axis=-1)
+        tau = d / 299792458.0 * scene.sample_rate
+        return tau[truth.pair_idx[:, 1]] - tau[truth.pair_idx[:, 0]]
+
+    errs = {}
+    for tx_name, tx in (("tgt", scene.tgt_tx_lla), ("intf", intf_lla)):
+        best = min(
+            np.abs(e.tdoa_samples - true_tdoa(tx)).max()
+            for e in res.emitters
+        )
+        errs[tx_name] = best
+    assert errs["tgt"] < 1.0, errs
+    assert errs["intf"] < 1.0, errs
+    # And the fixes themselves: one near each emitter.
+    tgt_fix_err = min(
+        _fix_error_m(e.fix, scene.tgt_tx_lla) for e in res.emitters
+    )
+    intf_fix_err = min(_fix_error_m(e.fix, intf_lla) for e in res.emitters)
+    assert tgt_fix_err < 1500.0
+    assert intf_fix_err < 2500.0
+    # Association quality is reported.
+    assert all(e.max_inconsistency_samples < 3.0 for e in res.emitters)
+
+
+def test_multi_emitter_single_source_yields_one(omaha_stations, station_csv):
+    """With no interferer, multi_emitter=2 must NOT invent a second
+    emitter from noise/sidelobe peaks."""
+    scene = _scene(
+        omaha_stations, clock_offsets_s=np.array([0.0, 5e-6, -3e-6])
+    )
+    captures, _ = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=1 << 15, max_lag=512, multi_emitter=2,
+    )
+    res = proc.process_captures({n: captures[n] for n in scene.station_names})
+    assert res.emitters is not None and len(res.emitters) == 1
+    assert _fix_error_m(res.emitters[0].fix, scene.tgt_tx_lla) < 1500.0
