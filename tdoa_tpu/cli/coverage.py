@@ -14,7 +14,7 @@ Batched over the grid in one vectorized pass.
 
     python -m tdoa_tpu.cli.coverage lat-lon-table.csv \
         [--tdoa-sigma-us 0.1] [--grid lat0 lon0 lat1 lon1] [--n 31] \
-        [--csv out.csv]
+        [--csv-out out.csv]
 """
 
 from __future__ import annotations
@@ -42,9 +42,14 @@ def coverage_grid(
     """
     n = len(station_lla)
     pairs = station_pairs(n)
-    origin = np.array(
-        [station_lla[:, 0].mean(), station_lla[:, 1].mean(), 0.0]
-    )
+    # Circular mean for longitude (antimeridian-safe, same construction
+    # as solve_fix / TargetTracker).
+    lon = np.radians(station_lla[:, 1])
+    origin = np.array([
+        station_lla[:, 0].mean(),
+        np.degrees(np.arctan2(np.sin(lon).mean(), np.cos(lon).mean())),
+        0.0,
+    ])
     st = lla_to_enu(station_lla, origin)  # [n, 3]
     pts = lla_to_enu(grid_lla, origin)  # [g, 3]
 

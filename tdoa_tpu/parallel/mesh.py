@@ -154,7 +154,8 @@ def process_blocks_sharded(
 ):
     """The full multi-chip processing step: all 3 blocks × all pairs,
     sequence-parallel, with clock correction. Mirrors
-    pipeline.process_blocks but sharded; returns the same tuple."""
+    pipeline.process_blocks but sharded; returns the same 8-tuple
+    (..., corrected_std, tgt_correlation_window)."""
     n_st = ref1.re.shape[0]
     m = pair_idx.shape[0]
     xr = jnp.concatenate([ref1.re, tgt.re, ref2.re], axis=0)
@@ -184,4 +185,6 @@ def process_blocks_sharded(
         clock = jnp.zeros_like(tgt_delay)
         corrected = tgt_delay
         corrected_std = stds[1]
-    return corrected, tgt_delay, ref_delays, clock, quality, peaks, corrected_std
+    tgt_window = res.corr.reshape(3, m, -1)[1]
+    return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
+            corrected_std, tgt_window)

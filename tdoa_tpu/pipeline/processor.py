@@ -488,15 +488,25 @@ class TDOAProcessor:
                     max_emitters=cfg.multi_emitter,
                 )
                 emitters = []
+                dominant = cand.value[:, 0]
                 for es in sets:
                     ew = (es.value / max(es.value.max(), 1e-9)) ** 2
+                    # tdoa_std_s was measured on each pair's DOMINANT
+                    # peak (phase-slope refinement); an associated
+                    # candidate that is a weaker peak has proportionally
+                    # lower correlation SNR, and its lag comes from the
+                    # coarser parabolic fit. Scale sigma by the peak
+                    # ratio so a secondary emitter's ellipse is not
+                    # copied from the primary's confidence.
+                    ratio = dominant / np.maximum(es.value, 1e-12)
+                    e_sigma = tdoa_std_s * np.maximum(ratio, 1.0)
                     efix = solve_fix(
                         lla,
                         es.tdoa / cfg.sample_rate,
                         weights=ew,
                         pair_idx=pairs,
                         solve_z=cfg.solve_z,
-                        tdoa_sigma_s=tdoa_std_s,
+                        tdoa_sigma_s=e_sigma,
                     )
                     emitters.append(
                         EmitterFix(

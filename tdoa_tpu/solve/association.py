@@ -32,14 +32,45 @@ class PeakCandidates(NamedTuple):
     value: np.ndarray  # [m, k] peak heights (0 where no peak)
 
 
-def top_k_peaks(window: np.ndarray, k: int, guard: int = 8) -> PeakCandidates:
+def main_lobe_width(window: np.ndarray) -> np.ndarray:
+    """Half-max full width of each row's dominant peak, in samples.
+
+    This is the correlation peak width (~sample_rate / signal
+    bandwidth) — the natural exclusion scale below which "peaks" are
+    main-lobe structure, not separate emitters.
+    """
+    w = np.asarray(window, np.float64)
+    m, n = w.shape
+    idx = np.argmax(w, axis=-1)
+    half = 0.5 * w[np.arange(m), idx]
+    widths = np.empty(m)
+    for i in range(m):
+        lo = hi = idx[i]
+        while lo > 0 and w[i, lo - 1] >= half[i]:
+            lo -= 1
+        while hi < n - 1 and w[i, hi + 1] >= half[i]:
+            hi += 1
+        widths[i] = hi - lo + 1
+    return widths
+
+
+def top_k_peaks(
+    window: np.ndarray, k: int, guard: Optional[int] = None
+) -> PeakCandidates:
     """Top-k local peaks per row of ``window`` [m, W], strongest first.
 
-    Iterative argmax with a ±guard exclusion zone (sidelobes of a taken
-    peak must not count as separate candidates), each refined by the
+    Iterative argmax with a ±guard exclusion zone, each refined by the
     three-point parabolic fit. Rows with fewer than k real peaks pad
     with value 0.
+
+    ``guard=None`` (default) sizes the exclusion zone from the measured
+    main-lobe width (median over rows, floor 8): shoulders of a wide
+    correlation peak must not become candidates, or a single narrowband
+    emitter assembles a cycle-consistent phantom second emitter from
+    its own main-lobe structure.
     """
+    if guard is None:
+        guard = max(8, int(np.ceil(np.median(main_lobe_width(window)))))
     w = np.array(window, np.float64, copy=True)
     m, n = w.shape
     lags = np.zeros((m, k))
@@ -53,7 +84,8 @@ def top_k_peaks(window: np.ndarray, k: int, guard: int = 8) -> PeakCandidates:
         y0 = window[np.arange(m), ic]
         yp1 = window[np.arange(m), ic + 1]
         denom = ym1 - 2.0 * y0 + yp1
-        off = np.where(np.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+        safe = np.where(np.abs(denom) > 1e-12, denom, 1.0)
+        off = np.where(np.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / safe, 0.0)
         off = np.clip(off, -0.5, 0.5)
         interior = (idx >= 1) & (idx <= n - 2)
         lags[:, kk] = idx + np.where(interior, off, 0.0)
@@ -90,6 +122,14 @@ def associate_emitters(
     pair_of = {tuple(p): i for i, p in enumerate(map(tuple, pair_idx))}
     anchor = 0
     anchor_pairs = [pair_of[(anchor, j)] for j in range(1, n_stations)]
+    # Hypothesis count is k^(n-1); cap it so an 8-station network with a
+    # generous k cannot stall the otherwise device-fast pipeline in
+    # host-side enumeration. Anchor choices beyond k_eff (candidates are
+    # strongest-first) are dropped — weak anchors rarely win anyway.
+    k_eff = k
+    max_hypotheses = 20_000
+    while k_eff > 1 and k_eff ** len(anchor_pairs) > max_hypotheses:
+        k_eff -= 1
     cross_pairs = [
         (pair_of[(i, j)], i, j)
         for i in range(1, n_stations)
@@ -104,7 +144,7 @@ def associate_emitters(
         best: Optional[EmitterSet] = None
         # Enumerate anchor-candidate combinations (K^(n-1); n and K are
         # small — 4 stations x K=4 is 64 hypotheses).
-        for combo in np.ndindex(*([k] * len(anchor_pairs))):
+        for combo in np.ndindex(*([k_eff] * len(anchor_pairs))):
             ok = True
             tau0 = np.zeros(n_stations)  # tau0[j] = tdoa of pair (0, j)
             chosen = np.full(m, -1, int)

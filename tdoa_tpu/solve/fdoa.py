@@ -50,13 +50,16 @@ def solve_velocity_enu(
     n_dim = 3 if solve_z else 2
     a = (carrier_hz / SPEED_OF_LIGHT) * du[:, :n_dim]
     b = np.asarray(fdoa_hz, np.float64)
+    aw, bw = a, b
     if weights is not None:
         w = np.sqrt(np.maximum(np.asarray(weights, np.float64), 0.0))
-        a = a * w[:, None]
-        b = b * w
-    v, *_ = np.linalg.lstsq(a, b, rcond=None)
+        aw = a * w[:, None]
+        bw = b * w
+    v, *_ = np.linalg.lstsq(aw, bw, rcond=None)
     vel = np.zeros(3)
     vel[:n_dim] = v
+    # Residual on the UNWEIGHTED system so it stays in Hz and is
+    # comparable against CAF measurement noise whatever the weights.
     resid = float(np.sqrt(np.mean((a @ v - b) ** 2))) if len(b) else 0.0
     return VelocitySolution(
         vel_enu=vel, residual_hz=resid, speed=float(np.linalg.norm(vel))

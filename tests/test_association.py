@@ -69,3 +69,25 @@ def test_association_four_stations():
     sets = associate_emitters(cand, vals, pairs, 4, max_emitters=2)
     assert len(sets) >= 1
     np.testing.assert_allclose(sets[0].tdoa, true, atol=1e-9)
+
+
+def test_single_wide_peak_does_not_split_into_phantom_emitter():
+    """Regression: a single emitter with a realistic wide correlation
+    peak (~40 samples for narrowband FM) must not have its main-lobe
+    shoulders assembled into a cycle-consistent phantom second emitter.
+    The auto guard sizes the exclusion zone from the measured main-lobe
+    width."""
+    from tdoa_tpu.solve.association import main_lobe_width
+
+    lags = np.arange(201) - 100.0
+    true = np.array([10.0, 25.0, 15.0])  # consistent single emitter
+    win = np.stack([
+        np.exp(-0.5 * ((lags - t) / 17.0) ** 2) for t in true
+    ])  # ~40-sample FWHM
+    assert 35 < np.median(main_lobe_width(win)) < 45
+    cand = top_k_peaks(win, k=4)
+    cand_tdoa = cand.lag - 100.0
+    sets = associate_emitters(cand_tdoa, cand.value, _pairs3(), 3,
+                              max_emitters=2)
+    assert len(sets) == 1
+    np.testing.assert_allclose(sets[0].tdoa, true, atol=0.5)
