@@ -46,6 +46,11 @@ def _add_common_args(p: argparse.ArgumentParser) -> None:
                    metavar=("LAT", "LON", "ELEV", "AMP"),
                    help="co-channel emitter on the target frequency: "
                         "position + amplitude relative to the target")
+    p.add_argument("--velocity", type=float, nargs=3, default=None,
+                   metavar=("VE", "VN", "VU"),
+                   help="target emitter velocity, m/s ENU (moving-"
+                        "emitter Doppler; see cli/caf_search + "
+                        "solve/fdoa for the recovery path)")
     p.add_argument("--out", default=".", help="output directory")
 
 
@@ -91,6 +96,8 @@ def build_scene(args, ref_profile, tgt_profile, block_len=None):
         interferer_lla=(np.array(args.interferer[:3])
                         if args.interferer else None),
         interferer_amplitude=(args.interferer[3] if args.interferer else 0.0),
+        tgt_velocity_enu=(np.array(args.velocity)
+                          if args.velocity else None),
         seed=args.seed,
     )
 
@@ -107,6 +114,11 @@ def run_and_report(scene, out_dir: str, prefix: str) -> int:
         ni, nj = scene.station_names[i], scene.station_names[j]
         print(f"  {ni}-{nj}: {truth.tgt_tdoa_samples[k]:+.3f}")
     print(f"\nTransmitter at: {scene.tgt_tx_lla[0]:.6f}, {scene.tgt_tx_lla[1]:.6f}")
+    if truth.tgt_fdoa_hz is not None and np.abs(truth.tgt_fdoa_hz).max() > 0:
+        print("Ground truth FDOA (Hz, moving emitter):")
+        for k, (i, j) in enumerate(truth.pair_idx):
+            ni, nj = scene.station_names[i], scene.station_names[j]
+            print(f"  {ni}-{nj}: {truth.tgt_fdoa_hz[k]:+.2f}")
     files = " ".join(paths.values())
     print(f"Test with:\n  python -m tdoa_tpu.cli.processor "
           f"{scene.ref_freq:.0f} {scene.tgt_freq:.0f} lat-lon-table.csv {files}")

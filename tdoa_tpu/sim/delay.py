@@ -41,3 +41,30 @@ def apply_channel(
     tau_s = delay_samples / sample_rate
     phase = jnp.exp(-2j * jnp.pi * carrier_freq_hz * tau_s).astype(jnp.complex64)
     return amplitude * phase * fractional_delay(x, delay_samples)
+
+
+def apply_channel_moving(
+    x: jax.Array,
+    delay_mid_samples: jax.Array,
+    delay_rate: jax.Array,  # dτ/dt, dimensionless (samples per sample)
+    carrier_freq_hz: float,
+    sample_rate: float,
+    amplitude: jax.Array = 1.0,
+) -> jax.Array:
+    """Point-source channel with a linearly drifting delay (moving
+    emitter or receiver): τ(t) = τ_mid + α·(t − t_mid).
+
+    The carrier term exp(−j2π f_c τ(t)) is applied exactly — its linear
+    part IS the Doppler shift ν = −f_c·α that the CAF measures. The
+    envelope is delayed at the block-midpoint value only: the neglected
+    envelope drift is α·L/2 samples over a block (≈0.04 samples for
+    150 m/s over 2^18 samples at 2 Msps) — far below the envelope
+    correlation resolution, while the carrier Doppler it produces is
+    exactly what matters.
+    """
+    n = x.shape[-1]
+    env = fractional_delay(x, delay_mid_samples)
+    t_rel = (jnp.arange(n) - (n - 1) / 2.0) / sample_rate  # seconds from mid
+    tau_s = delay_mid_samples / sample_rate + delay_rate * t_rel
+    phase = jnp.exp(-2j * jnp.pi * carrier_freq_hz * tau_s).astype(jnp.complex64)
+    return amplitude * phase * env

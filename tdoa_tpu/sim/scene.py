@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tdoa_tpu.geo import lla_to_ecef
+from tdoa_tpu.geo import enu_to_ecef, lla_to_ecef
 from tdoa_tpu.io.datfile import save_dat
-from tdoa_tpu.sim.delay import apply_channel
+from tdoa_tpu.sim.delay import apply_channel, apply_channel_moving
 from tdoa_tpu.sim.source import fm_source
 from tdoa_tpu.solve.multilateration import station_pairs
 from tdoa_tpu.utils.constants import DEFAULT_SAMPLE_RATE, SPEED_OF_LIGHT
@@ -90,6 +90,11 @@ class SimScene:
     # station's nearest-approach normalization.
     interferer_lla: Optional[np.ndarray] = None  # [3]
     interferer_amplitude: float = 0.0
+    # Target emitter velocity in the emitter's local ENU frame, m/s.
+    # Moves the TGT-block delays linearly (sim/delay.py
+    # apply_channel_moving): per-station Doppler = what the CAF
+    # measures, geometry evaluated at the TGT block's midpoint.
+    tgt_velocity_enu: Optional[np.ndarray] = None  # [3]
     seed: int = 0
 
 
@@ -102,12 +107,36 @@ class SimTruth:
     measured_ref_delay: np.ndarray  # [m, 2] expected REF-block correlation delays
     measured_tgt_delay: np.ndarray  # [m] expected TGT-block correlation delay
     station_delays_samples: np.ndarray  # [n, 2] (ref, tgt) geometric delays
+    # [m] expected per-pair differential Doppler of the TGT block
+    # (ops/caf.py sign convention); zeros for a static scene.
+    tgt_fdoa_hz: Optional[np.ndarray] = None
+    # [n] per-station delay rates dτ/dt (dimensionless) of the TGT block
+    tgt_delay_rate: Optional[np.ndarray] = None
+
+
+def _tgt_motion(scene: SimScene):
+    """(tgt position at the TGT block midpoint [ecef], v_ecef m/s).
+
+    The TGT block spans [L, 2L); its midpoint is 1.5·L samples into the
+    capture. Truth geometry is evaluated there so a moving emitter's
+    TDOAs match what the correlator (which averages the block) sees.
+    """
+    p0 = lla_to_ecef(scene.tgt_tx_lla)
+    if scene.tgt_velocity_enu is None:
+        return p0, np.zeros(3)
+    v = np.asarray(scene.tgt_velocity_enu, np.float64)
+    v_ecef = enu_to_ecef(v, scene.tgt_tx_lla) - enu_to_ecef(
+        np.zeros(3), scene.tgt_tx_lla
+    )
+    t_mid = 1.5 * scene.block_len / scene.sample_rate
+    return p0 + v_ecef * t_mid, v_ecef
 
 
 def _geometric_delays_samples(scene: SimScene) -> Tuple[np.ndarray, np.ndarray]:
     st = lla_to_ecef(scene.station_lla)
     d_ref = np.linalg.norm(st - lla_to_ecef(scene.ref_tx_lla), axis=-1)
-    d_tgt = np.linalg.norm(st - lla_to_ecef(scene.tgt_tx_lla), axis=-1)
+    p_tgt, _ = _tgt_motion(scene)
+    d_tgt = np.linalg.norm(st - p_tgt, axis=-1)
     fs = scene.sample_rate
     return d_ref / SPEED_OF_LIGHT * fs, d_tgt / SPEED_OF_LIGHT * fs
 
@@ -134,6 +163,15 @@ def compute_truth(scene: SimScene) -> SimTruth:
         axis=-1,
     )
     meas_tgt = tgt_tdoa + (clock[j, 1] - clock[i, 1])
+    # Moving target: per-station range rates -> delay rates + pairwise
+    # Doppler (station j up-shifted positive, ops/caf.py convention).
+    p_tgt, v_ecef = _tgt_motion(scene)
+    st_ecef = lla_to_ecef(scene.station_lla)
+    u = st_ecef - p_tgt[None, :]
+    u = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
+    rdot = -u @ v_ecef  # d|station - p|/dt, per station
+    delay_rate = rdot / SPEED_OF_LIGHT  # dimensionless
+    fdoa = -(scene.tgt_freq / SPEED_OF_LIGHT) * (rdot[j] - rdot[i])
     return SimTruth(
         pair_idx=pairs,
         tgt_tdoa_samples=tgt_tdoa,
@@ -142,6 +180,8 @@ def compute_truth(scene: SimScene) -> SimTruth:
         measured_ref_delay=meas_ref,
         measured_tgt_delay=meas_tgt,
         station_delays_samples=np.stack([tau_ref, tau_tgt], axis=-1),
+        tgt_fdoa_hz=fdoa,
+        tgt_delay_rate=delay_rate,
     )
 
 
@@ -154,13 +194,21 @@ def _receive_block(
     profile: NoiseProfile,
     sample_rate: float,
     multipath_excess: Optional[jax.Array] = None,  # [n] samples, scene-static
+    delay_rates: Optional[jax.Array] = None,  # [n] dτ/dt (moving emitter)
 ) -> jax.Array:
     """Simulate one block at every station: channel + impairments. [n, L]."""
     n_st = delays.shape[0]
     length = src.shape[0]
-    rx = jax.vmap(
-        lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
-    )(delays, amps)
+    if delay_rates is not None:
+        rx = jax.vmap(
+            lambda d, r, a: apply_channel_moving(
+                src, d, r, carrier, sample_rate, a
+            )
+        )(delays, delay_rates, amps)
+    else:
+        rx = jax.vmap(
+            lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
+        )(delays, amps)
 
     k_noise_i, k_noise_q, k_imp, k_impphase, k_phase0 = jax.random.split(key, 5)
 
@@ -230,6 +278,11 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
         delays = jnp.asarray(
             tau + np.asarray(truth.clock_offset_samples[:, bi]), jnp.float32
         )
+        moving = (
+            bi == 1
+            and scene.tgt_velocity_enu is not None
+            and truth.tgt_delay_rate is not None
+        )
         mp_excess = None
         if (profile.multipath_amplitude > 0.0
                 and profile.multipath_delay_samples > 0.0):
@@ -239,6 +292,10 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
         rx = _receive_block(
             keys[3 + b % 3], src, delays, jnp.asarray(amp, jnp.float32),
             carrier, profile, fs, multipath_excess=mp_excess,
+            delay_rates=(
+                jnp.asarray(truth.tgt_delay_rate, jnp.float32)
+                if moving else None
+            ),
         )
         if (bi == 1 and scene.interferer_lla is not None
                 and scene.interferer_amplitude > 0.0):

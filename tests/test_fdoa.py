@@ -85,3 +85,68 @@ def test_tracker_fdoa_gives_instant_velocity():
         tr.update(10.0 * i, {"t1": tdoas(p)}, fdoa_hz={"t1": nu},
                   carrier_hz=FC)
     assert np.linalg.norm(tr.tracks["t1"].vel_enu - vel) < 2.0
+
+
+def test_e2e_moving_emitter_velocity_recovery():
+    """Full moving-emitter loop: simulated captures with a linearly
+    drifting TGT delay (per-station Doppler) -> CAF delay-Doppler per
+    pair -> FDOA least squares -> emitter velocity, within ~1 m/s."""
+    import jax.numpy as jnp
+
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.ops.caf import caf_pairs
+    from tdoa_tpu.ops.cplx import C, from_complex
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("a", "b", "c")
+    lla = np.array(
+        [[41.18, -95.96, 355.0], [41.24, -96.08, 329.0],
+         [41.32, -96.03, 373.0]]
+    )
+    tgt = np.array([41.30, -96.02, 356.0])
+    vel = np.array([150.0, -80.0, 0.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla,
+        ref_tx_lla=np.array([41.25, -95.95, 349.0]),
+        tgt_tx_lla=tgt, block_len=1 << 18,
+        tgt_velocity_enu=vel, seed=5,
+    )
+    caps, truth = simulate_scene(sc)
+    pairs = station_pairs(3)
+    x = C(
+        jnp.stack([from_complex(caps[n][1]).re for n in names]),
+        jnp.stack([from_complex(caps[n][1]).im for n in names]),
+    )
+    res = caf_pairs(x, jnp.asarray(pairs), sample_rate=sc.sample_rate,
+                    max_lag=256, seg_len=1 << 13, n_doppler=64)
+    nu = np.asarray(res.doppler_hz)
+    # CAF Dopplers match the scene's truth table.
+    np.testing.assert_allclose(nu, truth.tgt_fdoa_hz, atol=1.0)
+    # Delays still match geometry (motion must not break timing).
+    np.testing.assert_allclose(
+        np.asarray(res.delay), truth.tgt_tdoa_samples, atol=0.5
+    )
+    origin = lla.mean(axis=0)
+    sol = solve_velocity_enu(
+        lla_to_enu(lla, origin), pairs, lla_to_enu(tgt, origin),
+        nu, sc.tgt_freq,
+    )
+    assert np.linalg.norm(sol.vel_enu - vel) < 3.0
+    assert sol.residual_hz < 1.0
+
+
+def test_static_scene_has_zero_fdoa_truth():
+    from tdoa_tpu.sim.scene import SimScene, compute_truth
+
+    sc = SimScene(
+        station_names=("a", "b", "c"),
+        station_lla=np.array(
+            [[41.18, -95.96, 355.0], [41.24, -96.08, 329.0],
+             [41.32, -96.03, 373.0]]
+        ),
+        ref_tx_lla=np.array([41.25, -95.95, 349.0]),
+        tgt_tx_lla=np.array([41.30, -96.02, 356.0]),
+    )
+    t = compute_truth(sc)
+    np.testing.assert_allclose(t.tgt_fdoa_hz, 0.0)
+    np.testing.assert_allclose(t.tgt_delay_rate, 0.0)
