@@ -63,8 +63,11 @@ def apply_channel_moving(
     exactly what matters.
     """
     n = x.shape[-1]
-    env = fractional_delay(x, delay_mid_samples)
+    base = apply_channel(
+        x, delay_mid_samples, carrier_freq_hz, sample_rate, amplitude
+    )
     t_rel = (jnp.arange(n) - (n - 1) / 2.0) / sample_rate  # seconds from mid
-    tau_s = delay_mid_samples / sample_rate + delay_rate * t_rel
-    phase = jnp.exp(-2j * jnp.pi * carrier_freq_hz * tau_s).astype(jnp.complex64)
-    return amplitude * phase * env
+    doppler = jnp.exp(
+        -2j * jnp.pi * carrier_freq_hz * delay_rate * t_rel
+    ).astype(jnp.complex64)
+    return base * doppler

@@ -95,6 +95,14 @@ class SimScene:
     # apply_channel_moving): per-station Doppler = what the CAF
     # measures, geometry evaluated at the TGT block's midpoint.
     tgt_velocity_enu: Optional[np.ndarray] = None  # [3]
+    # Model the LO-offset aspect of clock drift: a crystal off by
+    # d ppm also offsets the LO by d·1e-6·f_c (~160 Hz/ppm at VHF),
+    # which smears coherent integration — a much harsher impairment
+    # than the stepwise delay-offset aspect alone. Off by default:
+    # the delay-offset model is what the REF-based drift measurement
+    # is validated against; turn this on to exercise CAF/short-segment
+    # robustness against realistic TCXO offsets.
+    drift_doppler: bool = False
     seed: int = 0
 
 
@@ -163,15 +171,19 @@ def compute_truth(scene: SimScene) -> SimTruth:
         axis=-1,
     )
     meas_tgt = tgt_tdoa + (clock[j, 1] - clock[i, 1])
-    # Moving target: per-station range rates -> delay rates + pairwise
-    # Doppler (station j up-shifted positive, ops/caf.py convention).
+    # Per-station TGT-block delay rates: emitter motion (range rate/c)
+    # PLUS receiver clock drift (a drifting clock IS a delay rate — it
+    # shifts the LO and the sampling alike). Pairwise Doppler follows
+    # (station j up-shifted positive, ops/caf.py convention).
     p_tgt, v_ecef = _tgt_motion(scene)
     st_ecef = lla_to_ecef(scene.station_lla)
     u = st_ecef - p_tgt[None, :]
     u = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
     rdot = -u @ v_ecef  # d|station - p|/dt, per station
     delay_rate = rdot / SPEED_OF_LIGHT  # dimensionless
-    fdoa = -(scene.tgt_freq / SPEED_OF_LIGHT) * (rdot[j] - rdot[i])
+    if scene.drift_doppler:
+        delay_rate = delay_rate + 1e-6 * drifts
+    fdoa = -scene.tgt_freq * (delay_rate[j] - delay_rate[i])
     return SimTruth(
         pair_idx=pairs,
         tgt_tdoa_samples=tgt_tdoa,
@@ -200,12 +212,12 @@ def _receive_block(
     n_st = delays.shape[0]
     length = src.shape[0]
     if delay_rates is not None:
-        rx = jax.vmap(
-            lambda d, r, a: apply_channel_moving(
-                src, d, r, carrier, sample_rate, a
-            )
-        )(delays, delay_rates, amps)
+        chan = lambda d, r, a: apply_channel_moving(
+            src, d, r, carrier, sample_rate, a
+        )
+        rx = jax.vmap(chan)(delays, delay_rates, amps)
     else:
+        chan = lambda d, r, a: apply_channel(src, d, carrier, sample_rate, a)
         rx = jax.vmap(
             lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
         )(delays, amps)
@@ -216,9 +228,14 @@ def _receive_block(
         # The excess delay is drawn ONCE per scene (simulate_scene): a
         # static reflector gives the same echo geometry in every block —
         # re-drawing per block would inject fake apparent clock drift.
-        echo = jax.vmap(
-            lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
-        )(delays + multipath_excess, amps * profile.multipath_amplitude)
+        # A static reflector's echo of a moving emitter carries (to
+        # first order) the same Doppler as the direct path — the moving
+        # leg is emitter->reflector. Same delay rates, extra delay.
+        zero_r = jnp.zeros_like(delays) if delay_rates is None else delay_rates
+        echo = jax.vmap(chan)(
+            delays + multipath_excess, zero_r,
+            amps * profile.multipath_amplitude,
+        )
         rx = rx + echo
     noise = profile.noise_amplitude * (
         jax.random.normal(k_noise_i, (n_st, length))
@@ -278,11 +295,17 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
         delays = jnp.asarray(
             tau + np.asarray(truth.clock_offset_samples[:, bi]), jnp.float32
         )
-        moving = (
-            bi == 1
-            and scene.tgt_velocity_enu is not None
-            and truth.tgt_delay_rate is not None
+        # Delay rates: clock drift applies to every block; emitter
+        # motion additionally to the TGT block. None when all zero so
+        # static scenes keep the cheaper static channel.
+        drifts_ppm = (
+            np.zeros(n) if scene.clock_drifts_ppm is None
+            else np.asarray(scene.clock_drifts_ppm)
         )
+        rates = 1e-6 * drifts_ppm if scene.drift_doppler else np.zeros(n)
+        if bi == 1 and truth.tgt_delay_rate is not None:
+            rates = np.asarray(truth.tgt_delay_rate)  # incl. drift if on
+        moving = bool(np.abs(rates).max() > 0)
         mp_excess = None
         if (profile.multipath_amplitude > 0.0
                 and profile.multipath_delay_samples > 0.0):
@@ -293,8 +316,7 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
             keys[3 + b % 3], src, delays, jnp.asarray(amp, jnp.float32),
             carrier, profile, fs, multipath_excess=mp_excess,
             delay_rates=(
-                jnp.asarray(truth.tgt_delay_rate, jnp.float32)
-                if moving else None
+                jnp.asarray(rates, jnp.float32) if moving else None
             ),
         )
         if (bi == 1 and scene.interferer_lla is not None

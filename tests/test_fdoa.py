@@ -150,3 +150,45 @@ def test_static_scene_has_zero_fdoa_truth():
     t = compute_truth(sc)
     np.testing.assert_allclose(t.tgt_fdoa_hz, 0.0)
     np.testing.assert_allclose(t.tgt_delay_rate, 0.0)
+
+
+def test_drift_doppler_measured_by_caf():
+    """drift_doppler=True models the LO-offset aspect of clock drift;
+    the CAF must measure the implied differential Doppler
+    (~f_tgt * d_ppm * 1e-6 per pair) even with no emitter motion."""
+    import jax.numpy as jnp
+
+    from tdoa_tpu.ops.caf import caf_pairs
+    from tdoa_tpu.ops.cplx import C, from_complex
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("a", "b", "c")
+    drifts = np.array([0.4, -0.2, 0.1])  # ppm -> ~61/-31/15 Hz at VHF
+    sc = SimScene(
+        station_names=names,
+        station_lla=np.array(
+            [[41.18, -95.96, 355.0], [41.24, -96.08, 329.0],
+             [41.32, -96.03, 373.0]]
+        ),
+        ref_tx_lla=np.array([41.25, -95.95, 349.0]),
+        tgt_tx_lla=np.array([41.30, -96.02, 356.0]),
+        block_len=1 << 18,
+        clock_drifts_ppm=drifts,
+        drift_doppler=True,
+        seed=9,
+    )
+    caps, truth = simulate_scene(sc)
+    expected = -sc.tgt_freq * 1e-6 * (
+        drifts[truth.pair_idx[:, 1]] - drifts[truth.pair_idx[:, 0]]
+    )
+    np.testing.assert_allclose(truth.tgt_fdoa_hz, expected, atol=1e-9)
+    pairs = truth.pair_idx
+    x = C(
+        jnp.stack([from_complex(caps[n][1]).re for n in names]),
+        jnp.stack([from_complex(caps[n][1]).im for n in names]),
+    )
+    res = caf_pairs(x, jnp.asarray(pairs), sample_rate=sc.sample_rate,
+                    max_lag=256, seg_len=1 << 13, n_doppler=64)
+    np.testing.assert_allclose(
+        np.asarray(res.doppler_hz), expected, atol=2.0
+    )
