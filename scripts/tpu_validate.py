@@ -230,6 +230,80 @@ def main():
     check("8-station fused kernel", err8 < 0.1 and finite,
           f"28 pairs, max delay err {err8:.3f}, finite={finite}")
 
+    # ---- 7. multi-emitter separation through the fused path --------------
+    # The correlation-window return from the fused kernel (a post-review
+    # output) and the host-side association must work against real-chip
+    # numerics. Interferer placed for >90-sample TDOA separation.
+    t0 = time.time()
+    scene_me = SimScene(
+        station_names=omaha["names"],
+        station_lla=omaha["lla"],
+        ref_tx_lla=omaha["ref_tx"],
+        tgt_tx_lla=omaha["tgt_tx"],
+        ref_freq=162.4e6,
+        tgt_freq=101.9e6,
+        block_len=2 * SEG_LEN,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
+        interferer_lla=np.array([41.05, -95.99, 340.0]),
+        interferer_amplitude=1.0,
+        seed=17,
+    )
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig
+    from tdoa_tpu.sim.scene import simulate_scene
+
+    from tdoa_tpu.ops.cplx import from_complex
+
+    # Simulate AND planar-convert on CPU: the TPU backend cannot touch
+    # complex64 at all (even jnp.real on a transfer fails UNIMPLEMENTED).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        caps_me, truth_me = simulate_scene(scene_me)
+        caps_me = {
+            n: tuple(from_complex(b) for b in blocks)
+            for n, blocks in caps_me.items()
+        }
+
+    table_me = StationTable(
+        stations=[Station(n, *omaha["lla"][k])
+                  for k, n in enumerate(omaha["names"])],
+        reference_tx=Station("162400000", *omaha["ref_tx"]),
+    )
+    proc_me = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        accumulator="pallas", multi_emitter=2),
+        table_me,
+    )
+    res_me = proc_me.process_captures(
+        {n: caps_me[n] for n in scene_me.station_names}
+    )
+    n_em = 0 if res_me.emitters is None else len(res_me.emitters)
+    me_ok = n_em == 2
+    if me_ok:
+        from tdoa_tpu.geo import lla_to_ecef
+
+        def _true_tdoa(tx):
+            st = lla_to_ecef(omaha["lla"])
+            d = np.linalg.norm(st - lla_to_ecef(tx), axis=-1)
+            tau = d / 299792458.0 * scene_me.sample_rate
+            # res_me pair order may differ from scene order
+            name_i = [res_me.station_names[i] for i in res_me.pair_idx[:, 0]]
+            name_j = [res_me.station_names[j] for j in res_me.pair_idx[:, 1]]
+            by = {n: k for k, n in enumerate(omaha["names"])}
+            return np.array(
+                [tau[by[nj]] - tau[by[ni]] for ni, nj in zip(name_i, name_j)]
+            )
+
+        errs = [
+            min(np.abs(e.tdoa_samples - _true_tdoa(tx)).max()
+                for e in res_me.emitters)
+            for tx in (omaha["tgt_tx"], np.array([41.05, -95.99, 340.0]))
+        ]
+        me_ok = all(e < 2.0 for e in errs)
+    check("multi-emitter fused separation", me_ok,
+          f"{n_em} emitters, tdoa errs "
+          f"{[round(float(e), 2) for e in errs] if n_em == 2 else 'n/a'}, "
+          f"{time.time()-t0:.0f}s")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {', '.join(FAILURES)}")

@@ -40,6 +40,10 @@ def main(argv=None) -> int:
                    help="correlate raw IQ or FM-demodulated audio")
     p.add_argument("--fm-decim", type=int, default=8,
                    help="audio decimation factor for --mode fm")
+    p.add_argument("--solve-velocity", action="store_true",
+                   help="CAF over the TGT block + FDOA least squares: "
+                        "emitter velocity at the fix (clock-drift "
+                        "Doppler removed via the dual REF blocks)")
     p.add_argument("--multi-emitter", type=int, default=1, metavar="N",
                    help="separate up to N co-channel emitters by "
                         "correlation-peak cycle-consistency (default 1: off)")
@@ -74,6 +78,7 @@ def main(argv=None) -> int:
         mode=args.mode,
         fm_decim=args.fm_decim,
         multi_emitter=args.multi_emitter,
+        solve_velocity=args.solve_velocity,
     )
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",
@@ -120,6 +125,12 @@ def main(argv=None) -> int:
                 {"lat": c[0], "lon": c[1], "rms_m": r}
                 for c, r in zip(fix.candidates_lla, fix.candidates_rms)
             ],
+            "velocity_enu_mps": None if res.velocity_enu is None else
+            list(res.velocity_enu),
+            "velocity_sigma_mps": None if res.velocity_sigma_enu is None
+            else list(res.velocity_sigma_enu),
+            "velocity_residual_hz": res.velocity_residual_hz,
+            "fdoa_hz": None if res.fdoa_hz is None else list(res.fdoa_hz),
             "emitters": None if res.emitters is None else [
                 {"lat": e.fix.lat, "lon": e.fix.lon,
                  "rms_residual_m": e.fix.rms_residual_m,
@@ -161,6 +172,19 @@ def main(argv=None) -> int:
         print("Other candidate solutions (TDOA ghosts):")
         for lla, rms in zip(fix.candidates_lla[1:], fix.candidates_rms[1:]):
             print(f"  {lla[0]:.6f}, {lla[1]:.6f}  (residual {rms:.1f} m)")
+    if res.velocity_enu is not None:
+        ve, vn, vu = res.velocity_enu
+        import math
+        speed = math.hypot(ve, vn)
+        heading = math.degrees(math.atan2(ve, vn)) % 360.0
+        sig = ""
+        if res.velocity_sigma_enu is not None:
+            se, sn, _ = res.velocity_sigma_enu
+            sig = f" ± ({se:.0f} E, {sn:.0f} N) m/s 1σ"
+        print(f"Emitter velocity (FDOA): {speed:.1f} m/s "
+              f"heading {heading:.0f} deg "
+              f"(E {ve:+.1f}, N {vn:+.1f} m/s{sig}; "
+              f"Doppler residual {res.velocity_residual_hz:.2f} Hz)")
     if res.emitters is not None and len(res.emitters) > 1:
         print(f"\nSeparated co-channel emitters ({len(res.emitters)}):")
         for n_e, e in enumerate(res.emitters):

@@ -68,6 +68,13 @@ class ProcessorConfig:
     # cycle-consistency (solve/association.py) and solves each set.
     multi_emitter: int = 1
     emitter_tol_samples: float = 3.0
+    # Joint velocity estimation: run the CAF over the TGT block, remove
+    # the clock-drift-induced Doppler measured from the dual REF blocks,
+    # and least-squares the emitter velocity at the fix (solve/fdoa.py).
+    solve_velocity: bool = False
+    caf_seg_len: int = 1 << 13  # Doppler span ±1/(2·T_seg) ≈ ±122 Hz
+    caf_n_doppler: int = 64
+    caf_max_samples: int = 1 << 21  # cap CAF input (memory/time)
 
 
 @dataclasses.dataclass
@@ -91,6 +98,13 @@ class TDOAResult:
     # Per-emitter fixes from multi-emitter association (config
     # multi_emitter > 1); strongest emitter first. None when disabled.
     emitters: Optional[List["EmitterFix"]] = None
+    # Emitter velocity from the CAF + FDOA solve (config solve_velocity):
+    # ENU m/s at the fix, rms Doppler residual, per-pair FDOA (Hz,
+    # clock-drift-corrected). None when disabled.
+    velocity_enu: Optional[np.ndarray] = None
+    velocity_residual_hz: Optional[float] = None
+    velocity_sigma_enu: Optional[np.ndarray] = None  # 1σ per axis, m/s
+    fdoa_hz: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -456,6 +470,135 @@ class TDOAProcessor:
                 f"a wrong station assignment"
             )
 
+        velocity_enu = velocity_residual_hz = fdoa_out = None
+        velocity_sigma = None
+        if cfg.solve_velocity:
+            from tdoa_tpu.geo import lla_to_enu
+            from tdoa_tpu.ops.caf import caf_pairs
+            from tdoa_tpu.solve.fdoa import solve_velocity_enu
+
+            with stage("caf+velocity"):
+                lim = min(int(tgt.re.shape[1]), cfg.caf_max_samples)
+                tgt_c = C(
+                    tgt.re[:, :lim].astype(jnp.float32),
+                    tgt.im[:, :lim].astype(jnp.float32),
+                )
+                caf = caf_pairs(
+                    tgt_c,
+                    jnp.asarray(pairs),
+                    sample_rate=cfg.sample_rate,
+                    max_lag=min(cfg.max_lag, 2048),
+                    seg_len=cfg.caf_seg_len,
+                    n_doppler=cfg.caf_n_doppler,
+                )
+                nu = np.asarray(caf.doppler_hz, np.float64)
+                # A pair's relative clock drift (measured from the dual
+                # REF blocks) is a delay rate alpha = drift_ppm·1e-6 and
+                # contributes Doppler -f_tgt·alpha that is NOT emitter
+                # motion — subtract it.
+                nu_emitter = nu + cfg.tgt_freq * 1e-6 * drift_ppm
+                # Emitter motion smears the PLAIN correlation (the
+                # Doppler that decorrelates segments is exactly what the
+                # CAF compensates), degrading the primary fix — and the
+                # velocity solve is sensitive to position through the
+                # unit vectors. When motion is significant, run
+                # deramp-and-correlate: solve per-station frequency
+                # shifts from the RAW pairwise Doppler (motion + drift —
+                # the signal carries both), counter-rotate each station's
+                # TGT block, and re-run the full-precision plain
+                # correlator. The CAF's own delay has coarse-peak
+                # ambiguity on broad narrowband peaks; the deramped
+                # plain path recovers the usual sub-0.01-sample accuracy.
+                t_seg_c = cfg.caf_seg_len / cfg.sample_rate
+                bin_hz_c = (1.0 / t_seg_c) / (cfg.caf_n_doppler - 1)
+                if np.abs(nu_emitter).max() > 2.0 * bin_hz_c:
+                    from tdoa_tpu.solve.fdoa import (
+                        station_doppler_from_pairs,
+                    )
+
+                    s_dop = station_doppler_from_pairs(
+                        pairs, nu, len(names)
+                    )
+                    ang = (
+                        -2.0 * jnp.pi
+                        * jnp.asarray(s_dop, jnp.float32)[:, None]
+                        * (jnp.arange(tgt.re.shape[1]) / cfg.sample_rate)
+                    )
+                    cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
+                    tr = tgt.re.astype(jnp.float32)
+                    ti = tgt.im.astype(jnp.float32)
+                    yd = C(tr * cr_ - ti * sr_, tr * sr_ + ti * cr_)
+                    r2 = correlate_pairs_planar(
+                        yd,
+                        jnp.asarray(pairs),
+                        max_lag=cfg.max_lag,
+                        seg_len=cfg.seg_len,
+                        weighting=cfg.weighting,
+                    )
+                    corrected2 = (
+                        np.asarray(r2.delay, np.float64)
+                        - np.asarray(clock, np.float64)
+                    )
+                    q2 = np.asarray(r2.quality, np.float64)
+                    w2 = (q2 / np.maximum(q2.max(), 1e-9)) ** 2
+                    std2 = (
+                        np.asarray(r2.delay_std, np.float64)
+                        / cfg.sample_rate
+                    )
+                    fix2 = solve_fix(
+                        lla,
+                        corrected2 / cfg.sample_rate,
+                        weights=w2,
+                        pair_idx=pairs,
+                        solve_z=cfg.solve_z,
+                        tdoa_sigma_s=std2,
+                    )
+                    if fix2.rms_residual_m <= fix.rms_residual_m:
+                        fix = fix2
+                        corrected = corrected2
+                        tdoa_s = corrected / cfg.sample_rate
+                        warnings.append(
+                            "moving emitter detected (differential "
+                            f"Doppler up to {np.abs(nu_emitter).max():.1f}"
+                            " Hz): TDOAs re-measured by deramp-and-"
+                            "correlate and the position re-solved"
+                        )
+                # Circular mean for longitude (antimeridian-safe).
+                lon_r = np.radians(lla[:, 1])
+                origin = np.array([
+                    lla[:, 0].mean(),
+                    np.degrees(np.arctan2(
+                        np.sin(lon_r).mean(), np.cos(lon_r).mean())),
+                    lla[:, 2].mean(),
+                ])
+                # Doppler measurement σ: the dof-corrected residual,
+                # floored at ~1/8 of the CAF Doppler bin (sub-bin
+                # parabolic interpolation accuracy) — with barely more
+                # pairs than unknowns the residual alone underestimates.
+                t_seg = cfg.caf_seg_len / cfg.sample_rate
+                bin_hz = (1.0 / t_seg) / (cfg.caf_n_doppler - 1)
+                st_v = lla_to_enu(lla, origin)
+                pos_v = lla_to_enu(
+                    np.array([fix.lat, fix.lon, fix.elev]), origin
+                )
+                m_p, d_p = len(pairs), (3 if cfg.solve_z else 2)
+                vsol0 = solve_velocity_enu(
+                    st_v, pairs, pos_v, nu_emitter, cfg.tgt_freq,
+                    weights=w, solve_z=cfg.solve_z,
+                )
+                resid_sigma = (
+                    vsol0.residual_hz * np.sqrt(m_p / max(m_p - d_p, 1))
+                )
+                vsol = solve_velocity_enu(
+                    st_v, pairs, pos_v, nu_emitter, cfg.tgt_freq,
+                    weights=w, solve_z=cfg.solve_z,
+                    fdoa_sigma_hz=max(resid_sigma, bin_hz / 8.0),
+                )
+                velocity_enu = vsol.vel_enu
+                velocity_residual_hz = vsol.residual_hz
+                velocity_sigma = vsol.sigma_enu
+                fdoa_out = nu_emitter
+
         emitters: Optional[List[EmitterFix]] = None
         if cfg.multi_emitter > 1:
             from tdoa_tpu.solve.association import (
@@ -537,6 +680,10 @@ class TDOAProcessor:
             clock_drift_ppm=drift_ppm,
             warnings=warnings,
             emitters=emitters,
+            velocity_enu=velocity_enu,
+            velocity_residual_hz=velocity_residual_hz,
+            velocity_sigma_enu=velocity_sigma,
+            fdoa_hz=fdoa_out,
         )
 
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:

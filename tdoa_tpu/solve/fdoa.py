@@ -30,6 +30,11 @@ class VelocitySolution(NamedTuple):
     vel_enu: np.ndarray  # [3] m/s (vz = 0 unless solve_z)
     residual_hz: float  # rms Doppler residual of the fit
     speed: float  # |vel| m/s
+    # 1σ velocity standard errors per solved axis (m/s), by linear
+    # propagation of the Doppler noise through (AᵀWA)⁻¹. Velocity-DOP
+    # is often large (tens of m/s per Hz of FDOA error) — a small
+    # residual does NOT mean a precise velocity; always read this.
+    sigma_enu: Optional[np.ndarray] = None
 
 
 def solve_velocity_enu(
@@ -40,8 +45,14 @@ def solve_velocity_enu(
     carrier_hz: float,
     weights: Optional[np.ndarray] = None,
     solve_z: bool = False,
+    fdoa_sigma_hz: Optional[float] = None,
 ) -> VelocitySolution:
-    """Weighted least-squares emitter velocity from pairwise FDOA."""
+    """Weighted least-squares emitter velocity from pairwise FDOA.
+
+    ``fdoa_sigma_hz``: per-measurement 1σ Doppler error for the
+    velocity covariance; defaults to the dof-corrected fit residual
+    (a lower bound when m barely exceeds the solved dimensions).
+    """
     st = np.asarray(stations_enu, np.float64)
     p = np.asarray(pos_enu, np.float64)
     u = st - p[None, :]  # emitter → station
@@ -61,8 +72,21 @@ def solve_velocity_enu(
     # Residual on the UNWEIGHTED system so it stays in Hz and is
     # comparable against CAF measurement noise whatever the weights.
     resid = float(np.sqrt(np.mean((a @ v - b) ** 2))) if len(b) else 0.0
+    sigma_enu = None
+    m = len(b)
+    if m > n_dim:
+        if fdoa_sigma_hz is None:
+            fdoa_sigma_hz = resid * np.sqrt(m / (m - n_dim))
+        try:
+            cov = np.linalg.inv(aw.T @ aw) * fdoa_sigma_hz**2
+            sig = np.zeros(3)
+            sig[:n_dim] = np.sqrt(np.maximum(np.diag(cov), 0.0))
+            sigma_enu = sig
+        except np.linalg.LinAlgError:
+            sigma_enu = np.full(3, np.inf)
     return VelocitySolution(
-        vel_enu=vel, residual_hz=resid, speed=float(np.linalg.norm(vel))
+        vel_enu=vel, residual_hz=resid, speed=float(np.linalg.norm(vel)),
+        sigma_enu=sigma_enu,
     )
 
 
@@ -80,3 +104,24 @@ def expected_fdoa_hz(
     u = u / np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
     du = u[pair_idx[:, 1]] - u[pair_idx[:, 0]]
     return (carrier_hz / SPEED_OF_LIGHT) * (du @ np.asarray(vel_enu))
+
+
+def station_doppler_from_pairs(
+    pair_idx: np.ndarray,  # [m, 2]
+    fdoa_hz: np.ndarray,  # [m] pairwise differential Doppler
+    n_stations: int,
+) -> np.ndarray:
+    """Per-station received-frequency shifts from pairwise FDOA.
+
+    ν_ij = s_j − s_i determines s only up to a common constant (the
+    gauge); the minimum-norm least-squares solution is returned. Used
+    for deramp-and-correlate: counter-rotating each station's signal by
+    its own s_k cancels the pairwise Doppler so the plain correlator's
+    full sub-sample machinery applies to a moving emitter.
+    """
+    m = len(pair_idx)
+    a = np.zeros((m, n_stations))
+    a[np.arange(m), pair_idx[:, 1]] = 1.0
+    a[np.arange(m), pair_idx[:, 0]] = -1.0
+    s, *_ = np.linalg.lstsq(a, np.asarray(fdoa_hz, np.float64), rcond=None)
+    return s - s.mean()  # fix the gauge at zero-mean

@@ -192,3 +192,63 @@ def test_drift_doppler_measured_by_caf():
     np.testing.assert_allclose(
         np.asarray(res.doppler_hz), expected, atol=2.0
     )
+
+
+def test_processor_solve_velocity_e2e(omaha_stations=None):
+    """Full processor path on a moving emitter with imperfect clocks:
+    --solve-velocity measures the CAF Doppler, deramp-and-correlates
+    the TDOAs (motion smears the plain correlation), re-solves the fix,
+    and least-squares the velocity with an honest uncertainty."""
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("kx0u", "n3pay", "kf0mtl")
+    lla = np.array(
+        [[41.18660274289527, -95.96064116595667, 355.69],
+         [41.24669616513154, -96.08366304481238, 329.0],
+         [41.32916620016985, -96.03513381562004, 373.18]]
+    )
+    ref_tx = np.array([41.25703803095629, -95.95512763589404, 349.07])
+    tgt = np.array([41.30888549464701, -96.02619229605524, 356.0])
+    vel = np.array([150.0, -80.0, 0.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla, ref_tx_lla=ref_tx,
+        tgt_tx_lla=tgt, block_len=1 << 18, tgt_velocity_enu=vel,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]), seed=5,
+    )
+    caps, truth = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[i]) for i, n in enumerate(names)],
+        reference_tx=Station("162400000", *ref_tx),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        solve_velocity=True),
+        table,
+    )
+    res = proc.process_captures({n: caps[n] for n in names})
+
+    assert res.velocity_enu is not None
+    # Velocity within a few m/s and consistent with its own 1-sigma.
+    err = res.velocity_enu - vel
+    assert np.linalg.norm(err) < 5.0, (res.velocity_enu, vel)
+    assert res.velocity_sigma_enu is not None
+    assert np.all(np.abs(err[:2]) < 5.0 * res.velocity_sigma_enu[:2] + 1.0)
+    # Motion detected -> deramp path replaced the smeared plain fix.
+    assert any("moving emitter" in w for w in res.warnings)
+    fix_err = np.linalg.norm(
+        lla_to_enu(np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt)[:2]
+    )
+    assert fix_err < 150.0, fix_err
+    # And a static scene must not trip the motion path.
+    sc2 = SimScene(
+        station_names=names, station_lla=lla, ref_tx_lla=ref_tx,
+        tgt_tx_lla=tgt, block_len=1 << 17,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]), seed=5,
+    )
+    caps2, _ = simulate_scene(sc2)
+    res2 = proc.process_captures({n: caps2[n] for n in names})
+    assert not any("moving emitter" in w for w in res2.warnings)
+    assert np.linalg.norm(res2.velocity_enu) < 10.0
