@@ -473,12 +473,16 @@ class TDOAProcessor:
         velocity_enu = velocity_residual_hz = fdoa_out = None
         velocity_sigma = None
         if cfg.solve_velocity:
-            from tdoa_tpu.geo import lla_to_enu
             from tdoa_tpu.ops.caf import caf_pairs
-            from tdoa_tpu.solve.fdoa import solve_velocity_enu
+            from tdoa_tpu.ops.corr import resolve_seg
+            from tdoa_tpu.solve.fdoa import (
+                solve_velocity_enu,
+                station_doppler_from_pairs,
+            )
 
             with stage("caf+velocity"):
                 lim = min(int(tgt.re.shape[1]), cfg.caf_max_samples)
+                caf_max_lag = min(cfg.max_lag, 2048)
                 tgt_c = C(
                     tgt.re[:, :lim].astype(jnp.float32),
                     tgt.im[:, :lim].astype(jnp.float32),
@@ -487,7 +491,7 @@ class TDOAProcessor:
                     tgt_c,
                     jnp.asarray(pairs),
                     sample_rate=cfg.sample_rate,
-                    max_lag=min(cfg.max_lag, 2048),
+                    max_lag=caf_max_lag,
                     seg_len=cfg.caf_seg_len,
                     n_doppler=cfg.caf_n_doppler,
                 )
@@ -497,25 +501,23 @@ class TDOAProcessor:
                 # contributes Doppler -f_tgt·alpha that is NOT emitter
                 # motion — subtract it.
                 nu_emitter = nu + cfg.tgt_freq * 1e-6 * drift_ppm
-                # Emitter motion smears the PLAIN correlation (the
-                # Doppler that decorrelates segments is exactly what the
-                # CAF compensates), degrading the primary fix — and the
-                # velocity solve is sensitive to position through the
-                # unit vectors. When motion is significant, run
-                # deramp-and-correlate: solve per-station frequency
-                # shifts from the RAW pairwise Doppler (motion + drift —
-                # the signal carries both), counter-rotate each station's
-                # TGT block, and re-run the full-precision plain
-                # correlator. The CAF's own delay has coarse-peak
-                # ambiguity on broad narrowband peaks; the deramped
-                # plain path recovers the usual sub-0.01-sample accuracy.
-                t_seg_c = cfg.caf_seg_len / cfg.sample_rate
-                bin_hz_c = (1.0 / t_seg_c) / (cfg.caf_n_doppler - 1)
-                if np.abs(nu_emitter).max() > 2.0 * bin_hz_c:
-                    from tdoa_tpu.solve.fdoa import (
-                        station_doppler_from_pairs,
-                    )
-
+                # The CAF's Doppler grid spacing, from the segment
+                # length caf_pairs ACTUALLY used (resolve_seg shrinks
+                # seg_len by max_lag for the alias-free window).
+                seg_r, _ = resolve_seg(lim, caf_max_lag, cfg.caf_seg_len,
+                                       None)
+                bin_hz = (cfg.sample_rate / seg_r) / (cfg.caf_n_doppler - 1)
+                # Doppler — emitter motion OR receiver LO offset (the
+                # raw nu carries both) — smears the PLAIN correlation:
+                # exactly what the CAF compensates. When significant,
+                # run deramp-and-correlate: solve per-station frequency
+                # shifts from the raw pairwise Doppler, counter-rotate
+                # each station's TGT block, and re-run the full-
+                # precision plain correlator. The CAF's own delay has
+                # coarse-peak ambiguity on broad narrowband peaks; the
+                # deramped plain path recovers sub-0.01-sample accuracy.
+                deramped = np.abs(nu).max() > 2.0 * bin_hz
+                if deramped:
                     s_dop = station_doppler_from_pairs(
                         pairs, nu, len(names)
                     )
@@ -525,8 +527,13 @@ class TDOAProcessor:
                         * (jnp.arange(tgt.re.shape[1]) / cfg.sample_rate)
                     )
                     cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
+                    # DC removal before the rotation (every other
+                    # correlation path removes it; rotated DC becomes an
+                    # off-bin tone whose leakage biases the whitening).
                     tr = tgt.re.astype(jnp.float32)
                     ti = tgt.im.astype(jnp.float32)
+                    tr = tr - jnp.mean(tr, axis=-1, keepdims=True)
+                    ti = ti - jnp.mean(ti, axis=-1, keepdims=True)
                     yd = C(tr * cr_ - ti * sr_, tr * sr_ + ti * cr_)
                     r2 = correlate_pairs_planar(
                         yd,
@@ -541,6 +548,10 @@ class TDOAProcessor:
                     )
                     q2 = np.asarray(r2.quality, np.float64)
                     w2 = (q2 / np.maximum(q2.max(), 1e-9)) ** 2
+                    gated2 = w2 * (q2 >= 5.0)  # same gate as the
+                    # primary solve: a noise-floor pair must not vote
+                    if np.count_nonzero(gated2) >= min(3, len(pairs)):
+                        w2 = gated2
                     std2 = (
                         np.asarray(r2.delay_std, np.float64)
                         / cfg.sample_rate
@@ -554,45 +565,56 @@ class TDOAProcessor:
                         tdoa_sigma_s=std2,
                     )
                     if fix2.rms_residual_m <= fix.rms_residual_m:
+                        # Adopt the deramped measurement WHOLESALE so
+                        # the reported fields stay mutually consistent
+                        # (delays, qualities, sigmas, weights, fix).
                         fix = fix2
+                        tgt_d = r2.delay
                         corrected = corrected2
                         tdoa_s = corrected / cfg.sample_rate
-                        warnings.append(
-                            "moving emitter detected (differential "
-                            f"Doppler up to {np.abs(nu_emitter).max():.1f}"
-                            " Hz): TDOAs re-measured by deramp-and-"
-                            "correlate and the position re-solved"
+                        q = q2
+                        q_arr = q2
+                        w = w2
+                        tdoa_std_s = std2
+                        sigma_m = (
+                            float(np.median(std2)) * SPEED_OF_LIGHT
                         )
-                # Circular mean for longitude (antimeridian-safe).
-                lon_r = np.radians(lla[:, 1])
-                origin = np.array([
-                    lla[:, 0].mean(),
-                    np.degrees(np.arctan2(
-                        np.sin(lon_r).mean(), np.cos(lon_r).mean())),
-                    lla[:, 2].mean(),
-                ])
-                # Doppler measurement σ: the dof-corrected residual,
-                # floored at ~1/8 of the CAF Doppler bin (sub-bin
-                # parabolic interpolation accuracy) — with barely more
-                # pairs than unknowns the residual alone underestimates.
-                t_seg = cfg.caf_seg_len / cfg.sample_rate
-                bin_hz = (1.0 / t_seg) / (cfg.caf_n_doppler - 1)
-                st_v = lla_to_enu(lla, origin)
-                pos_v = lla_to_enu(
-                    np.array([fix.lat, fix.lon, fix.elev]), origin
-                )
-                m_p, d_p = len(pairs), (3 if cfg.solve_z else 2)
-                vsol0 = solve_velocity_enu(
-                    st_v, pairs, pos_v, nu_emitter, cfg.tgt_freq,
-                    weights=w, solve_z=cfg.solve_z,
-                )
-                resid_sigma = (
-                    vsol0.residual_hz * np.sqrt(m_p / max(m_p - d_p, 1))
-                )
+                        # The smeared solve's consistency verdict no
+                        # longer applies; re-evaluate it on the adopted
+                        # measurement.
+                        warnings = [
+                            wmsg for wmsg in warnings
+                            if "internally inconsistent" not in wmsg
+                        ]
+                        if fix.rms_residual_m > max(100.0, 5.0 * sigma_m):
+                            warnings.append(
+                                f"TDOA set is internally inconsistent "
+                                f"(rms residual {fix.rms_residual_m:.0f} "
+                                f"m vs ~{sigma_m:.1f} m expected noise) "
+                                f"even after Doppler deramp"
+                            )
+                        warnings.append(
+                            "significant differential Doppler (up to "
+                            f"{np.abs(nu).max():.1f} Hz — emitter motion "
+                            "and/or receiver LO offset): TDOAs re-"
+                            "measured by deramp-and-correlate and the "
+                            "position re-solved"
+                        )
+                # Velocity at the (possibly re-solved) fix, in the
+                # solver's own ENU frame. Weights: the deramped
+                # qualities when available — the smeared plain
+                # correlation's qualities systematically zero the
+                # highest-Doppler (most informative) pairs.
+                from tdoa_tpu.geo import lla_to_enu
+
+                st_v = lla_to_enu(lla, fix.origin_lla)
                 vsol = solve_velocity_enu(
-                    st_v, pairs, pos_v, nu_emitter, cfg.tgt_freq,
+                    st_v, pairs, fix.enu, nu_emitter, cfg.tgt_freq,
                     weights=w, solve_z=cfg.solve_z,
-                    fdoa_sigma_hz=max(resid_sigma, bin_hz / 8.0),
+                    # σ floor: ~1/8 Doppler bin (sub-bin parabolic
+                    # interpolation accuracy) — with barely more pairs
+                    # than unknowns the fit residual underestimates.
+                    fdoa_sigma_floor_hz=bin_hz / 8.0,
                 )
                 velocity_enu = vsol.vel_enu
                 velocity_residual_hz = vsol.residual_hz

@@ -46,12 +46,15 @@ def solve_velocity_enu(
     weights: Optional[np.ndarray] = None,
     solve_z: bool = False,
     fdoa_sigma_hz: Optional[float] = None,
+    fdoa_sigma_floor_hz: float = 0.0,
 ) -> VelocitySolution:
     """Weighted least-squares emitter velocity from pairwise FDOA.
 
     ``fdoa_sigma_hz``: per-measurement 1σ Doppler error for the
     velocity covariance; defaults to the dof-corrected fit residual
-    (a lower bound when m barely exceeds the solved dimensions).
+    (a lower bound when m barely exceeds the solved dimensions),
+    never below ``fdoa_sigma_floor_hz`` (e.g. the measurement's
+    sub-bin interpolation accuracy).
     """
     st = np.asarray(stations_enu, np.float64)
     p = np.asarray(pos_enu, np.float64)
@@ -77,6 +80,7 @@ def solve_velocity_enu(
     if m > n_dim:
         if fdoa_sigma_hz is None:
             fdoa_sigma_hz = resid * np.sqrt(m / (m - n_dim))
+        fdoa_sigma_hz = max(fdoa_sigma_hz, fdoa_sigma_floor_hz)
         try:
             cov = np.linalg.inv(aw.T @ aw) * fdoa_sigma_hz**2
             sig = np.zeros(3)

@@ -194,7 +194,7 @@ def test_drift_doppler_measured_by_caf():
     )
 
 
-def test_processor_solve_velocity_e2e(omaha_stations=None):
+def test_processor_solve_velocity_e2e():
     """Full processor path on a moving emitter with imperfect clocks:
     --solve-velocity measures the CAF Doppler, deramp-and-correlates
     the TDOAs (motion smears the plain correlation), re-solves the fix,
@@ -237,7 +237,7 @@ def test_processor_solve_velocity_e2e(omaha_stations=None):
     assert res.velocity_sigma_enu is not None
     assert np.all(np.abs(err[:2]) < 5.0 * res.velocity_sigma_enu[:2] + 1.0)
     # Motion detected -> deramp path replaced the smeared plain fix.
-    assert any("moving emitter" in w for w in res.warnings)
+    assert any("deramp-and-correlate" in w for w in res.warnings)
     fix_err = np.linalg.norm(
         lla_to_enu(np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt)[:2]
     )
@@ -250,5 +250,5 @@ def test_processor_solve_velocity_e2e(omaha_stations=None):
     )
     caps2, _ = simulate_scene(sc2)
     res2 = proc.process_captures({n: caps2[n] for n in names})
-    assert not any("moving emitter" in w for w in res2.warnings)
+    assert not any("deramp-and-correlate" in w for w in res2.warnings)
     assert np.linalg.norm(res2.velocity_enu) < 10.0
