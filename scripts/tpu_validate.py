@@ -304,6 +304,51 @@ def main():
           f"{[round(float(e), 2) for e in errs] if n_em == 2 else 'n/a'}, "
           f"{time.time()-t0:.0f}s")
 
+    # ---- 8. moving emitter: CAF + deramp-and-correlate + velocity --------
+    # The --solve-velocity chain (CAF steering matmuls, the deramp
+    # rotation, the re-run correlator) all on the chip.
+    t0 = time.time()
+    scene_mv = SimScene(
+        station_names=omaha["names"],
+        station_lla=omaha["lla"],
+        ref_tx_lla=omaha["ref_tx"],
+        tgt_tx_lla=omaha["tgt_tx"],
+        ref_freq=162.4e6,
+        tgt_freq=101.9e6,
+        block_len=4 * SEG_LEN,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
+        tgt_velocity_enu=np.array([150.0, -80.0, 0.0]),
+        seed=5,
+    )
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        caps_mv, _ = simulate_scene(scene_mv)
+        caps_mv = {
+            n: tuple(from_complex(b) for b in blocks)
+            for n, blocks in caps_mv.items()
+        }
+    proc_mv = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        solve_velocity=True),
+        table_me,
+    )
+    res_mv = proc_mv.process_captures(
+        {n: caps_mv[n] for n in scene_mv.station_names}
+    )
+    v_err = (
+        np.linalg.norm(res_mv.velocity_enu - np.array([150.0, -80.0, 0.0]))
+        if res_mv.velocity_enu is not None else np.inf
+    )
+    fix_err_mv = np.linalg.norm(
+        lla_to_enu(
+            np.array([res_mv.fix.lat, res_mv.fix.lon, omaha["tgt_tx"][2]]),
+            omaha["tgt_tx"],
+        )[:2]
+    )
+    check("moving-emitter velocity (CAF+deramp)",
+          v_err < 10.0 and fix_err_mv < 200.0,
+          f"vel err {v_err:.1f} m/s, fix err {fix_err_mv:.0f} m, "
+          f"{time.time()-t0:.0f}s")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {', '.join(FAILURES)}")

@@ -24,6 +24,8 @@ import sys
 import time
 from collections import defaultdict
 
+import numpy as np
+
 from tdoa_tpu.cli import setup_platform
 
 
@@ -44,6 +46,14 @@ def main(argv=None) -> int:
     p.add_argument("--settle", type=float, default=1.0,
                    help="seconds a window's newest file must be old "
                         "before processing (writers may still be going)")
+    p.add_argument("--multi-emitter", type=int, default=1, metavar="N",
+                   help="separate up to N co-channel emitters per window "
+                        "and track each as its own target (cross-window "
+                        "identity by nearest TDOA set)")
+    p.add_argument("--solve-velocity", action="store_true",
+                   help="per-window CAF+FDOA velocity fused into the "
+                        "track (instant velocity instead of "
+                        "position-differencing)")
     p.add_argument("--idle-exit", type=float, default=None,
                    help="with --watch: exit after this many seconds "
                         "without a new window (default: run forever)")
@@ -87,12 +97,44 @@ def main(argv=None) -> int:
     proc = TDOAProcessor.from_csv(
         args.ref_freq, args.target_freq, args.csv,
         max_lag=args.max_lag, seg_len=args.seg_len,
+        solve_velocity=args.solve_velocity,
+        multi_emitter=args.multi_emitter,
     )
     # Tracker over the station set actually present in each window;
     # rebuilt when the set changes (tracks carry over only while the
     # geometry is stable — a different set means a different pair basis).
     tracker = None
     tracker_order = None
+    # Cross-window emitter identity (multi-emitter mode): each window's
+    # separated TDOA sets are matched to the previous window's by
+    # nearest TDOA distance — emitter order from the association is
+    # strength-sorted and can swap between windows.
+    emitter_refs: dict = {}  # id -> last associated TDOA set (samples)
+
+    def assign_emitter_ids(sets) -> dict:
+        """Greedy nearest-neighbor matching of this window's emitter
+        TDOA sets to known emitter ids; unmatched sets get new ids."""
+        assigned = {}
+        used = set()
+        entries = []
+        for k, es in enumerate(sets):
+            for eid, ref in emitter_refs.items():
+                if len(ref) == len(es.tdoa_samples):
+                    d = float(np.abs(es.tdoa_samples - ref).max())
+                    entries.append((d, k, eid))
+        for d, k, eid in sorted(entries):
+            if k in assigned or eid in used or d > 20.0:
+                continue
+            assigned[k] = eid
+            used.add(eid)
+        for k, es in enumerate(sets):
+            if k not in assigned:
+                eid = f"{args.target_id}-{len(emitter_refs) + 1}"
+                assigned[k] = eid
+            emitter_refs[assigned[k]] = np.asarray(
+                sets[k].tdoa_samples, float
+            )
+        return assigned
 
     def settled(files) -> bool:
         """Writers may still be appending — require the window's newest
@@ -116,21 +158,40 @@ def main(argv=None) -> int:
                 )
             tracker_order = res.station_names
             tracker = TargetTracker(table.lla_array(tracker_order))
+        fdoa = None
+        if res.fdoa_hz is not None:
+            fdoa = {args.target_id: res.fdoa_hz}
+        updates = {args.target_id: res.tdoa_seconds}
+        qualities = {args.target_id: float(res.quality.mean())}
+        if res.emitters is not None and len(res.emitters) > 1:
+            # Track each separated co-channel emitter independently
+            # (the primary target keeps its id; extra emitters get
+            # stable ids via nearest-TDOA matching across windows).
+            ids = assign_emitter_ids(res.emitters)
+            updates = {}
+            qualities = {}
+            for k, es in enumerate(res.emitters):
+                sample_rate = proc.config.sample_rate
+                updates[ids[k]] = es.tdoa_samples / sample_rate
+                qualities[ids[k]] = float(es.peak_value.mean())
         tracker.update(
             float(ep),
-            {args.target_id: res.tdoa_seconds},
-            qualities={args.target_id: float(res.quality.mean())},
+            updates,
+            qualities=qualities,
+            fdoa_hz=fdoa,
+            carrier_hz=args.target_freq,
         )
-        tr = tracker.tracks[args.target_id]
-        tlla = tr.lla(tracker.origin)
-        print(
-            f"epoch {ep}: fix {res.fix.lat:.6f},{res.fix.lon:.6f} "
-            f"(rms {res.fix.rms_residual_m:.1f} m)  "
-            f"track {tlla[0]:.6f},{tlla[1]:.6f} "
-            f"v=({tr.vel_enu[0]:+.1f},{tr.vel_enu[1]:+.1f}) m/s "
-            f"[{tr.n_updates} updates]",
-            flush=True,
-        )
+        for tid in updates:
+            tr = tracker.tracks[tid]
+            tlla = tr.lla(tracker.origin)
+            print(
+                f"epoch {ep}: fix {res.fix.lat:.6f},{res.fix.lon:.6f} "
+                f"(rms {res.fix.rms_residual_m:.1f} m)  "
+                f"{tid} {tlla[0]:.6f},{tlla[1]:.6f} "
+                f"v=({tr.vel_enu[0]:+.1f},{tr.vel_enu[1]:+.1f}) m/s "
+                f"[{tr.n_updates} updates]",
+                flush=True,
+            )
 
     processed = set()
     skipped_thin = set()

@@ -153,3 +153,62 @@ def test_stream_processor_watch_mode(tmp_path, station_csv):
     t.join()
     assert "fix " in r.stdout
     assert "exiting watch" in r.stdout
+
+
+def test_stream_processor_solve_velocity(tmp_path, station_csv):
+    """--solve-velocity: the per-window FDOA velocity is fused into the
+    track — the FIRST window already reports the emitter's speed."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    sim_dir = tmp_path / "sim"
+    sim_dir.mkdir()
+    run_cli(
+        "simulator", "--duration-s", 0.4,
+        "--velocity", 150, -80, 0, "--out", str(sim_dir),
+    )
+    for p in sorted(sim_dir.glob("sim-*.dat")):
+        (inbox / p.name[len("sim-"):]).write_bytes(p.read_bytes())
+    r = run_cli(
+        "stream_processor", 162400000, 101900000, station_csv,
+        str(inbox), "--max-lag", 512, "--seg-len", 65536,
+        "--solve-velocity",
+    )
+    import re
+    m = re.search(r"v=\(([-+0-9.]+),([-+0-9.]+)\)", r.stdout)
+    assert m, r.stdout
+    ve, vn = float(m.group(1)), float(m.group(2))
+    # One window in: velocity already ~(150, -80) m/s, not ~0.
+    assert abs(ve - 150) < 15 and abs(vn + 80) < 15, (ve, vn)
+
+
+def test_stream_processor_multi_emitter_tracks(tmp_path, station_csv):
+    """--multi-emitter in the stream: two co-channel emitters become two
+    independent tracks with stable ids across windows."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    sim_dir = tmp_path / "sim"
+    sim_dir.mkdir()
+    # Two windows of the same two-emitter scene (epochs differ).
+    for ep_off in (0, 1):
+        run_cli(
+            "simulator", "--duration-s", 0.3,
+            "--interferer", 41.05, -95.99, 340, 1.0,
+            "--clock-offsets-us", 5, -9, 14,
+            "--seed", 7 + ep_off, "--out", str(sim_dir),
+        )
+        epoch = 1_800_000_000 + ep_off * 10
+        for p in sorted(sim_dir.glob("sim-*.dat")):
+            station = p.name[len("sim-"):].rsplit("-", 1)[0]
+            (inbox / f"{station}-{epoch}.dat").write_bytes(p.read_bytes())
+            p.unlink()
+    r = run_cli(
+        "stream_processor", 162400000, 101900000, station_csv,
+        str(inbox), "--max-lag", 512, "--seg-len", 32768,
+        "--multi-emitter", 2,
+    )
+    import re
+    ids = set(re.findall(r"(target(?:-\d+)?) 4", r.stdout))
+    # Two distinct track ids, each updated in both windows.
+    assert len(ids) == 2, r.stdout
+    for tid in ids:
+        assert r.stdout.count(f"{tid} 4") == 2, r.stdout
