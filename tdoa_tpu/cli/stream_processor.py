@@ -48,8 +48,13 @@ def main(argv=None) -> int:
                         "before processing (writers may still be going)")
     p.add_argument("--multi-emitter", type=int, default=1, metavar="N",
                    help="separate up to N co-channel emitters per window "
-                        "and track each as its own target (cross-window "
-                        "identity by nearest TDOA set)")
+                        "and track each as its own target; tracks are "
+                        "named {target-id}-1, -2, ... with cross-window "
+                        "identity by nearest TDOA set")
+    p.add_argument("--emitter-match-gate", type=float, default=20.0,
+                   help="base TDOA distance (samples) for cross-window "
+                        "emitter identity; grows 2 samples/s with window "
+                        "spacing to cover emitter motion (~270 m/s)")
     p.add_argument("--solve-velocity", action="store_true",
                    help="per-window CAF+FDOA velocity fused into the "
                         "track (instant velocity instead of "
@@ -108,31 +113,40 @@ def main(argv=None) -> int:
     # Cross-window emitter identity (multi-emitter mode): each window's
     # separated TDOA sets are matched to the previous window's by
     # nearest TDOA distance — emitter order from the association is
-    # strength-sorted and can swap between windows.
-    emitter_refs: dict = {}  # id -> last associated TDOA set (samples)
+    # strength-sorted and can swap between windows. Every window routes
+    # through this (even single-emitter ones) so identity survives
+    # 1 <-> 2 emitter transitions.
+    emitter_refs: dict = {}  # id -> (TDOA set samples, epoch)
+    emitter_seq = 0
 
-    def assign_emitter_ids(sets) -> dict:
+    def assign_emitter_ids(sets, ep: float) -> dict:
         """Greedy nearest-neighbor matching of this window's emitter
-        TDOA sets to known emitter ids; unmatched sets get new ids."""
+        TDOA sets to known emitter ids; unmatched sets get new ids.
+        The match gate widens with the time since an id was last seen
+        (a moving emitter walks its TDOAs between windows)."""
+        nonlocal emitter_seq
         assigned = {}
         used = set()
         entries = []
         for k, es in enumerate(sets):
-            for eid, ref in emitter_refs.items():
+            for eid, (ref, ref_ep) in emitter_refs.items():
                 if len(ref) == len(es.tdoa_samples):
                     d = float(np.abs(es.tdoa_samples - ref).max())
-                    entries.append((d, k, eid))
+                    gate = (args.emitter_match_gate
+                            + 2.0 * abs(float(ep) - ref_ep))
+                    if d <= gate:
+                        entries.append((d, k, eid))
         for d, k, eid in sorted(entries):
-            if k in assigned or eid in used or d > 20.0:
+            if k in assigned or eid in used:
                 continue
             assigned[k] = eid
             used.add(eid)
         for k, es in enumerate(sets):
             if k not in assigned:
-                eid = f"{args.target_id}-{len(emitter_refs) + 1}"
-                assigned[k] = eid
-            emitter_refs[assigned[k]] = np.asarray(
-                sets[k].tdoa_samples, float
+                emitter_seq += 1
+                assigned[k] = f"{args.target_id}-{emitter_seq}"
+            emitter_refs[assigned[k]] = (
+                np.asarray(sets[k].tdoa_samples, float), float(ep)
             )
         return assigned
 
@@ -158,22 +172,39 @@ def main(argv=None) -> int:
                 )
             tracker_order = res.station_names
             tracker = TargetTracker(table.lla_array(tracker_order))
+            # Refs live in the old station set's pair basis; a match
+            # against them after a geometry change would be meaningless.
+            emitter_refs.clear()
         fdoa = None
-        if res.fdoa_hz is not None:
-            fdoa = {args.target_id: res.fdoa_hz}
+        fixes = {args.target_id: res.fix}
         updates = {args.target_id: res.tdoa_seconds}
+        # In multi-emitter mode quality is the associated peak height;
+        # in plain mode it is the peak-to-sidelobe ratio — consistent
+        # within a run, different scales between modes.
         qualities = {args.target_id: float(res.quality.mean())}
-        if res.emitters is not None and len(res.emitters) > 1:
-            # Track each separated co-channel emitter independently
-            # (the primary target keeps its id; extra emitters get
-            # stable ids via nearest-TDOA matching across windows).
-            ids = assign_emitter_ids(res.emitters)
+        if res.emitters is not None:
+            ids = assign_emitter_ids(res.emitters, float(ep))
             updates = {}
             qualities = {}
+            fixes = {}
             for k, es in enumerate(res.emitters):
-                sample_rate = proc.config.sample_rate
-                updates[ids[k]] = es.tdoa_samples / sample_rate
+                updates[ids[k]] = es.tdoa_samples / proc.config.sample_rate
                 qualities[ids[k]] = float(es.peak_value.mean())
+                fixes[ids[k]] = es.fix
+            if res.fdoa_hz is not None and len(res.emitters) > 1:
+                # The CAF's per-pair Doppler follows each pair's
+                # DOMINANT peak, which can be a different emitter per
+                # pair in a mixed window — unattributable; drop it.
+                print(
+                    f"epoch {ep}: {len(res.emitters)} emitters — FDOA "
+                    "velocity unattributable in mixed windows, using "
+                    "position-differencing",
+                    file=sys.stderr,
+                )
+            elif res.fdoa_hz is not None:
+                fdoa = {ids[0]: res.fdoa_hz}
+        elif res.fdoa_hz is not None:
+            fdoa = {args.target_id: res.fdoa_hz}
         tracker.update(
             float(ep),
             updates,
@@ -184,9 +215,10 @@ def main(argv=None) -> int:
         for tid in updates:
             tr = tracker.tracks[tid]
             tlla = tr.lla(tracker.origin)
+            f = fixes[tid]
             print(
-                f"epoch {ep}: fix {res.fix.lat:.6f},{res.fix.lon:.6f} "
-                f"(rms {res.fix.rms_residual_m:.1f} m)  "
+                f"epoch {ep}: fix {f.lat:.6f},{f.lon:.6f} "
+                f"(rms {f.rms_residual_m:.1f} m)  "
                 f"{tid} {tlla[0]:.6f},{tlla[1]:.6f} "
                 f"v=({tr.vel_enu[0]:+.1f},{tr.vel_enu[1]:+.1f}) m/s "
                 f"[{tr.n_updates} updates]",

@@ -155,6 +155,7 @@ def test_stream_processor_watch_mode(tmp_path, station_csv):
     assert "exiting watch" in r.stdout
 
 
+@pytest.mark.slow
 def test_stream_processor_solve_velocity(tmp_path, station_csv):
     """--solve-velocity: the per-window FDOA velocity is fused into the
     track — the FIRST window already reports the emitter's speed."""
@@ -181,6 +182,7 @@ def test_stream_processor_solve_velocity(tmp_path, station_csv):
     assert abs(ve - 150) < 15 and abs(vn + 80) < 15, (ve, vn)
 
 
+@pytest.mark.slow
 def test_stream_processor_multi_emitter_tracks(tmp_path, station_csv):
     """--multi-emitter in the stream: two co-channel emitters become two
     independent tracks with stable ids across windows."""
