@@ -24,7 +24,7 @@ import sys
 
 import numpy as np
 
-from tdoa_tpu.geo import lla_to_enu
+from tdoa_tpu.geo import lla_to_enu, network_origin
 from tdoa_tpu.io.stations import load_station_table
 from tdoa_tpu.solve.multilateration import error_ellipse, station_pairs
 from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
@@ -42,14 +42,7 @@ def coverage_grid(
     """
     n = len(station_lla)
     pairs = station_pairs(n)
-    # Circular mean for longitude (antimeridian-safe, same construction
-    # as solve_fix / TargetTracker).
-    lon = np.radians(station_lla[:, 1])
-    origin = np.array([
-        station_lla[:, 0].mean(),
-        np.degrees(np.arctan2(np.sin(lon).mean(), np.cos(lon).mean())),
-        0.0,
-    ])
+    origin = network_origin(station_lla)
     st = lla_to_enu(station_lla, origin)  # [n, 3]
     pts = lla_to_enu(grid_lla, origin)  # [g, 3]
 

@@ -5,6 +5,7 @@ from tdoa_tpu.geo.wgs84 import (
     enu_to_ecef,
     lla_to_enu,
     enu_to_lla,
+    network_origin,
     baselines,
     pairwise_distances,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "enu_to_ecef",
     "lla_to_enu",
     "enu_to_lla",
+    "network_origin",
     "baselines",
     "pairwise_distances",
 ]

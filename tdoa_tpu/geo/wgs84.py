@@ -104,3 +104,17 @@ def baselines(lla: np.ndarray):
     dm = pairwise_distances(ecef)
     n = dm.shape[0]
     return [((i, j), float(dm[i, j])) for i in range(n) for j in range(i + 1, n)]
+
+
+def network_origin(station_lla: np.ndarray) -> np.ndarray:
+    """Mean station position as an ENU origin, with a CIRCULAR mean for
+    longitude — an arithmetic mean of raw degrees puts the origin on the
+    wrong side of the planet for a network straddling the ±180°
+    antimeridian. Single home for the convention (solver, tracker, and
+    coverage map must agree on the frame)."""
+    lla = np.asarray(station_lla, dtype=np.float64)
+    lon_rad = np.radians(lla[:, 1])
+    mean_lon = np.degrees(
+        np.arctan2(np.sin(lon_rad).mean(), np.cos(lon_rad).mean())
+    )
+    return np.array([lla[:, 0].mean(), mean_lon, lla[:, 2].mean()])

@@ -573,7 +573,6 @@ class TDOAProcessor:
                         corrected = corrected2
                         tdoa_s = corrected / cfg.sample_rate
                         q = q2
-                        q_arr = q2
                         w = w2
                         tdoa_std_s = std2
                         sigma_m = (

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tdoa_tpu.geo import enu_to_lla, lla_to_enu
+from tdoa_tpu.geo import network_origin, enu_to_lla, lla_to_enu
 from tdoa_tpu.ops.corr import (
     CorrResult,
     _accumulate_cross_spectra,
@@ -209,14 +209,7 @@ class TargetTracker:
         solve_z: bool = False,
     ):
         self.station_lla = np.asarray(station_lla, dtype=np.float64)
-        # Circular mean for longitude (antimeridian-safe, matching
-        # solve_fix's origin choice).
-        lon = np.radians(self.station_lla[:, 1])
-        self.origin = np.array([
-            self.station_lla[:, 0].mean(),
-            np.degrees(np.arctan2(np.sin(lon).mean(), np.cos(lon).mean())),
-            self.station_lla[:, 2].mean(),
-        ])
+        self.origin = network_origin(self.station_lla)
         self.enu = jnp.asarray(
             lla_to_enu(self.station_lla, self.origin), jnp.float32
         )

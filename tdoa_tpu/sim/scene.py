@@ -218,9 +218,7 @@ def _receive_block(
         rx = jax.vmap(chan)(delays, delay_rates, amps)
     else:
         chan = lambda d, r, a: apply_channel(src, d, carrier, sample_rate, a)
-        rx = jax.vmap(
-            lambda d, a: apply_channel(src, d, carrier, sample_rate, a)
-        )(delays, amps)
+        rx = jax.vmap(chan)(delays, jnp.zeros_like(delays), amps)
 
     k_noise_i, k_noise_q, k_imp, k_impphase, k_phase0 = jax.random.split(key, 5)
 

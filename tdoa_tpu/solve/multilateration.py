@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tdoa_tpu.geo import enu_to_lla, lla_to_enu
+from tdoa_tpu.geo import network_origin, enu_to_lla, lla_to_enu
 from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
 
 
@@ -207,16 +207,7 @@ def solve_fix(
     n = station_lla.shape[0]
     if pair_idx is None:
         pair_idx = station_pairs(n)
-    # Circular mean for longitude: an arithmetic mean of raw degrees puts
-    # the ENU origin on the wrong side of the planet for a network
-    # straddling the ±180° antimeridian.
-    lon_rad = np.radians(station_lla[:, 1])
-    mean_lon = np.degrees(
-        np.arctan2(np.sin(lon_rad).mean(), np.cos(lon_rad).mean())
-    )
-    origin = np.array(
-        [station_lla[:, 0].mean(), mean_lon, station_lla[:, 2].mean()]
-    )
+    origin = network_origin(station_lla)
     enu = lla_to_enu(station_lla, origin).astype(np.float32)
     rd = np.asarray(tdoas_s, dtype=np.float64) * SPEED_OF_LIGHT
     w = None if weights is None else jnp.asarray(np.asarray(weights, np.float32))
