@@ -44,6 +44,7 @@ def main(argv=None) -> int:
     from tdoa_tpu.quality import (
         analyze_capture,
         assess_tdoa_suitability,
+        compare_signals,
         generate_recommendations,
     )
 
@@ -51,6 +52,10 @@ def main(argv=None) -> int:
     print(f"Analyzing {args.dat_file}")
     _print_block("REFERENCE", a.ref)
     _print_block("TARGET", a.tgt)
+
+    print("\n=== Signal comparison ===")
+    for line in compare_signals(a):
+        print(f"  {line}")
 
     print("\n=== Recommendations ===")
     for r in generate_recommendations(a):

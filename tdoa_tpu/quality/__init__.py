@@ -4,6 +4,7 @@ from tdoa_tpu.quality.analyzer import (
     analyze_block_bytes,
     analyze_capture,
     assess_tdoa_suitability,
+    compare_signals,
     generate_recommendations,
 )
 from tdoa_tpu.quality.reader import StructuralReport, validate_dat_structure
@@ -14,6 +15,7 @@ __all__ = [
     "analyze_block_bytes",
     "analyze_capture",
     "assess_tdoa_suitability",
+    "compare_signals",
     "generate_recommendations",
     "StructuralReport",
     "validate_dat_structure",

@@ -231,6 +231,59 @@ def generate_recommendations(a: SignalAnalysis) -> List[str]:
     return recs
 
 
+def _issue_count(b: BlockStats) -> int:
+    """Quality-issue tally (analyzer.go:450-458 countQualityIssues)."""
+    issues = 0
+    issues += b.is_clipping
+    issues += b.is_overloaded
+    issues += b.is_dead
+    issues += b.is_noisy
+    issues += (max(abs(b.dc_offset_i), abs(b.dc_offset_q)) > 10.0)
+    issues += (abs(b.iq_imbalance_db) > 0.9)  # ≈ the 0.1 linear ratio
+    return int(issues)
+
+
+def compare_signals(a: SignalAnalysis) -> List[str]:
+    """REF-vs-TGT balance narrative (analyzer.go:398-448
+    compareSignals): SNR balance with gain advice, issue-count
+    comparison, and the joint EXCELLENT/POOR/MARGINAL verdict."""
+    lines: List[str] = []
+    r, t = a.ref, a.tgt
+    lines.append(f"SNR: reference {r.snr_db:.1f} dB, target {t.snr_db:.1f} dB")
+    if r.snr_db > t.snr_db + 10:
+        lines.append("reference significantly stronger — consider "
+                     "reducing reference gain")
+    elif t.snr_db > r.snr_db + 10:
+        lines.append("target significantly stronger — consider "
+                     "reducing target gain")
+    else:
+        lines.append("signal levels reasonably balanced")
+    ri, ti = _issue_count(r), _issue_count(t)
+    lines.append(f"quality issues: reference {ri}, target {ti}")
+    if ri == 0 and ti == 0:
+        lines.append("both signals appear suitable for TDOA processing")
+    elif ri > ti:
+        lines.append("reference signal needs more attention")
+    elif ti > ri:
+        lines.append("target signal needs more attention")
+    ok_r = not (r.is_clipping or r.is_overloaded or r.is_dead
+                or r.snr_db < 15.0)
+    ok_t = not (t.is_clipping or t.is_overloaded or t.is_dead
+                or t.snr_db < 15.0)
+    if ok_r and ok_t:
+        lines.append("verdict: EXCELLENT — both signals suitable for "
+                     "TDOA correlation")
+    elif not ok_r and not ok_t:
+        lines.append("verdict: POOR — both signals need improvement")
+    elif not ok_r:
+        lines.append("verdict: MARGINAL — reference signal needs "
+                     "improvement")
+    else:
+        lines.append("verdict: MARGINAL — target signal needs "
+                     "improvement")
+    return lines
+
+
 def fast_csv_line(a: SignalAnalysis) -> str:
     """Machine-readable calibrator interface (fast_analyzer.go:44-50):
     ``REF,snr,power,clip,ovl`` then ``TGT,...``."""

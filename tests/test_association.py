@@ -91,3 +91,61 @@ def test_single_wide_peak_does_not_split_into_phantom_emitter():
                               max_emitters=2)
     assert len(sets) == 1
     np.testing.assert_allclose(sets[0].tdoa, true, atol=0.5)
+
+
+def test_association_property_random_emitters():
+    """Property: for random geometries and 1-3 emitters with exact
+    candidate TDOAs (plus decoy noise candidates), association recovers
+    every emitter's set exactly and never invents extras — across
+    station counts and candidate orders."""
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        n_st = int(rng.integers(3, 6))
+        n_em = int(rng.integers(1, 4))
+        pairs = np.array(
+            [[i, j] for i in range(n_st) for j in range(i + 1, n_st)]
+        )
+        m = len(pairs)
+        # Arrival times per emitter; TDOA sets must differ by > the
+        # match tolerance on at least one anchor pair to be countable.
+        while True:
+            t = rng.uniform(-50, 50, size=(n_em, n_st))
+            sets = t[:, pairs[:, 1]] - t[:, pairs[:, 0]]
+            ok = all(
+                np.abs(sets[a] - sets[b]).max() > 12.0
+                for a in range(n_em) for b in range(a + 1, n_em)
+            )
+            if ok:
+                break
+        k = n_em + 2
+        cand = np.full((m, k), np.nan)
+        vals = np.zeros((m, k))
+        for e in range(n_em):
+            cand[:, e] = sets[e]
+            vals[:, e] = 1.0 - 0.2 * e  # strength-ordered
+        # Decoys: random lags, weak-but-nonzero values.
+        cand[:, n_em:] = rng.uniform(-200, 200, size=(m, k - n_em))
+        vals[:, n_em:] = 0.3
+        # Shuffle candidate order per pair (association must not rely
+        # on column order).
+        for row in range(m):
+            perm = rng.permutation(k)
+            cand[row] = cand[row, perm]
+            vals[row] = vals[row, perm]
+        got = associate_emitters(
+            cand, vals, pairs, n_st, tol_samples=1.0, max_emitters=3
+        )
+        recovered = 0
+        for e in range(n_em):
+            hit = any(
+                np.abs(g.tdoa - sets[e]).max() < 1e-6 for g in got
+            )
+            recovered += hit
+        assert recovered == n_em, (trial, n_st, n_em, len(got))
+        # No phantom: every returned set is one of the true emitters
+        # (decoys are mutually inconsistent with probability ~1).
+        for g in got:
+            assert any(
+                np.abs(g.tdoa - sets[e]).max() < 1e-6
+                for e in range(n_em)
+            ), (trial, g.tdoa, sets)

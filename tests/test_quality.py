@@ -161,3 +161,39 @@ def test_calibrate_both_frequencies():
     ref, tgt = calibrate(backend, 162_400_000.0, 101_900_000.0)
     assert ref.freq_hz != tgt.freq_hz
     assert ref.converged and tgt.converged
+
+
+def test_compare_signals_narrative(tmp_path):
+    """REF-vs-TGT comparison section (analyzer.go:398-448): balance
+    advice, issue counts, and the joint verdict."""
+    from tdoa_tpu.quality import analyze_capture, compare_signals
+
+    rng = np.random.default_rng(3)
+    n = 1 << 16
+    t = np.arange(n) / 2e6
+    def block(amp, noise):
+        iq = amp * np.exp(2j * np.pi * 50e3 * t)
+        iq = iq + noise * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        raw = np.empty(2 * n, np.uint8)
+        raw[0::2] = np.clip(iq.real * 127.5 + 127.5, 0, 255).astype(np.uint8)
+        raw[1::2] = np.clip(iq.imag * 127.5 + 127.5, 0, 255).astype(np.uint8)
+        return raw
+    # Strong clean REF, weak TGT: expect "reference significantly
+    # stronger" advice and a non-EXCELLENT verdict.
+    strong = block(0.6, 0.005)
+    weak = block(0.01, 0.02)
+    path = tmp_path / "kx0u-1.dat"
+    path.write_bytes(strong.tobytes() + weak.tobytes() + strong.tobytes())
+    a = analyze_capture(str(path))
+    lines = "\n".join(compare_signals(a))
+    assert "reference significantly stronger" in lines
+    assert "verdict:" in lines
+    assert "EXCELLENT" not in lines
+
+    # Balanced strong signals: EXCELLENT.
+    path2 = tmp_path / "kx0u-2.dat"
+    path2.write_bytes(strong.tobytes() * 3)
+    a2 = analyze_capture(str(path2))
+    lines2 = "\n".join(compare_signals(a2))
+    assert "reasonably balanced" in lines2
+    assert "EXCELLENT" in lines2
