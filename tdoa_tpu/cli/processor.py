@@ -136,7 +136,12 @@ def main(argv=None) -> int:
                  "rms_residual_m": e.fix.rms_residual_m,
                  "tdoa_samples": list(e.tdoa_samples),
                  "peak_value": list(e.peak_value),
-                 "max_inconsistency_samples": e.max_inconsistency_samples}
+                 "max_inconsistency_samples": e.max_inconsistency_samples,
+                 "fdoa_hz": None if e.fdoa_hz is None else list(e.fdoa_hz),
+                 "velocity_enu_mps": None if e.velocity_enu is None
+                 else list(e.velocity_enu),
+                 "velocity_sigma_mps": None if e.velocity_sigma_enu is None
+                 else list(e.velocity_sigma_enu)}
                 for e in res.emitters
             ],
         }))
@@ -188,9 +193,15 @@ def main(argv=None) -> int:
     if res.emitters is not None and len(res.emitters) > 1:
         print(f"\nSeparated co-channel emitters ({len(res.emitters)}):")
         for n_e, e in enumerate(res.emitters):
+            vtxt = ""
+            if e.velocity_enu is not None:
+                import math as _m
+                sp = _m.hypot(e.velocity_enu[0], e.velocity_enu[1])
+                vtxt = f", {sp:.0f} m/s"
             print(f"  emitter {n_e + 1}: {e.fix.lat:.6f}, {e.fix.lon:.6f}  "
                   f"(residual {e.fix.rms_residual_m:.1f} m, "
-                  f"consistency {e.max_inconsistency_samples:.2f} samples)")
+                  f"consistency {e.max_inconsistency_samples:.2f} samples"
+                  f"{vtxt})")
     return 0
 
 

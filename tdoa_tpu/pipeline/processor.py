@@ -115,6 +115,12 @@ class EmitterFix:
     tdoa_samples: np.ndarray  # [m] clock-corrected, associated per pair
     peak_value: np.ndarray  # [m] correlation peak heights of the set
     max_inconsistency_samples: float  # worst cycle-consistency residual
+    # Per-emitter Doppler/velocity (solve_velocity + multi_emitter):
+    # the CAF surface is read at THIS emitter's lag per pair, so mixed
+    # windows get attributable FDOA. None when unavailable.
+    fdoa_hz: Optional[np.ndarray] = None  # [m] drift-corrected
+    velocity_enu: Optional[np.ndarray] = None  # [3] m/s
+    velocity_sigma_enu: Optional[np.ndarray] = None  # [3] 1σ m/s
 
 
 @functools.partial(
@@ -472,6 +478,7 @@ class TDOAProcessor:
 
         velocity_enu = velocity_residual_hz = fdoa_out = None
         velocity_sigma = None
+        caf_info = None
         if cfg.solve_velocity:
             from tdoa_tpu.ops.caf import caf_pairs
             from tdoa_tpu.ops.corr import resolve_seg
@@ -619,41 +626,164 @@ class TDOAProcessor:
                 velocity_residual_hz = vsol.residual_hz
                 velocity_sigma = vsol.sigma_enu
                 fdoa_out = nu_emitter
+                # Kept for per-emitter Doppler attribution downstream.
+                caf_info = {
+                    "surface": np.asarray(caf.surface, np.float64),
+                    "max_lag": caf_max_lag,
+                    "span_hz": cfg.sample_rate / (2.0 * seg_r),
+                    "bin_hz": bin_hz,
+                }
 
         emitters: Optional[List[EmitterFix]] = None
         if cfg.multi_emitter > 1:
+            from tdoa_tpu.geo import lla_to_enu
             from tdoa_tpu.solve.association import (
                 associate_emitters,
+                associate_emitters_joint,
                 top_k_peaks,
+                top_k_peaks_2d,
             )
+            from tdoa_tpu.solve.fdoa import solve_velocity_enu
 
-            # The TGT correlation window's lag axis is in correlation
-            # units: decimated audio samples for mode="fm" (rescale), IQ
-            # samples otherwise. Must mirror process_blocks' max_lag_c.
-            if cfg.mode == "fm":
-                scale = float(cfg.fm_decim)
-                max_lag_c = max(cfg.max_lag // cfg.fm_decim + 2, 16)
-            else:
-                scale = 1.0
-                max_lag_c = cfg.max_lag
-            win = np.asarray(tgt_window, np.float64)
             k = cfg.multi_emitter + 2  # slack for sidelobes/noise peaks
-            cand = top_k_peaks(win, k=k)
-            cand_tdoa = (cand.lag - max_lag_c) * scale - np.asarray(
-                clock, np.float64
-            )[:, None]
             with stage("associate+solve-emitters"):
-                sets = associate_emitters(
-                    cand_tdoa,
-                    cand.value,
-                    pairs,
-                    len(names),
-                    tol_samples=cfg.emitter_tol_samples,
-                    max_emitters=cfg.multi_emitter,
-                )
+                per_fdoa: List[Optional[np.ndarray]] = []
+                if caf_info is not None:
+                    # Joint (lag, Doppler) association on the CAF
+                    # surface: a mover whose Doppler decorrelates the
+                    # plain full-block sum (anything beyond ~1/T_block)
+                    # is invisible in the plain window but is a clean
+                    # peak here, and every emitter gets its OWN FDOA
+                    # set. Lags are parabolic-only (~0.1 sample) and
+                    # windowed to the CAF's ±max_lag.
+                    from tdoa_tpu.solve.association import (
+                        caf_lag_resolution,
+                    )
+                    from tdoa_tpu.solve.fdoa import (
+                        station_doppler_from_pairs,
+                    )
+
+                    surf = caf_info["surface"]
+                    lag_res = caf_lag_resolution(surf)
+                    lags, dops, vals = top_k_peaks_2d(
+                        surf, k, guard_lag=lag_res
+                    )
+                    clock_np = np.asarray(clock, np.float64)
+                    cand_tdoa = (
+                        (lags - caf_info["max_lag"]) - clock_np[:, None]
+                    )
+                    ndop = surf.shape[1]
+                    dop_step = 2.0 * caf_info["span_hz"] / (ndop - 1)
+                    cand_nu_raw = -caf_info["span_hz"] + dops * dop_step
+                    cand_fdoa = (
+                        cand_nu_raw
+                        + cfg.tgt_freq * 1e-6 * drift_ppm[:, None]
+                    )
+                    # Lag tolerance at the CAF's own resolution: its
+                    # envelope peak localizes only to a fraction of the
+                    # main-lobe width; Doppler consistency carries the
+                    # fine discrimination between hypotheses.
+                    joint = associate_emitters_joint(
+                        cand_tdoa,
+                        cand_fdoa,
+                        vals,
+                        pairs,
+                        len(names),
+                        tol_samples=max(cfg.emitter_tol_samples,
+                                        0.5 * lag_res),
+                        tol_hz=max(4.0, 2.0 * caf_info["bin_hz"]),
+                        max_emitters=cfg.multi_emitter,
+                    )
+                    sets = [es for es, _ in joint]
+                    per_fdoa = [f for _, f in joint]
+                    # Per-emitter deramp refinement: counter-rotate the
+                    # stations by THIS emitter's Doppler solution and
+                    # re-correlate — its peak sharpens to full
+                    # sub-sample precision; take the peak nearest the
+                    # coarse lag (the other emitters' peaks, now
+                    # smeared, sit elsewhere).
+                    refined_sets = []
+                    for es, e_f in zip(sets, per_fdoa):
+                        nu_raw_e = (
+                            e_f - cfg.tgt_freq * 1e-6 * drift_ppm
+                        )
+                        s_e = station_doppler_from_pairs(
+                            pairs, nu_raw_e, len(names)
+                        )
+                        ang_e = (
+                            -2.0 * jnp.pi
+                            * jnp.asarray(s_e, jnp.float32)[:, None]
+                            * (jnp.arange(tgt.re.shape[1])
+                               / cfg.sample_rate)
+                        )
+                        ce, se_ = jnp.cos(ang_e), jnp.sin(ang_e)
+                        tre = tgt.re.astype(jnp.float32)
+                        tie = tgt.im.astype(jnp.float32)
+                        tre = tre - jnp.mean(tre, axis=-1, keepdims=True)
+                        tie = tie - jnp.mean(tie, axis=-1, keepdims=True)
+                        ye = C(tre * ce - tie * se_, tre * se_ + tie * ce)
+                        re_ = correlate_pairs_planar(
+                            ye,
+                            jnp.asarray(pairs),
+                            max_lag=caf_info["max_lag"],
+                            seg_len=cfg.seg_len,
+                            weighting=cfg.weighting,
+                        )
+                        win_e = np.asarray(re_.corr, np.float64)
+                        raw_coarse = es.tdoa + clock_np
+                        refined = np.array(es.tdoa, copy=True)
+                        for pk in range(len(pairs)):
+                            c0 = int(round(raw_coarse[pk])) + caf_info["max_lag"]
+                            lo = max(1, c0 - lag_res)
+                            hi = min(win_e.shape[1] - 1, c0 + lag_res + 1)
+                            if hi <= lo:
+                                continue
+                            seg = win_e[pk, lo:hi]
+                            i0 = int(np.argmax(seg)) + lo
+                            ym1, y0, yp1 = win_e[pk, i0 - 1:i0 + 2]
+                            den = ym1 - 2 * y0 + yp1
+                            off = (0.5 * (ym1 - yp1) / den
+                                   if abs(den) > 1e-12 else 0.0)
+                            off = float(np.clip(off, -0.5, 0.5))
+                            refined[pk] = (
+                                i0 + off - caf_info["max_lag"]
+                                - clock_np[pk]
+                            )
+                        refined_sets.append(es._replace(tdoa=refined))
+                    sets = refined_sets
+                else:
+                    # Lag-only association on the plain correlation
+                    # window. The window's lag axis is in correlation
+                    # units: decimated audio samples for mode="fm"
+                    # (rescale), IQ samples otherwise — mirrors
+                    # process_blocks' max_lag_c.
+                    if cfg.mode == "fm":
+                        scale = float(cfg.fm_decim)
+                        max_lag_c = max(cfg.max_lag // cfg.fm_decim + 2, 16)
+                    else:
+                        scale = 1.0
+                        max_lag_c = cfg.max_lag
+                    win = np.asarray(tgt_window, np.float64)
+                    cand = top_k_peaks(win, k=k)
+                    cand_tdoa = (
+                        (cand.lag - max_lag_c) * scale
+                        - np.asarray(clock, np.float64)[:, None]
+                    )
+                    sets = associate_emitters(
+                        cand_tdoa,
+                        cand.value,
+                        pairs,
+                        len(names),
+                        tol_samples=cfg.emitter_tol_samples,
+                        max_emitters=cfg.multi_emitter,
+                    )
+                    per_fdoa = [None] * len(sets)
                 emitters = []
-                dominant = cand.value[:, 0]
-                for es in sets:
+                dominant = (
+                    np.max(np.stack([es.value for es in sets]), axis=0)
+                    if sets else None
+                )
+                for es, e_fdoa in zip(sets, per_fdoa):
                     ew = (es.value / max(es.value.max(), 1e-9)) ** 2
                     # tdoa_std_s was measured on each pair's DOMINANT
                     # peak (phase-slope refinement); an associated
@@ -672,12 +802,25 @@ class TDOAProcessor:
                         solve_z=cfg.solve_z,
                         tdoa_sigma_s=e_sigma,
                     )
+                    e_vel = e_vsig = None
+                    if e_fdoa is not None:
+                        ev = solve_velocity_enu(
+                            lla_to_enu(lla, efix.origin_lla),
+                            pairs, efix.enu, e_fdoa, cfg.tgt_freq,
+                            weights=ew, solve_z=cfg.solve_z,
+                            fdoa_sigma_floor_hz=caf_info["bin_hz"] / 8.0,
+                        )
+                        e_vel = ev.vel_enu
+                        e_vsig = ev.sigma_enu
                     emitters.append(
                         EmitterFix(
                             fix=efix,
                             tdoa_samples=es.tdoa,
                             peak_value=es.value,
                             max_inconsistency_samples=es.max_inconsistency,
+                            fdoa_hz=e_fdoa,
+                            velocity_enu=e_vel,
+                            velocity_sigma_enu=e_vsig,
                         )
                     )
             if len(emitters) > 1:

@@ -194,3 +194,147 @@ def associate_emitters(
 # then finds only the stronger emitter. Separating them needs a
 # different discriminant (Doppler via ops/caf.py, or modulation-domain
 # correlation via mode="fm").
+
+
+def top_k_peaks_2d(
+    surface: np.ndarray,  # [m, D, W] |CAF| per pair
+    k: int,
+    guard_lag: Optional[int] = None,
+    guard_dop: int = 2,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k joint (Doppler, lag) peaks per pair on a CAF surface.
+
+    Returns (lag_pos [m,k], dop_pos [m,k], value [m,k]); positions are
+    sub-bin parabolic along each axis. The exclusion zone is a
+    (±guard_dop, ±guard_lag) rectangle; guard_lag=None auto-sizes from
+    the dominant peak's main-lobe width like top_k_peaks.
+    """
+    m, nd, nw = surface.shape
+    if guard_lag is None:
+        guard_lag = caf_lag_resolution(surface)
+    w = np.array(surface, np.float64, copy=True)
+    lags = np.zeros((m, k))
+    dops = np.zeros((m, k))
+    vals = np.zeros((m, k))
+
+    def para(y, i):
+        if 0 < i < len(y) - 1:
+            den = y[i - 1] - 2 * y[i] + y[i + 1]
+            if abs(den) > 1e-12:
+                return float(np.clip(0.5 * (y[i - 1] - y[i + 1]) / den,
+                                     -0.5, 0.5))
+        return 0.0
+
+    for pk in range(m):
+        for kk in range(k):
+            flat = int(np.argmax(w[pk]))
+            di, wi = divmod(flat, nw)
+            v = w[pk, di, wi]
+            if not np.isfinite(v) or v <= 0:
+                break
+            lags[pk, kk] = wi + para(surface[pk, di, :], wi)
+            dops[pk, kk] = di + para(surface[pk, :, wi], di)
+            vals[pk, kk] = v
+            w[pk,
+              max(0, di - guard_dop):di + guard_dop + 1,
+              max(0, wi - guard_lag):wi + guard_lag + 1] = -np.inf
+    return lags, dops, vals
+
+
+def caf_lag_resolution(surface: np.ndarray) -> int:
+    """Lag resolution scale of a CAF surface: the dominant peak's
+    main-lobe width (median over pairs, floor 8) — also the right
+    exclusion radius and lag-consistency tolerance for joint
+    association (the CAF's envelope peak is only localized to a
+    fraction of this width; Doppler carries the fine discrimination)."""
+    m = surface.shape[0]
+    best_d = np.argmax(surface.max(axis=2), axis=1)
+    rows = surface[np.arange(m), best_d]  # [m, W]
+    return max(8, int(np.ceil(np.median(main_lobe_width(rows)))))
+
+
+def associate_emitters_joint(
+    cand_tdoa: np.ndarray,  # [m, k] clock-corrected TDOAs, samples
+    cand_fdoa: np.ndarray,  # [m, k] drift-corrected Dopplers, Hz
+    cand_value: np.ndarray,  # [m, k] peak heights (0 = no candidate)
+    pair_idx: np.ndarray,
+    n_stations: int,
+    tol_samples: float = 3.0,
+    tol_hz: float = 8.0,
+    max_emitters: int = 2,
+    min_value_frac: float = 0.15,
+) -> List[Tuple[EmitterSet, np.ndarray]]:
+    """Cycle-consistent association in BOTH lag and Doppler.
+
+    tau_ij = tau_aj − tau_ai AND nu_ij = nu_aj − nu_ai hold per emitter
+    (both are differences of per-station quantities), so a hypothesis
+    must be consistent on both axes — which separates two emitters even
+    when their TDOAs collide on some pair, and attributes each emitter
+    its own FDOA set. Returns [(EmitterSet, fdoa [m])].
+    """
+    m, k = cand_tdoa.shape
+    pair_of = {tuple(p): i for i, p in enumerate(map(tuple, pair_idx))}
+    anchor_pairs = [pair_of[(0, j)] for j in range(1, n_stations)]
+    cross_pairs = [
+        (pair_of[(i, j)], i, j)
+        for i in range(1, n_stations)
+        for j in range(i + 1, n_stations)
+    ]
+    avail = cand_value > 0
+    floor = min_value_frac * cand_value.max(axis=1, keepdims=True)
+    results: List[Tuple[EmitterSet, np.ndarray]] = []
+    k_eff = k
+    while k_eff > 1 and k_eff ** len(anchor_pairs) > 20_000:
+        k_eff -= 1
+
+    for _ in range(max_emitters):
+        best = None
+        for combo in np.ndindex(*([k_eff] * len(anchor_pairs))):
+            ok = True
+            tau0 = np.zeros(n_stations)
+            nu0 = np.zeros(n_stations)
+            chosen = np.full(m, -1, int)
+            for ap, c in zip(anchor_pairs, combo):
+                if not avail[ap, c] or cand_value[ap, c] < floor[ap, 0]:
+                    ok = False
+                    break
+                j = pair_idx[ap, 1]
+                tau0[j] = cand_tdoa[ap, c]
+                nu0[j] = cand_fdoa[ap, c]
+                chosen[ap] = c
+            if not ok:
+                continue
+            worst = 0.0
+            for cp, i, j in cross_pairs:
+                pred_t = tau0[j] - tau0[i]
+                pred_f = nu0[j] - nu0[i]
+                # Normalized joint distance; both axes must agree.
+                dist = np.maximum(
+                    np.abs(cand_tdoa[cp] - pred_t) / tol_samples,
+                    np.abs(cand_fdoa[cp] - pred_f) / tol_hz,
+                )
+                dist = np.where(avail[cp], dist, np.inf)
+                c = int(np.argmin(dist))
+                if dist[c] > 1.0:
+                    ok = False
+                    break
+                chosen[cp] = c
+                worst = max(worst, float(dist[c]) * tol_samples)
+            if not ok:
+                continue
+            vals = cand_value[np.arange(m), chosen]
+            cand_set = EmitterSet(
+                tdoa=cand_tdoa[np.arange(m), chosen],
+                value=vals,
+                candidate_idx=chosen,
+                score=float(vals.sum()),
+                max_inconsistency=worst,
+            )
+            if best is None or cand_set.score > best[0].score:
+                best = (cand_set, cand_fdoa[np.arange(m), chosen])
+            del cand_set
+        if best is None:
+            break
+        results.append(best)
+        avail[np.arange(m), best[0].candidate_idx] = False
+    return results

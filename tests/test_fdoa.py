@@ -252,3 +252,63 @@ def test_processor_solve_velocity_e2e():
     res2 = proc.process_captures({n: caps2[n] for n in names})
     assert not any("deramp-and-correlate" in w for w in res2.warnings)
     assert np.linalg.norm(res2.velocity_enu) < 10.0
+
+
+def test_joint_separation_moving_plus_static_emitter():
+    """The hardest co-channel case: equal-power static interferer plus
+    a 134 m/s mover. The mover's Doppler decorrelates the plain
+    full-block correlation entirely (invisible to lag-only
+    association); joint (lag, Doppler) association on the CAF surface
+    plus per-emitter deramp refinement separates both, locates both,
+    and attributes each its own velocity."""
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("kx0u", "n3pay", "kf0mtl")
+    lla = np.array(
+        [[41.18660274289527, -95.96064116595667, 355.69],
+         [41.24669616513154, -96.08366304481238, 329.0],
+         [41.32916620016985, -96.03513381562004, 373.18]]
+    )
+    tgt = np.array([41.30888549464701, -96.02619229605524, 356.0])
+    intf = np.array([41.05, -95.99, 340.0])
+    vel = np.array([120.0, -60.0, 0.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=tgt, block_len=1 << 18, tgt_velocity_enu=vel,
+        interferer_lla=intf, interferer_amplitude=1.0,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]), seed=5,
+    )
+    caps, _ = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[i]) for i, n in enumerate(names)],
+        reference_tx=Station("162400000", 41.25703803095629,
+                             -95.95512763589404, 349.07),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        solve_velocity=True, multi_emitter=2),
+        table,
+    )
+    res = proc.process_captures({n: caps[n] for n in names})
+    assert res.emitters is not None and len(res.emitters) == 2
+
+    def fix_dist(e, ref_lla):
+        est = np.array([e.fix.lat, e.fix.lon, ref_lla[2]])
+        return np.linalg.norm(lla_to_enu(est, ref_lla)[:2])
+
+    mover = min(res.emitters, key=lambda e: fix_dist(e, tgt))
+    static = min(res.emitters, key=lambda e: fix_dist(e, intf))
+    assert mover is not static
+    assert fix_dist(mover, tgt) < 1000.0
+    assert fix_dist(static, intf) < 1000.0
+    # Velocity attribution: the mover's ~134 m/s recovered within a few
+    # m/s; the static one consistent with zero (its own sigma).
+    assert mover.velocity_enu is not None
+    assert np.linalg.norm(mover.velocity_enu - vel) < 10.0
+    assert static.velocity_enu is not None
+    sig = np.maximum(static.velocity_sigma_enu, 1.0)
+    assert np.all(np.abs(static.velocity_enu[:2]) < 3.0 * sig[:2] + 2.0)
