@@ -265,6 +265,45 @@ def process_blocks(
             corrected_std, tgt_window)
 
 
+def _deramp_correlate(
+    tgt: C,
+    s_dop: np.ndarray,  # [n_st] per-station frequency shifts, Hz
+    pairs: np.ndarray,
+    lim: int,
+    max_lag: int,
+    seg_len,
+    weighting: str,
+    sample_rate: float,
+):
+    """Counter-rotate each station's TGT block by its Doppler solution
+    and re-run the plain correlator over the first ``lim`` samples.
+
+    DC is removed BEFORE the rotation (rotated DC becomes an off-bin
+    tone whose leakage biases the whitening), and the window is
+    truncated because a mover's envelope delay drifts — over a long
+    capture the full-block peak smears/walks while a ~1 s window keeps
+    the drift below half a sample at aircraft speeds.
+    """
+    ang = (
+        -2.0 * jnp.pi
+        * jnp.asarray(s_dop, jnp.float32)[:, None]
+        * (jnp.arange(lim) / sample_rate)
+    )
+    cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
+    tr = tgt.re[:, :lim].astype(jnp.float32)
+    ti = tgt.im[:, :lim].astype(jnp.float32)
+    tr = tr - jnp.mean(tr, axis=-1, keepdims=True)
+    ti = ti - jnp.mean(ti, axis=-1, keepdims=True)
+    yd = C(tr * cr_ - ti * sr_, tr * sr_ + ti * cr_)
+    return correlate_pairs_planar(
+        yd,
+        jnp.asarray(pairs),
+        max_lag=max_lag,
+        seg_len=seg_len,
+        weighting=weighting,
+    )
+
+
 class TDOAProcessor:
     """High-level orchestrator mirroring the reference CLI contract
     (``processor ref_freq target_freq csv dat1 dat2 dat3...``,
@@ -528,26 +567,9 @@ class TDOAProcessor:
                     s_dop = station_doppler_from_pairs(
                         pairs, nu, len(names)
                     )
-                    ang = (
-                        -2.0 * jnp.pi
-                        * jnp.asarray(s_dop, jnp.float32)[:, None]
-                        * (jnp.arange(tgt.re.shape[1]) / cfg.sample_rate)
-                    )
-                    cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
-                    # DC removal before the rotation (every other
-                    # correlation path removes it; rotated DC becomes an
-                    # off-bin tone whose leakage biases the whitening).
-                    tr = tgt.re.astype(jnp.float32)
-                    ti = tgt.im.astype(jnp.float32)
-                    tr = tr - jnp.mean(tr, axis=-1, keepdims=True)
-                    ti = ti - jnp.mean(ti, axis=-1, keepdims=True)
-                    yd = C(tr * cr_ - ti * sr_, tr * sr_ + ti * cr_)
-                    r2 = correlate_pairs_planar(
-                        yd,
-                        jnp.asarray(pairs),
-                        max_lag=cfg.max_lag,
-                        seg_len=cfg.seg_len,
-                        weighting=cfg.weighting,
+                    r2 = _deramp_correlate(
+                        tgt, s_dop, pairs, lim, cfg.max_lag,
+                        cfg.seg_len, cfg.weighting, cfg.sample_rate,
                     )
                     corrected2 = (
                         np.asarray(r2.delay, np.float64)
@@ -626,13 +648,17 @@ class TDOAProcessor:
                 velocity_residual_hz = vsol.residual_hz
                 velocity_sigma = vsol.sigma_enu
                 fdoa_out = nu_emitter
-                # Kept for per-emitter Doppler attribution downstream.
-                caf_info = {
-                    "surface": np.asarray(caf.surface, np.float64),
-                    "max_lag": caf_max_lag,
-                    "span_hz": cfg.sample_rate / (2.0 * seg_r),
-                    "bin_hz": bin_hz,
-                }
+                if cfg.multi_emitter > 1:
+                    # Kept for joint (lag, Doppler) association; the
+                    # host copy of the surface is only paid when the
+                    # multi-emitter branch will actually read it.
+                    caf_info = {
+                        "surface": np.asarray(caf.surface, np.float64),
+                        "max_lag": caf_max_lag,
+                        "span_hz": cfg.sample_rate / (2.0 * seg_r),
+                        "bin_hz": bin_hz,
+                        "lim": lim,
+                    }
 
         emitters: Optional[List[EmitterFix]] = None
         if cfg.multi_emitter > 1:
@@ -648,7 +674,34 @@ class TDOAProcessor:
             k = cfg.multi_emitter + 2  # slack for sidelobes/noise peaks
             with stage("associate+solve-emitters"):
                 per_fdoa: List[Optional[np.ndarray]] = []
+                # The CAF surface spans only ±min(max_lag, 2048) lags.
+                # Raw TGT lags = geometry (≤ baseline/c) + clock
+                # offsets, which can reach thousands of samples on
+                # unsynchronized clocks — the reason max_lag defaults
+                # to 20000. Joint association is only valid when the
+                # window provably contains them.
+                joint_ok = False
                 if caf_info is not None:
+                    ecef_st = lla_to_ecef(lla)
+                    bl_max = max(
+                        np.linalg.norm(ecef_st[i] - ecef_st[j])
+                        for i, j in pairs
+                    )
+                    bound = (
+                        bl_max / SPEED_OF_LIGHT * cfg.sample_rate
+                        + np.abs(np.asarray(clock, np.float64)).max()
+                        + 64.0
+                    )
+                    joint_ok = bound < caf_info["max_lag"]
+                    if not joint_ok:
+                        warnings.append(
+                            "raw TGT lags may exceed the CAF window "
+                            f"(bound {bound:.0f} vs ±{caf_info['max_lag']}"
+                            " samples): multi-emitter association fell "
+                            "back to the lag-only path (no per-emitter "
+                            "Doppler)"
+                        )
+                if joint_ok:
                     # Joint (lag, Doppler) association on the CAF
                     # surface: a mover whose Doppler decorrelates the
                     # plain full-block sum (anything beyond ~1/T_block)
@@ -696,6 +749,8 @@ class TDOAProcessor:
                     )
                     sets = [es for es, _ in joint]
                     per_fdoa = [f for _, f in joint]
+                    # Each pair's true dominant peak (σ scaling below).
+                    dominant = vals[:, 0]
                     # Per-emitter deramp refinement: counter-rotate the
                     # stations by THIS emitter's Doppler solution and
                     # re-correlate — its peak sharpens to full
@@ -710,24 +765,10 @@ class TDOAProcessor:
                         s_e = station_doppler_from_pairs(
                             pairs, nu_raw_e, len(names)
                         )
-                        ang_e = (
-                            -2.0 * jnp.pi
-                            * jnp.asarray(s_e, jnp.float32)[:, None]
-                            * (jnp.arange(tgt.re.shape[1])
-                               / cfg.sample_rate)
-                        )
-                        ce, se_ = jnp.cos(ang_e), jnp.sin(ang_e)
-                        tre = tgt.re.astype(jnp.float32)
-                        tie = tgt.im.astype(jnp.float32)
-                        tre = tre - jnp.mean(tre, axis=-1, keepdims=True)
-                        tie = tie - jnp.mean(tie, axis=-1, keepdims=True)
-                        ye = C(tre * ce - tie * se_, tre * se_ + tie * ce)
-                        re_ = correlate_pairs_planar(
-                            ye,
-                            jnp.asarray(pairs),
-                            max_lag=caf_info["max_lag"],
-                            seg_len=cfg.seg_len,
-                            weighting=cfg.weighting,
+                        re_ = _deramp_correlate(
+                            tgt, s_e, pairs, caf_info["lim"],
+                            caf_info["max_lag"], cfg.seg_len,
+                            cfg.weighting, cfg.sample_rate,
                         )
                         win_e = np.asarray(re_.corr, np.float64)
                         raw_coarse = es.tdoa + clock_np
@@ -778,11 +819,8 @@ class TDOAProcessor:
                         max_emitters=cfg.multi_emitter,
                     )
                     per_fdoa = [None] * len(sets)
+                    dominant = cand.value[:, 0]
                 emitters = []
-                dominant = (
-                    np.max(np.stack([es.value for es in sets]), axis=0)
-                    if sets else None
-                )
                 for es, e_fdoa in zip(sets, per_fdoa):
                     ew = (es.value / max(es.value.max(), 1e-9)) ** 2
                     # tdoa_std_s was measured on each pair's DOMINANT

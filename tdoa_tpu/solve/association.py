@@ -118,73 +118,18 @@ def associate_emitters(
     pair's strongest peak never anchor a hypothesis (noise floor), but
     can still complete one as cross-pair matches.
     """
-    m, k = cand_tdoa.shape
-    pair_of = {tuple(p): i for i, p in enumerate(map(tuple, pair_idx))}
-    anchor = 0
-    anchor_pairs = [pair_of[(anchor, j)] for j in range(1, n_stations)]
-    # Hypothesis count is k^(n-1); cap it so an 8-station network with a
-    # generous k cannot stall the otherwise device-fast pipeline in
-    # host-side enumeration. Anchor choices beyond k_eff (candidates are
-    # strongest-first) are dropped — weak anchors rarely win anyway.
-    k_eff = k
-    max_hypotheses = 20_000
-    while k_eff > 1 and k_eff ** len(anchor_pairs) > max_hypotheses:
-        k_eff -= 1
-    cross_pairs = [
-        (pair_of[(i, j)], i, j)
-        for i in range(1, n_stations)
-        for j in range(i + 1, n_stations)
-    ]
-
-    avail = cand_value > 0
-    floor = min_value_frac * cand_value.max(axis=1, keepdims=True)
-    results: List[EmitterSet] = []
-
-    for _ in range(max_emitters):
-        best: Optional[EmitterSet] = None
-        # Enumerate anchor-candidate combinations (K^(n-1); n and K are
-        # small — 4 stations x K=4 is 64 hypotheses).
-        for combo in np.ndindex(*([k_eff] * len(anchor_pairs))):
-            ok = True
-            tau0 = np.zeros(n_stations)  # tau0[j] = tdoa of pair (0, j)
-            chosen = np.full(m, -1, int)
-            for ap, c in zip(anchor_pairs, combo):
-                if not avail[ap, c] or cand_value[ap, c] < floor[ap, 0]:
-                    ok = False
-                    break
-                j = pair_idx[ap, 1]
-                tau0[j] = cand_tdoa[ap, c]
-                chosen[ap] = c
-            if not ok:
-                continue
-            worst = 0.0
-            for cp, i, j in cross_pairs:
-                pred = tau0[j] - tau0[i]
-                err = np.abs(cand_tdoa[cp] - pred)
-                err = np.where(avail[cp], err, np.inf)
-                c = int(np.argmin(err))
-                if err[c] > tol_samples:
-                    ok = False
-                    break
-                chosen[cp] = c
-                worst = max(worst, float(err[c]))
-            if not ok:
-                continue
-            vals = cand_value[np.arange(m), chosen]
-            cand = EmitterSet(
-                tdoa=cand_tdoa[np.arange(m), chosen],
-                value=vals,
-                candidate_idx=chosen,
-                score=float(vals.sum()),
-                max_inconsistency=worst,
-            )
-            if best is None or cand.score > best.score:
-                best = cand
-        if best is None:
-            break
-        results.append(best)
-        avail[np.arange(m), best.candidate_idx] = False
-    return results
+    joint = associate_emitters_joint(
+        cand_tdoa,
+        np.zeros_like(cand_tdoa),  # no Doppler axis: zeros + inf tol
+        cand_value,
+        pair_idx,
+        n_stations,
+        tol_samples=tol_samples,
+        tol_hz=np.inf,
+        max_emitters=max_emitters,
+        min_value_frac=min_value_frac,
+    )
+    return [es for es, _ in joint]
 
 
 # Resolution limit: two emitters whose TDOAs on a pair differ by less
@@ -319,7 +264,9 @@ def associate_emitters_joint(
                     ok = False
                     break
                 chosen[cp] = c
-                worst = max(worst, float(dist[c]) * tol_samples)
+                # Report the LAG residual in actual samples (the joint
+                # gate may have been dominated by the Doppler axis).
+                worst = max(worst, float(np.abs(cand_tdoa[cp, c] - pred_t)))
             if not ok:
                 continue
             vals = cand_value[np.arange(m), chosen]
@@ -332,7 +279,6 @@ def associate_emitters_joint(
             )
             if best is None or cand_set.score > best[0].score:
                 best = (cand_set, cand_fdoa[np.arange(m), chosen])
-            del cand_set
         if best is None:
             break
         results.append(best)
