@@ -349,6 +349,68 @@ def main():
           f"vel err {v_err:.1f} m/s, fix err {fix_err_mv:.0f} m, "
           f"{time.time()-t0:.0f}s")
 
+    # ---- 9. joint (lag, Doppler) separation: mover + static interferer --
+    t0 = time.time()
+    scene_j = SimScene(
+        station_names=omaha["names"],
+        station_lla=omaha["lla"],
+        ref_tx_lla=omaha["ref_tx"],
+        tgt_tx_lla=omaha["tgt_tx"],
+        ref_freq=162.4e6,
+        tgt_freq=101.9e6,
+        block_len=4 * SEG_LEN,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
+        tgt_velocity_enu=np.array([120.0, -60.0, 0.0]),
+        interferer_lla=np.array([41.05, -95.99, 340.0]),
+        interferer_amplitude=1.0,
+        seed=5,
+    )
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        caps_j, _ = simulate_scene(scene_j)
+        caps_j = {
+            n: tuple(from_complex(b) for b in blocks)
+            for n, blocks in caps_j.items()
+        }
+    proc_j = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        solve_velocity=True, multi_emitter=2),
+        table_me,
+    )
+    res_j = proc_j.process_captures(
+        {n: caps_j[n] for n in scene_j.station_names}
+    )
+    n_j = 0 if res_j.emitters is None else len(res_j.emitters)
+    j_ok = n_j == 2
+    detail_j = f"{n_j} emitters"
+    if j_ok:
+        def _dist(e, tx):
+            est = np.array([e.fix.lat, e.fix.lon, tx[2]])
+            return np.linalg.norm(lla_to_enu(est, tx)[:2])
+
+        mover = min(res_j.emitters, key=lambda e: _dist(e, omaha["tgt_tx"]))
+        static = min(
+            res_j.emitters,
+            key=lambda e: _dist(e, np.array([41.05, -95.99, 340.0])),
+        )
+        v_err_j = (
+            np.linalg.norm(
+                mover.velocity_enu - np.array([120.0, -60.0, 0.0]))
+            if mover.velocity_enu is not None else np.inf
+        )
+        j_ok = (
+            mover is not static
+            and _dist(mover, omaha["tgt_tx"]) < 2000.0
+            and _dist(static, np.array([41.05, -95.99, 340.0])) < 2000.0
+            and v_err_j < 15.0
+        )
+        detail_j += (
+            f", mover fix {_dist(mover, omaha['tgt_tx']):.0f} m / vel err "
+            f"{v_err_j:.1f} m/s, static fix "
+            f"{_dist(static, np.array([41.05, -95.99, 340.0])):.0f} m"
+        )
+    check("joint lag-Doppler separation", j_ok,
+          f"{detail_j}, {time.time()-t0:.0f}s")
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {', '.join(FAILURES)}")

@@ -191,17 +191,16 @@ def main(argv=None) -> int:
                 updates[ids[k]] = es.tdoa_samples / proc.config.sample_rate
                 qualities[ids[k]] = float(es.peak_value.mean())
                 fixes[ids[k]] = es.fix
-            if res.fdoa_hz is not None and len(res.emitters) > 1:
-                # The CAF's per-pair Doppler follows each pair's
-                # DOMINANT peak, which can be a different emitter per
-                # pair in a mixed window — unattributable; drop it.
-                print(
-                    f"epoch {ep}: {len(res.emitters)} emitters — FDOA "
-                    "velocity unattributable in mixed windows, using "
-                    "position-differencing",
-                    file=sys.stderr,
-                )
-            elif res.fdoa_hz is not None:
+            # Joint (lag, Doppler) separation attributes each emitter
+            # its OWN FDOA set; fuse per-emitter velocity when present.
+            per = {
+                ids[k]: e.fdoa_hz
+                for k, e in enumerate(res.emitters)
+                if e.fdoa_hz is not None
+            }
+            if per:
+                fdoa = per
+            elif res.fdoa_hz is not None and len(res.emitters) == 1:
                 fdoa = {ids[0]: res.fdoa_hz}
         elif res.fdoa_hz is not None:
             fdoa = {args.target_id: res.fdoa_hz}

@@ -214,3 +214,41 @@ def test_stream_processor_multi_emitter_tracks(tmp_path, station_csv):
     assert len(ids) == 2, r.stdout
     for tid in ids:
         assert r.stdout.count(f"{tid} 4") == 2, r.stdout
+
+
+@pytest.mark.slow
+def test_stream_joint_moving_and_static_tracks(tmp_path, station_csv):
+    """Stream with --solve-velocity --multi-emitter: a moving emitter
+    and a static co-channel interferer become two tracks, the mover's
+    with its velocity fused from its OWN FDOA set."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    sim_dir = tmp_path / "sim"
+    sim_dir.mkdir()
+    run_cli(
+        "simulator", "--duration-s", 0.4,
+        "--velocity", 120, -60, 0,
+        "--interferer", 41.05, -95.99, 340, 1.0,
+        "--clock-offsets-us", 5, -9, 14,
+        "--seed", 5, "--out", str(sim_dir),
+    )
+    for p in sorted(sim_dir.glob("sim-*.dat")):
+        (inbox / p.name[len("sim-"):]).write_bytes(p.read_bytes())
+    r = run_cli(
+        "stream_processor", 162400000, 101900000, station_csv,
+        str(inbox), "--max-lag", 512,
+        "--solve-velocity", "--multi-emitter", 2,
+    )
+    import re
+    lines = [l for l in r.stdout.splitlines() if "target-" in l]
+    assert len(lines) == 2, r.stdout
+    speeds = {}
+    for l in lines:
+        tid = re.search(r"(target-\d+)", l).group(1)
+        ve, vn = map(float, re.search(r"v=\(([-+0-9.]+),([-+0-9.]+)\)", l).groups())
+        speeds[tid] = (ve**2 + vn**2) ** 0.5
+    fast = max(speeds.values())
+    slow = min(speeds.values())
+    # First window: the mover's track already carries ~134 m/s.
+    assert 110 < fast < 160, speeds
+    assert slow < 80, speeds
