@@ -312,3 +312,56 @@ def test_joint_separation_moving_plus_static_emitter():
     assert static.velocity_enu is not None
     sig = np.maximum(static.velocity_sigma_enu, 1.0)
     assert np.all(np.abs(static.velocity_enu[:2]) < 3.0 * sig[:2] + 2.0)
+
+
+def test_joint_separation_four_stations():
+    """Joint separation scales past the minimum network: 4 stations
+    (6 pairs, 3 anchor pairs — exercises the hypothesis enumeration and
+    cross-pair consistency beyond one cross pair)."""
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("kx0u", "n3pay", "kf0mtl", "w0arp")
+    lla = np.array(
+        [[41.18660274289527, -95.96064116595667, 355.69],
+         [41.24669616513154, -96.08366304481238, 329.0],
+         [41.32916620016985, -96.03513381562004, 373.18],
+         [41.21, -95.90, 345.0]]
+    )
+    tgt = np.array([41.30888549464701, -96.02619229605524, 356.0])
+    intf = np.array([41.05, -95.99, 340.0])
+    vel = np.array([120.0, -60.0, 0.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=tgt, block_len=1 << 18, tgt_velocity_enu=vel,
+        interferer_lla=intf, interferer_amplitude=1.0,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6, -3e-6]), seed=5,
+    )
+    caps, _ = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[i]) for i, n in enumerate(names)],
+        reference_tx=Station("162400000", 41.25703803095629,
+                             -95.95512763589404, 349.07),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        solve_velocity=True, multi_emitter=2),
+        table,
+    )
+    res = proc.process_captures({n: caps[n] for n in names})
+    assert res.emitters is not None and len(res.emitters) == 2
+
+    def dist(e, ref):
+        est = np.array([e.fix.lat, e.fix.lon, ref[2]])
+        return np.linalg.norm(lla_to_enu(est, ref)[:2])
+
+    mover = min(res.emitters, key=lambda e: dist(e, tgt))
+    static = min(res.emitters, key=lambda e: dist(e, intf))
+    assert mover is not static
+    assert dist(mover, tgt) < 1000.0
+    assert dist(static, intf) < 2000.0
+    assert np.linalg.norm(mover.velocity_enu - vel) < 10.0
+    assert np.linalg.norm(static.velocity_enu[:2]) < 30.0
