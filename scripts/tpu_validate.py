@@ -1,20 +1,18 @@
-"""On-hardware validation sweep: the paths the CPU test suite cannot prove.
+"""On-hardware validation sweep: every hardware-only code path, on the
+REAL TPU chip, PASS/FAIL per check, nonzero exit on any failure.
 
-The pytest suite runs hermetically on CPU (tests/conftest.py); this script
-drives the REAL TPU chip through every hardware-only code path and checks
-end-to-end correctness against simulated ground truth:
-
-  1. full pipeline with the fused Pallas accumulator + bf16 .dat decode
-     (simulate → write .dat → process_files → fix vs planted transmitter)
-  2. fused correlator vs XLA path agreement on identical input
-  3. CAF delay-Doppler search on device
-  4. streaming accumulator routed through the fused kernel
-  5. Pallas FM demod/decimate kernel vs the XLA reference path
-  6. the kernel's full 8-station (28-pair) configuration, exact delays
-
-Run from the repo root:  python scripts/tpu_validate.py
-One process, single chip; first jit is slow (tunnel warmup). Prints one
-PASS/FAIL line per check and exits nonzero on any failure.
+Checks (each exists because CPU-interpreter validation missed a real
+hardware failure at least once — VMEM budgets, bf16 numerics, compile
+stalls):
+ 1. full pipeline e2e: fused Pallas accumulator + bf16 .dat decode
+ 2. fused kernel vs XLA path agreement
+ 3. CAF joint delay-Doppler estimation
+ 4. streaming accumulator through the fused kernel
+ 5. Pallas FM-demod kernel vs XLA demod
+ 6. 8-station (28-pair) fused kernel: computed VMEM limits, DC clamps
+ 7. multi-emitter separation through the fused path
+ 8. moving emitter: CAF + deramp-and-correlate + FDOA velocity
+ 9. joint (lag, Doppler) separation: mover + co-channel interferer
 """
 
 import os
@@ -66,6 +64,8 @@ def main():
         "ref_tx": np.array(DEFAULT_REF_TX),
         "tgt_tx": np.array(DEFAULT_TGT_TX),
     }
+    # Shared by checks 7 and 9 (>90-sample TDOA separation per pair).
+    interferer_lla = np.array([41.05, -95.99, 340.0])
 
     # ---- 1. full pipeline, fused kernel + bf16 decode -------------------
     t0 = time.time()
@@ -244,7 +244,7 @@ def main():
         tgt_freq=101.9e6,
         block_len=2 * SEG_LEN,
         clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
-        interferer_lla=np.array([41.05, -95.99, 340.0]),
+        interferer_lla=interferer_lla,
         interferer_amplitude=1.0,
         seed=17,
     )
@@ -296,7 +296,7 @@ def main():
         errs = [
             min(np.abs(e.tdoa_samples - _true_tdoa(tx)).max()
                 for e in res_me.emitters)
-            for tx in (omaha["tgt_tx"], np.array([41.05, -95.99, 340.0]))
+            for tx in (omaha["tgt_tx"], interferer_lla)
         ]
         me_ok = all(e < 2.0 for e in errs)
     check("multi-emitter fused separation", me_ok,
@@ -361,7 +361,7 @@ def main():
         block_len=4 * SEG_LEN,
         clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
         tgt_velocity_enu=np.array([120.0, -60.0, 0.0]),
-        interferer_lla=np.array([41.05, -95.99, 340.0]),
+        interferer_lla=interferer_lla,
         interferer_amplitude=1.0,
         seed=5,
     )
@@ -390,7 +390,7 @@ def main():
         mover = min(res_j.emitters, key=lambda e: _dist(e, omaha["tgt_tx"]))
         static = min(
             res_j.emitters,
-            key=lambda e: _dist(e, np.array([41.05, -95.99, 340.0])),
+            key=lambda e: _dist(e, interferer_lla),
         )
         v_err_j = (
             np.linalg.norm(
@@ -400,13 +400,13 @@ def main():
         j_ok = (
             mover is not static
             and _dist(mover, omaha["tgt_tx"]) < 2000.0
-            and _dist(static, np.array([41.05, -95.99, 340.0])) < 2000.0
+            and _dist(static, interferer_lla) < 2000.0
             and v_err_j < 15.0
         )
         detail_j += (
             f", mover fix {_dist(mover, omaha['tgt_tx']):.0f} m / vel err "
             f"{v_err_j:.1f} m/s, static fix "
-            f"{_dist(static, np.array([41.05, -95.99, 340.0])):.0f} m"
+            f"{_dist(static, interferer_lla):.0f} m"
         )
     check("joint lag-Doppler separation", j_ok,
           f"{detail_j}, {time.time()-t0:.0f}s")

@@ -118,6 +118,7 @@ def main(argv=None) -> int:
     # 1 <-> 2 emitter transitions.
     emitter_refs: dict = {}  # id -> (TDOA set samples, epoch)
     emitter_seq = 0
+    seen_warnings: set = set()  # print each distinct warning once
 
     def assign_emitter_ids(sets, ep: float) -> dict:
         """Greedy nearest-neighbor matching of this window's emitter
@@ -176,6 +177,7 @@ def main(argv=None) -> int:
             # against them after a geometry change would be meaningless.
             emitter_refs.clear()
         fdoa = None
+        vel_meas = {}
         fixes = {args.target_id: res.fix}
         updates = {args.target_id: res.tdoa_seconds}
         # In multi-emitter mode quality is the associated peak height;
@@ -192,24 +194,33 @@ def main(argv=None) -> int:
                 qualities[ids[k]] = float(es.peak_value.mean())
                 fixes[ids[k]] = es.fix
             # Joint (lag, Doppler) separation attributes each emitter
-            # its OWN FDOA set; fuse per-emitter velocity when present.
-            per = {
-                ids[k]: e.fdoa_hz
+            # its own velocity; pass the processor's WEIGHTED solve
+            # straight to the tracker (re-solving from raw FDOA here
+            # would drop the peak-ratio weights and sigma floor).
+            vel_meas = {
+                ids[k]: e.velocity_enu
                 for k, e in enumerate(res.emitters)
-                if e.fdoa_hz is not None
+                if e.velocity_enu is not None
             }
-            if per:
-                fdoa = per
-            elif res.fdoa_hz is not None and len(res.emitters) == 1:
+            if not vel_meas and res.fdoa_hz is not None \
+                    and len(res.emitters) == 1:
                 fdoa = {ids[0]: res.fdoa_hz}
         elif res.fdoa_hz is not None:
-            fdoa = {args.target_id: res.fdoa_hz}
+            if res.velocity_enu is not None:
+                vel_meas = {args.target_id: res.velocity_enu}
+            else:
+                fdoa = {args.target_id: res.fdoa_hz}
+        for wmsg in res.warnings:
+            if wmsg not in seen_warnings:
+                seen_warnings.add(wmsg)
+                print(f"epoch {ep}: WARNING: {wmsg}", file=sys.stderr)
         tracker.update(
             float(ep),
             updates,
             qualities=qualities,
             fdoa_hz=fdoa,
             carrier_hz=args.target_freq,
+            velocity_enu=vel_meas or None,
         )
         for tid in updates:
             tr = tracker.tracks[tid]

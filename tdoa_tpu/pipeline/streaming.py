@@ -234,11 +234,15 @@ class TargetTracker:
         qualities: Optional[Dict[str, float]] = None,
         fdoa_hz: Optional[Dict[str, np.ndarray]] = None,  # per-pair Doppler
         carrier_hz: Optional[float] = None,
+        velocity_enu: Optional[Dict[str, np.ndarray]] = None,
     ) -> Dict[str, Track]:
         """``fdoa_hz`` (CAF differential Dopplers, ops/caf.py sign
         convention) upgrades the track's velocity from differentiated
         positions to an instantaneous FDOA least-squares measurement
-        (solve/fdoa.py) — one window is enough to know the velocity."""
+        (solve/fdoa.py) — one window is enough to know the velocity.
+        ``velocity_enu`` passes an already-solved velocity measurement
+        directly (e.g. the processor's weighted per-emitter solve) and
+        takes precedence over re-solving from ``fdoa_hz``."""
         if not tdoas_s:
             return self.tracks
         ids = list(tdoas_s.keys())
@@ -254,7 +258,9 @@ class TargetTracker:
             q = float(qualities.get(tid, 0.0)) if qualities else 0.0
             meas = pos[k]
             v_meas = None
-            if fdoa_hz is not None and tid in fdoa_hz and carrier_hz:
+            if velocity_enu is not None and tid in velocity_enu:
+                v_meas = np.asarray(velocity_enu[tid], np.float64)
+            elif fdoa_hz is not None and tid in fdoa_hz and carrier_hz:
                 from tdoa_tpu.solve.fdoa import solve_velocity_enu
 
                 v_meas = solve_velocity_enu(

@@ -236,7 +236,7 @@ def test_stream_joint_moving_and_static_tracks(tmp_path, station_csv):
         (inbox / p.name[len("sim-"):]).write_bytes(p.read_bytes())
     r = run_cli(
         "stream_processor", 162400000, 101900000, station_csv,
-        str(inbox), "--max-lag", 512,
+        str(inbox), "--max-lag", 512, "--seg-len", 65536,
         "--solve-velocity", "--multi-emitter", 2,
     )
     import re
