@@ -40,6 +40,11 @@ def main(argv=None) -> int:
                    help="correlate raw IQ or FM-demodulated audio")
     p.add_argument("--fm-decim", type=int, default=8,
                    help="audio decimation factor for --mode fm")
+    p.add_argument("--lo-compensation", action="store_true",
+                   help="probe the REF block for receiver LO offsets "
+                        "(real TCXOs: ~16 Hz per 0.1 ppm at VHF smear "
+                        "every correlation) and derotate all blocks "
+                        "before processing")
     p.add_argument("--solve-velocity", action="store_true",
                    help="CAF over the TGT block + FDOA least squares: "
                         "emitter velocity at the fix (clock-drift "
@@ -79,6 +84,7 @@ def main(argv=None) -> int:
         fm_decim=args.fm_decim,
         multi_emitter=args.multi_emitter,
         solve_velocity=args.solve_velocity,
+        lo_compensation="auto" if args.lo_compensation else "off",
     )
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",

@@ -20,6 +20,7 @@ are bounded by baseline/c, so measurements beyond that are flagged.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -75,6 +76,15 @@ class ProcessorConfig:
     caf_seg_len: int = 1 << 13  # Doppler span ±1/(2·T_seg) ≈ ±122 Hz
     caf_n_doppler: int = 64
     caf_max_samples: int = 1 << 21  # cap CAF input (memory/time)
+    # Receiver LO-offset compensation ("auto" | "off"). A real TCXO off
+    # by d ppm shifts its LO by d·1e-6·f_c (~16 Hz at VHF per 0.1 ppm),
+    # smearing EVERY block's full-capture correlation — including the
+    # REF blocks the clock correction depends on. "auto" probes the
+    # REF1 block with the CAF, solves per-station LO offsets, and
+    # derotates all three blocks (scaled by each block's carrier)
+    # before the main correlation. Off by default: the probe costs one
+    # CAF dispatch, and disciplined-clock deployments don't need it.
+    lo_compensation: str = "off"
 
 
 @dataclasses.dataclass
@@ -405,6 +415,55 @@ class TDOAProcessor:
 
         ref1, tgt, ref2 = stack(0), stack(1), stack(2)
 
+        lo_ppm = None
+        if cfg.lo_compensation == "auto":
+            from tdoa_tpu.ops.caf import caf_pairs
+            from tdoa_tpu.ops.corr import resolve_seg
+            from tdoa_tpu.solve.fdoa import station_doppler_from_pairs
+
+            with (self.timer.stage("lo-compensate") if self.timer
+                  else contextlib.nullcontext()):
+                lim0 = min(int(ref1.re.shape[1]), cfg.caf_max_samples)
+                probe = caf_pairs(
+                    C(ref1.re[:, :lim0].astype(jnp.float32),
+                      ref1.im[:, :lim0].astype(jnp.float32)),
+                    jnp.asarray(pairs),
+                    sample_rate=cfg.sample_rate,
+                    max_lag=512,
+                    seg_len=cfg.caf_seg_len,
+                    n_doppler=cfg.caf_n_doppler,
+                )
+                nu_ref = np.asarray(probe.doppler_hz, np.float64)
+                seg_r0, _ = resolve_seg(lim0, 512, cfg.caf_seg_len, None)
+                bin0 = (cfg.sample_rate / seg_r0) / (cfg.caf_n_doppler - 1)
+                if np.abs(nu_ref).max() > 2.0 * bin0:
+                    s_ref = station_doppler_from_pairs(
+                        pairs, nu_ref, len(names)
+                    )
+                    # LO offset scales with the tuned carrier: the REF
+                    # block measures drift·f_ref; each block derotates
+                    # by drift·f_block.
+                    lo_ppm = s_ref / cfg.ref_freq * 1e6
+
+                    def derot(block: C, carrier: float) -> C:
+                        shz = jnp.asarray(
+                            lo_ppm * 1e-6 * carrier, jnp.float32
+                        )
+                        ang = (
+                            -2.0 * jnp.pi * shz[:, None]
+                            * (jnp.arange(block.re.shape[1])
+                               / cfg.sample_rate)
+                        )
+                        cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
+                        br = block.re.astype(jnp.float32)
+                        bi = block.im.astype(jnp.float32)
+                        return C(br * cr_ - bi * sr_,
+                                 br * sr_ + bi * cr_)
+
+                    ref1 = derot(ref1, cfg.ref_freq)
+                    ref2 = derot(ref2, cfg.ref_freq)
+                    tgt = derot(tgt, cfg.tgt_freq)
+
         accumulator = cfg.accumulator
         if accumulator == "auto":
             accumulator = (
@@ -413,7 +472,6 @@ class TDOAProcessor:
                 else "xla"
             )
 
-        import contextlib
 
         timer = self.timer
         stage = timer.stage if timer is not None else (
@@ -451,6 +509,14 @@ class TDOAProcessor:
         drift_ppm = (ref_d[:, 1] - ref_d[:, 0]) / (2 * orig_block_len) * 1e6
 
         warnings: List[str] = []
+        if lo_ppm is not None:
+            rel = ", ".join(
+                f"{n} {p_:+.3f}" for n, p_ in zip(names, lo_ppm)
+            )
+            warnings.append(
+                f"receiver LO offsets measured from the REF block and "
+                f"compensated (relative ppm: {rel})"
+            )
         if cfg.clock_correction and self.stations.reference_tx is None:
             warnings.append(
                 f"reference transmitter position unknown (no station row "
@@ -915,7 +981,6 @@ class TDOAProcessor:
             and self._fused_eligible(len(set(dat_paths)), min(block_samples))
         )
         dtype = jnp.bfloat16 if pallas_ok else jnp.float32
-        import contextlib
 
         stage = self.timer.stage if self.timer is not None else (
             lambda name: contextlib.nullcontext())

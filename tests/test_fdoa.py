@@ -365,3 +365,80 @@ def test_joint_separation_four_stations():
     assert dist(static, intf) < 2000.0
     assert np.linalg.norm(mover.velocity_enu - vel) < 10.0
     assert np.linalg.norm(static.velocity_enu[:2]) < 30.0
+
+
+def test_lo_compensation_restores_drifting_clocks():
+    """Realistic TCXO LO offsets (drift_doppler=True) smear EVERY
+    block's correlation — including the REF blocks the clock correction
+    depends on, poisoning the whole chain (fix ~1.2 km off).
+    lo_compensation='auto' probes the REF block with the CAF, solves
+    per-station LO offsets, derotates all blocks (scaled by each
+    carrier), and recovers the fix to meters."""
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("kx0u", "n3pay", "kf0mtl")
+    lla = np.array(
+        [[41.18660274289527, -95.96064116595667, 355.69],
+         [41.24669616513154, -96.08366304481238, 329.0],
+         [41.32916620016985, -96.03513381562004, 373.18]]
+    )
+    tgt = np.array([41.30888549464701, -96.02619229605524, 356.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=tgt, block_len=1 << 18,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
+        clock_drifts_ppm=np.array([0.08, -0.05, 0.02]),
+        drift_doppler=True, seed=7,
+    )
+    caps, truth = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[i]) for i, n in enumerate(names)],
+        reference_tx=Station("162400000", 41.25703803095629,
+                             -95.95512763589404, 349.07),
+    )
+
+    def run(lo):
+        proc = TDOAProcessor(
+            ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                            max_lag=512, lo_compensation=lo),
+            table,
+        )
+        res = proc.process_captures({n: caps[n] for n in names})
+        return res, np.linalg.norm(
+            lla_to_enu(np.array([res.fix.lat, res.fix.lon, tgt[2]]),
+                       tgt)[:2]
+        )
+
+    res_off, err_off = run("off")
+    res_on, err_on = run("auto")
+    assert err_off > 500.0  # the failure mode is real
+    assert err_on < 100.0, err_on
+    assert any("LO offsets" in w for w in res_on.warnings)
+    # The compensated TDOAs match geometric truth sub-sample.
+    by = {n: k for k, n in enumerate(names)}
+    order = [by[n] for n in res_on.station_names]
+    tau = truth.station_delays_samples[:, 1]
+    want = np.array(
+        [tau[order[j]] - tau[order[i]] for i, j in res_on.pair_idx]
+    )
+    assert np.abs(res_on.corrected_tdoa_samples - want).max() < 0.5
+    # Disciplined clocks: auto probe must be a no-op (no warning).
+    sc2 = SimScene(
+        station_names=names, station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=tgt, block_len=1 << 17,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]), seed=7,
+    )
+    caps2, _ = simulate_scene(sc2)
+    proc2 = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        lo_compensation="auto"),
+        table,
+    )
+    caps = caps2  # reuse closure in run() is not needed here
+    res2 = proc2.process_captures({n: caps2[n] for n in names})
+    assert not any("LO offsets" in w for w in res2.warnings)
