@@ -275,6 +275,32 @@ def process_blocks(
             corrected_std, tgt_window)
 
 
+def _derotate(
+    block: C,
+    shifts_hz: np.ndarray,  # [n_st] per-station frequency shifts
+    sample_rate: float,
+    lim: Optional[int] = None,
+) -> C:
+    """Counter-rotate each station's block by its frequency shift.
+
+    DC is removed BEFORE the rotation: rotated DC becomes a coherent
+    in-band tone that later mean-subtraction cannot remove, and PHAT
+    whitening then elevates it into a delay-peak bias.
+    """
+    n = block.re.shape[1] if lim is None else lim
+    ang = (
+        -2.0 * jnp.pi
+        * jnp.asarray(shifts_hz, jnp.float32)[:, None]
+        * (jnp.arange(n) / sample_rate)
+    )
+    cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
+    br = block.re[:, :n].astype(jnp.float32)
+    bi = block.im[:, :n].astype(jnp.float32)
+    br = br - jnp.mean(br, axis=-1, keepdims=True)
+    bi = bi - jnp.mean(bi, axis=-1, keepdims=True)
+    return C(br * cr_ - bi * sr_, br * sr_ + bi * cr_)
+
+
 def _deramp_correlate(
     tgt: C,
     s_dop: np.ndarray,  # [n_st] per-station frequency shifts, Hz
@@ -285,26 +311,12 @@ def _deramp_correlate(
     weighting: str,
     sample_rate: float,
 ):
-    """Counter-rotate each station's TGT block by its Doppler solution
-    and re-run the plain correlator over the first ``lim`` samples.
-
-    DC is removed BEFORE the rotation (rotated DC becomes an off-bin
-    tone whose leakage biases the whitening), and the window is
-    truncated because a mover's envelope delay drifts — over a long
-    capture the full-block peak smears/walks while a ~1 s window keeps
-    the drift below half a sample at aircraft speeds.
-    """
-    ang = (
-        -2.0 * jnp.pi
-        * jnp.asarray(s_dop, jnp.float32)[:, None]
-        * (jnp.arange(lim) / sample_rate)
-    )
-    cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
-    tr = tgt.re[:, :lim].astype(jnp.float32)
-    ti = tgt.im[:, :lim].astype(jnp.float32)
-    tr = tr - jnp.mean(tr, axis=-1, keepdims=True)
-    ti = ti - jnp.mean(ti, axis=-1, keepdims=True)
-    yd = C(tr * cr_ - ti * sr_, tr * sr_ + ti * cr_)
+    """Counter-rotate the TGT block (see _derotate) and re-run the
+    plain correlator over the first ``lim`` samples — truncated because
+    a mover's envelope delay drifts: over a long capture the full-block
+    peak smears/walks while a ~1 s window keeps the drift below half a
+    sample at aircraft speeds."""
+    yd = _derotate(tgt, s_dop, sample_rate, lim=lim)
     return correlate_pairs_planar(
         yd,
         jnp.asarray(pairs),
@@ -415,6 +427,11 @@ class TDOAProcessor:
 
         ref1, tgt, ref2 = stack(0), stack(1), stack(2)
 
+        if cfg.lo_compensation not in ("auto", "off"):
+            raise ValueError(
+                f"lo_compensation must be 'auto' or 'off', got "
+                f"{cfg.lo_compensation!r}"
+            )
         lo_ppm = None
         if cfg.lo_compensation == "auto":
             from tdoa_tpu.ops.caf import caf_pairs
@@ -424,19 +441,32 @@ class TDOAProcessor:
             with (self.timer.stage("lo-compensate") if self.timer
                   else contextlib.nullcontext()):
                 lim0 = min(int(ref1.re.shape[1]), cfg.caf_max_samples)
+                # Probe window must cover raw REF lags = geometry +
+                # clock offsets (thousands of samples on unsynchronized
+                # clocks) — same cap as the solve-velocity CAF.
+                probe_lag = min(cfg.max_lag, 2048)
                 probe = caf_pairs(
                     C(ref1.re[:, :lim0].astype(jnp.float32),
                       ref1.im[:, :lim0].astype(jnp.float32)),
                     jnp.asarray(pairs),
                     sample_rate=cfg.sample_rate,
-                    max_lag=512,
+                    max_lag=probe_lag,
                     seg_len=cfg.caf_seg_len,
                     n_doppler=cfg.caf_n_doppler,
                 )
                 nu_ref = np.asarray(probe.doppler_hz, np.float64)
-                seg_r0, _ = resolve_seg(lim0, 512, cfg.caf_seg_len, None)
+                seg_r0, _ = resolve_seg(
+                    lim0, probe_lag, cfg.caf_seg_len, None
+                )
                 bin0 = (cfg.sample_rate / seg_r0) / (cfg.caf_n_doppler - 1)
-                if np.abs(nu_ref).max() > 2.0 * bin0:
+                # Peak-to-floor gate: a station with no usable REF
+                # reception gives an arbitrary (lag, Doppler) argmax;
+                # applying it would smear EVERY station's blocks.
+                p_surf = np.asarray(probe.surface, np.float64)
+                psr = np.asarray(probe.peak_value, np.float64) / (
+                    p_surf.mean(axis=(1, 2)) + 1e-30
+                )
+                if psr.min() >= 5.0 and np.abs(nu_ref).max() > 2.0 * bin0:
                     s_ref = station_doppler_from_pairs(
                         pairs, nu_ref, len(names)
                     )
@@ -444,25 +474,14 @@ class TDOAProcessor:
                     # block measures drift·f_ref; each block derotates
                     # by drift·f_block.
                     lo_ppm = s_ref / cfg.ref_freq * 1e6
-
-                    def derot(block: C, carrier: float) -> C:
-                        shz = jnp.asarray(
-                            lo_ppm * 1e-6 * carrier, jnp.float32
-                        )
-                        ang = (
-                            -2.0 * jnp.pi * shz[:, None]
-                            * (jnp.arange(block.re.shape[1])
-                               / cfg.sample_rate)
-                        )
-                        cr_, sr_ = jnp.cos(ang), jnp.sin(ang)
-                        br = block.re.astype(jnp.float32)
-                        bi = block.im.astype(jnp.float32)
-                        return C(br * cr_ - bi * sr_,
-                                 br * sr_ + bi * cr_)
-
-                    ref1 = derot(ref1, cfg.ref_freq)
-                    ref2 = derot(ref2, cfg.ref_freq)
-                    tgt = derot(tgt, cfg.tgt_freq)
+                    # LO offset scales with the tuned carrier.
+                    ref1 = _derotate(
+                        ref1, s_ref, cfg.sample_rate)
+                    ref2 = _derotate(
+                        ref2, s_ref, cfg.sample_rate)
+                    tgt = _derotate(
+                        tgt, lo_ppm * 1e-6 * cfg.tgt_freq,
+                        cfg.sample_rate)
 
         accumulator = cfg.accumulator
         if accumulator == "auto":
@@ -611,8 +630,15 @@ class TDOAProcessor:
                 # A pair's relative clock drift (measured from the dual
                 # REF blocks) is a delay rate alpha = drift_ppm·1e-6 and
                 # contributes Doppler -f_tgt·alpha that is NOT emitter
-                # motion — subtract it.
-                nu_emitter = nu + cfg.tgt_freq * 1e-6 * drift_ppm
+                # motion — subtract it. UNLESS LO compensation already
+                # derotated the blocks: the drift Doppler is then gone
+                # from the signal and adding the (still-real) timing-
+                # drift term would double-correct.
+                drift_nu = (
+                    np.zeros_like(drift_ppm) if lo_ppm is not None
+                    else cfg.tgt_freq * 1e-6 * drift_ppm
+                )
+                nu_emitter = nu + drift_nu
                 # The CAF's Doppler grid spacing, from the segment
                 # length caf_pairs ACTUALLY used (resolve_seg shrinks
                 # seg_len by max_lag for the alias-free window).
@@ -767,6 +793,10 @@ class TDOAProcessor:
                             "back to the lag-only path (no per-emitter "
                             "Doppler)"
                         )
+                drift_nu_me = (
+                    np.zeros_like(drift_ppm) if lo_ppm is not None
+                    else cfg.tgt_freq * 1e-6 * drift_ppm
+                )
                 if joint_ok:
                     # Joint (lag, Doppler) association on the CAF
                     # surface: a mover whose Doppler decorrelates the
@@ -794,10 +824,7 @@ class TDOAProcessor:
                     ndop = surf.shape[1]
                     dop_step = 2.0 * caf_info["span_hz"] / (ndop - 1)
                     cand_nu_raw = -caf_info["span_hz"] + dops * dop_step
-                    cand_fdoa = (
-                        cand_nu_raw
-                        + cfg.tgt_freq * 1e-6 * drift_ppm[:, None]
-                    )
+                    cand_fdoa = cand_nu_raw + drift_nu_me[:, None]
                     # Lag tolerance at the CAF's own resolution: its
                     # envelope peak localizes only to a fraction of the
                     # main-lobe width; Doppler consistency carries the
@@ -825,9 +852,7 @@ class TDOAProcessor:
                     # smeared, sit elsewhere).
                     refined_sets = []
                     for es, e_f in zip(sets, per_fdoa):
-                        nu_raw_e = (
-                            e_f - cfg.tgt_freq * 1e-6 * drift_ppm
-                        )
+                        nu_raw_e = e_f - drift_nu_me
                         s_e = station_doppler_from_pairs(
                             pairs, nu_raw_e, len(names)
                         )

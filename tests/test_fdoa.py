@@ -439,6 +439,48 @@ def test_lo_compensation_restores_drifting_clocks():
                         lo_compensation="auto"),
         table,
     )
-    caps = caps2  # reuse closure in run() is not needed here
     res2 = proc2.process_captures({n: caps2[n] for n in names})
     assert not any("LO offsets" in w for w in res2.warnings)
+
+
+def test_lo_compensation_with_velocity_no_double_correction():
+    """Regression: with LO compensation the drift Doppler is already
+    removed from the signal; adding the REF-measured drift term again
+    would bias the velocity ~tens of m/s. The hardest single-emitter
+    case — moving emitter + drifting TCXO LOs + offset clocks — must
+    recover the velocity to a few m/s."""
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("kx0u", "n3pay", "kf0mtl")
+    lla = np.array(
+        [[41.18660274289527, -95.96064116595667, 355.69],
+         [41.24669616513154, -96.08366304481238, 329.0],
+         [41.32916620016985, -96.03513381562004, 373.18]]
+    )
+    vel = np.array([120.0, -60.0, 0.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=np.array([41.30888549464701, -96.02619229605524, 356.0]),
+        block_len=1 << 18, tgt_velocity_enu=vel,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6]),
+        clock_drifts_ppm=np.array([0.08, -0.05, 0.02]),
+        drift_doppler=True, seed=7,
+    )
+    caps, _ = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[i]) for i, n in enumerate(names)],
+        reference_tx=Station("162400000", 41.25703803095629,
+                             -95.95512763589404, 349.07),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=512,
+                        lo_compensation="auto", solve_velocity=True),
+        table,
+    )
+    res = proc.process_captures({n: caps[n] for n in names})
+    assert any("LO offsets" in w for w in res.warnings)
+    assert res.velocity_enu is not None
+    assert np.linalg.norm(res.velocity_enu - vel) < 10.0, res.velocity_enu
