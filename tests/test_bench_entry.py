@@ -54,3 +54,28 @@ print("GRAFT OK")
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "GRAFT OK" in r.stdout
+
+
+def test_dryrun_multichip_self_forces_cpu_mesh():
+    """Round-1 regression: the driver calls dryrun_multichip in a process
+    whose backend is ALREADY initialized (possibly on a broken TPU
+    client) with no device-count forcing in the environment. The
+    function must rebuild an 8-device CPU backend itself. Hermetic
+    analogue: a 1-device CPU backend initialized before the call."""
+    code = """
+import sys; sys.path.insert(0, %r)
+import jax
+assert len(jax.devices()) == 1, jax.devices()   # hostile: backend frozen small
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print("SELF-FORCED OK")
+""" % REPO
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SELF-FORCED OK" in r.stdout

@@ -443,6 +443,60 @@ def test_lo_compensation_restores_drifting_clocks():
     assert not any("LO offsets" in w for w in res2.warnings)
 
 
+def test_lo_compensation_large_clock_offsets_prealigned():
+    """ADVICE r1: the LO probe's CAF window is ±2048 samples, but raw
+    REF lags include clock offsets that can reach thousands of samples.
+    The probe must pre-align stations from a coarse full-window
+    correlation instead of silently failing its PSR gate. Offsets of
+    ~2 ms (4000 samples) put every raw REF lag far outside the probe
+    window; with pre-alignment the fix still lands within meters."""
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("kx0u", "n3pay", "kf0mtl")
+    lla = np.array(
+        [[41.18660274289527, -95.96064116595667, 355.69],
+         [41.24669616513154, -96.08366304481238, 329.0],
+         [41.32916620016985, -96.03513381562004, 373.18]]
+    )
+    tgt = np.array([41.30888549464701, -96.02619229605524, 356.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=tgt, block_len=1 << 18,
+        clock_offsets_s=np.array([2.1e-3, -1.7e-3, 0.4e-3]),
+        clock_drifts_ppm=np.array([0.08, -0.05, 0.02]),
+        drift_doppler=True, seed=7,
+    )
+    caps, truth = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[i]) for i, n in enumerate(names)],
+        reference_tx=Station("162400000", 41.25703803095629,
+                             -95.95512763589404, 349.07),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                        max_lag=12000, lo_compensation="auto"),
+        table,
+    )
+    res = proc.process_captures({n: caps[n] for n in names})
+    assert any("LO offsets" in w for w in res.warnings), res.warnings
+    assert not any("skipped" in w for w in res.warnings), res.warnings
+    err = np.linalg.norm(
+        lla_to_enu(np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt)[:2]
+    )
+    assert err < 100.0, err
+    by = {n: k for k, n in enumerate(names)}
+    order = [by[n] for n in res.station_names]
+    tau = truth.station_delays_samples[:, 1]
+    want = np.array(
+        [tau[order[j]] - tau[order[i]] for i, j in res.pair_idx]
+    )
+    assert np.abs(res.corrected_tdoa_samples - want).max() < 0.5
+
+
 def test_lo_compensation_with_velocity_no_double_correction():
     """Regression: with LO compensation the drift Doppler is already
     removed from the signal; adding the REF-measured drift term again
