@@ -14,12 +14,24 @@ CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
     return stats;
   }
 
-  dev.set_sample_rate(cfg.sample_rate);
-  if (cfg.ppm != 0) dev.set_freq_correction_ppm(cfg.ppm);
+  // Config failures abort up front: a capture at the wrong rate or
+  // frequency is worse than no capture (the USB backend can genuinely
+  // fail any of these — invalid resampler rate, PLL no-lock).
+  if (!dev.set_sample_rate(cfg.sample_rate)) {
+    stats.error = "set_sample_rate failed";
+    return stats;
+  }
+  if (cfg.ppm != 0 && !dev.set_freq_correction_ppm(cfg.ppm)) {
+    stats.error = "set_freq_correction_ppm failed";
+    return stats;
+  }
   // AGC hard-disabled before manual gains (rtl_sdr.c:262-268).
   dev.set_agc(false);
-  dev.set_tuner_gain_db(cfg.gain1_db);
-  dev.set_center_freq(cfg.freq1_hz);
+  if (!dev.set_tuner_gain_db(cfg.gain1_db) ||
+      !dev.set_center_freq(cfg.freq1_hz)) {
+    stats.error = "initial tune/gain failed";
+    return stats;
+  }
 
   const uint64_t block_bytes = cfg.samples_per_freq * 2;
 
@@ -31,8 +43,11 @@ CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
     for (int block = 0; block < 3; ++block) {
       if (block > 0) {
         const bool to_second = (block == 1);
-        dev.set_tuner_gain_db(to_second ? cfg.gain2_db : cfg.gain1_db);
-        dev.set_center_freq(to_second ? cfg.freq2_hz : cfg.freq1_hz);
+        if (!dev.set_tuner_gain_db(to_second ? cfg.gain2_db : cfg.gain1_db) ||
+            !dev.set_center_freq(to_second ? cfg.freq2_hz : cfg.freq1_hz)) {
+          stats.error = "mid-capture retune failed";
+          return stats;
+        }
         ++stats.retunes;
       }
       uint64_t remaining = block_bytes;
@@ -96,11 +111,23 @@ CaptureStats RunTwoFreqCapture(Device& dev, const CaptureConfig& cfg,
             // thread — the serialized queue guarantees no samples from
             // the old tuning arrive after this point
             // (rtl_sdr.c:122-135's double gain-set sandwich is folded
-            // into one atomic device update here).
+            // into one atomic device update here). A failed retune
+            // (PLL no-lock) aborts: a wrong-frequency middle block
+            // would poison the whole TDOA solve downstream.
             const bool to_second = (written == block_bytes);
-            dev.set_tuner_gain_db(to_second ? cfg.gain2_db : cfg.gain1_db);
-            dev.set_center_freq(to_second ? cfg.freq2_hz : cfg.freq1_hz);
-            dev.set_tuner_gain_db(to_second ? cfg.gain2_db : cfg.gain1_db);
+            bool ok =
+                dev.set_tuner_gain_db(to_second ? cfg.gain2_db
+                                                : cfg.gain1_db) &&
+                dev.set_center_freq(to_second ? cfg.freq2_hz
+                                              : cfg.freq1_hz) &&
+                dev.set_tuner_gain_db(to_second ? cfg.gain2_db
+                                                : cfg.gain1_db);
+            if (!ok) {
+              stats.error = "mid-capture retune failed";
+              aborted = true;
+              dev.cancel_async();
+              return;
+            }
             ++stats.retunes;
           }
         }

@@ -1,0 +1,324 @@
+// Mock USB transport: a register-level model of an RTL2832U + R828D
+// dongle behind the UsbTransport seam, for testing the full protocol
+// stack (usb_device.cc) without hardware.
+//
+// Models the behavior contracts the real chip enforces:
+//  - vendor-control register map: block/demod-page/I2C encodings
+//    (librtlsdr.c:409-556);
+//  - R82xx I2C semantics: auto-incrementing register writes, reads
+//    starting at reg 0 returning BIT-REVERSED bytes, chip id 0x69,
+//    PLL-lock and filter-calibration status bits
+//    (tuner_r82xx.c:236-343);
+//  - I2C-repeater discipline: tuner traffic with the repeater off is
+//    counted as a violation (it would silently fail on silicon);
+//  - EEPROM pointer reads at address 0xa0 (librtlsdr.c:1040-1060);
+//  - bulk IQ stream: bytes are a deterministic function of a global
+//    byte counter plus the CURRENT tuned LO and gain, filled at
+//    submission (wire order = data order) while completions can be
+//    delivered OUT OF SUBMISSION ORDER — the exact condition the
+//    ordered dispatch engine exists to handle (librtlsdr.c:1661-1894).
+//
+// The mock also decodes the PLL and gain registers back into physical
+// units (MockRtlState.tuner_lo_hz, lna/mixer indices) so tests close
+// the loop: program a frequency through the driver, read back what the
+// silicon would synthesize.
+#include "sdrcap/usb.h"
+
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace sdrcap {
+namespace {
+
+constexpr uint8_t kR828dI2cAddr = 0x74;
+constexpr uint8_t kEepromAddr = 0xa0;
+constexpr uint32_t kR828dXtalHz = 16'000'000;
+
+uint8_t bitrev(uint8_t b) {
+  b = (uint8_t)(((b & 0xf0) >> 4) | ((b & 0x0f) << 4));
+  b = (uint8_t)(((b & 0xcc) >> 2) | ((b & 0x33) << 2));
+  return (uint8_t)(((b & 0xaa) >> 1) | ((b & 0x55) << 1));
+}
+
+class MockUsbTransport final : public UsbTransport {
+ public:
+  MockUsbTransport(const MockUsbOptions& opts,
+                   std::shared_ptr<MockRtlState> state)
+      : opts_(opts), state_(std::move(state)) {
+    // EEPROM: RTL2832U header (0x28 0x32) + VID/PID like a real stick.
+    eeprom_.assign(256, 0xff);
+    eeprom_[0] = 0x28;
+    eeprom_[1] = 0x32;
+    eeprom_[2] = 0xda;
+    eeprom_[3] = 0x0b;
+    eeprom_[4] = 0x38;
+    eeprom_[5] = 0x28;
+    // Tuner status register file (logical values; the wire bit-reverses
+    // them). data[2] bit6 = PLL lock, data[4] low nibble = filter
+    // calibration code, data[4] bits 4:5 = VCO fine tune (1 keeps the
+    // R828D divider unchanged, tuner_r82xx.c:475-481).
+    tuner_status_[0] = bitrev(0x69);  // so the RAW probe read is 0x69
+    tuner_status_[2] = 0x40;
+    tuner_status_[4] = (uint8_t)((1 << 4) | 0x04);
+  }
+
+  int control_transfer(bool in, uint16_t value, uint16_t index,
+                       uint8_t* data, uint16_t len) override {
+    std::lock_guard<std::mutex> lk(mu_);
+    if (lost_) return -4;  // LIBUSB_ERROR_NO_DEVICE
+    state_->control_transfers.fetch_add(1);
+    const bool is_write = (index & 0x10) != 0;
+    if (in == is_write) return -1;  // direction/index mismatch
+    const uint8_t block = (uint8_t)(index >> 8);
+    if (block != 0) return block_xfer(in, block, value, data, len);
+    // Demod page access: wValue = (addr << 8) | 0x20, wIndex = page.
+    if ((value & 0xff) != 0x20) return -1;
+    return demod_xfer(in, (uint8_t)(index & 0x0f), (uint16_t)(value >> 8),
+                      data, len);
+  }
+
+  bool submit_bulk(UsbBulkTransfer* t, UsbBulkCallback cb) override {
+    std::lock_guard<std::mutex> lk(mu_);
+    if (lost_) return false;
+    // Fill at submission: USB data order is submission order even when
+    // completion callbacks fire out of order.
+    fill_iq(t->buffer, t->length);
+    t->actual_length = t->length;
+    t->status = UsbStatus::kCompleted;
+    pending_.push_back({t, std::move(cb)});
+    return true;
+  }
+
+  int handle_events(int timeout_ms) override {
+    std::vector<Pending> ready;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      if (lost_ && pending_.empty() && reaped_.empty()) return -4;
+      // Cancelled transfers complete first (status already stamped).
+      for (auto& p : reaped_) ready.push_back(std::move(p));
+      reaped_.clear();
+      if (!pending_.empty()) {
+        if (lost_) {
+          for (auto& p : pending_) {
+            p.t->status = UsbStatus::kNoDevice;
+            p.t->actual_length = 0;
+            ready.push_back(std::move(p));
+          }
+          pending_.clear();
+        } else if (opts_.out_of_order && pending_.size() >= 2) {
+          // Deliver the SECOND submission first — the out-of-order
+          // completion real libusb permits.
+          ready.push_back(std::move(pending_[1]));
+          ready.push_back(std::move(pending_[0]));
+          pending_.erase(pending_.begin(), pending_.begin() + 2);
+        } else {
+          ready.push_back(std::move(pending_.front()));
+          pending_.pop_front();
+        }
+      }
+      for (auto& p : ready) {
+        if (p.t->status == UsbStatus::kCompleted) {
+          uint64_t n = state_->bulk_transfers.fetch_add(1) + 1;
+          if (opts_.lose_device_after && n >= opts_.lose_device_after)
+            lost_ = true;
+        }
+      }
+    }
+    if (ready.empty() && timeout_ms > 0) {
+      // Nothing pending: emulate the blocking poll without burning CPU.
+      std::this_thread::sleep_for(std::chrono::microseconds(200));
+    }
+    for (auto& p : ready) p.cb(p.t);  // outside the lock, like libusb
+    return (int)ready.size();
+  }
+
+  // Like libusb_cancel_transfer over the active set: only transfers in
+  // flight NOW are cancelled; later submissions proceed normally (a
+  // second read_async on the same device must work).
+  void cancel_all() override {
+    std::lock_guard<std::mutex> lk(mu_);
+    for (auto& p : pending_) {
+      p.t->status = UsbStatus::kCancelled;
+      p.t->actual_length = 0;
+      reaped_.push_back(std::move(p));
+    }
+    pending_.clear();
+  }
+
+  int bulk_read_sync(uint8_t* data, int len, int) override {
+    std::lock_guard<std::mutex> lk(mu_);
+    if (lost_) return -4;
+    fill_iq(data, len);
+    state_->bulk_transfers.fetch_add(1);
+    return len;
+  }
+
+  bool device_lost() const override {
+    std::lock_guard<std::mutex> lk(mu_);
+    return lost_;
+  }
+
+ private:
+  struct Pending {
+    UsbBulkTransfer* t;
+    UsbBulkCallback cb;
+  };
+
+  int block_xfer(bool in, uint8_t block, uint16_t addr, uint8_t* data,
+                 uint16_t len) {
+    if (block == 6) return i2c_xfer(in, (uint8_t)addr, data, len);
+    auto key = [&](int i) { return (uint32_t)(block << 16) | (addr + i); };
+    if (in) {
+      for (int i = 0; i < len; ++i) data[i] = regs_[key(i)];
+    } else {
+      for (int i = 0; i < len; ++i) regs_[key(i)] = data[i];
+      // SYS DEMOD_CTL power-on (librtlsdr.c:630).
+      if (block == 2 && addr == 0x3000)
+        state_->baseband_on.store(data[0] == 0xe8);
+    }
+    return len;
+  }
+
+  int demod_xfer(bool in, uint8_t page, uint16_t addr, uint8_t* data,
+                 uint16_t len) {
+    if (in) {
+      for (int i = 0; i < len; ++i)
+        data[i] = demod_[(uint32_t)(page << 16) | (addr + i)];
+      return len;
+    }
+    for (int i = 0; i < len; ++i)
+      demod_[(uint32_t)(page << 16) | (addr + i)] = data[i];
+    // Multi-byte demod writes send MSB first (librtlsdr.c:534-543):
+    // the VALUE at addr is data[0]<<8|data[1] for len 2.
+    const uint16_t val = (len == 2) ? (uint16_t)((data[0] << 8) | data[1])
+                                    : data[0];
+    if (page == 1 && addr == 0x01)
+      state_->repeater_on.store(val == 0x18);
+    if (page == 0 && addr == 0x19) state_->agc_on.store(val == 0x25);
+    if (page == 1 && addr >= 0x1c && addr <= 0x2f)
+      state_->fir_writes.fetch_add(1);
+    if (page == 1 && (addr == 0x9f || addr == 0xa1) && len == 2) {
+      uint32_t r = state_->rsamp_ratio.load();
+      if (addr == 0x9f) r = (r & 0x0000ffff) | ((uint32_t)val << 16);
+      else r = (r & 0xffff0000) | val;
+      state_->rsamp_ratio.store(r);
+    }
+    if (page == 1 && addr >= 0x19 && addr <= 0x1b && len == 1) {
+      if_bytes_[addr - 0x19] = (uint8_t)val;
+      int32_t v = ((if_bytes_[0] & 0x3f) << 16) | (if_bytes_[1] << 8) |
+                  if_bytes_[2];
+      if (v & 0x200000) v -= 0x400000;  // sign-extend 22 bits
+      state_->if_freq_reg.store(v);
+    }
+    return len;
+  }
+
+  int i2c_xfer(bool in, uint8_t i2c_addr, uint8_t* data, uint16_t len) {
+    if (i2c_addr == kEepromAddr) {
+      if (!in) {
+        if (len >= 1) eeprom_ptr_ = data[0];
+        if (len >= 2) eeprom_[eeprom_ptr_] = data[1];
+        return len;
+      }
+      state_->eeprom_reads.fetch_add(1);
+      for (int i = 0; i < len; ++i)
+        data[i] = eeprom_[(eeprom_ptr_++) & 0xff];
+      return len;
+    }
+    if (i2c_addr != kR828dI2cAddr) {
+      // No chip at this address: reads float to 0, writes vanish —
+      // how the real bus answers the R820T/E4000/FC001x probes.
+      if (in) std::memset(data, 0, len);
+      return len;
+    }
+    if (!state_->repeater_on.load())
+      state_->repeater_violations.fetch_add(1);
+    if (!in) {
+      // [start_reg, values...] with auto-increment (tuner_r82xx.c:270).
+      if (len >= 1) tuner_ptr_ = data[0];
+      for (int i = 1; i < len; ++i)
+        tuner_regs_[(tuner_ptr_ + i - 1) & 0xff] = data[i];
+      if (len > 1) decode_tuner();
+      return len;
+    }
+    // Reads start at reg 0 and return bit-reversed bytes
+    // (tuner_r82xx.c:317-343).
+    for (int i = 0; i < len; ++i) {
+      uint8_t logical = (i < (int)sizeof(tuner_status_))
+                            ? tuner_status_[i]
+                            : tuner_regs_[i & 0xff];
+      data[i] = bitrev(logical);
+    }
+    return len;
+  }
+
+  // Invert the R82xx PLL programming (tuner_r82xx.c:417-527) back into
+  // the LO the silicon would synthesize.
+  void decode_tuner() {
+    const uint8_t div_num = (uint8_t)((tuner_regs_[0x10] >> 5) & 0x07);
+    const uint32_t mix_div = 2u << div_num;
+    const uint8_t r14 = tuner_regs_[0x14];
+    const uint32_t nint = 4u * (r14 & 0x3f) + (uint8_t)(r14 >> 6) + 13;
+    const bool sdm_off = (tuner_regs_[0x12] & 0x08) != 0;
+    const uint32_t sdm =
+        sdm_off ? 0u
+                : (uint32_t)((tuner_regs_[0x16] << 8) | tuner_regs_[0x15]);
+    const double vco =
+        2.0 * kR828dXtalHz * ((double)nint + (double)sdm / 65536.0);
+    state_->tuner_lo_hz.store((uint32_t)(vco / mix_div + 0.5));
+    state_->lna_index.store(tuner_regs_[0x05] & 0x0f);
+    state_->mixer_index.store(tuner_regs_[0x07] & 0x0f);
+    state_->tuner_manual_gain.store((tuner_regs_[0x05] & 0x10) != 0);
+  }
+
+  // Deterministic IQ: every byte depends on the global byte counter and
+  // the tuning/gain at fill time, so retune boundaries and loss/
+  // reordering are all visible in the captured stream.
+  void fill_iq(uint8_t* buf, int len) {
+    const uint32_t freq_tag = state_->tuner_lo_hz.load() / 1000u;
+    const uint32_t gain_tag = state_->lna_index.load() * 16u +
+                              state_->mixer_index.load();
+    for (int i = 0; i < len; ++i) {
+      buf[i] = MockByte(byte_counter_++, freq_tag, gain_tag, opts_.seed);
+    }
+  }
+
+ public:
+  static uint8_t MockByte(uint64_t n, uint32_t freq_tag, uint32_t gain_tag,
+                          uint64_t seed) {
+    uint64_t h = n * 0x9e3779b97f4a7c15ull ^ (uint64_t)freq_tag << 32 ^
+                 (uint64_t)gain_tag << 17 ^ seed;
+    h ^= h >> 29;
+    return (uint8_t)(h & 0xff);
+  }
+
+ private:
+  MockUsbOptions opts_;
+  std::shared_ptr<MockRtlState> state_;
+  mutable std::mutex mu_;
+  std::map<uint32_t, uint8_t> regs_;   // (block, addr) registers
+  std::map<uint32_t, uint8_t> demod_;  // (page, addr) registers
+  uint8_t if_bytes_[3] = {0, 0, 0};
+  std::vector<uint8_t> eeprom_;
+  uint8_t eeprom_ptr_ = 0;
+  uint8_t tuner_regs_[256] = {};
+  uint8_t tuner_ptr_ = 0;
+  uint8_t tuner_status_[5] = {};
+  std::deque<Pending> pending_;
+  std::deque<Pending> reaped_;  // cancelled, awaiting delivery
+  uint64_t byte_counter_ = 0;
+  bool lost_ = false;
+};
+
+}  // namespace
+
+std::unique_ptr<UsbTransport> MakeMockUsbTransport(
+    const MockUsbOptions& opts, std::shared_ptr<MockRtlState> state) {
+  return std::make_unique<MockUsbTransport>(opts, std::move(state));
+}
+
+}  // namespace sdrcap

@@ -1,0 +1,840 @@
+// RTL2832U protocol driver: implements Device on a UsbTransport.
+//
+// Behavior contracts from the reference's librtlsdr fork (cited per
+// function below): register blocks + vendor-control encoding
+// (librtlsdr.c:399-434), demod page registers (librtlsdr.c:515-556),
+// baseband bring-up (librtlsdr.c:585-674), IF/DDC and resampler math
+// (librtlsdr.c:686-714, 1062-1126), tuner probe + R82xx-specific demod
+// config (librtlsdr.c:1407-1580), graceful async cancel and
+// device-lost tracking (librtlsdr.c:1655-1914). The R82xx tuner logic
+// follows tuner_r82xx.c (capability level: PLL/frequency, gain,
+// standard/filter init for the R820T/R828D the project deploys —
+// README.md:37). All code is a fresh C++ design: class-based, shadow
+// state, OrderedTransferQueue engine; no C translation.
+#include "sdrcap/usb.h"
+
+#include <algorithm>
+#include <atomic>
+#include <cstdio>
+#include <cstring>
+#include <memory>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include "sdrcap/ring.h"
+
+namespace sdrcap {
+namespace {
+
+// --- RTL2832U register map (librtlsdr.c:372-407) ---------------------
+enum Block : uint8_t {
+  kDemod = 0,
+  kUsb = 1,
+  kSys = 2,
+  kTun = 3,
+  kRom = 4,
+  kIr = 5,
+  kIic = 6,
+};
+
+constexpr uint16_t kUsbSysctl = 0x2000;
+constexpr uint16_t kUsbEpaCtl = 0x2148;
+constexpr uint16_t kUsbEpaMaxpkt = 0x2158;
+constexpr uint16_t kSysDemodCtl = 0x3000;
+constexpr uint16_t kSysDemodCtl1 = 0x300b;
+
+constexpr uint32_t kRtlXtalHz = 28'800'000;  // DEF_RTL_XTAL_FREQ
+constexpr uint32_t kR828dXtalHz = 16'000'000;
+constexpr uint32_t kR82xxIfHz = 3'570'000;  // R82XX_IF_FREQ
+constexpr uint8_t kR820tI2cAddr = 0x34;
+constexpr uint8_t kR828dI2cAddr = 0x74;
+constexpr uint8_t kR82xxCheckVal = 0x69;  // chip id at reg 0
+
+// Default DVB-T FIR (librtlsdr.c:76-94): 8 x int8 + 8 x int12.
+constexpr int kFirDefault[16] = {
+    -54, -36, -41, -40, -32, -14, 14,  53,
+    101, 156, 215, 273, 327, 372, 404, 421,
+};
+
+// --- low-level register access (librtlsdr.c:409-556) -----------------
+
+class RegIo {
+ public:
+  explicit RegIo(UsbTransport* t) : t_(t) {}
+
+  int read_array(uint8_t block, uint16_t addr, uint8_t* data, uint16_t len) {
+    return t_->control_transfer(true, addr, (uint16_t)(block << 8), data,
+                                len);
+  }
+  int write_array(uint8_t block, uint16_t addr, const uint8_t* data,
+                  uint16_t len) {
+    return t_->control_transfer(false, addr, (uint16_t)((block << 8) | 0x10),
+                                const_cast<uint8_t*>(data), len);
+  }
+
+  uint16_t read_reg(uint8_t block, uint16_t addr, uint8_t len) {
+    uint8_t data[2] = {0, 0};
+    read_array(block, addr, data, len);
+    return (uint16_t)((data[1] << 8) | data[0]);
+  }
+  int write_reg(uint8_t block, uint16_t addr, uint16_t val, uint8_t len) {
+    uint8_t data[2];
+    if (len == 1) data[0] = val & 0xff;
+    else data[0] = val >> 8;
+    data[1] = val & 0xff;
+    return write_array(block, addr, data, len);
+  }
+
+  // Demod page registers ride a distinct addressing scheme:
+  // wValue = (addr << 8) | 0x20, wIndex = page (| 0x10 for writes), and
+  // every write is followed by a dummy status read — the chip-required
+  // settling access (librtlsdr.c:515-556).
+  uint16_t demod_read(uint8_t page, uint16_t addr, uint8_t len) {
+    uint8_t data[2] = {0, 0};
+    t_->control_transfer(true, (uint16_t)((addr << 8) | 0x20), page, data,
+                         len);
+    return (uint16_t)((data[1] << 8) | data[0]);
+  }
+  int demod_write(uint8_t page, uint16_t addr, uint16_t val, uint8_t len) {
+    uint8_t data[2];
+    if (len == 1) data[0] = val & 0xff;
+    else data[0] = val >> 8;
+    data[1] = val & 0xff;
+    int r = t_->control_transfer(false, (uint16_t)((addr << 8) | 0x20),
+                                 (uint16_t)(0x10 | page), data, len);
+    demod_read(0x0a, 0x01, 1);
+    return (r == len) ? 0 : -1;
+  }
+
+  // I2C rides the IIC block with the 7-bit address in wValue
+  // (librtlsdr.c:435-473).
+  int i2c_write(uint8_t i2c_addr, const uint8_t* buf, int len) {
+    return write_array(kIic, i2c_addr, buf, (uint16_t)len);
+  }
+  int i2c_read(uint8_t i2c_addr, uint8_t* buf, int len) {
+    return read_array(kIic, i2c_addr, buf, (uint16_t)len);
+  }
+  uint8_t i2c_read_reg(uint8_t i2c_addr, uint8_t reg) {
+    uint8_t data = 0;
+    write_array(kIic, i2c_addr, &reg, 1);
+    read_array(kIic, i2c_addr, &data, 1);
+    return data;
+  }
+
+  // I2C repeater gates tuner access through the demod
+  // (librtlsdr.c:579-582); a scope guard keeps the discipline that the
+  // reference maintains by hand at every call site.
+  void set_repeater(bool on) { demod_write(1, 0x01, on ? 0x18 : 0x10, 1); }
+
+ private:
+  UsbTransport* t_;
+};
+
+class RepeaterScope {
+ public:
+  explicit RepeaterScope(RegIo& io) : io_(io) { io_.set_repeater(true); }
+  ~RepeaterScope() { io_.set_repeater(false); }
+
+ private:
+  RegIo& io_;
+};
+
+// --- R82xx tuner (tuner_r82xx.c, capability level) -------------------
+
+// Chip register init values (tuner_r82xx.c:41-49) and per-band RF mux
+// settings (tuner_r82xx.c:52-223) — hardware calibration constants, the
+// only way to program the silicon.
+constexpr uint8_t kR82xxInit[27] = {
+    0x83, 0x32, 0x75, 0xc0, 0x40, 0xd6, 0x6c, 0xf5, 0x63, 0x75,
+    0x68, 0x6c, 0x83, 0x80, 0x00, 0x0f, 0x00, 0xc0, 0x30, 0x48,
+    0xcc, 0x60, 0x00, 0x54, 0xae, 0x4a, 0xc0};
+static_assert(sizeof(kR82xxInit) == 0x1f - 0x05 + 1, "regs 0x05..0x1f");
+
+struct FreqRange {
+  uint32_t mhz;
+  uint8_t open_d, rf_mux_ploy, tf_c;
+};
+constexpr FreqRange kRanges[] = {
+    {0, 0x08, 0x02, 0xdf},   {50, 0x08, 0x02, 0xbe},
+    {55, 0x08, 0x02, 0x8b},  {60, 0x08, 0x02, 0x7b},
+    {65, 0x08, 0x02, 0x69},  {70, 0x08, 0x02, 0x58},
+    {75, 0x00, 0x02, 0x44},  {90, 0x00, 0x02, 0x34},
+    {110, 0x00, 0x02, 0x24}, {140, 0x00, 0x02, 0x14},
+    {180, 0x00, 0x02, 0x13}, {250, 0x00, 0x02, 0x11},
+    {280, 0x00, 0x02, 0x00}, {310, 0x00, 0x41, 0x00},
+    {450, 0x00, 0x41, 0x00}, {588, 0x00, 0x40, 0x00},
+    {650, 0x00, 0x40, 0x00}};
+
+// Measured per-step gains in tenths of dB (tuner_r82xx.c:995-1005).
+constexpr int kLnaSteps[16] = {0, 9,  13, 40, 38, 13, 31, 22,
+                               26, 31, 26, 14, 19, 5,  35, 13};
+constexpr int kMixerSteps[16] = {0,  5,  10, 10, 19, 9, 10, 25,
+                                 17, 10, 8,  16, 13, 6, 3,  -8};
+
+class R82xxTuner {
+ public:
+  R82xxTuner(RegIo& io, uint8_t i2c_addr, uint32_t xtal_hz, bool is_828d)
+      : io_(io), i2c_addr_(i2c_addr), xtal_hz_(xtal_hz), is_828d_(is_828d) {}
+
+  uint32_t if_freq_hz() const { return kR82xxIfHz; }
+  void set_xtal(uint32_t hz) { xtal_hz_ = hz; }
+
+  // tuner_r82xx.c:1221-1243: register init + digital-TV standard
+  // (filter calibration) + system frequency selection.
+  bool init() {
+    std::memcpy(shadow_, kR82xxInit, sizeof(kR82xxInit));
+    if (write(0x05, kR82xxInit, sizeof(kR82xxInit)) < 0) return false;
+    if (!set_tv_standard()) return false;
+    return sysfreq_sel();
+  }
+
+  // tuner_r82xx.c:1076-1110: LO = RF + IF, band mux, then PLL.
+  bool set_freq(uint32_t freq_hz) {
+    uint32_t lo = freq_hz + kR82xxIfHz;
+    if (!set_mux(lo) || !set_pll(lo)) return false;
+    if (is_828d_) {
+      // Air-In below 345 MHz, Cable1 above (tuner_r82xx.c:1090-1102).
+      uint8_t in = (freq_hz > 345'000'000) ? 0x00 : 0x60;
+      if (in != input_) {
+        input_ = in;
+        if (write_mask(0x05, in, 0x60) < 0) return false;
+      }
+    }
+    return has_lock_;
+  }
+
+  // tuner_r82xx.c:1007-1074: manual gain splits across LNA and mixer
+  // steps; VGA pinned at a fixed index.
+  bool set_gain_manual(int tenth_db) {
+    if (write_mask(0x05, 0x10, 0x10) < 0) return false;  // LNA auto off
+    if (write_mask(0x07, 0x00, 0x10) < 0) return false;  // mixer auto off
+    if (write_mask(0x0c, 0x08, 0x9f) < 0) return false;  // VGA 16.3 dB
+    int total = 0;
+    uint8_t lna = 0, mix = 0;
+    for (int i = 0; i < 15; ++i) {
+      if (total >= tenth_db) break;
+      total += kLnaSteps[++lna];
+      if (total >= tenth_db) break;
+      total += kMixerSteps[++mix];
+    }
+    if (write_mask(0x05, lna, 0x0f) < 0) return false;
+    return write_mask(0x07, mix, 0x0f) >= 0;
+  }
+  bool set_gain_auto() {
+    if (write_mask(0x05, 0x00, 0x10) < 0) return false;
+    if (write_mask(0x07, 0x10, 0x10) < 0) return false;
+    return write_mask(0x0c, 0x0b, 0x9f) >= 0;  // VGA 26.5 dB
+  }
+
+  // tuner_r82xx.c:1112-1153.
+  bool standby() {
+    static constexpr uint8_t kRegs[][2] = {
+        {0x06, 0xb1}, {0x05, 0x03}, {0x07, 0x3a}, {0x08, 0x40},
+        {0x09, 0xc0}, {0x0a, 0x36}, {0x0c, 0x35}, {0x0f, 0x68},
+        {0x11, 0x03}, {0x17, 0xf4}, {0x19, 0x0c}};
+    for (auto& rv : kRegs)
+      if (write_reg(rv[0], rv[1]) < 0) return false;
+    return true;
+  }
+
+ private:
+  static constexpr int kShadowBase = 0x05;
+  static constexpr int kMaxI2cMsg = 8;
+
+  // Shadow-register write with I2C chunking (tuner_r82xx.c:252-287).
+  int write(uint8_t reg, const uint8_t* val, int len) {
+    int r = reg - kShadowBase;
+    if (r >= 0) {
+      int n = std::min<int>(len, (int)sizeof(shadow_) - r);
+      if (n > 0) std::memcpy(shadow_ + r, val, n);
+    }
+    int pos = 0;
+    while (len > 0) {
+      int size = std::min(len, kMaxI2cMsg - 1);
+      uint8_t buf[kMaxI2cMsg];
+      buf[0] = reg;
+      std::memcpy(buf + 1, val + pos, size);
+      if (io_.i2c_write(i2c_addr_, buf, size + 1) != size + 1) return -1;
+      reg = (uint8_t)(reg + size);
+      len -= size;
+      pos += size;
+    }
+    return 0;
+  }
+  int write_reg(uint8_t reg, uint8_t val) { return write(reg, &val, 1); }
+  int write_mask(uint8_t reg, uint8_t val, uint8_t mask) {
+    int r = reg - kShadowBase;
+    if (r < 0 || r >= (int)sizeof(shadow_)) return -1;
+    uint8_t merged = (uint8_t)((shadow_[r] & ~mask) | (val & mask));
+    return write(reg, &merged, 1);
+  }
+
+  // Chip returns registers bit-reversed on I2C reads
+  // (tuner_r82xx.c:317-343).
+  static uint8_t bitrev(uint8_t b) {
+    b = (uint8_t)(((b & 0xf0) >> 4) | ((b & 0x0f) << 4));
+    b = (uint8_t)(((b & 0xcc) >> 2) | ((b & 0x33) << 2));
+    return (uint8_t)(((b & 0xaa) >> 1) | ((b & 0x55) << 1));
+  }
+  int read(uint8_t reg, uint8_t* out, int len) {
+    if (io_.i2c_write(i2c_addr_, &reg, 1) < 1) return -1;
+    if (io_.i2c_read(i2c_addr_, out, len) != len) return -1;
+    for (int i = 0; i < len; ++i) out[i] = bitrev(out[i]);
+    return 0;
+  }
+
+  // tuner_r82xx.c:357-415: band-dependent RF mux / tracking filter.
+  bool set_mux(uint32_t lo_hz) {
+    uint32_t mhz = lo_hz / 1'000'000;
+    const FreqRange* range = &kRanges[0];
+    for (const auto& fr : kRanges)
+      if (mhz >= fr.mhz) range = &fr;
+    if (write_mask(0x17, range->open_d, 0x08) < 0) return false;
+    if (write_mask(0x1a, range->rf_mux_ploy, 0xc3) < 0) return false;
+    if (write_reg(0x1b, range->tf_c) < 0) return false;
+    // XTAL_HIGH_CAP_0P (the init default, tuner_r82xx.c:1224).
+    if (write_mask(0x10, 0x00, 0x0b) < 0) return false;
+    if (write_mask(0x08, 0x00, 0x3f) < 0) return false;
+    return write_mask(0x09, 0x00, 0x3f) >= 0;
+  }
+
+  // tuner_r82xx.c:417-560: integer-N + sigma-delta fractional PLL.
+  bool set_pll(uint32_t freq_hz) {
+    const uint32_t vco_min_khz = 1'770'000;
+    const uint32_t vco_max_khz = 2 * vco_min_khz;
+    uint32_t freq_khz = (freq_hz + 500) / 1000;
+    uint32_t pll_ref = xtal_hz_;
+    uint32_t pll_ref_khz = (xtal_hz_ + 500) / 1000;
+
+    if (write_mask(0x10, 0x00, 0x10) < 0) return false;  // refdiv2 off
+    if (write_mask(0x1a, 0x00, 0x0c) < 0) return false;  // autotune 128k
+    if (write_mask(0x12, 0x80, 0xe0) < 0) return false;  // VCO current
+
+    uint8_t mix_div = 2, div_num = 0;
+    while (mix_div <= 64) {
+      if (freq_khz * mix_div >= vco_min_khz &&
+          freq_khz * mix_div < vco_max_khz) {
+        uint8_t db = mix_div;
+        while (db > 2) {
+          db >>= 1;
+          ++div_num;
+        }
+        break;
+      }
+      mix_div <<= 1;
+    }
+    if (mix_div > 64) return false;
+
+    uint8_t data[5];
+    if (read(0x00, data, sizeof(data)) < 0) return false;
+    uint8_t vco_power_ref = is_828d_ ? 1 : 2;
+    uint8_t fine = (data[4] & 0x30) >> 4;
+    if (fine > vco_power_ref) div_num = (uint8_t)(div_num - 1);
+    else if (fine < vco_power_ref) div_num = (uint8_t)(div_num + 1);
+    if (write_mask(0x10, (uint8_t)(div_num << 5), 0xe0) < 0) return false;
+
+    uint64_t vco = (uint64_t)freq_hz * mix_div;
+    uint8_t nint = (uint8_t)(vco / (2ull * pll_ref));
+    uint32_t vco_fra = (uint32_t)((vco - 2ull * pll_ref * nint) / 1000);
+    if (nint > 128 / vco_power_ref - 1) return false;
+    uint8_t ni = (uint8_t)((nint - 13) / 4);
+    uint8_t si = (uint8_t)(nint - 4 * ni - 13);
+    if (write_reg(0x14, (uint8_t)(ni + (si << 6))) < 0) return false;
+    if (write_mask(0x12, vco_fra ? 0x00 : 0x08, 0x08) < 0) return false;
+
+    // Sigma-delta modulator value (tuner_r82xx.c:508-521).
+    uint16_t sdm = 0, n_sdm = 2;
+    while (vco_fra > 1) {
+      if (vco_fra > 2 * pll_ref_khz / n_sdm) {
+        sdm = (uint16_t)(sdm + 32768 / (n_sdm / 2));
+        vco_fra -= 2 * pll_ref_khz / n_sdm;
+        if (n_sdm >= 0x8000) break;
+      }
+      n_sdm <<= 1;
+    }
+    if (write_reg(0x16, (uint8_t)(sdm >> 8)) < 0) return false;
+    if (write_reg(0x15, (uint8_t)(sdm & 0xff)) < 0) return false;
+
+    has_lock_ = false;
+    for (int i = 0; i < 2; ++i) {
+      if (read(0x00, data, 3) < 0) return false;
+      if (data[2] & 0x40) {
+        has_lock_ = true;
+        break;
+      }
+      // Didn't lock: raise VCO current (tuner_r82xx.c:540-545).
+      if (i == 0 && write_mask(0x12, 0x60, 0xe0) < 0) return false;
+    }
+    if (!has_lock_) return false;
+    return write_mask(0x1a, 0x08, 0x08) >= 0;  // autotune 8 kHz
+  }
+
+  // Condensed r82xx_set_tv_standard (tuner_r82xx.c:761-975) for the
+  // one standard rtlsdr uses (digital TV, bw<=6: IF 3.57 MHz): filter
+  // calibration at 56 MHz, then the fixed register program.
+  bool set_tv_standard() {
+    const uint8_t hp_cor = 0x6b, filt_q = 0x10;
+    if (write_mask(0x0c, 0x00, 0x0f) < 0) return false;
+    if (write_mask(0x13, 49, 0x3f) < 0) return false;  // VER_NUM
+    if (write_mask(0x1d, 0x00, 0x38) < 0) return false;
+
+    uint8_t fil_cal = 0;
+    for (int i = 0; i < 2; ++i) {
+      if (write_mask(0x0b, hp_cor, 0x60) < 0) return false;
+      if (write_mask(0x0f, 0x04, 0x04) < 0) return false;  // cali clk on
+      if (write_mask(0x10, 0x00, 0x03) < 0) return false;
+      if (!set_pll(56'000'000)) return false;  // filt_cal_lo
+      if (write_mask(0x0b, 0x10, 0x10) < 0) return false;  // trigger
+      if (write_mask(0x0b, 0x00, 0x10) < 0) return false;
+      if (write_mask(0x0f, 0x00, 0x04) < 0) return false;  // cali clk off
+      uint8_t data[5];
+      if (read(0x00, data, sizeof(data)) < 0) return false;
+      fil_cal = data[4] & 0x0f;
+      if (fil_cal && fil_cal != 0x0f) break;
+    }
+    if (fil_cal == 0x0f) fil_cal = 0;
+
+    if (write_mask(0x0a, (uint8_t)(filt_q | fil_cal), 0x1f) < 0)
+      return false;
+    if (write_mask(0x0b, hp_cor, 0xef) < 0) return false;
+    if (write_mask(0x07, 0x00, 0x80) < 0) return false;  // img_r
+    if (write_mask(0x06, 0x10, 0x30) < 0) return false;  // filt_gain
+    if (write_mask(0x1e, 0x60, 0x60) < 0) return false;  // ext enable
+    if (write_mask(0x05, 0x00, 0x80) < 0) return false;  // loop through
+    if (write_mask(0x1f, 0x00, 0x80) < 0) return false;  // lt att
+    if (write_mask(0x0f, 0x00, 0x80) < 0) return false;  // flt_ext_widest
+    return write_mask(0x19, 0x60, 0x60) >= 0;  // polyfil min
+  }
+
+  // Condensed r82xx_sysfreq_sel (tuner_r82xx.c:562-758), generic DVB-T
+  // values (mixer_top 0x24, lna_top 0xe5, cp_cur auto).
+  bool sysfreq_sel() {
+    if (write_reg(0x0d, 0x53) < 0) return false;  // lna vth/vtl
+    if (write_reg(0x0e, 0x75) < 0) return false;  // mixer vth/vtl
+    input_ = 0x00;
+    if (write_mask(0x05, input_, 0x60) < 0) return false;
+    if (write_mask(0x06, 0x00, 0x08) < 0) return false;
+    if (write_mask(0x11, 0x38, 0x38) < 0) return false;  // cp_cur auto
+    if (write_mask(0x17, 0x30, 0x30) < 0) return false;
+    if (write_mask(0x0a, 0x40, 0x60) < 0) return false;  // filter_cur
+    // Digital-TV LNA sequence (tuner_r82xx.c:677-723).
+    if (write_mask(0x1d, 0x00, 0x38) < 0) return false;
+    if (write_mask(0x1c, 0x00, 0x04) < 0) return false;
+    if (write_mask(0x06, 0x00, 0x40) < 0) return false;  // PRE_DECT off
+    if (write_mask(0x1a, 0x30, 0x30) < 0) return false;  // agc clk 250hz
+    if (write_mask(0x1d, 0x18, 0x38) < 0) return false;  // LNA TOP 3
+    if (write_mask(0x1c, 0x24, 0x04) < 0) return false;
+    if (write_mask(0x1e, 14, 0x1f) < 0) return false;  // lna discharge
+    return write_mask(0x1a, 0x20, 0x30) >= 0;  // agc clk 60hz
+  }
+
+  RegIo& io_;
+  uint8_t i2c_addr_;
+  uint32_t xtal_hz_;
+  bool is_828d_;
+  bool has_lock_ = false;
+  uint8_t input_ = 0x00;
+  uint8_t shadow_[27] = {};  // regs 0x05..0x1f
+};
+
+// --- the Device implementation ---------------------------------------
+
+class RtlUsbDevice final : public Device {
+ public:
+  explicit RtlUsbDevice(std::unique_ptr<UsbTransport> t)
+      : transport_(std::move(t)), io_(transport_.get()) {}
+
+  ~RtlUsbDevice() override {
+    if (!transport_->device_lost() && tuner_) {
+      RepeaterScope rep(io_);
+      tuner_->standby();
+    }
+    if (!transport_->device_lost()) {
+      // Power off demod + ADCs (librtlsdr.c:668-674).
+      io_.write_reg(kSys, kSysDemodCtl, 0x20, 1);
+    }
+  }
+
+  // Open-time bring-up (librtlsdr.c:1445-1580): dummy write, baseband
+  // init, tuner probe, R82xx demod configuration, tuner init.
+  bool init() {
+    // Dummy write probes liveness (librtlsdr.c:1500-1504).
+    if (io_.write_reg(kUsb, kUsbSysctl, 0x09, 1) < 0) return false;
+    init_baseband();
+
+    {
+      RepeaterScope rep(io_);
+      if (io_.i2c_read_reg(kR820tI2cAddr, 0x00) == kR82xxCheckVal) {
+        tuner_xtal_ = kRtlXtalHz;
+        tuner_.reset(
+            new R82xxTuner(io_, kR820tI2cAddr, tuner_xtal_, false));
+      } else if (io_.i2c_read_reg(kR828dI2cAddr, 0x00) == kR82xxCheckVal) {
+        tuner_xtal_ = kR828dXtalHz;  // R828D's own crystal
+        tuner_.reset(
+            new R82xxTuner(io_, kR828dI2cAddr, tuner_xtal_, true));
+      } else {
+        // Capability scope: the deployed hardware is R820T/R828D
+        // (README.md:37); other tuners fail the open cleanly.
+        std::fprintf(stderr, "sdrcap-usb: no R82xx tuner found\n");
+        return false;
+      }
+      // R82xx runs low-IF: disable Zero-IF, I-ADC only, IF 3.57 MHz,
+      // spectrum inversion (librtlsdr.c:1560-1574).
+      io_.demod_write(1, 0xb1, 0x1a, 1);
+      io_.demod_write(0, 0x08, 0x4d, 1);
+      set_if_freq(kR82xxIfHz);
+      io_.demod_write(1, 0x15, 0x01, 1);
+      if (!tuner_->init()) return false;
+    }
+    return true;
+  }
+
+  bool set_sample_rate(uint32_t rate_hz) override {
+    // Resampler constraint (librtlsdr.c:1086-1090).
+    if (rate_hz <= 225'000 || rate_hz > 3'200'000 ||
+        (rate_hz > 300'000 && rate_hz <= 900'000)) {
+      std::fprintf(stderr, "sdrcap-usb: invalid sample rate %u\n", rate_hz);
+      return false;
+    }
+    uint32_t ratio =
+        (uint32_t)(((uint64_t)kRtlXtalHz << 22) / rate_hz) & 0x0ffffffc;
+    uint32_t real_ratio = ratio | ((ratio & 0x08000000) << 1);
+    rate_ = (uint32_t)(((uint64_t)kRtlXtalHz << 22) / real_ratio);
+    io_.demod_write(1, 0x9f, (uint16_t)(ratio >> 16), 2);
+    io_.demod_write(1, 0xa1, (uint16_t)(ratio & 0xffff), 2);
+    set_sample_freq_correction(ppm_);
+    // Soft reset (librtlsdr.c:1116-1118).
+    io_.demod_write(1, 0x01, 0x14, 1);
+    io_.demod_write(1, 0x01, 0x10, 1);
+    return true;
+  }
+
+  bool set_center_freq(uint32_t freq_hz) override {
+    if (direct_sampling_) {
+      set_if_freq(freq_hz);
+      freq_ = freq_hz;
+      return true;
+    }
+    RepeaterScope rep(io_);
+    if (!tuner_->set_freq(freq_hz)) {
+      freq_ = 0;
+      return false;
+    }
+    freq_ = freq_hz;
+    return true;
+  }
+
+  bool set_tuner_gain_db(double gain_db) override {
+    int tenth = (int)(NearestGainDb(gain_db) * 10.0 + 0.5);
+    RepeaterScope rep(io_);
+    return tuner_->set_gain_manual(tenth);
+  }
+
+  bool set_agc(bool enabled) override {
+    // RTL2832 digital AGC (librtlsdr.c:1144-1150).
+    return io_.demod_write(0, 0x19, enabled ? 0x25 : 0x05, 1) == 0;
+  }
+
+  bool set_freq_correction_ppm(int ppm) override {
+    if (ppm == ppm_) return true;
+    ppm_ = ppm;
+    set_sample_freq_correction(ppm);
+    // Apply the corrected crystal to the tuner and retune
+    // (librtlsdr.c:1017-1038).
+    tuner_->set_xtal(
+        (uint32_t)(tuner_xtal_ * (1.0 + ppm / 1e6)));
+    if (freq_) return set_center_freq(freq_);
+    return true;
+  }
+
+  // HF direct sampling (librtlsdr.c:1151-1220): bypass the tuner and
+  // feed the ADC straight (mode 1 = I input, 2 = Q input). In direct
+  // mode the "center frequency" programs the demod DDC instead of the
+  // tuner PLL (librtlsdr.c:888-905).
+  bool set_direct_sampling(int mode) override {
+    if (mode < 0 || mode > 2) return false;
+    if (mode) {
+      {
+        RepeaterScope rep(io_);
+        tuner_->standby();
+      }
+      io_.demod_write(1, 0xb1, 0x1a, 1);  // Zero-IF off
+      io_.demod_write(1, 0x15, 0x00, 1);  // spectrum inversion off
+      io_.demod_write(0, 0x08, 0x4d, 1);  // in-phase ADC only
+      io_.demod_write(0, 0x06, mode > 1 ? 0x90 : 0x80, 1);  // I/Q swap
+      direct_sampling_ = mode;
+    } else {
+      {
+        RepeaterScope rep(io_);
+        if (!tuner_->init()) return false;
+      }
+      // Back to the R82xx low-IF configuration
+      // (librtlsdr.c:1186-1199).
+      io_.demod_write(1, 0xb1, 0x1a, 1);
+      io_.demod_write(0, 0x08, 0x4d, 1);
+      set_if_freq(kR82xxIfHz);
+      io_.demod_write(1, 0x15, 0x01, 1);
+      io_.demod_write(0, 0x06, 0x80, 1);
+      direct_sampling_ = 0;
+    }
+    if (freq_) return set_center_freq(freq_);
+    return true;
+  }
+
+  // E4000-only feature; honestly unsupported on R82xx
+  // (librtlsdr.c:1229-1232 returns -2).
+  bool set_offset_tuning(bool enabled) override { return !enabled; }
+
+  uint32_t center_freq() const override { return freq_; }
+  uint32_t sample_rate() const override { return rate_; }
+
+  bool read_sync(uint8_t* out, size_t len) override {
+    reset_buffer();
+    size_t got = 0;
+    while (got < len) {
+      int n = transport_->bulk_read_sync(out + got, (int)(len - got), 3000);
+      if (n <= 0) return false;
+      got += (size_t)n;
+    }
+    return true;
+  }
+
+  // The ordered async engine. Completions (possibly out of order, from
+  // the event thread) land in the OrderedTransferQueue; this thread
+  // drains strictly in sequence, runs the user callback (which may
+  // retune — serialized against nothing else, exactly the fork's
+  // guarantee, librtlsdr.c:1826-1894), then refills and resubmits.
+  bool read_async(const StreamCallback& cb, size_t buf_len,
+                  size_t num_buffers) override {
+    cancel_.store(false, std::memory_order_release);
+    reset_buffer();
+    OrderedTransferQueue q(num_buffers, buf_len);
+    std::atomic<size_t> in_flight{0};
+    std::atomic<bool> stream_error{false};
+
+    // UsbBulkTransfer slots recycle through a free stack: a completed
+    // slot is parked BEFORE its queue transfer is published, so by the
+    // time the dispatcher sees the data a slot is always available for
+    // resubmission (completion order need not match slot order).
+    std::vector<UsbBulkTransfer> bulk(num_buffers);
+    std::mutex bt_mu;
+    std::vector<UsbBulkTransfer*> bt_free;
+    auto park = [&](UsbBulkTransfer* bt) {
+      std::lock_guard<std::mutex> lk(bt_mu);
+      bt_free.push_back(bt);
+    };
+    auto take = [&]() -> UsbBulkTransfer* {
+      std::lock_guard<std::mutex> lk(bt_mu);
+      if (bt_free.empty()) return nullptr;
+      UsbBulkTransfer* bt = bt_free.back();
+      bt_free.pop_back();
+      return bt;
+    };
+    for (auto& bt : bulk) park(&bt);
+
+    auto on_complete = [&, this](UsbBulkTransfer* bt) {
+      Transfer* t = static_cast<Transfer*>(bt->user_data);
+      UsbStatus status = bt->status;
+      int actual = bt->actual_length;
+      park(bt);
+      switch (status) {
+        case UsbStatus::kCompleted:
+          t->len = (size_t)actual;
+          q.submit_filled(t);
+          break;
+        case UsbStatus::kCancelled:
+          q.release(t);
+          break;
+        case UsbStatus::kError:
+          // Transient transfer error: deliver an EMPTY in-order
+          // completion rather than releasing — a released sequence
+          // number would stall pop_in_order forever (the dispatcher
+          // waits for exactly that sequence). Matches the reference's
+          // count-and-continue policy (librtlsdr.c:1684-1692).
+          ++errors_;
+          t->len = 0;
+          q.submit_filled(t);
+          break;
+        case UsbStatus::kNoDevice:
+          ++errors_;
+          stream_error.store(true, std::memory_order_release);
+          q.release(t);
+          break;
+      }
+      in_flight.fetch_sub(1, std::memory_order_acq_rel);
+    };
+
+    auto submit_one = [&, this]() -> bool {
+      UsbBulkTransfer* bt = take();
+      if (bt == nullptr) return false;
+      Transfer* t = q.acquire_free();
+      if (t == nullptr) {
+        park(bt);
+        return false;
+      }
+      bt->buffer = t->data.data();
+      bt->length = (int)t->data.size();
+      bt->user_data = t;
+      in_flight.fetch_add(1, std::memory_order_acq_rel);
+      if (!transport_->submit_bulk(bt, on_complete)) {
+        in_flight.fetch_sub(1, std::memory_order_acq_rel);
+        q.release(t);
+        park(bt);
+        ++errors_;
+        return false;
+      }
+      return true;
+    };
+
+    for (size_t i = 0; i < num_buffers; ++i) {
+      if (!submit_one()) {
+        stream_error.store(true, std::memory_order_release);
+        break;
+      }
+    }
+
+    // Event thread: pumps transport completions until the stream winds
+    // down (the libusb_handle_events loop of librtlsdr.c:1830-1843).
+    // It may only EXIT once the dispatcher has stopped submitting
+    // (dispatcher_done): a cancel/error can land between the
+    // dispatcher's check and its next submit, and that last transfer
+    // must still be reaped here — otherwise its completion callback
+    // would fire after this frame's locals are gone.
+    std::atomic<bool> dispatcher_done{false};
+    std::thread events([&, this] {
+      while (true) {
+        int r = transport_->handle_events(100);
+        if (r < 0) {
+          ++errors_;
+          stream_error.store(true, std::memory_order_release);
+        }
+        const bool draining =
+            cancel_.load(std::memory_order_acquire) ||
+            stream_error.load(std::memory_order_acquire) ||
+            dispatcher_done.load(std::memory_order_acquire);
+        if (draining &&
+            in_flight.load(std::memory_order_acquire) == 0) {
+          // Unblock a dispatcher parked in pop_in_order...
+          q.shutdown();
+          // ...but keep pumping until it has provably stopped
+          // submitting.
+          if (dispatcher_done.load(std::memory_order_acquire)) return;
+        }
+      }
+    });
+
+    while (Transfer* t = q.pop_in_order()) {
+      cb(t->data.data(), t->len);
+      q.release(t);
+      if (cancel_.load(std::memory_order_acquire) ||
+          stream_error.load(std::memory_order_acquire)) {
+        break;
+      }
+      // Keep the pipe full: one resubmission per dispatch.
+      submit_one();
+    }
+    // Graceful cancel: reap everything in flight, then join
+    // (librtlsdr.c:1896-1914).
+    transport_->cancel_all();
+    dispatcher_done.store(true, std::memory_order_release);
+    q.shutdown();
+    events.join();
+    return !stream_error.load(std::memory_order_acquire);
+  }
+
+  void cancel_async() override {
+    cancel_.store(true, std::memory_order_release);
+    transport_->cancel_all();
+  }
+
+  uint64_t transfer_errors() const override { return errors_.load(); }
+
+ private:
+  // librtlsdr.c:585-674 bring-up sequence.
+  void init_baseband() {
+    io_.write_reg(kUsb, kUsbSysctl, 0x09, 1);
+    io_.write_reg(kUsb, kUsbEpaMaxpkt, 0x0002, 2);
+    io_.write_reg(kUsb, kUsbEpaCtl, 0x1002, 2);
+    io_.write_reg(kSys, kSysDemodCtl1, 0x22, 1);
+    io_.write_reg(kSys, kSysDemodCtl, 0xe8, 1);
+    io_.demod_write(1, 0x01, 0x14, 1);  // soft reset
+    io_.demod_write(1, 0x01, 0x10, 1);
+    io_.demod_write(1, 0x15, 0x00, 1);
+    io_.demod_write(1, 0x16, 0x0000, 2);
+    for (int i = 0; i < 6; ++i) io_.demod_write(1, (uint16_t)(0x16 + i), 0x00, 1);
+    set_fir();
+    io_.demod_write(0, 0x19, 0x05, 1);  // SDR mode, DAGC off
+    io_.demod_write(1, 0x93, 0xf0, 1);
+    io_.demod_write(1, 0x94, 0x0f, 1);
+    io_.demod_write(1, 0x11, 0x00, 1);
+    io_.demod_write(1, 0x04, 0x00, 1);  // RF/IF AGC loop off
+    io_.demod_write(0, 0x61, 0x60, 1);  // PID filter off
+    io_.demod_write(0, 0x06, 0x80, 1);
+    io_.demod_write(1, 0xb1, 0x1b, 1);  // Zero-IF + DC/IQ estimation
+    io_.demod_write(0, 0x0d, 0x83, 1);
+  }
+
+  // librtlsdr.c:585-620: pack 8 x int8 + 8 x int12 into 20 bytes.
+  void set_fir() {
+    uint8_t fir[20];
+    for (int i = 0; i < 8; ++i) fir[i] = (uint8_t)kFirDefault[i];
+    for (int i = 0; i < 8; i += 2) {
+      int v0 = kFirDefault[8 + i], v1 = kFirDefault[8 + i + 1];
+      fir[8 + i * 3 / 2] = (uint8_t)(v0 >> 4);
+      fir[8 + i * 3 / 2 + 1] = (uint8_t)((v0 << 4) | ((v1 >> 8) & 0x0f));
+      fir[8 + i * 3 / 2 + 2] = (uint8_t)v1;
+    }
+    for (int i = 0; i < 20; ++i)
+      io_.demod_write(1, (uint16_t)(0x1c + i), fir[i], 1);
+  }
+
+  // librtlsdr.c:686-714: 22-bit DDC value from the corrected crystal.
+  void set_if_freq(uint32_t if_hz) {
+    uint32_t xtal = (uint32_t)(kRtlXtalHz * (1.0 + ppm_ / 1e6));
+    int32_t v = (int32_t)(((int64_t)if_hz << 22) / xtal) * -1;
+    io_.demod_write(1, 0x19, (uint16_t)((v >> 16) & 0x3f), 1);
+    io_.demod_write(1, 0x1a, (uint16_t)((v >> 8) & 0xff), 1);
+    io_.demod_write(1, 0x1b, (uint16_t)(v & 0xff), 1);
+  }
+
+  // librtlsdr.c:717-728 (64-bit product: |ppm| >= 128 would overflow
+  // 32-bit; the reference dodges this via a double TWO_POW(24)).
+  void set_sample_freq_correction(int ppm) {
+    int16_t offs = (int16_t)((int64_t)ppm * -1 * (1 << 24) / 1'000'000);
+    io_.demod_write(1, 0x3f, (uint16_t)(offs & 0xff), 1);
+    io_.demod_write(1, 0x3e, (uint16_t)((offs >> 8) & 0x3f), 1);
+  }
+
+  // librtlsdr.c:1641-1650: flush the bulk FIFO before streaming.
+  void reset_buffer() {
+    io_.write_reg(kUsb, kUsbEpaCtl, 0x1002, 2);
+    io_.write_reg(kUsb, kUsbEpaCtl, 0x0000, 2);
+  }
+
+  std::unique_ptr<UsbTransport> transport_;
+  RegIo io_;
+  std::unique_ptr<R82xxTuner> tuner_;
+  uint32_t tuner_xtal_ = kRtlXtalHz;
+  uint32_t freq_ = 0;
+  uint32_t rate_ = 2'048'000;  // lib default (rtl_sdr.c:45)
+  int ppm_ = 0;
+  int direct_sampling_ = 0;
+  std::atomic<bool> cancel_{false};
+  std::atomic<uint64_t> errors_{0};
+};
+
+}  // namespace
+
+std::unique_ptr<Device> MakeUsbDevice(std::unique_ptr<UsbTransport> t) {
+  if (!t) return nullptr;
+  auto dev = std::make_unique<RtlUsbDevice>(std::move(t));
+  if (!dev->init()) return nullptr;
+  return dev;
+}
+
+std::unique_ptr<Device> MakeUsbDeviceByIndex(uint32_t index) {
+  return MakeUsbDevice(MakeLibusbTransport(index));
+}
+
+}  // namespace sdrcap

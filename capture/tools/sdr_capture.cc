@@ -11,6 +11,7 @@
 #include "sdrcap/args.h"
 #include "sdrcap/capture_engine.h"
 #include "sdrcap/device.h"
+#include "sdrcap/usb.h"
 
 namespace {
 
@@ -20,10 +21,12 @@ void usage() {
       "Usage: sdr_capture -f freq1_hz -h freq2_hz -1 gain1_db -2 gain2_db\n"
       "                   -n samples_per_freq [-s sample_rate] [-p ppm]\n"
       "                   [-b block_size_bytes] [-S] [-d device_index]\n"
-      "                   [--sim-seed N] [--replay file.iq]\n"
+      "                   [--usb] [--sim-seed N] [--replay file.iq]\n"
       "                   [--tcp host:port] output.dat\n"
       "Captures 3*n interleaved u8 I/Q samples as [F1 | F2 | F1] blocks\n"
       "with seamless retuning (dual-frequency .dat contract).\n"
+      "--usb drives a real RTL2832U dongle over libusb (device -d N);\n"
+      "default backend is the deterministic simulator.\n"
       "-S forces blocking sync reads; '-' as output writes to stdout.\n");
 }
 
@@ -32,8 +35,9 @@ void usage() {
 int main(int argc, char** argv) {
   sdrcap::CaptureConfig cfg;
   uint64_t seed = 1;
+  uint32_t usb_index = 0;
   std::string out, replay, tcp;
-  bool have_g1 = false, have_g2 = false;
+  bool have_g1 = false, have_g2 = false, use_usb = false;
 
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -55,9 +59,13 @@ int main(int argc, char** argv) {
     else if (a == "-p") cfg.ppm = std::atoi(next());
     else if (a == "-b") cfg.buf_len = std::strtoull(next(), nullptr, 10);
     else if (a == "-S") cfg.sync_mode = true;
-    // Device index (rtl_sdr -d): for the sim backend each index is a
-    // distinct deterministic dongle.
-    else if (a == "-d") seed = 1 + std::strtoull(next(), nullptr, 10);
+    // Device index (rtl_sdr -d): selects the dongle under --usb; for
+    // the sim backend each index is a distinct deterministic dongle.
+    else if (a == "-d") {
+      usb_index = (uint32_t)std::strtoull(next(), nullptr, 10);
+      seed = 1 + usb_index;
+    }
+    else if (a == "--usb") use_usb = true;
     else if (a == "--sim-seed") seed = std::strtoull(next(), nullptr, 10);
     else if (a == "--replay") replay = next();
     else if (a == "--tcp") tcp = next();
@@ -72,7 +80,13 @@ int main(int argc, char** argv) {
   }
 
   std::unique_ptr<sdrcap::Device> dev;
-  if (!tcp.empty()) {
+  if (use_usb) {
+    dev = sdrcap::MakeUsbDeviceByIndex(usb_index);
+    if (!dev) {
+      std::fprintf(stderr, "no RTL2832U device at index %u\n", usb_index);
+      return 1;
+    }
+  } else if (!tcp.empty()) {
     auto colon = tcp.rfind(':');
     if (colon == std::string::npos) {
       std::fprintf(stderr, "--tcp wants host:port, got: %s\n", tcp.c_str());

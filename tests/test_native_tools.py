@@ -48,6 +48,13 @@ def test_engine_unit_tests():
     assert "ALL NATIVE TESTS PASS" in out
 
 
+def test_usb_protocol_stack():
+    """RTL2832U driver + R82xx tuner + ordered async engine against the
+    register-level mock transport (capture/tests/usb_test.cc)."""
+    out = subprocess.check_output([tool("usb_test")], text=True)
+    assert "ALL USB TESTS PASSED" in out
+
+
 def test_capture_produces_valid_dat(tmp_path):
     path = str(tmp_path / "cap.dat")
     subprocess.check_call(
