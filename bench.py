@@ -1,13 +1,22 @@
 """Headline benchmark: 3-station capture → position fix on one chip.
 
-Measures the full processing program (u8 decode → DC removal → segmented
-all-pairs GCC correlation over all three [REF|TGT|REF] blocks → clock
-correction) in steady state, end-to-end on device, and reports correlation
-throughput in Msamples/s/chip.
+Two measurements, one JSON line:
+
+1. ``corr_throughput`` (headline): the steady-state device program —
+   DC removal → segmented all-pairs GCC correlation over all three
+   [REF|TGT|REF] blocks → clock correction — on device-resident blocks.
+   This is the compute kernel the chip runs once data is loaded.
+2. ``detail.full_path``: the WHOLE capture→fix path from host-resident
+   u8 capture bytes: host→device transfer of 3×(2·3·block_len) bytes
+   (~1.2 GB for the full 100 s run), on-device u8→planar decode, the
+   same correlation/clock program, device→host readback of the TDOAs,
+   and the weighted Levenberg–Marquardt position solve. Measured once
+   (it moves gigabytes); ``full_path_s`` is the number to compare
+   against the <1 s north star honestly.
 
 Baseline: the north-star target from BASELINE.md — a 3×100 s @ 2 Msps
 capture (600 M samples) to a fix in < 1 s on one v5e chip, i.e.
-600 Msamples/s. ``vs_baseline`` = measured / 600. (The reference itself
+600 Msamples/s. ``vs_baseline`` = headline / 600. (The reference itself
 publishes no numbers; its O(maxLag·N) correlator needs ~4×10¹⁰ MACs per
 pair, minutes on CPU — SURVEY.md §6.)
 
@@ -18,6 +27,7 @@ Environment knobs:
                     on v5e).
   BENCH_MAX_LAG     correlation window (default 20000 — the reference's).
   BENCH_FFT_PRECISION  f32 (default) | bf16 DFT-matmul operands.
+  BENCH_FULL        0 skips the full-path measurement (default on).
 
 Prints ONE JSON line.
 """
@@ -130,6 +140,122 @@ def main() -> None:
 
     throughput = total_samples / steady_s / 1e6  # Msamples/s/chip
     target = 600.0  # Msamples/s == 3x100s capture in 1 s
+
+    # ---- full path: host u8 bytes -> decode -> correlate -> solve ----
+    full_detail = None
+    if os.environ.get("BENCH_FULL", "1") != "0":
+        from tdoa_tpu.geo import lla_to_ecef  # noqa: F401 (warm import)
+        from tdoa_tpu.io.datfile import u16_to_iq_planar
+        from tdoa_tpu.solve.multilateration import solve_fix
+
+        # Host-resident capture bytes, one u16-packed array per station
+        # (exactly what load_dat ships after its zero-copy u16 view).
+        rng = np.random.default_rng(0)
+        host_u16 = [
+            rng.integers(0, 1 << 16, size=3 * block_len, dtype=np.uint16)
+            for _ in range(n_st)
+        ]
+
+        @jax.jit
+        def ingest_and_process(p0, p1, p2):
+            blocks = []
+            for p in (p0, p1, p2):
+                iq = u16_to_iq_planar(p, dtype=block_dtype)
+                blocks.append(iq)
+            n = block_len
+
+            def blk(sl):
+                return C(
+                    jnp.stack([b.re[sl] for b in blocks]),
+                    jnp.stack([b.im[sl] for b in blocks]),
+                )
+
+            r1 = blk(slice(0, n))
+            tg = blk(slice(n, 2 * n))
+            r2 = blk(slice(2 * n, 3 * n))
+            if accumulator == "pallas":
+                return process_blocks(
+                    r1, tg, r2, pair_idx, ref_geo,
+                    max_lag=max_lag, seg_len=seg_len, weighting="ht",
+                    accumulator="pallas",
+                    pairs_static=((0, 1), (0, 2), (1, 2)),
+                )
+            return process_blocks(
+                r1, tg, r2, pair_idx, ref_geo,
+                max_lag=max_lag, seg_len=seg_len, weighting="ht",
+                fft_precision=fft_precision, seg_batch=seg_batch,
+            )
+
+        station_lla = np.array(
+            [[41.18660274289527, -95.96064116595667, 355.69],
+             [41.24669616513154, -96.08366304481238, 329.0],
+             [41.32916620016985, -96.03513381562004, 373.18]]
+        )
+
+        def run_full():
+            out = ingest_and_process(*host_u16)  # transfer + device work
+            corrected = np.asarray(out[0], np.float64)  # sync + readback
+            quality = np.asarray(out[4][1], np.float64)
+            stds = np.asarray(out[6], np.float64)
+            w = (quality / max(quality.max(), 1e-9)) ** 2
+            fix = solve_fix(
+                station_lla, corrected / fs, weights=w,
+                pair_idx=np.array([[0, 1], [0, 2], [1, 2]]),
+                tdoa_sigma_s=stds / fs,
+            )
+            return fix
+
+        run_full()  # compile (+ first transfer)
+        t0 = time.time()
+        run_full()
+        full_s = time.time() - t0
+
+        # Same program with the capture bytes ALREADY on device: decode
+        # + correlate + clock + readback + solve without the
+        # host->device leg. On deployment hardware the link is PCIe
+        # (~10+ GB/s: +~0.1 s for 1.2 GB); in this bench environment it
+        # is a remote tunnel (see transfer_only_s) — report both so the
+        # link cost is attributable.
+        dev_u16 = [jax.device_put(h) for h in host_u16]
+        jax.block_until_ready(dev_u16)
+        saved_host = host_u16
+        host_u16 = dev_u16
+        run_full()  # warm (cache hit on the same executable)
+        t0 = time.time()
+        run_full()
+        device_path_s = time.time() - t0
+        host_u16 = saved_host
+        del dev_u16
+        # Transfer-only probe: the host->device leg in isolation, so the
+        # tunnel/PCIe share of full_path_s is visible. One untimed
+        # warm-up pass first so the probe times bytes, not the sync
+        # op's compile.
+        warm = jax.device_put(host_u16[0])
+        float(warm[0])
+        del warm
+        t0 = time.time()
+        devbufs = [jax.device_put(h) for h in host_u16]
+        jax.block_until_ready(devbufs)
+        float(devbufs[0][0])  # tunnel-safe sync
+        transfer_s = time.time() - t0
+        del devbufs
+        host_bytes = sum(h.nbytes for h in host_u16)
+        full_detail = {
+            "full_path_s": round(full_s, 4),
+            "includes": "host->device transfer + u8 decode + correlate "
+                        "+ clock correction + TDOA readback + LM solve",
+            "device_path_s": round(device_path_s, 4),
+            "host_bytes": host_bytes,
+            "transfer_only_s": round(transfer_s, 4),
+            "link_mb_per_s": round(host_bytes / transfer_s / 1e6, 1),
+            "full_path_msamples_per_s": round(
+                total_samples / full_s / 1e6, 2
+            ),
+            # The <1 s north star is defined for the 100 s capture.
+            "beats_1s_target": (bool(full_s < 1.0) if seconds >= 100
+                                else None),
+        }
+
     print(
         json.dumps(
             {
@@ -153,6 +279,7 @@ def main() -> None:
                     "seg_batch": seg_batch,
                     "accumulator": accumulator,
                     "device": str(jax.devices()[0]),
+                    "full_path": full_detail,
                 },
             }
         )

@@ -1,0 +1,310 @@
+"""Differential harness: this repo's processor vs the reference binary.
+
+Runs identical simulated captures through BOTH processors — the rebuilt
+pipeline (``tdoa_tpu.cli.processor``) and the reference's checked-in Go
+ELF (``/root/reference/processor``, built from processor.go) — and
+records both outputs plus the simulation ground truth to a committed
+artifact (``DIFFERENTIAL.json``). The north-star criterion
+(BASELINE.md) is "TDOAs within ±0.5 sample of the reference", which
+presumes the reference produces usable TDOAs; this harness measures
+both processors against the *planted truth* and documents exactly
+where the reference cannot.
+
+Three scenes:
+
+1. ``equidistant`` — the transmitter at the stations' circumcenter, so
+   every true TDOA is 0. The reference's correlator reports delay 0
+   for every pair here (correct!) — and its solver still refuses the
+   fix: the checked-in binary rejects zero range differences ("no
+   valid range difference measurements remain").
+2. ``offset-geometry`` — the transmitter at KEVO (true TDOAs up to
+   ~50 µs), perfect clocks. The reference's lag search is nominally
+   clamped to ``[0, 1)`` for equal-length inputs (``maxLag =
+   signalLen - templateLen``, processor.go:668-675, floored to 1),
+   but its preprocessing cascades shorten signals asymmetrically
+   (station powers differ → weak/standard filter paths with different
+   moving-average windows), opening a SMALL positive-only window:
+   observed, it recovers one pair dead-on when the truth happens to be
+   positive and inside that accidental window, and produces garbage
+   positives for the others (negative TDOAs are unrepresentable,
+   processor.go:686).
+3. ``clock-offsets`` — same geometry plus realistic ±10 ms collector
+   start offsets; the rebuilt dual-REF clock correction removes them,
+   the reference has no wired clock correction at all
+   (processor.go:853-858 uses raw TGT delays) and filters every
+   measurement out against its baseline bound.
+
+Note: the checked-in ELF is NEWER than the checked-in processor.go —
+it prints range-difference validation ("FILTERING OUT: ... exceeds
+expected maximum", "insufficient valid measurements") that appears
+nowhere in the source. Observed across all three scenes (full-size,
+block_len 2^21): the binary produced no usable fix anywhere — either
+its validation rejected the whole measurement set (including the
+all-zero TDOAs it measured CORRECTLY at the circumcenter), or, when
+garbage delays slipped past the gates, the fix landed ~9 km off. The
+rebuild's fix error is 0.4-1.1 m in every scene, clock offsets
+included.
+
+Usage: python scripts/diff_vs_reference.py [--block-len N] [--out PATH]
+       [--reference PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from tdoa_tpu.geo import enu_to_lla, lla_to_enu, network_origin
+from tdoa_tpu.sim.scene import SimScene, write_scene_captures
+from tdoa_tpu.solve.multilateration import station_pairs
+
+STATION_NAMES = ("kx0u", "n3pay", "kf0mtl")
+STATION_LLA = np.array(
+    [
+        [41.18660274289527, -95.96064116595667, 355.69],
+        [41.24669616513154, -96.08366304481238, 329.0],
+        [41.32916620016985, -96.03513381562004, 373.18],
+    ]
+)
+REF_TX_LLA = np.array([41.25703803095629, -95.95512763589404, 349.07])
+KEVO_LLA = np.array([41.30888549464701, -96.02619229605524, 356.0])
+REF_FREQ = "162400000"
+TGT_FREQ = "101900000"
+
+
+def circumcenter_lla() -> np.ndarray:
+    """The point equidistant from all three stations (ENU, z at mean
+    station height) — where every true TDOA is exactly zero."""
+    origin = network_origin(STATION_LLA)
+    enu = lla_to_enu(STATION_LLA, origin)
+    p = enu[:, :2]
+    # Perpendicular bisector intersection: solve 2 linear equations
+    # |x - p0|^2 = |x - p1|^2 = |x - p2|^2.
+    a = 2.0 * np.array([p[1] - p[0], p[2] - p[0]])
+    b = np.array(
+        [p[1] @ p[1] - p[0] @ p[0], p[2] @ p[2] - p[0] @ p[0]]
+    )
+    xy = np.linalg.solve(a, b)
+    cc = np.array([xy[0], xy[1], float(enu[:, 2].mean())])
+    return enu_to_lla(cc, origin)
+
+
+def write_csv(path: str) -> None:
+    rows = ["Name,Latitude,Longitude,Elevation"]
+    rows.append("KEVO,{},{},{}".format(*KEVO_LLA))
+    rows.append(REF_FREQ + ",{},{},{}".format(*REF_TX_LLA))
+    for name, lla in zip(STATION_NAMES, STATION_LLA):
+        rows.append(f"{name},{lla[0]},{lla[1]},{lla[2]}")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def run_ours(csv: str, dats, extra=()) -> dict:
+    cmd = [
+        sys.executable, "-m", "tdoa_tpu.cli.processor", REF_FREQ, TGT_FREQ,
+        csv, *dats, "--json", *extra,
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=1200)
+    if r.returncode != 0:
+        return {"error": r.stderr[-1000:], "returncode": r.returncode}
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_reference(binary: str, csv: str, dats) -> dict:
+    cmd = [binary, REF_FREQ, TGT_FREQ, csv, *dats]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    out = r.stdout
+    res: dict = {"returncode": r.returncode}
+    tgt = re.findall(
+        r"TGT (\S+) - (\S+): delay=(-?\d+) samples \(([-\d.]+) .s\), "
+        r"correlation=([-\d.eE]+)", out)
+    res["tgt_pairs"] = [
+        {"a": a, "b": b, "delay_samples": int(d), "tdoa_us": float(us),
+         "correlation": float(c)}
+        for a, b, d, us, c in tgt
+    ]
+    ref = re.findall(
+        r"REF (\S+) - (\S+): delay=(-?\d+) samples", out)
+    res["ref_pairs"] = [
+        {"a": a, "b": b, "delay_samples": int(d)} for a, b, d in ref
+    ]
+    m_lat = re.search(r"Latitude:\s+([-\d.]+)", out)
+    m_lon = re.search(r"Longitude:\s+([-\d.]+)", out)
+    if m_lat and m_lon:
+        res["fix"] = {"lat": float(m_lat.group(1)),
+                      "lon": float(m_lon.group(1))}
+    else:
+        res["fix"] = None
+        tail = (out + "\n" + r.stderr).strip().splitlines()[-5:]
+        res["failure_tail"] = tail
+    return res
+
+
+def truth_for_pairs(truth, pairs_names) -> list:
+    """True TGT TDOAs (samples, tau_b - tau_a) for named station pairs."""
+    idx = {n: k for k, n in enumerate(STATION_NAMES)}
+    tau = truth.station_delays_samples[:, 1]
+    return [float(tau[idx[b]] - tau[idx[a]]) for a, b in pairs_names]
+
+
+def fix_error_m(fix, tgt_lla) -> float:
+    if not fix:
+        return float("nan")
+    p = np.array([fix["lat"], fix["lon"], tgt_lla[2]])
+    return float(np.linalg.norm(lla_to_enu(p, tgt_lla)[:2]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block-len", type=int, default=1 << 19,
+                    help="samples per block (default 2^19 ≈ 0.26 s)")
+    ap.add_argument("--out", default=os.path.join(REPO, "DIFFERENTIAL.json"))
+    ap.add_argument("--reference", default="/root/reference/processor")
+    args = ap.parse_args()
+
+    if not os.path.exists(args.reference):
+        print(f"reference binary not found: {args.reference}", file=sys.stderr)
+        sys.exit(2)
+
+    cc = circumcenter_lla()
+    scenes = {
+        "equidistant": dict(tgt_tx_lla=cc, clock_offsets_s=None),
+        "offset-geometry": dict(tgt_tx_lla=KEVO_LLA, clock_offsets_s=None),
+        "clock-offsets": dict(
+            tgt_tx_lla=KEVO_LLA,
+            clock_offsets_s=np.array([4.1e-3, -7.3e-3, 9.9e-3]),
+        ),
+    }
+
+    report = {
+        "reference_binary": args.reference,
+        "block_len": args.block_len,
+        "note": (
+            "TDOA sign convention: ours reports tau_j - tau_i per pair "
+            "(i<j in file order); truth listed in the same convention. "
+            "Reference errors are scored under BOTH sign conventions "
+            "and the better one kept. The checked-in reference ELF is "
+            "newer than the checked-in processor.go: it adds range-"
+            "difference validation the source lacks, and rejected the "
+            "fix in every scene (see failure_tail per scene)."
+        ),
+        "scenes": {},
+    }
+
+    for name, sc_kw in scenes.items():
+        with tempfile.TemporaryDirectory() as d:
+            sc = SimScene(
+                station_names=STATION_NAMES,
+                station_lla=STATION_LLA,
+                ref_tx_lla=REF_TX_LLA,
+                tgt_tx_lla=np.asarray(sc_kw["tgt_tx_lla"]),
+                block_len=args.block_len,
+                clock_offsets_s=sc_kw["clock_offsets_s"],
+                seed=42,
+            )
+            files, truth = write_scene_captures(sc, d)
+            csv = os.path.join(d, "lat-lon-table.csv")
+            write_csv(csv)
+            file_order = sorted(files)  # deterministic CLI order
+            dats = [files[n] for n in file_order]
+
+            extra = []
+            if sc_kw["clock_offsets_s"] is not None:
+                # Raw pair lags = geometry + clock DIFFERENCE; the
+                # worst pair spans the full offset range, not the max
+                # magnitude.
+                offs = np.asarray(sc_kw["clock_offsets_s"])
+                bound = int((offs.max() - offs.min()) * 2e6)
+                extra = ["--max-lag", str(bound + 2048)]
+            ours = run_ours(csv, dats, extra)
+            ref = run_reference(args.reference, csv, dats)
+
+            tgt_lla = np.asarray(sc_kw["tgt_tx_lla"], float)
+            # Ours: samples = us * fs/1e6 = us * 2 at 2 Msps, per the
+            # CLI's own named pair order.
+            ours_tdoa = (
+                [us * 2.0 for us in ours["tdoa_us"]]
+                if "tdoa_us" in ours else None
+            )
+            want = (
+                truth_for_pairs(truth, ours["pairs"])
+                if "pairs" in ours else None
+            )
+            ref_pairs_names = [(p["a"], p["b"]) for p in ref["tgt_pairs"]]
+            ref_want = truth_for_pairs(truth, ref_pairs_names)
+            ref_delays = [p["delay_samples"] for p in ref["tgt_pairs"]]
+            # The reference's lag sign convention is its own; score it
+            # under BOTH conventions and keep the better (favorable to
+            # the reference).
+            ref_err = (
+                min(
+                    max(abs(d - s * w)
+                        for d, w in zip(ref_delays, ref_want))
+                    for s in (1.0, -1.0)
+                )
+                if ref_delays else None
+            )
+            scene_rep = {
+                "truth_tdoa_samples": (
+                    [round(w, 3) for w in want] if want else None),
+                "truth_fix_lla": [round(float(v), 6) for v in tgt_lla],
+                "ours": {
+                    "tdoa_samples": (
+                        [round(t, 3) for t in ours_tdoa]
+                        if ours_tdoa is not None else None
+                    ),
+                    "max_tdoa_error_samples": (
+                        round(max(abs(o - w) for o, w in
+                                  zip(ours_tdoa, want)), 3)
+                        if ours_tdoa is not None else None
+                    ),
+                    "fix": ours.get("fix"),
+                    "fix_error_m": round(
+                        fix_error_m(ours.get("fix"), tgt_lla), 1),
+                },
+                "reference": {
+                    "tdoa_samples": ref_delays,
+                    "max_tdoa_error_samples": (
+                        round(ref_err, 3) if ref_err is not None else None
+                    ),
+                    "fix": ref.get("fix"),
+                    "fix_error_m": round(
+                        fix_error_m(ref.get("fix"), tgt_lla), 1),
+                    "failure_tail": ref.get("failure_tail"),
+                },
+            }
+            report["scenes"][name] = scene_rep
+            print(f"[{name}] truth TDOAs {scene_rep['truth_tdoa_samples']}")
+            print(f"  ours: TDOAs {scene_rep['ours']['tdoa_samples']} "
+                  f"(max err {scene_rep['ours']['max_tdoa_error_samples']} "
+                  f"samples), fix err {scene_rep['ours']['fix_error_m']} m")
+            print(f"  ref:  TDOAs {scene_rep['reference']['tdoa_samples']} "
+                  f"(max err "
+                  f"{scene_rep['reference']['max_tdoa_error_samples']} "
+                  f"samples), fix err "
+                  f"{scene_rep['reference']['fix_error_m']} m")
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,38 @@ to run a tool's compute on the TPU.
 import os
 
 
+def setup_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Every CLI process pays XLA compilation for the pipeline programs it
+    runs; on TPU that cold-start is seconds to minutes (BENCHLOG). The
+    persistent cache makes the SECOND process with the same shapes
+    skip it entirely. Cache dir: ``TDOA_TPU_CACHE_DIR`` if set, else
+    ``~/.cache/tdoa_tpu/jax``; ``TDOA_TPU_CACHE_DIR=off`` disables.
+    """
+    where = os.environ.get("TDOA_TPU_CACHE_DIR", "")
+    if where.lower() in ("off", "0", "none"):
+        return
+    if not where:
+        where = os.path.join(
+            os.path.expanduser("~"), ".cache", "tdoa_tpu", "jax"
+        )
+    try:
+        os.makedirs(where, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", where)
+        # Cache every compile: CLI programs are few and small on disk,
+        # and even "fast" 0.3 s compiles add up across the tool fleet.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization; never block a tool on it
+
+
 def setup_platform() -> None:
     """Pick the JAX platform for CLI runs before any computation."""
+    setup_compilation_cache()
     want = os.environ.get("TDOA_TPU_PLATFORM", "cpu")
     if want in ("cpu", "tpu", "axon"):
         import jax
