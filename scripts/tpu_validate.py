@@ -9,7 +9,8 @@ stalls):
  3. CAF joint delay-Doppler estimation
  4. streaming accumulator through the fused kernel
  5. Pallas FM-demod kernel vs XLA demod
- 6. 8-station (28-pair) fused kernel: computed VMEM limits, DC clamps
+ 6. 8/12/16-station fused kernel: computed VMEM limits (capacity gate
+    fused_capacity_ok — 16 stations = 120 pairs ≈ 94 MB), DC clamps
  7. multi-emitter separation through the fused path
  8. moving emitter: CAF + deramp-and-correlate + FDOA velocity
  9. joint (lag, Doppler) separation: mover + co-channel interferer
@@ -211,24 +212,31 @@ def main():
     # only failures once).
     from tdoa_tpu.solve.multilateration import station_pairs
 
-    shifts = [7 * k for k in range(8)]
     br8 = np.asarray(base_r)
     bi8 = np.asarray(base_i)
-    x8 = C(
-        jnp.asarray(np.stack([np.roll(br8, s) + 0.005 for s in shifts]),
-                    jnp.float32),
-        jnp.asarray(np.stack([np.roll(bi8, s) - 0.004 for s in shifts]),
-                    jnp.float32),
-    )
-    pairs8 = tuple(map(tuple, station_pairs(8).tolist()))
-    r8 = correlate_pairs_fused(x8, pairs8, max_lag=512, weighting="ht",
-                               precision="bf16", remove_dc=True)
-    d8 = np.asarray(r8.delay)
-    want8 = np.array([shifts[j] - shifts[i] for i, j in pairs8])
-    err8 = np.abs(d8 - want8).max()
-    finite = bool(np.isfinite(np.asarray(r8.quality)).all())
-    check("8-station fused kernel", err8 < 0.1 and finite,
-          f"28 pairs, max delay err {err8:.3f}, finite={finite}")
+    # 8 = the round-1 limit; 12 and 16 = the capacity-gated extension
+    # (fused_capacity_ok: 16 stations = 120 pairs ≈ 94 MB VMEM request,
+    # the largest network that fits v5e's budget).
+    for n_st in (8, 12, 16):
+        shifts = [7 * k for k in range(n_st)] if n_st <= 8 else [
+            5 * k for k in range(n_st)
+        ]
+        xs = C(
+            jnp.asarray(np.stack([np.roll(br8, s) + 0.005 for s in shifts]),
+                        jnp.float32),
+            jnp.asarray(np.stack([np.roll(bi8, s) - 0.004 for s in shifts]),
+                        jnp.float32),
+        )
+        pairs_n = tuple(map(tuple, station_pairs(n_st).tolist()))
+        rs = correlate_pairs_fused(xs, pairs_n, max_lag=512, weighting="ht",
+                                   precision="bf16", remove_dc=True)
+        ds = np.asarray(rs.delay)
+        want_n = np.array([shifts[j] - shifts[i] for i, j in pairs_n])
+        err_n = np.abs(ds - want_n).max()
+        finite = bool(np.isfinite(np.asarray(rs.quality)).all())
+        check(f"{n_st}-station fused kernel", err_n < 0.1 and finite,
+              f"{len(pairs_n)} pairs, max delay err {err_n:.3f}, "
+              f"finite={finite}")
 
     # ---- 7. multi-emitter separation through the fused path --------------
     # The correlation-window return from the fused kernel (a post-review

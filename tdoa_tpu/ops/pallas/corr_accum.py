@@ -160,6 +160,29 @@ def _kernel(xr_ref, xi_ref,
             ci_ref[m] += bis[j] * brs[i] - brs[j] * bis[i]
 
 
+def fused_capacity_ok(n_st: int, n_pairs: int,
+                      remove_dc: bool = True) -> bool:
+    """True when the kernel's VMEM-resident accumulators fit the v5e
+    budget (same arithmetic as the vmem_limit_bytes request below).
+
+    This is the real station limit — measured on chip: 16 stations
+    (120 pairs, ~94 MB request) compiles and validates; the round-1
+    "8-station cap" was just a conservative gate. Beyond capacity the
+    caller falls back to the XLA path.
+    """
+    accum_bytes = (2 * n_pairs + n_st * (3 if remove_dc else 1)) * R * R * 4
+    input_bytes = 2 * 2 * n_st * SEG_ROWS * R * 2  # bf16, double-buffered
+    const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * 2 + 2 * R * R * 4
+    scratch_bytes = 2 * R * R * 2
+    need = (int(1.25 * (accum_bytes + input_bytes + const_bytes
+                        + scratch_bytes)) + (2 << 20))
+    # 16 stations computes `need` ≈ 105 MB; its actual request clamps
+    # to the 100 MB vmem_limit and Mosaic fits it (the 1.25 factor is
+    # headroom, not hard usage) — chip-validated, BENCHLOG round 2.
+    # 17 stations (~112 MB) is past anything validated: XLA path.
+    return need <= (105 << 20)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -100,6 +100,30 @@ def correlate_pairs_sharded(
     use = per * d
     x = C(x.re[:, :use], x.im[:, :use])
 
+    run = _sharded_program(
+        mesh, axis, accumulator, pairs_static,
+        seg_len_r if accumulator != "pallas" else None,
+        fft_len, max_lag, weighting, eps, refine,
+    )
+    return run(x, pair_idx)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_program(mesh, axis, accumulator, pairs_static, seg_len_r,
+                     fft_len, max_lag, weighting, eps, refine):
+    """Build (once per configuration) the jitted shard_map program.
+
+    The closure must NOT be rebuilt per call: a fresh function identity
+    defeats jax's compilation cache and every invocation would re-trace
+    and re-compile (~18 s per call measured on the virtual CPU mesh —
+    fatal for streaming use). Mesh and all config knobs are hashable,
+    so an lru_cache keyed on them gives each configuration exactly one
+    compiled program.
+    """
+    if accumulator == "pallas":
+        from tdoa_tpu.ops.pallas.corr_accum import (
+            accumulate_cross_spectra_pallas,
+        )
     # The pallas variant disables shard_map's varying-axis typing: the
     # kernel's internals mix mesh-varying data with invariant constants,
     # which the checker (and the CPU interpreter) cannot type; numerics
@@ -136,7 +160,7 @@ def correlate_pairs_sharded(
             cross, psd, energy, pairs, max_lag, weighting, eps, fft_len, refine
         )
 
-    return run(x, pair_idx)
+    return jax.jit(run)
 
 
 def process_blocks_sharded(

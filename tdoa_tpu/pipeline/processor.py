@@ -374,16 +374,21 @@ class TDOAProcessor:
         correlator (kernel geometry + VMEM limits; ops/pallas/corr_accum).
         Used by both the accumulator="auto" decision and the bf16-decode
         decision so they can never diverge."""
-        from tdoa_tpu.ops.pallas.corr_accum import FFT_LEN, SEG_LEN
+        from tdoa_tpu.ops.pallas.corr_accum import (
+            FFT_LEN,
+            SEG_LEN,
+            fused_capacity_ok,
+        )
         from tdoa_tpu.utils.platform import on_tpu
 
         cfg = self.config
+        n_pairs = n_stations * (n_stations - 1) // 2
         return (
             on_tpu()
             and cfg.mode == "iq"
-            # 8 stations (28 pairs) measured to fit the kernel's VMEM
-            # accumulators on v5e; beyond that use XLA.
-            and n_stations <= 8
+            # VMEM capacity: 16 stations (120 pairs) validated on chip;
+            # beyond the accumulator budget use XLA.
+            and fused_capacity_ok(n_stations, n_pairs, remove_dc=True)
             # Alias-free correlation window of the fixed kernel geometry.
             and cfg.max_lag <= FFT_LEN - SEG_LEN
             and min_block_samples >= SEG_LEN

@@ -197,3 +197,43 @@ def test_dc_heavy_input_stays_finite():
     assert np.isfinite(np.asarray(res.corr)).all()
     assert np.isfinite(float(res.quality[0]))
     assert abs(float(res.delay[0]) - 9.0) < 0.1
+
+
+def test_fused_capacity_gate():
+    """The station limit is a VMEM-capacity computation, not a magic
+    number: 8/12/16 stations fit v5e's budget (16 validated on chip,
+    BENCHLOG round 2); 17+ falls back to XLA."""
+    from tdoa_tpu.ops.pallas.corr_accum import fused_capacity_ok
+
+    for n_st in (3, 8, 12, 16):
+        m = n_st * (n_st - 1) // 2
+        assert fused_capacity_ok(n_st, m, remove_dc=True), n_st
+    for n_st in (17, 20, 32):
+        m = n_st * (n_st - 1) // 2
+        assert not fused_capacity_ok(n_st, m, remove_dc=True), n_st
+
+
+def test_fused_twelve_stations_interpret():
+    """12-station (66-pair) kernel correctness in interpret mode: the
+    capacity-gated extension beyond the round-1 8-station limit."""
+    import numpy as np
+    from tdoa_tpu.ops.corr import correlate_pairs_fused
+    from tdoa_tpu.ops.cplx import C
+    from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+    from tdoa_tpu.solve.multilateration import station_pairs
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n = SEG_LEN
+    base = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    shifts = [3 * k for k in range(12)]
+    sig = np.stack([np.roll(base, s) for s in shifts])
+    x = C(jnp.asarray(sig.real), jnp.asarray(sig.imag))
+    pairs = tuple(map(tuple, station_pairs(12).tolist()))
+    r = correlate_pairs_fused(x, pairs, max_lag=128, weighting="ht",
+                              precision="f32", remove_dc=True)
+    want = np.array([shifts[j] - shifts[i] for i, j in pairs])
+    err = np.abs(np.asarray(r.delay) - want).max()
+    assert err < 0.05, err
