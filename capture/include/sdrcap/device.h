@@ -67,6 +67,19 @@ class Device {
 
   // Diagnostics (librtlsdr.c:1684-1703 xfer_errors parity).
   virtual uint64_t transfer_errors() const { return 0; }
+
+  // Configuration EEPROM access (rtlsdr_read_eeprom/write_eeprom,
+  // librtlsdr.c:1000-1062). Returns bytes handled, <0 when the backend
+  // has no EEPROM (sim/file/tcp default).
+  virtual int read_eeprom(uint8_t* data, uint8_t offset, uint16_t len) {
+    (void)data; (void)offset; (void)len;
+    return -1;
+  }
+  virtual int write_eeprom(const uint8_t* data, uint8_t offset,
+                           uint16_t len) {
+    (void)data; (void)offset; (void)len;
+    return -1;
+  }
 };
 
 // Snap a requested gain to the tuner's discrete gain table — the

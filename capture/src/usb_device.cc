@@ -15,6 +15,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <memory>
@@ -49,6 +50,7 @@ constexpr uint32_t kR828dXtalHz = 16'000'000;
 constexpr uint32_t kR82xxIfHz = 3'570'000;  // R82XX_IF_FREQ
 constexpr uint8_t kR820tI2cAddr = 0x34;
 constexpr uint8_t kR828dI2cAddr = 0x74;
+constexpr uint16_t kEepromAddr = 0xa0;  // EEPROM_ADDR, librtlsdr.c:370
 constexpr uint8_t kR82xxCheckVal = 0x69;  // chip id at reg 0
 
 // Default DVB-T FIR (librtlsdr.c:76-94): 8 x int8 + 8 x int12.
@@ -588,6 +590,32 @@ class RtlUsbDevice final : public Device {
 
   uint32_t center_freq() const override { return freq_; }
   uint32_t sample_rate() const override { return rate_; }
+
+  // librtlsdr.c:1040-1060: set the read pointer, then byte reads.
+  int read_eeprom(uint8_t* data, uint8_t offset, uint16_t len) override {
+    if ((int)len + offset > 256) return -2;
+    if (io_.write_array(kIic, kEepromAddr, &offset, 1) < 0) return -3;
+    for (int i = 0; i < len; ++i)
+      if (io_.read_array(kIic, kEepromAddr, data + i, 1) < 0) return -3;
+    return len;
+  }
+
+  // librtlsdr.c:1000-1038: per-byte read-compare-write with the
+  // inter-write settle delay some EEPROM chips need.
+  int write_eeprom(const uint8_t* data, uint8_t offset,
+                   uint16_t len) override {
+    if ((int)len + offset > 256) return -2;
+    for (int i = 0; i < len; ++i) {
+      uint8_t cmd[2] = {(uint8_t)(offset + i), 0};
+      io_.write_array(kIic, kEepromAddr, cmd, 1);
+      io_.read_array(kIic, kEepromAddr, &cmd[1], 1);
+      if (cmd[1] == data[i]) continue;  // only write changed bytes
+      cmd[1] = data[i];
+      if (io_.write_array(kIic, kEepromAddr, cmd, 2) != 2) return -3;
+      std::this_thread::sleep_for(std::chrono::milliseconds(5));
+    }
+    return len;
+  }
 
   bool read_sync(uint8_t* out, size_t len) override {
     reset_buffer();

@@ -309,6 +309,25 @@ static void test_sink_abort_cancels() {
   std::puts("sink_abort OK");
 }
 
+// EEPROM over USB: pointer-read protocol + compare-then-write with
+// read-back verification (librtlsdr.c:1000-1062).
+static void test_eeprom_roundtrip() {
+  Rig r = make_rig();
+  uint8_t hdr[6] = {};
+  CHECK(r.dev->read_eeprom(hdr, 0, sizeof(hdr)) == (int)sizeof(hdr));
+  CHECK(hdr[0] == 0x28 && hdr[1] == 0x32);  // RTL28xx header
+  CHECK(hdr[2] == 0xda && hdr[3] == 0x0b);  // VID 0x0bda little-endian
+  CHECK(r.state->eeprom_reads.load() > 0);
+  const uint8_t payload[4] = {0xde, 0xad, 0xbe, 0xef};
+  CHECK(r.dev->write_eeprom(payload, 0x40, 4) == 4);
+  uint8_t back[4] = {};
+  CHECK(r.dev->read_eeprom(back, 0x40, 4) == 4);
+  CHECK(std::memcmp(back, payload, 4) == 0);
+  // Out-of-range access refused (256-byte part).
+  CHECK(r.dev->read_eeprom(back, 0xfe, 4) < 0);
+  std::puts("eeprom_roundtrip OK");
+}
+
 // The libusb factory must never crash: with no dongle (CI) it returns
 // nullptr cleanly; on a station with real hardware attached it may
 // legitimately open the device — don't assert either way, and don't
@@ -338,6 +357,7 @@ int main() {
   test_sync_capture();
   test_device_lost_mid_stream();
   test_sink_abort_cancels();
+  test_eeprom_roundtrip();
   test_libusb_factory_graceful();
   std::puts("ALL USB TESTS PASSED");
   return 0;

@@ -9,9 +9,9 @@
 #include <string>
 
 #include "sdrcap/args.h"
+#include "sdrcap/backend.h"
 #include "sdrcap/capture_engine.h"
 #include "sdrcap/device.h"
-#include "sdrcap/usb.h"
 
 namespace {
 
@@ -34,10 +34,9 @@ void usage() {
 
 int main(int argc, char** argv) {
   sdrcap::CaptureConfig cfg;
-  uint64_t seed = 1;
-  uint32_t usb_index = 0;
-  std::string out, replay, tcp;
-  bool have_g1 = false, have_g2 = false, use_usb = false;
+  sdrcap::BackendOptions backend;
+  std::string out;
+  bool have_g1 = false, have_g2 = false;
 
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -59,16 +58,7 @@ int main(int argc, char** argv) {
     else if (a == "-p") cfg.ppm = std::atoi(next());
     else if (a == "-b") cfg.buf_len = std::strtoull(next(), nullptr, 10);
     else if (a == "-S") cfg.sync_mode = true;
-    // Device index (rtl_sdr -d): selects the dongle under --usb; for
-    // the sim backend each index is a distinct deterministic dongle.
-    else if (a == "-d") {
-      usb_index = (uint32_t)std::strtoull(next(), nullptr, 10);
-      seed = 1 + usb_index;
-    }
-    else if (a == "--usb") use_usb = true;
-    else if (a == "--sim-seed") seed = std::strtoull(next(), nullptr, 10);
-    else if (a == "--replay") replay = next();
-    else if (a == "--tcp") tcp = next();
+    else if (sdrcap::ParseBackendFlag(a, next, &backend)) {}
     else if (a == "--help") { usage(); return 0; }
     else if (a == "-" || a[0] != '-') out = a;  // '-' = stdout
     else { usage(); return 2; }
@@ -79,35 +69,8 @@ int main(int argc, char** argv) {
     return 2;
   }
 
-  std::unique_ptr<sdrcap::Device> dev;
-  if (use_usb) {
-    dev = sdrcap::MakeUsbDeviceByIndex(usb_index);
-    if (!dev) {
-      std::fprintf(stderr, "no RTL2832U device at index %u\n", usb_index);
-      return 1;
-    }
-  } else if (!tcp.empty()) {
-    auto colon = tcp.rfind(':');
-    if (colon == std::string::npos) {
-      std::fprintf(stderr, "--tcp wants host:port, got: %s\n", tcp.c_str());
-      return 2;
-    }
-    dev = sdrcap::MakeTcpDevice(tcp.substr(0, colon),
-                                std::atoi(tcp.c_str() + colon + 1));
-    if (!dev) {
-      std::fprintf(stderr, "cannot connect to rtl_tcp server: %s\n",
-                   tcp.c_str());
-      return 1;
-    }
-  } else if (!replay.empty()) {
-    dev = sdrcap::MakeFileDevice(replay);
-    if (!dev) {
-      std::fprintf(stderr, "cannot open replay file: %s\n", replay.c_str());
-      return 1;
-    }
-  } else {
-    dev = sdrcap::MakeSimDevice(seed);
-  }
+  std::unique_ptr<sdrcap::Device> dev = sdrcap::OpenBackend(backend);
+  if (!dev) return 1;
   std::fprintf(stderr,
                "Capturing 3 x %llu samples: %u Hz (g=%.1f) / %u Hz (g=%.1f) "
                "at %u sps -> %s\n",

@@ -6,12 +6,18 @@
 //   sdr_eeprom -I image.bin                 # read & print
 //   sdr_eeprom -I image.bin -g              # generate default image
 //   sdr_eeprom -I image.bin -m MFG -p PROD -S SERIAL   # write fields
+//   sdr_eeprom --usb [-d N] [...]           # same, on a real dongle's
+//                                             EEPROM over libusb
 #include <algorithm>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <vector>
+
+#include "sdrcap/backend.h"
+#include "sdrcap/device.h"
 
 namespace {
 
@@ -89,21 +95,72 @@ bool parse(const std::vector<uint8_t>& e, Config* c) {
 int main(int argc, char** argv) {
   std::string image;
   Config c;
+  sdrcap::BackendOptions backend;
   bool generate = false, write = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto next = [&]() { return argv[++i]; };
+    auto next = [&]() -> const char* {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "%s needs a value\n", argv[i]);
+        std::exit(2);
+      }
+      return argv[++i];
+    };
     if (a == "-I") image = next();
     else if (a == "-g") generate = true;
     else if (a == "-m") { c.manufacturer = next(); write = true; }
     else if (a == "-p") { c.product = next(); write = true; }
     else if (a == "-S") { c.serial = next(); write = true; }
-    else if (a == "--help" || image.empty()) {
+    else if (sdrcap::ParseBackendFlag(a, next, &backend)) {}
+    else if (a == "--help" || (image.empty() && !backend.usb)) {
       std::fprintf(stderr,
-                   "Usage: sdr_eeprom -I image.bin [-g] [-m MFG] [-p PROD] "
-                   "[-S SERIAL]\n");
+                   "Usage: sdr_eeprom (-I image.bin | --usb [-d N]) [-g] "
+                   "[-m MFG] [-p PROD] [-S SERIAL]\n");
       return a == "--help" ? 0 : 2;
     }
+  }
+
+  // Real-dongle mode: the EEPROM bytes come from (and go back to) the
+  // device instead of an image file (rtl_eeprom.c's main flow).
+  std::unique_ptr<sdrcap::Device> dev;
+  if (backend.usb) {
+    dev = sdrcap::OpenBackend(backend);
+    if (!dev) return 1;
+  }
+
+  if (dev) {
+    std::vector<uint8_t> e(kEepromSize);
+    if (dev->read_eeprom(e.data(), 0, (uint16_t)e.size()) < 0) {
+      std::fprintf(stderr, "EEPROM read failed\n");
+      return 1;
+    }
+    Config cur;
+    if (!parse(e, &cur)) {
+      std::fprintf(stderr, "device EEPROM has no RTL28xx header\n");
+      if (!generate) return 1;
+    } else if (!write && !generate) {
+      std::printf("Vendor ID:\t\t0x%04x\n", cur.vid);
+      std::printf("Product ID:\t\t0x%04x\n", cur.pid);
+      std::printf("Manufacturer:\t\t%s\n", cur.manufacturer.c_str());
+      std::printf("Product:\t\t%s\n", cur.product.c_str());
+      std::printf("Serial number:\t\t%s\n", cur.serial.c_str());
+      return 0;
+    } else if (!generate) {
+      std::string m = c.manufacturer, p = c.product, sn = c.serial;
+      bool em = m != "Realtek", ep = p != "RTL2838UHIDIR",
+           es = sn != "00000001";
+      c = cur;
+      if (em) c.manufacturer = m;
+      if (ep) c.product = p;
+      if (es) c.serial = sn;
+    }
+    auto out = serialize(c);
+    if (dev->write_eeprom(out.data(), 0, (uint16_t)out.size()) < 0) {
+      std::fprintf(stderr, "EEPROM write failed\n");
+      return 1;
+    }
+    std::printf("wrote device EEPROM (%zu bytes)\n", out.size());
+    return 0;
   }
 
   if (!generate) {

@@ -27,6 +27,7 @@
 #include <vector>
 
 #include "sdrcap/args.h"
+#include "sdrcap/backend.h"
 #include "sdrcap/device.h"
 
 namespace {
@@ -170,7 +171,8 @@ int main(int argc, char** argv) {
   bool have_rate = false, have_audio = false;
   bool opt_dc = false, opt_deemp = false, opt_direct = false,
        opt_offset = false, opt_edge = false;
-  uint64_t seed = 3;
+  sdrcap::BackendOptions backend;
+  backend.sim_seed = 3;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> const char* {
@@ -204,7 +206,7 @@ int main(int argc, char** argv) {
       else { std::fprintf(stderr, "unknown -E option '%s'\n", opt.c_str()); return 2; }
     }
     else if (a == "--live") live_seconds = std::atof(next());
-    else if (a == "--sim-seed") seed = std::strtoull(next(), nullptr, 10);
+    else if (sdrcap::ParseBackendFlag(a, next, &backend)) {}
     else if (a == "--help") {
       std::fprintf(stderr,
                    "Usage: sdr_fm [-M fm|wbfm|am|usb|lsb|raw] [-s rate] "
@@ -212,7 +214,7 @@ int main(int argc, char** argv) {
                    "[-t squelch_delay] [-g gain_db] [-p ppm] "
                    "[-E edge|dc|deemp|direct|offset] "
                    "(-i in.iq | --live sec) [-f hz|lo:hi:step]... out.raw\n"
-                   "  multiple -f with -l scans; -t<0 exits on squelch\n");
+                   "  multiple -f with -l scans; -t<0 exits on squelch\n%s", sdrcap::BackendUsage());
       return 0;
     } else if (a[0] != '-') out_path = a;
   }
@@ -348,7 +350,8 @@ int main(int argc, char** argv) {
       process(buf.data(), n);
     std::fclose(in);
   } else {
-    auto dev = sdrcap::MakeSimDevice(seed);
+    auto dev = sdrcap::OpenBackend(backend);
+    if (!dev) return 1;
     live_dev = dev.get();
     dev->set_sample_rate((uint32_t)rate);
     dev->set_center_freq((uint32_t)(freqs[0] + edge_off));

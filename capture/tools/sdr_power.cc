@@ -24,6 +24,7 @@
 #include <vector>
 
 #include "sdrcap/args.h"
+#include "sdrcap/backend.h"
 #include "sdrcap/device.h"
 
 namespace {
@@ -94,7 +95,7 @@ std::vector<double> MakeWindow(const std::string& name, size_t n) {
 int main(int argc, char** argv) {
   double f_low = 0, f_high = 0, bin_hz = 10000;
   size_t samples = 16384;
-  uint64_t seed = 1;
+  sdrcap::BackendOptions backend;
   double interval_s = 10.0, exit_s = 0.0, crop = 0.0;
   bool single_shot = false, peak_hold = false, have_n = false;
   double gain_db = 0.0;
@@ -103,6 +104,13 @@ int main(int argc, char** argv) {
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(argv[++i]); };
+    auto nextc = [&]() -> const char* {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "%s needs a value (see --help)\n", argv[i]);
+        std::exit(2);
+      }
+      return argv[++i];
+    };
     if (a == "-f" && i + 1 < argc) {
       const std::string spec = next();
       const size_t c1 = spec.find(':'), c2 = spec.rfind(':');
@@ -132,9 +140,8 @@ int main(int argc, char** argv) {
     else if (a == "-P") peak_hold = true;
     else if (a == "-g" && i + 1 < argc) gain_db = std::atof(argv[++i]);
     else if (a == "-p" && i + 1 < argc) ppm = std::atoi(argv[++i]);
-    else if (a == "-d" && i + 1 < argc) seed = 1 + std::strtoull(argv[++i], nullptr, 10);
     else if (a == "-F" && i + 1 < argc) ++i;  // fir_size: accepted, N/A
-    else if (a == "--sim-seed" && i + 1 < argc) seed = std::strtoull(argv[++i], nullptr, 10);
+    else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}
     else if (a == "--help") {
       std::fprintf(stderr,
                    "Usage: sdr_power -f low:high:bin_hz [-i interval] [-1] "
@@ -158,7 +165,8 @@ int main(int argc, char** argv) {
   FILE* out = out_path.empty() ? stdout : std::fopen(out_path.c_str(), "w");
   if (!out) { std::perror("open"); return 1; }
 
-  auto dev = sdrcap::MakeSimDevice(seed);
+  auto dev = sdrcap::OpenBackend(backend);
+  if (!dev) return 1;
   const uint32_t rate = 2'048'000;
   dev->set_sample_rate(rate);
   if (gain_db > 0) dev->set_tuner_gain_db(gain_db);

@@ -18,6 +18,7 @@
 #include <cstring>
 #include <thread>
 
+#include "sdrcap/backend.h"
 #include "sdrcap/device.h"
 
 namespace {
@@ -81,16 +82,25 @@ void command_worker(int fd, sdrcap::Device* dev, std::atomic<bool>* done) {
 int main(int argc, char** argv) {
   int port = 1234;
   const char* addr = "127.0.0.1";
-  uint64_t seed = 1;
+  sdrcap::BackendOptions backend;
+  backend.sim_realtime = true;  // network consumers need paced samples
   int max_clients = -1;  // serve forever by default; tests pass 1
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
+    auto nextc = [&]() -> const char* {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "%s needs a value\n", argv[i]);
+        std::exit(2);
+      }
+      return argv[++i];
+    };
     if (a == "-p" && i + 1 < argc) port = std::atoi(argv[++i]);
     else if (a == "-a" && i + 1 < argc) addr = argv[++i];
-    else if (a == "--sim-seed" && i + 1 < argc) seed = std::strtoull(argv[++i], nullptr, 10);
+    else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}
     else if (a == "--once") max_clients = 1;
     else if (a == "--help") {
-      std::fprintf(stderr, "Usage: sdr_server [-p port] [-a addr] [--once]\n");
+      std::fprintf(stderr, "Usage: sdr_server [-p port] [-a addr] [--once]\n%s",
+                   sdrcap::BackendUsage());
       return 0;
     }
   }
@@ -115,11 +125,13 @@ int main(int argc, char** argv) {
     ++served;
     std::fprintf(stderr, "client connected\n");
 
-    // Realtime pacing: a networked consumer's control commands must land
-    // mid-stream the way they do against real hardware; without it the
-    // sim would generate the client's whole capture before the first
-    // retune arrives.
-    auto dev = sdrcap::MakeSimDevice(seed, /*realtime=*/true);
+    // Realtime pacing (sim backend): a networked consumer's control
+    // commands must land mid-stream the way they do against real
+    // hardware; without it the sim would generate the client's whole
+    // capture before the first retune arrives. --usb serves a REAL
+    // dongle over the rtl_tcp protocol.
+    auto dev = sdrcap::OpenBackend(backend);
+    if (!dev) { close(fd); continue; }
     dev->set_sample_rate(2'048'000);
 
     // Header: "RTL0", tuner type (5 = R820T), gain-stage count.

@@ -8,21 +8,34 @@
 #include <cstdlib>
 #include <cstring>
 
+#include "sdrcap/backend.h"
 #include "sdrcap/device.h"
 
 int main(int argc, char** argv) {
   uint32_t rate = 2'048'000;
   double seconds = 2.0;
+  sdrcap::BackendOptions backend;
+  backend.sim_seed = 42;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
+    auto nextc = [&]() -> const char* {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "%s needs a value\n", argv[i]);
+        std::exit(2);
+      }
+      return argv[++i];
+    };
     if (a == "-s" && i + 1 < argc) rate = std::strtoul(argv[++i], nullptr, 10);
     else if (a == "-t" && i + 1 < argc) seconds = std::atof(argv[++i]);
+    else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}
     else if (a == "--help") {
-      std::fprintf(stderr, "Usage: sdr_test [-s rate] [-t seconds]\n");
+      std::fprintf(stderr, "Usage: sdr_test [-s rate] [-t seconds]\n%s",
+                   sdrcap::BackendUsage());
       return 0;
     }
   }
-  auto dev = sdrcap::MakeSimDevice(42);
+  auto dev = sdrcap::OpenBackend(backend);
+  if (!dev) return 1;
   dev->set_sample_rate(rate);
   dev->set_center_freq(100'000'000);
 

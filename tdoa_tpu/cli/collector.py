@@ -52,6 +52,11 @@ def main(argv=None) -> int:
     p.add_argument("--tcp", default=None, metavar="HOST:PORT",
                    help="capture from an rtl_tcp-protocol server instead "
                         "of local hardware (native backend)")
+    p.add_argument("--usb", action="store_true",
+                   help="capture from a directly-attached RTL2832U "
+                        "dongle over libusb (native backend)")
+    p.add_argument("--device", type=int, default=0, metavar="N",
+                   help="USB dongle index for --usb (default 0)")
     p.add_argument("--csv", default="lat-lon-table.csv",
                    help="station table (sim backend geometry)")
     p.add_argument("--out", default=".")
@@ -89,7 +94,9 @@ def main(argv=None) -> int:
             "-2", f"{g2:.1f}",
             "-n", str(samples_per_freq),
         ]
-        if args.tcp:
+        if args.usb:
+            cmd += ["--usb", "-d", str(args.device)]
+        elif args.tcp:
             cmd += ["--tcp", args.tcp]
         cmd.append(out_path)
         print("Running:", " ".join(cmd))
