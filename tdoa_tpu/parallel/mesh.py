@@ -175,11 +175,19 @@ def process_blocks_sharded(
     weighting: str = "ht",
     clock_correction: bool = True,
     axis: str = "sp",
+    accumulator: str = "xla",  # "xla" | "pallas" (fused kernel per chip)
+    pairs_static: Optional[tuple] = None,  # base pairs, for "pallas"
 ):
     """The full multi-chip processing step: all 3 blocks × all pairs,
     sequence-parallel, with clock correction. Mirrors
     pipeline.process_blocks but sharded; returns the same 8-tuple
-    (..., corrected_std, tgt_correlation_window)."""
+    (..., corrected_std, tgt_correlation_window).
+
+    ``accumulator="pallas"`` runs the fused segment kernel on every
+    chip's local chunk — the max-performance multi-chip configuration
+    (``pairs_static`` is the per-block pair tuple, e.g.
+    ``((0,1),(0,2),(1,2))``; the 3-block offsets are applied here).
+    """
     n_st = ref1.re.shape[0]
     m = pair_idx.shape[0]
     xr = jnp.concatenate([ref1.re, tgt.re, ref2.re], axis=0)
@@ -188,9 +196,17 @@ def process_blocks_sharded(
     xi = xi - jnp.mean(xi, axis=-1, keepdims=True)
     offsets = jnp.arange(3, dtype=jnp.int32)[:, None, None] * n_st
     all_pairs = (pair_idx[None, :, :] + offsets).reshape(3 * m, 2)
+    all_pairs_static = None
+    if pairs_static is not None:
+        all_pairs_static = tuple(
+            (i + b * n_st, j + b * n_st)
+            for b in range(3)
+            for (i, j) in pairs_static
+        )
     res = correlate_pairs_sharded(
         C(xr, xi), all_pairs, mesh,
         max_lag=max_lag, seg_len=seg_len, weighting=weighting, axis=axis,
+        accumulator=accumulator, pairs_static=all_pairs_static,
     )
     delays = res.delay.reshape(3, m)
     quality = res.quality.reshape(3, m)

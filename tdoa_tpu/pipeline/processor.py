@@ -230,7 +230,33 @@ def process_blocks(
     all_pairs = (pair_idx[None, :, :] + offsets).reshape(3 * m, 2)
 
     if mode == "fm":
-        audio = fm_demodulate(C(xr, xi), sample_rate, decim=fm_decim)
+        from tdoa_tpu.utils.platform import on_tpu
+
+        if on_tpu():
+            # The XLA demod path's 1-wide-channel conv relayouts the
+            # full-rate signal into a convolution tiling that costs
+            # ~28x the tensor size in HBM — a 100 s capture requests
+            # 34 GB and fails to compile. The fused Pallas kernel
+            # (discriminator + polyphase decimation, VMEM-resident
+            # intermediates) is the TPU path; its constant group-delay
+            # offset vs the XLA FIR is common to every station and
+            # cancels in pair correlation (tpu_validate check 5).
+            from tdoa_tpu.ops.pallas.fm_demod import (
+                fm_demod_decimate_pallas,
+            )
+
+            chans = [
+                fm_demod_decimate_pallas(
+                    C(xr[k], xi[k]), sample_rate, decim=fm_decim
+                )
+                for k in range(3 * n_st)
+            ]
+            audio = jnp.stack(chans)
+            # Receiver LO offset = constant discriminator bias; remove
+            # per channel (the kernel leaves DC to the caller).
+            audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
+        else:
+            audio = fm_demodulate(C(xr, xi), sample_rate, decim=fm_decim)
         x_corr = C(audio, jnp.zeros_like(audio))
         scale = float(fm_decim)
         max_lag_c = max(max_lag // fm_decim + 2, 16)

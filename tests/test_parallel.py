@@ -113,3 +113,44 @@ def test_sharded_pallas_accumulator():
     np.testing.assert_allclose(
         np.asarray(res.delay), [17.25, -33.5, -50.75], atol=0.1
     )
+
+
+def test_sharded_process_blocks_pallas_full_step():
+    """The FULL multi-chip step (3 blocks, clock correction) with the
+    fused kernel per chip: pair offsets across the stacked block axis
+    are built statically and the corrected TDOAs match the XLA-path
+    sharded result."""
+    from tdoa_tpu.parallel import process_blocks_sharded
+    from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN
+
+    n = SEG_LEN * 8
+    key = jax.random.PRNGKey(4)
+    mesh = make_mesh(8)
+    pairs_t = ((0, 1), (0, 2), (1, 2))
+    pairs = jnp.asarray(np.array(pairs_t, np.int32))
+    ref_geo = jnp.zeros(3, jnp.float32)
+
+    blocks = []
+    for bk in range(3):
+        base = fm_source(jax.random.fold_in(key, bk), n, 2e6)
+        # Clock offsets ±7/±13 samples on stations 1/2; geometry adds
+        # +5/+11 only in the TGT block.
+        d1 = 7.0 + (5.0 if bk == 1 else 0.0)
+        d2 = -13.0 + (11.0 if bk == 1 else 0.0)
+        sigs = [base, fractional_delay(base, jnp.float32(d1)),
+                fractional_delay(base, jnp.float32(d2))]
+        blocks.append(_planar_stack(sigs))
+    ref1, tgt, ref2 = blocks
+
+    out_p = process_blocks_sharded(
+        ref1, tgt, ref2, pairs, ref_geo, mesh, max_lag=128,
+        accumulator="pallas", pairs_static=pairs_t,
+    )
+    out_x = process_blocks_sharded(
+        ref1, tgt, ref2, pairs, ref_geo, mesh, max_lag=128,
+    )
+    want = np.array([5.0, 11.0, 6.0])  # corrected geometric TDOAs
+    np.testing.assert_allclose(np.asarray(out_p[0]), want, atol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(out_p[0]), np.asarray(out_x[0]), atol=0.05
+    )
