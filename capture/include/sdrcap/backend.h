@@ -62,6 +62,20 @@ inline bool ParseBackendFlag(const std::string& a,
   return false;
 }
 
+// Bounds-checked argv value accessor for tool argument loops: exits
+// with a consistent message when a flag's value is missing. One home
+// for the lambda every tool used to copy.
+inline std::function<const char*()> MakeNext(int argc, char** argv,
+                                             int* i) {
+  return [argc, argv, i]() -> const char* {
+    if (*i + 1 >= argc) {
+      std::fprintf(stderr, "%s needs a value (see --help)\n", argv[*i]);
+      std::exit(2);
+    }
+    return argv[++*i];
+  };
+}
+
 inline const char* BackendUsage() {
   return "  backends: --usb [-d N] | --tcp host:port | --replay file |"
          " --sim-seed N (default sim)\n";

@@ -90,6 +90,40 @@ bool parse(const std::vector<uint8_t>& e, Config* c) {
   return true;
 }
 
+// Shared between file and device modes: print a parsed config, and
+// merge CLI edits into current content (flags left at their defaults
+// are treated as unset — the rtl_eeprom.c convention).
+void print_config(const Config& cur) {
+  std::printf("Vendor ID:\t\t0x%04x\n", cur.vid);
+  std::printf("Product ID:\t\t0x%04x\n", cur.pid);
+  std::printf("Manufacturer:\t\t%s\n", cur.manufacturer.c_str());
+  std::printf("Product:\t\t%s\n", cur.product.c_str());
+  std::printf("Serial number:\t\t%s\n", cur.serial.c_str());
+  std::printf("Serial number enabled:\t%s\n",
+              cur.have_serial ? "yes" : "no");
+  std::printf("IR endpoint enabled:\t%s\n",
+              cur.enable_ir ? "yes" : "no");
+  std::printf("Remote wakeup enabled:\t%s\n",
+              cur.remote_wakeup ? "yes" : "no");
+}
+
+Config merge_edits(const Config& cur, const Config& edits) {
+  Config c = cur;
+  if (edits.manufacturer != "Realtek") c.manufacturer = edits.manufacturer;
+  if (edits.product != "RTL2838UHIDIR") c.product = edits.product;
+  if (edits.serial != "00000001") c.serial = edits.serial;
+  return c;
+}
+
+// Hardware writes are irreversible (dongle identity): confirm like
+// rtl_eeprom.c does before flashing.
+bool confirm_device_write() {
+  std::fprintf(stderr,
+               "Write new configuration into the device EEPROM [y/n]? ");
+  int ch = std::getchar();
+  return ch == 'y' || ch == 'Y';
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -99,13 +133,7 @@ int main(int argc, char** argv) {
   bool generate = false, write = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto next = [&]() -> const char* {
-      if (i + 1 >= argc) {
-        std::fprintf(stderr, "%s needs a value\n", argv[i]);
-        std::exit(2);
-      }
-      return argv[++i];
-    };
+    auto next = sdrcap::MakeNext(argc, argv, &i);
     if (a == "-I") image = next();
     else if (a == "-g") generate = true;
     else if (a == "-m") { c.manufacturer = next(); write = true; }
@@ -139,20 +167,16 @@ int main(int argc, char** argv) {
       std::fprintf(stderr, "device EEPROM has no RTL28xx header\n");
       if (!generate) return 1;
     } else if (!write && !generate) {
-      std::printf("Vendor ID:\t\t0x%04x\n", cur.vid);
-      std::printf("Product ID:\t\t0x%04x\n", cur.pid);
-      std::printf("Manufacturer:\t\t%s\n", cur.manufacturer.c_str());
-      std::printf("Product:\t\t%s\n", cur.product.c_str());
-      std::printf("Serial number:\t\t%s\n", cur.serial.c_str());
+      print_config(cur);
       return 0;
     } else if (!generate) {
-      std::string m = c.manufacturer, p = c.product, sn = c.serial;
-      bool em = m != "Realtek", ep = p != "RTL2838UHIDIR",
-           es = sn != "00000001";
-      c = cur;
-      if (em) c.manufacturer = m;
-      if (ep) c.product = p;
-      if (es) c.serial = sn;
+      c = merge_edits(cur, c);
+    }
+    std::printf("New configuration:\n");
+    print_config(c);
+    if (!confirm_device_write()) {
+      std::fprintf(stderr, "aborted, nothing written\n");
+      return 1;
     }
     auto out = serialize(c);
     if (dev->write_eeprom(out.data(), 0, (uint16_t)out.size()) < 0) {
@@ -171,28 +195,12 @@ int main(int argc, char** argv) {
         Config cur;
         if (parse(e, &cur)) {
           if (!write) {
-            std::printf("Vendor ID:\t\t0x%04x\n", cur.vid);
-            std::printf("Product ID:\t\t0x%04x\n", cur.pid);
-            std::printf("Manufacturer:\t\t%s\n", cur.manufacturer.c_str());
-            std::printf("Product:\t\t%s\n", cur.product.c_str());
-            std::printf("Serial number:\t\t%s\n", cur.serial.c_str());
-            std::printf("Serial number enabled:\t%s\n",
-                        cur.have_serial ? "yes" : "no");
-            std::printf("IR endpoint enabled:\t%s\n",
-                        cur.enable_ir ? "yes" : "no");
-            std::printf("Remote wakeup enabled:\t%s\n",
-                        cur.remote_wakeup ? "yes" : "no");
+            print_config(cur);
             std::fclose(f);
             return 0;
           }
           // Start edits from the current content.
-          std::string m = c.manufacturer, p = c.product, s = c.serial;
-          bool em = m != "Realtek", ep = p != "RTL2838UHIDIR",
-               es = s != "00000001";
-          c = cur;
-          if (em) c.manufacturer = m;
-          if (ep) c.product = p;
-          if (es) c.serial = s;
+          c = merge_edits(cur, c);
         }
       }
       std::fclose(f);

@@ -175,13 +175,7 @@ int main(int argc, char** argv) {
   backend.sim_seed = 3;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto next = [&]() -> const char* {
-      if (i + 1 >= argc) {
-        std::fprintf(stderr, "%s needs a value (see --help)\n", argv[i]);
-        std::exit(2);
-      }
-      return argv[++i];
-    };
+    auto next = sdrcap::MakeNext(argc, argv, &i);
     if (a == "-M") mode = next();
     else if (a == "-s") { rate = sdrcap::ParseFreq(next()); have_rate = true; }
     else if (a == "-r") { audio_rate = sdrcap::ParseFreq(next()); have_audio = true; }
@@ -353,18 +347,62 @@ int main(int argc, char** argv) {
     auto dev = sdrcap::OpenBackend(backend);
     if (!dev) return 1;
     live_dev = dev.get();
-    dev->set_sample_rate((uint32_t)rate);
-    dev->set_center_freq((uint32_t)(freqs[0] + edge_off));
+    // Real RTL2832U silicon rejects demod rates like wbfm's 170 kHz
+    // (resampler constraint: (225k,300k] or (900k,3.2M]). Like rtl_fm,
+    // capture at an integer multiple and boxcar-decimate back to the
+    // demod rate (rtl_fm.c's capture_rate/downsample).
+    int bump = 1;
+    if (!dev->set_sample_rate((uint32_t)rate)) {
+      uint64_t cap = (uint64_t)rate;
+      while (cap <= 900'000 && bump < 64) {
+        ++bump;
+        cap = (uint64_t)rate * bump;
+      }
+      if (cap > 3'200'000 || !dev->set_sample_rate((uint32_t)cap)) {
+        std::fprintf(stderr,
+                     "device cannot reach %.0f Hz (tried %.0f x%d)\n",
+                     rate, (double)cap, bump);
+        return 1;
+      }
+      std::fprintf(stderr, "capturing at %.0f Hz, decimating x%d\n",
+                   (double)cap, bump);
+    }
+    if (!dev->set_center_freq((uint32_t)(freqs[0] + edge_off))) {
+      std::fprintf(stderr, "tune to %.0f Hz failed\n", freqs[0] + edge_off);
+      return 1;
+    }
     if (gain_db > 0) dev->set_tuner_gain_db(gain_db);
     if (ppm != 0) dev->set_freq_correction_ppm(ppm);
     if (opt_direct) dev->set_direct_sampling(2);
     if (opt_offset) dev->set_offset_tuning(true);
+    // Boxcar complex decimator (averages `bump` consecutive IQ pairs),
+    // carrying partial groups across chunks.
+    std::vector<uint8_t> dec_buf;
+    uint32_t carry_i = 0, carry_q = 0;
+    int carry_n = 0;
     const uint64_t want_bytes = (uint64_t)(live_seconds * rate) * 2;
     uint64_t got = 0;
     dev->read_async(
         [&](const uint8_t* d, size_t len) {
-          process(d, len);
-          got += len;
+          if (bump > 1) {
+            dec_buf.clear();
+            dec_buf.reserve(len / bump + 2);
+            for (size_t k = 0; k + 1 < len; k += 2) {
+              carry_i += d[k];
+              carry_q += d[k + 1];
+              if (++carry_n == bump) {
+                dec_buf.push_back((uint8_t)(carry_i / (uint32_t)bump));
+                dec_buf.push_back((uint8_t)(carry_q / (uint32_t)bump));
+                carry_i = carry_q = 0;
+                carry_n = 0;
+              }
+            }
+            if (!dec_buf.empty()) process(dec_buf.data(), dec_buf.size());
+            got += dec_buf.size();
+          } else {
+            process(d, len);
+            got += len;
+          }
           if (got >= want_bytes || exit_requested) dev->cancel_async();
         },
         live_buf_len, live_num_bufs);

@@ -103,14 +103,8 @@ int main(int argc, char** argv) {
   std::string window_name = "rectangle", out_path;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto next = [&]() { return std::string(argv[++i]); };
-    auto nextc = [&]() -> const char* {
-      if (i + 1 >= argc) {
-        std::fprintf(stderr, "%s needs a value (see --help)\n", argv[i]);
-        std::exit(2);
-      }
-      return argv[++i];
-    };
+    auto nextc = sdrcap::MakeNext(argc, argv, &i);
+    auto next = [&]() { return std::string(nextc()); };
     if (a == "-f" && i + 1 < argc) {
       const std::string spec = next();
       const size_t c1 = spec.find(':'), c2 = spec.rfind(':');
@@ -148,7 +142,8 @@ int main(int argc, char** argv) {
                    "[-e exit_timer] [-c crop%%] [-w window] [-P] [-g db] "
                    "[-p ppm] [-n samples] [out.csv]\n"
                    "  windows: rectangle hamming hann blackman "
-                   "blackman-harris hann-poisson bartlett youssef\n");
+                   "blackman-harris hann-poisson bartlett youssef\n%s",
+                   sdrcap::BackendUsage());
       return 0;
     } else if (a[0] != '-') out_path = a;
     else {

@@ -87,13 +87,7 @@ int main(int argc, char** argv) {
   int max_clients = -1;  // serve forever by default; tests pass 1
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto nextc = [&]() -> const char* {
-      if (i + 1 >= argc) {
-        std::fprintf(stderr, "%s needs a value\n", argv[i]);
-        std::exit(2);
-      }
-      return argv[++i];
-    };
+    auto nextc = sdrcap::MakeNext(argc, argv, &i);
     if (a == "-p" && i + 1 < argc) port = std::atoi(argv[++i]);
     else if (a == "-a" && i + 1 < argc) addr = argv[++i];
     else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}

@@ -18,13 +18,7 @@ int main(int argc, char** argv) {
   backend.sim_seed = 42;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto nextc = [&]() -> const char* {
-      if (i + 1 >= argc) {
-        std::fprintf(stderr, "%s needs a value\n", argv[i]);
-        std::exit(2);
-      }
-      return argv[++i];
-    };
+    auto nextc = sdrcap::MakeNext(argc, argv, &i);
     if (a == "-s" && i + 1 < argc) rate = std::strtoul(argv[++i], nullptr, 10);
     else if (a == "-t" && i + 1 < argc) seconds = std::atof(argv[++i]);
     else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}

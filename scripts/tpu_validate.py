@@ -10,7 +10,8 @@ stalls):
  4. streaming accumulator through the fused kernel
  5. Pallas FM-demod kernel vs XLA demod
  6. 8/12/16-station fused kernel: computed VMEM limits (capacity gate
-    fused_capacity_ok — 16 stations = 120 pairs ≈ 94 MB), DC clamps
+    fused_capacity_ok — 16 stations = 120 pairs, ~105 MB computed
+    need clamped to the 100 MB request), DC clamps
  7. multi-emitter separation through the fused path
  8. moving emitter: CAF + deramp-and-correlate + FDOA velocity
  9. joint (lag, Doppler) separation: mover + co-channel interferer
@@ -215,8 +216,8 @@ def main():
     br8 = np.asarray(base_r)
     bi8 = np.asarray(base_i)
     # 8 = the round-1 limit; 12 and 16 = the capacity-gated extension
-    # (fused_capacity_ok: 16 stations = 120 pairs ≈ 94 MB VMEM request,
-    # the largest network that fits v5e's budget).
+    # (fused_capacity_ok: 16 stations = 120 pairs, ~105 MB computed need
+    # clamped to the 100 MB request — the largest network that fits).
     for n_st in (8, 12, 16):
         shifts = [7 * k for k in range(n_st)] if n_st <= 8 else [
             5 * k for k in range(n_st)

@@ -85,8 +85,9 @@ def acc_update(
 
     Pass ``pairs_static`` (the pair list as a static tuple) to route the
     chunk through the fused Pallas kernel on TPU when the accumulator
-    geometry matches it (fft_len 65536, seg_len 45056, ≤8 stations) —
-    the streaming path then integrates at the batch pipeline's kernel
+    geometry matches it (fft_len 65536, seg_len 45056, stations within
+    the VMEM capacity gate — 16 on v5e, fused_capacity_ok) — the
+    streaming path then integrates at the batch pipeline's kernel
     speed. ``precision`` sets the kernel's matmul operand width:
     "bf16" (default, ~2.5× faster; bf16 chunks flow straight through,
     f32 chunks are truncated) or "f32" to keep f32 operands.
@@ -100,12 +101,16 @@ def acc_update(
         FFT_LEN as _P_FFT,
         SEG_LEN as _P_SEG,
         accumulate_cross_spectra_pallas,
+        fused_capacity_ok,
     )
     from tdoa_tpu.utils.platform import on_tpu
 
     if (pairs_static is not None and on_tpu() and fft_len == _P_FFT
             and seg_len == _P_SEG and chunk.re.shape[-1] >= _P_SEG
-            and chunk.re.shape[0] <= 8):  # kernel's VMEM station limit
+            # Same VMEM-capacity gate as the batch pipeline's
+            # _fused_eligible — the two must never diverge.
+            and fused_capacity_ok(chunk.re.shape[0], len(pairs_static),
+                                  remove_dc=False)):
         cross, psd, energy = accumulate_cross_spectra_pallas(
             chunk, pairs_static, precision=precision
         )
