@@ -8,7 +8,8 @@ stalls):
  2. fused kernel vs XLA path agreement
  3. CAF joint delay-Doppler estimation
  4. streaming accumulator through the fused kernel
- 5. Pallas FM-demod kernel vs XLA demod
+ 5. Pallas FM-demod kernel vs XLA demod; FM-mode pipeline on chip
+    (the XLA conv path requested 34 GB at 100 s scale — regression)
  6. 8/12/16-station fused kernel: computed VMEM limits (capacity gate
     fused_capacity_ok — 16 stations = 120 pairs, ~105 MB computed
     need clamped to the 100 MB request), DC clamps
@@ -205,6 +206,40 @@ def main():
     )
     check("pallas FM demod kernel", corr > 0.99,
           f"aligned corr vs XLA {corr:.4f}")
+
+    # ---- 5b. FM-mode pipeline on chip ------------------------------------
+    # mode="fm" must route through the Pallas demod on TPU: the XLA
+    # conv path's relayout requested 34 GB at 100 s scale and failed to
+    # compile (BENCHLOG round 2). This catches both the routing and the
+    # audio-domain TDOA math on real hardware: a known sample shift on
+    # station 2's IQ must appear in the corrected audio-domain TDOAs.
+    from tdoa_tpu.pipeline.processor import process_blocks
+
+    nfm = 2 * SEG_LEN
+    shift_fm = 96  # multiple of fm_decim → exact in audio samples
+    fm_blocks = []
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        for bk in range(3):
+            srcb = np.asarray(fm_source(jax.random.PRNGKey(40 + bk), nfm, fs))
+            # Shift only the TGT block: the REF blocks then measure
+            # zero clock offset and the corrected TDOA IS the shift.
+            st2 = np.roll(srcb, shift_fm) if bk == 1 else srcb
+            sig = np.stack([srcb, srcb, st2])
+            fm_blocks.append(
+                C(jnp.asarray(sig.real, jnp.float32),
+                  jnp.asarray(sig.imag, jnp.float32))
+            )
+    out_fm = process_blocks(
+        fm_blocks[0], fm_blocks[1], fm_blocks[2],
+        jnp.asarray([[0, 1], [0, 2], [1, 2]], jnp.int32),
+        jnp.zeros(3, jnp.float32),
+        max_lag=512, weighting="ht", mode="fm", fm_decim=8,
+    )
+    tdoa_fm = np.asarray(out_fm[0])
+    want_fm = np.array([0.0, shift_fm, shift_fm])
+    err_fm = np.abs(tdoa_fm - want_fm).max()
+    check("FM-mode pipeline on chip", err_fm < 2.0,
+          f"audio-domain TDOAs {np.round(tdoa_fm, 2)} want {want_fm}")
 
     # ---- 6. full 8-station kernel configuration --------------------------
     # 28 pairs of VMEM accumulators (~20 MB) exercises the computed

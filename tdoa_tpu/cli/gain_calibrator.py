@@ -21,8 +21,9 @@ class NativeCaptureBackend:
     """Short test captures via the C++ sdr_capture tool (the reference
     spawned ./collector + ./fast_analyzer, gain_calibrator.go:185-237)."""
 
-    def __init__(self, tool: str):
+    def __init__(self, tool: str, extra_args=()):
         self.tool = tool
+        self.extra_args = list(extra_args)
 
     def capture(self, freq_hz: float, gain_db: float, n_samples: int):
         import subprocess
@@ -43,6 +44,7 @@ class NativeCaptureBackend:
                     "-1", f"{gain_db:.1f}",
                     "-2", f"{gain_db:.1f}",
                     "-n", str(n_samples),
+                    *self.extra_args,
                     path,
                 ]
             )
@@ -58,6 +60,14 @@ def main(argv=None) -> int:
     p.add_argument("ref_freq", type=float)
     p.add_argument("target_freq", type=float)
     p.add_argument("--backend", choices=["native", "sim"], default=None)
+    p.add_argument("--usb", action="store_true",
+                   help="calibrate a directly-attached RTL2832U dongle "
+                        "(native backend)")
+    p.add_argument("--device", type=int, default=0, metavar="N",
+                   help="USB dongle index for --usb (default 0)")
+    p.add_argument("--tcp", default=None, metavar="HOST:PORT",
+                   help="calibrate through an rtl_tcp-protocol server "
+                        "(native backend)")
     args = p.parse_args(argv)
 
     from tdoa_tpu.calib import SimCaptureBackend, calibrate
@@ -66,7 +76,12 @@ def main(argv=None) -> int:
     if backend_kind is None:
         backend_kind = "native" if os.path.exists(_native_tool()) else "sim"
     if backend_kind == "native":
-        backend = NativeCaptureBackend(_native_tool())
+        extra = []
+        if args.usb:
+            extra = ["--usb", "-d", str(args.device)]
+        elif args.tcp:
+            extra = ["--tcp", args.tcp]
+        backend = NativeCaptureBackend(_native_tool(), extra)
     else:
         print("[sim backend] calibrating against the simulated receiver")
         backend = SimCaptureBackend()

@@ -261,6 +261,17 @@ def process_blocks(
         scale = float(fm_decim)
         max_lag_c = max(max_lag // fm_decim + 2, 16)
         seg_c = None if seg_len is None else max(seg_len // fm_decim, 4 * max_lag_c)
+        # Audio-domain correlation must be PLAIN (power-weighted), not
+        # GCC-whitened: demodulated audio occupies only the low ~20% of
+        # the decimated band, and PHAT/HT weight every bin equally — the
+        # empty bins carry segment-edge leakage that is COMMON to all
+        # channels (anchored at window edges), so whitening votes the
+        # peak to lag 0 regardless of the true delay (measured: true
+        # 12-sample audio shift reported as 1 under ht/phat, exact
+        # under "none"). Oversampled-signal GCC is a known failure
+        # mode; plain correlation weights bins by power and is the
+        # right estimator for audio pattern matching.
+        weighting = "none"
     elif mode == "iq":
         x_corr = C(xr, xi)
         scale = 1.0

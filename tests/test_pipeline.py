@@ -392,3 +392,38 @@ def test_multi_emitter_single_source_yields_one(omaha_stations, station_csv):
     res = proc.process_captures({n: captures[n] for n in scene.station_names})
     assert res.emitters is not None and len(res.emitters) == 1
     assert _fix_error_m(res.emitters[0].fix, scene.tgt_tx_lla) < 1500.0
+
+
+def test_fm_mode_plain_weighting_recovers_large_shift():
+    """Regression (found on hardware): GCC whitening on demodulated
+    audio votes the peak to lag 0 — the audio occupies only the bottom
+    of the decimated band and the empty bins carry common segment-edge
+    leakage. FM mode must use plain power weighting; a 96-IQ-sample
+    shift must come back exactly even when the caller asks for ht."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdoa_tpu.ops.cplx import C
+    from tdoa_tpu.pipeline.processor import process_blocks
+    from tdoa_tpu.sim import fm_source
+
+    fs = 2e6
+    n = 1 << 16
+    shift = 96
+    blocks = []
+    for bk in range(3):
+        src = np.asarray(fm_source(jax.random.PRNGKey(40 + bk), n, fs))
+        st2 = np.roll(src, shift) if bk == 1 else src
+        sig = np.stack([src, src, st2])
+        blocks.append(
+            C(jnp.asarray(sig.real, jnp.float32),
+              jnp.asarray(sig.imag, jnp.float32))
+        )
+    out = process_blocks(
+        blocks[0], blocks[1], blocks[2],
+        jnp.asarray([[0, 1], [0, 2], [1, 2]], jnp.int32),
+        jnp.zeros(3, jnp.float32),
+        max_lag=512, weighting="ht", mode="fm", fm_decim=8,
+    )
+    tdoa = np.asarray(out[0])
+    np.testing.assert_allclose(tdoa, [0.0, shift, shift], atol=2.0)
