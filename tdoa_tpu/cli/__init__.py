@@ -17,9 +17,16 @@ def setup_compilation_cache() -> None:
     persistent cache makes the SECOND process with the same shapes
     skip it entirely. Cache dir: ``TDOA_TPU_CACHE_DIR`` if set, else
     ``~/.cache/tdoa_tpu/jax``; ``TDOA_TPU_CACHE_DIR=off`` disables.
+
+    TPU runs only (unless TDOA_TPU_CACHE_DIR is set explicitly):
+    XLA:CPU cache entries embed the compiling host's CPU features and
+    reloading them on a different host risks SIGILL (and spews loader
+    warnings); CPU compiles are cheap enough not to need the cache.
     """
     where = os.environ.get("TDOA_TPU_CACHE_DIR", "")
     if where.lower() in ("off", "0", "none"):
+        return
+    if not where and os.environ.get("TDOA_TPU_PLATFORM", "cpu") == "cpu":
         return
     if not where:
         where = os.path.join(
