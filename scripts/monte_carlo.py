@@ -12,6 +12,13 @@ fix and scores against the planted truth. Regimes:
   wild-clocks  ±ms offsets + drift, max_lag raised     (clock correction)
   interferer   co-channel emitter at 0.6 amplitude, multi-emitter
                association resolves both (its designed purpose)
+  multipath    specular echo 15-60 samples behind the direct path at
+               0.3-0.6 amplitude on the TGT signal. Echoes INSIDE the
+               correlation peak width (~40 samples at ~50 kHz signal
+               bandwidth) merge with the direct path and bias the TDOA
+               by O(1-3 samples) — estimator physics, not a defect
+               (the direct-path-preferring refinement already rejects
+               the worse trade, BENCHLOG round 1); bounds reflect it
   4station/5station  larger networks, solve over all pairs
 
 A trial passes when the result is ACCURATE, or when it is inaccurate
@@ -123,6 +130,15 @@ def run_trial(regime: str, seed: int) -> dict:
         kw["interferer_amplitude"] = 0.6
         kw["clock_offsets_s"] = rng.uniform(-50e-6, 50e-6, n_st)
         atol_tdoa, atol_fix = 2.5, 800.0
+    elif regime == "multipath":
+        kw["tgt_profile"] = NoiseProfile(
+            signal_amplitude=1.0,
+            noise_amplitude=0.05,
+            multipath_amplitude=rng.uniform(0.3, 0.6),
+            multipath_delay_samples=rng.uniform(15, 60),
+        )
+        kw["clock_offsets_s"] = rng.uniform(-50e-6, 50e-6, n_st)
+        atol_tdoa, atol_fix = 3.5, 600.0
     else:  # 4station / 5station
         kw["clock_offsets_s"] = rng.uniform(-100e-6, 100e-6, n_st)
 
@@ -193,6 +209,7 @@ REGIMES = {
     "noisy": 1.0,
     "wild-clocks": 1.0,
     "interferer": 1.0,
+    "multipath": 1.0,
     "4station": 1.0,
     "5station": 1.0,
 }
