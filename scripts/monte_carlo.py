@@ -19,6 +19,11 @@ fix and scores against the planted truth. Regimes:
                by O(1-3 samples) — estimator physics, not a defect
                (the direct-path-preferring refinement already rejects
                the worse trade, BENCHLOG round 1); bounds reflect it
+  moving       30-150 m/s emitter, random heading, µs clocks —
+               --solve-velocity path: CAF Doppler + deramp-and-
+               correlate TDOAs + FDOA velocity solve. Scored against
+               the block-midpoint truth position AND the planted
+               velocity (within 15 m/s or its own 3σ)
   4station/5station  larger networks, solve over all pairs
 
 A trial passes when the result is ACCURATE, or when it is inaccurate
@@ -105,6 +110,8 @@ def run_trial(regime: str, seed: int) -> dict:
 
     kw: dict = {}
     max_lag = 768
+    block_len = 1 << 17
+    vel_true = None
     atol_tdoa, atol_fix = 0.5, 200.0
     if regime == "clean":
         kw["clock_offsets_s"] = rng.uniform(-80e-6, 80e-6, n_st)
@@ -139,6 +146,17 @@ def run_trial(regime: str, seed: int) -> dict:
         )
         kw["clock_offsets_s"] = rng.uniform(-50e-6, 50e-6, n_st)
         atol_tdoa, atol_fix = 3.5, 600.0
+    elif regime == "moving":
+        speed = rng.uniform(30.0, 150.0)
+        heading = rng.uniform(0.0, 2.0 * np.pi)
+        vel_true = np.array(
+            [speed * np.cos(heading), speed * np.sin(heading), 0.0]
+        )
+        kw["tgt_velocity_enu"] = vel_true
+        kw["clock_offsets_s"] = rng.uniform(-20e-6, 20e-6, n_st)
+        block_len = 1 << 18  # CAF Doppler resolution needs the longer block
+        max_lag = 512
+        atol_tdoa, atol_fix = 1.0, 300.0
     else:  # 4station / 5station
         kw["clock_offsets_s"] = rng.uniform(-100e-6, 100e-6, n_st)
 
@@ -147,7 +165,7 @@ def run_trial(regime: str, seed: int) -> dict:
         station_lla=lla,
         ref_tx_lla=REF_TX,
         tgt_tx_lla=tgt,
-        block_len=1 << 17,
+        block_len=block_len,
         seed=seed,
         **kw,
     )
@@ -159,6 +177,7 @@ def run_trial(regime: str, seed: int) -> dict:
     proc = TDOAProcessor(
         ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
                         max_lag=max_lag,
+                        solve_velocity=vel_true is not None,
                         multi_emitter=2 if regime == "interferer" else 1),
         table,
     )
@@ -172,9 +191,16 @@ def run_trial(regime: str, seed: int) -> dict:
     )
     tdoa_err = float(np.abs(res.corrected_tdoa_samples - want).max())
 
+    # Truth geometry is evaluated at the TGT block's midpoint; for a
+    # moving emitter, score the fix against where it actually was then.
+    mid_off = np.zeros(2)
+    if vel_true is not None:
+        mid_off = vel_true[:2] * (1.5 * sc.block_len / sc.sample_rate)
+
     def err_of(fix):
         return float(np.linalg.norm(
             lla_to_enu(np.array([fix.lat, fix.lon, tgt[2]]), tgt)[:2]
+            - mid_off
         ))
 
     fix_err = err_of(res.fix)
@@ -186,21 +212,43 @@ def run_trial(regime: str, seed: int) -> dict:
         if best < atol_fix:
             tdoa_err = 0.0  # the associated set carried the target
 
-    accurate = tdoa_err < atol_tdoa and fix_err < atol_fix
+    vel_err = None
+    warnings = list(res.warnings)
+    vel_ok = True
+    if vel_true is not None:
+        # The motion notice ("deramp-and-correlate") announces the
+        # designed behavior, not a degradation — it must not count as
+        # the flag that excuses an inaccurate result.
+        warnings = [w for w in warnings if "deramp-and-correlate" not in w]
+        if res.velocity_enu is None:
+            vel_err = float("inf")
+            vel_ok = False
+        else:
+            dv = np.asarray(res.velocity_enu) - vel_true
+            vel_err = float(np.linalg.norm(dv))
+            sig = res.velocity_sigma_enu
+            vel_ok = vel_err < 15.0 or (
+                sig is not None
+                and bool(np.all(np.abs(dv[:2]) < 3.0 * sig[:2] + 1.0))
+            )
+
+    accurate = tdoa_err < atol_tdoa and fix_err < atol_fix and vel_ok
     # Calibrated uncertainty: a fix whose own 1σ ellipse covers the
     # error (bad GDOP from a randomly thin network) is honest, not
     # wrong.
     covered = (res.fix.ellipse is not None
-               and fix_err < 3.0 * res.fix.ellipse[0])
-    flagged = len(res.warnings) > 0
+               and fix_err < 3.0 * res.fix.ellipse[0]
+               and vel_ok)
+    flagged = len(warnings) > 0
     return {
         "seed": seed,
         "tdoa_err": tdoa_err,
         "fix_err": fix_err,
+        "vel_err": vel_err,
         "ok": accurate or covered or flagged,
         "accurate": accurate,
         "silent": not (accurate or covered or flagged),
-        "warnings": len(res.warnings),
+        "warnings": len(warnings),
     }
 
 
@@ -210,6 +258,7 @@ REGIMES = {
     "wild-clocks": 1.0,
     "interferer": 1.0,
     "multipath": 1.0,
+    "moving": 1.0,
     "4station": 1.0,
     "5station": 1.0,
 }
@@ -248,12 +297,17 @@ def main() -> None:
         silent_total += silent
         rate = ok / len(results)
         status = "PASS" if rate >= floor and silent == 0 else "FAIL"
+        ve = np.array([r["vel_err"] for r in results
+                       if r["vel_err"] is not None])
+        vel_txt = (f"  vel p50/p95 {np.percentile(ve, 50):.1f}/"
+                   f"{np.percentile(ve, 95):.1f} m/s"
+                   if len(ve) else "")
         print(f"[{status}] {regime:12s} ok {ok}/{len(results)} "
               f"(accurate {acc}, silent {silent})  "
               f"tdoa p50/p95 {np.percentile(te, 50):.3f}/"
               f"{np.percentile(te, 95):.3f} samp  "
               f"fix p50/p95 {np.percentile(fe, 50):.1f}/"
-              f"{np.percentile(fe, 95):.1f} m", flush=True)
+              f"{np.percentile(fe, 95):.1f} m{vel_txt}", flush=True)
         if rate < floor or silent:
             failed_total += 1
     sys.exit(1 if failed_total or silent_total else 0)
