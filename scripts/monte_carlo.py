@@ -212,6 +212,15 @@ def run_trial(regime: str, seed: int) -> dict:
         if best < atol_fix:
             tdoa_err = 0.0  # the associated set carried the target
 
+    # Ghost-ambiguous trial: record where the power ranking points.
+    power_pick_err = None
+    if res.fix.candidates_power_score is not None:
+        kbest = int(np.argmin(res.fix.candidates_power_score))
+        c = res.fix.candidates_lla[kbest]
+        power_pick_err = float(np.linalg.norm(
+            lla_to_enu(np.array([c[0], c[1], tgt[2]]), tgt)[:2] - mid_off
+        ))
+
     vel_err = None
     warnings = list(res.warnings)
     vel_ok = True
@@ -245,6 +254,7 @@ def run_trial(regime: str, seed: int) -> dict:
         "tdoa_err": tdoa_err,
         "fix_err": fix_err,
         "vel_err": vel_err,
+        "power_pick_err": power_pick_err,
         "ok": accurate or covered or flagged,
         "accurate": accurate,
         "silent": not (accurate or covered or flagged),
@@ -272,6 +282,8 @@ def main() -> None:
 
     failed_total = 0
     silent_total = 0
+    ghost_total = 0
+    ghost_power_right = 0
     for regime, floor in REGIMES.items():
         results = []
         for t in range(args.trials_per_regime):
@@ -308,8 +320,17 @@ def main() -> None:
               f"{np.percentile(te, 95):.3f} samp  "
               f"fix p50/p95 {np.percentile(fe, 50):.1f}/"
               f"{np.percentile(fe, 95):.1f} m{vel_txt}", flush=True)
+        ghosts = [r for r in results if r["power_pick_err"] is not None]
+        ghost_total += len(ghosts)
+        ghost_power_right += sum(
+            r["power_pick_err"] < 300.0 for r in ghosts
+        )
         if rate < floor or silent:
             failed_total += 1
+    if ghost_total:
+        print(f"ghost-ambiguous fixes: {ghost_total}; received-power "
+              f"ranking named the true candidate in "
+              f"{ghost_power_right}/{ghost_total}", flush=True)
     sys.exit(1 if failed_total or silent_total else 0)
 
 

@@ -49,6 +49,12 @@ def main(argv=None) -> int:
                    help="CAF over the TGT block + FDOA least squares: "
                         "emitter velocity at the fix (clock-drift "
                         "Doppler removed via the dual REF blocks)")
+    p.add_argument("--power-disambiguation", action="store_true",
+                   help="when a 3-station fix is ghost-ambiguous and "
+                        "the 1/r received-power ranking is decisive, "
+                        "move the fix to the power-preferred candidate "
+                        "(assumes comparable antennas; the ranking is "
+                        "always reported in the warning)")
     p.add_argument("--multi-emitter", type=int, default=1, metavar="N",
                    help="separate up to N co-channel emitters by "
                         "correlation-peak cycle-consistency (default 1: off)")
@@ -85,6 +91,7 @@ def main(argv=None) -> int:
         multi_emitter=args.multi_emitter,
         solve_velocity=args.solve_velocity,
         lo_compensation="auto" if args.lo_compensation else "off",
+        power_disambiguation=args.power_disambiguation,
     )
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",
@@ -128,8 +135,11 @@ def main(argv=None) -> int:
             "quality": list(res.quality),
             "warnings": res.warnings,
             "candidates": None if fix.candidates_lla is None else [
-                {"lat": c[0], "lon": c[1], "rms_m": r}
-                for c, r in zip(fix.candidates_lla, fix.candidates_rms)
+                {"lat": c[0], "lon": c[1], "rms_m": r,
+                 "power_score": None if fix.candidates_power_score is None
+                 else fix.candidates_power_score[k]}
+                for k, (c, r) in enumerate(
+                    zip(fix.candidates_lla, fix.candidates_rms))
             ],
             "velocity_enu_mps": None if res.velocity_enu is None else
             list(res.velocity_enu),
@@ -181,8 +191,14 @@ def main(argv=None) -> int:
               f"at {az:.0f} deg E of N")
     if fix.candidates_lla is not None and len(fix.candidates_lla) > 1:
         print("Other candidate solutions (TDOA ghosts):")
-        for lla, rms in zip(fix.candidates_lla[1:], fix.candidates_rms[1:]):
-            print(f"  {lla[0]:.6f}, {lla[1]:.6f}  (residual {rms:.1f} m)")
+        for k, (lla, rms) in enumerate(
+                zip(fix.candidates_lla[1:], fix.candidates_rms[1:]), 1):
+            ps = ""
+            if fix.candidates_power_score is not None:
+                ps = (f", power-consistency "
+                      f"{fix.candidates_power_score[k]:.2f} log-sigma")
+            print(f"  {lla[0]:.6f}, {lla[1]:.6f}  "
+                  f"(residual {rms:.1f} m{ps})")
     if res.velocity_enu is not None:
         ve, vn, vu = res.velocity_enu
         import math

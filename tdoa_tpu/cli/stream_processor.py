@@ -55,6 +55,10 @@ def main(argv=None) -> int:
                    help="base TDOA distance (samples) for cross-window "
                         "emitter identity; grows 2 samples/s with window "
                         "spacing to cover emitter motion (~270 m/s)")
+    p.add_argument("--power-disambiguation", action="store_true",
+                   help="move ghost-ambiguous fixes to the 1/r "
+                        "received-power-preferred candidate when the "
+                        "ranking is decisive (see the processor CLI)")
     p.add_argument("--solve-velocity", action="store_true",
                    help="per-window CAF+FDOA velocity fused into the "
                         "track (instant velocity instead of "
@@ -104,6 +108,7 @@ def main(argv=None) -> int:
         max_lag=args.max_lag, seg_len=args.seg_len,
         solve_velocity=args.solve_velocity,
         multi_emitter=args.multi_emitter,
+        power_disambiguation=args.power_disambiguation,
     )
     # Tracker over the station set actually present in each window;
     # rebuilt when the set changes (tracks carry over only while the

@@ -34,7 +34,13 @@ from tdoa_tpu.io.datfile import DatCapture, load_dat
 from tdoa_tpu.io.stations import StationTable, load_station_table, station_from_filename
 from tdoa_tpu.ops.cplx import C, from_complex
 from tdoa_tpu.ops.corr import correlate_pairs_planar
-from tdoa_tpu.solve.multilateration import FixResult, solve_fix, station_pairs
+from tdoa_tpu.solve.multilateration import (
+    FixResult,
+    rank_candidates_by_power,
+    refit_to_candidate,
+    solve_fix,
+    station_pairs,
+)
 from tdoa_tpu.utils.constants import (
     DEFAULT_MAX_LAG,
     DEFAULT_SAMPLE_RATE,
@@ -85,6 +91,14 @@ class ProcessorConfig:
     # before the main correlation. Off by default: the probe costs one
     # CAF dispatch, and disciplined-clock deployments don't need it.
     lo_compensation: str = "off"
+    # Ghost-ambiguity auto-resolution: when a 3-station fix has two
+    # timing-equivalent intersections AND the 1/r received-power
+    # ranking (REF-gain-calibrated) is decisive, move the fix to the
+    # power-preferred candidate. Off by default — path-loss ranking
+    # assumes comparable antennas and free-space propagation, so the
+    # swap is an operator opt-in; the ranking itself is always
+    # reported in the warning and on fix.candidates_power_score.
+    power_disambiguation: bool = False
 
 
 @dataclasses.dataclass
@@ -310,6 +324,17 @@ def process_blocks(
     tgt_window = res.corr.reshape(3, m, -1)[1]  # [m, 2*max_lag_c+1]
     return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
             corrected_std, tgt_window)
+
+
+def _station_mean_power(x: C) -> np.ndarray:
+    """Per-station mean |x|² from a strided subsample (≤1M samples per
+    station) — cheap enough to run eagerly on the rare ambiguous-fix
+    path without touching the hot pipeline."""
+    n = int(x.re.shape[1])
+    step = max(1, n // (1 << 20))
+    re = x.re[:, ::step]
+    im = x.im[:, ::step]
+    return np.asarray(jnp.mean(re * re + im * im, axis=1), np.float64)
 
 
 def _derotate(
@@ -736,12 +761,78 @@ class TDOAProcessor:
                 2.0 * fix.rms_residual_m, 3.0 * sigma_m, 5.0
             )
             if close_fit and sep > max(100.0, 3.0 * ell_a):
+                # Timing cannot choose between the intersections, but
+                # 1/r path loss can lean: the true location's distances
+                # must match the received amplitude profile (the REF
+                # block calibrates per-station gain differences away —
+                # possible only when the REF transmitter position is
+                # known).
+                ref_tx = self.stations.reference_tx
+                fix.candidates_power_score = rank_candidates_by_power(
+                    fix.candidates_lla,
+                    lla,
+                    _station_mean_power(tgt),
+                    ref_power=(
+                        None if ref_tx is None
+                        else _station_mean_power(ref1)
+                    ),
+                    ref_tx_lla=(
+                        None if ref_tx is None
+                        else np.array([ref_tx.lat, ref_tx.lon, ref_tx.elev])
+                    ),
+                )
+                scores = np.asarray(fix.candidates_power_score, np.float64)
+                best = int(np.argmin(scores))
+                margin = float(
+                    np.delete(scores, best).min() - scores[best]
+                )
+                decisive = margin >= 0.1
+                if cfg.power_disambiguation and decisive and best != 0:
+                    fix = refit_to_candidate(
+                        fix, best, lla, pairs,
+                        weights=w, tdoa_sigma_s=tdoa_std_s,
+                    )
+                    best = 0  # the preferred candidate now leads
+                    second = fix.candidates_lla[1]
+                    rms2 = float(fix.candidates_rms[1])
+                    sep = float(np.linalg.norm(lla_to_enu(
+                        np.array([second[0], second[1], fix.elev]),
+                        np.array([fix.lat, fix.lon, fix.elev]),
+                    )[:2]))
+                    swapped = True
+                else:
+                    swapped = False
+                cal_txt = (
+                    "REF-gain-calibrated" if ref_tx is not None
+                    else "UNcalibrated per-station gains"
+                )
+                if decisive:
+                    pref = (
+                        "primary" if best == 0
+                        else f"candidate #{best + 1}"
+                    )
+                    power_txt = (
+                        f"; received-power ranking (1/r path loss, "
+                        f"{cal_txt}, advisory) prefers the {pref} "
+                        f"solution (consistency {scores.min():.2f} vs "
+                        f"next {scores.min() + margin:.2f} log-σ)"
+                    )
+                    if swapped:
+                        power_txt += (
+                            " — fix moved to the power-preferred "
+                            "solution (power_disambiguation on)"
+                        )
+                else:
+                    power_txt = (
+                        f"; received-power ranking ({cal_txt}) is "
+                        f"inconclusive (best margin {margin:.2f} log-σ)"
+                    )
                 warnings.append(
                     f"ambiguous fix (TDOA ghost): a second solution "
                     f"{sep:.0f} m away at {second[0]:.6f},{second[1]:.6f} "
                     f"fits equally well (rms {rms2:.1f} m vs "
                     f"{fix.rms_residual_m:.1f} m) — a fourth station or "
-                    f"a coverage prior is needed to disambiguate"
+                    f"a coverage prior disambiguates{power_txt}"
                 )
 
         velocity_enu = velocity_residual_hz = fdoa_out = None

@@ -3,6 +3,8 @@ from tdoa_tpu.solve.multilateration import (
     solve_tdoa_enu_multistart,
     solve_fix,
     station_pairs,
+    rank_candidates_by_power,
+    refit_to_candidate,
     FixResult,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "solve_tdoa_enu_multistart",
     "solve_fix",
     "station_pairs",
+    "rank_candidates_by_power",
+    "refit_to_candidate",
     "FixResult",
 ]

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tdoa_tpu.geo import network_origin, enu_to_lla, lla_to_enu
+from tdoa_tpu.geo import network_origin, enu_to_lla, lla_to_ecef, lla_to_enu
 from tdoa_tpu.utils.constants import SPEED_OF_LIGHT
 
 
@@ -155,6 +155,33 @@ def fix_covariance_enu(
         return np.full((2, 2), np.inf)
 
 
+def _propagated_uncertainty(
+    stations_enu: np.ndarray,
+    pair_idx: np.ndarray,
+    pos_enu: np.ndarray,
+    weights: Optional[Sequence[float]],
+    tdoa_sigma_s: Optional[Sequence[float]],
+):
+    """(cov_en, ellipse) at ``pos_enu``, or (None, None) without sigmas.
+
+    A pair the solver excluded (weight 0) must not tighten the
+    covariance: its phase-slope sigma can be tiny even when its delay
+    is garbage (e.g. a narrowband interferer) — such pairs get σ=∞.
+    """
+    if tdoa_sigma_s is None:
+        return None, None
+    sigma_m = np.asarray(tdoa_sigma_s, dtype=np.float64) * SPEED_OF_LIGHT
+    if weights is not None:
+        sigma_m = np.where(
+            np.asarray(weights, np.float64) > 0.0, sigma_m, np.inf
+        )
+    cov_en = fix_covariance_enu(
+        np.asarray(stations_enu, np.float64), np.asarray(pair_idx),
+        pos_enu, sigma_m,
+    )
+    return cov_en, error_ellipse(cov_en)
+
+
 def error_ellipse(cov2: np.ndarray, k_sigma: float = 1.0):
     """(semi_major_m, semi_minor_m, azimuth_deg east-of-north) of the
     k-sigma confidence ellipse for a 2×2 EN covariance."""
@@ -180,6 +207,10 @@ class FixResult:
     # rms — ghost TDOA intersections show up here for disambiguation.
     candidates_lla: Optional[np.ndarray] = None
     candidates_rms: Optional[np.ndarray] = None
+    # 1/r received-power consistency per candidate (log-σ, lower =
+    # more consistent), filled by the processor on ambiguous fixes —
+    # see rank_candidates_by_power.
+    candidates_power_score: Optional[np.ndarray] = None
     # 1σ east-north covariance (m²) and ellipse (semi-major m,
     # semi-minor m, azimuth° E-of-N), from measurement error propagation
     # — present when the caller supplied per-pair TDOA uncertainties.
@@ -234,21 +265,9 @@ def solve_fix(
     pos_all, rms_all = pos_all[keep], rms_all[keep]
     pos = pos_all[0]
     lla = enu_to_lla(pos, origin)
-    cov_en = None
-    ellipse = None
-    if tdoa_sigma_s is not None:
-        sigma_m = np.asarray(tdoa_sigma_s, dtype=np.float64) * SPEED_OF_LIGHT
-        # A pair the solver excluded (weight 0) must not tighten the
-        # covariance: its phase-slope sigma can be tiny even when its
-        # delay is garbage (e.g. a narrowband interferer).
-        if weights is not None:
-            sigma_m = np.where(
-                np.asarray(weights, np.float64) > 0.0, sigma_m, np.inf
-            )
-        cov_en = fix_covariance_enu(
-            np.asarray(enu, np.float64), np.asarray(pair_idx), pos, sigma_m
-        )
-        ellipse = error_ellipse(cov_en)
+    cov_en, ellipse = _propagated_uncertainty(
+        enu, pair_idx, pos, weights, tdoa_sigma_s
+    )
     return FixResult(
         lat=float(lla[0]),
         lon=float(lla[1]),
@@ -261,3 +280,92 @@ def solve_fix(
         cov_en=cov_en,
         ellipse=ellipse,
     )
+
+
+def refit_to_candidate(
+    fix: FixResult,
+    k: int,
+    station_lla: np.ndarray,
+    pair_idx: Optional[np.ndarray] = None,
+    weights: Optional[Sequence[float]] = None,
+    tdoa_sigma_s: Optional[Sequence[float]] = None,
+) -> FixResult:
+    """FixResult re-centered on ``candidates[k]`` (ghost swap).
+
+    Position and rms come from the stored multi-start candidate — both
+    intersections already satisfy the TDOAs, so no re-solve is needed —
+    but the covariance/ellipse are re-propagated at the new position
+    (the Jacobian geometry differs between intersections). Candidate
+    arrays are reordered so the chosen solution leads.
+    """
+    station_lla = np.asarray(station_lla, np.float64)
+    if pair_idx is None:
+        pair_idx = station_pairs(len(station_lla))
+    origin = fix.origin_lla
+    cand = np.asarray(fix.candidates_lla[k], np.float64)
+    pos = lla_to_enu(cand, origin)
+    cov_en, ellipse = _propagated_uncertainty(
+        lla_to_enu(station_lla, origin), pair_idx, pos,
+        weights, tdoa_sigma_s,
+    )
+    order = [k] + [i for i in range(len(fix.candidates_rms)) if i != k]
+    return dataclasses.replace(
+        fix,
+        lat=float(cand[0]),
+        lon=float(cand[1]),
+        elev=float(cand[2]),
+        enu=pos,
+        rms_residual_m=float(fix.candidates_rms[k]),
+        candidates_lla=np.asarray(fix.candidates_lla)[order],
+        candidates_rms=np.asarray(fix.candidates_rms)[order],
+        candidates_power_score=(
+            None if fix.candidates_power_score is None
+            else np.asarray(fix.candidates_power_score)[order]
+        ),
+        cov_en=cov_en,
+        ellipse=ellipse,
+    )
+
+
+def rank_candidates_by_power(
+    candidates_lla: np.ndarray,  # [k, 3] (lat°, lon°, elev m)
+    station_lla: np.ndarray,  # [n, 3]
+    tgt_power: np.ndarray,  # [n] mean received TGT-block power (linear)
+    ref_power: Optional[np.ndarray] = None,  # [n] mean REF-block power
+    ref_tx_lla: Optional[np.ndarray] = None,  # [3] REF transmitter
+) -> np.ndarray:
+    """1/r path-loss consistency score per fix candidate (lower = more
+    consistent with the received powers).
+
+    A TDOA ghost fits the *timing* exactly — two hyperbola intersections
+    satisfy every pair — but it sits at different distances from the
+    stations than the true emitter, and free-space amplitude falls as
+    1/r. For the true candidate c the received amplitudes satisfy
+    a_i·d_i(c) ≈ const, so the score is the standard deviation across
+    stations of log(a_i·d_i(c)); working in log ratios drops the
+    unknown transmit power and any common receiver gain.
+
+    Per-station gain differences (the gain calibrator deliberately sets
+    different dB per station) are removed with the REF block when given:
+    the REF transmitter is common and its distances are known, so
+    g_i ∝ p_ref_i·d_ref_i² and the TGT amplitude is gain-corrected by
+    √g_i. Residual assumptions — comparable antenna patterns toward
+    both transmitters, free-space propagation, noise well below the
+    signal — make this an advisory ranking, not a measurement.
+    """
+    st = lla_to_ecef(np.asarray(station_lla, np.float64))
+    p_tgt = np.maximum(np.asarray(tgt_power, np.float64), 1e-30)
+    log_a = 0.5 * np.log(p_tgt)
+    if ref_power is not None and ref_tx_lla is not None:
+        d_ref = np.linalg.norm(
+            st - lla_to_ecef(np.asarray(ref_tx_lla, np.float64)), axis=-1
+        )
+        p_ref = np.maximum(np.asarray(ref_power, np.float64), 1e-30)
+        # log √g_i = ½·log p_ref_i + log d_ref_i (up to a common const).
+        log_a = log_a - 0.5 * np.log(p_ref) - np.log(np.maximum(d_ref, 1.0))
+    cands = np.atleast_2d(np.asarray(candidates_lla, np.float64))
+    scores = np.empty(len(cands))
+    for k, cand in enumerate(cands):
+        d = np.linalg.norm(st - lla_to_ecef(cand), axis=-1)
+        scores[k] = np.std(log_a + np.log(np.maximum(d, 1.0)))
+    return scores

@@ -66,6 +66,29 @@ def test_ghost_ambiguity_is_flagged():
         for c in res.fix.candidates_lla
     ]
     assert min(cand_errs) < 30.0, cand_errs
+    # The 1/r received-power ranking (sim plants true path-loss
+    # amplitudes) must score the TRUE candidate as the consistent one
+    # and say so in the warning.
+    scores = res.fix.candidates_power_score
+    assert scores is not None
+    k_true = int(np.argmin(cand_errs))
+    assert int(np.argmin(scores[:2])) == k_true, (cand_errs, scores)
+    assert any("received-power ranking" in w for w in res.warnings)
+    # Opt-in auto-resolution: the fix moves to the power-preferred
+    # candidate (here the solver's primary was the 548 m ghost).
+    proc2 = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=768,
+                        power_disambiguation=True),
+        table,
+    )
+    res2 = proc2.process_captures({n: caps[n] for n in names})
+    err2 = np.linalg.norm(
+        lla_to_enu(np.array([res2.fix.lat, res2.fix.lon, tgt[2]]), tgt)[:2]
+    )
+    assert err2 < 30.0, err2
+    assert any("fix moved to the power-preferred" in w
+               for w in res2.warnings), res2.warnings
+    assert res2.fix.ellipse is not None
 
 
 @pytest.mark.slow

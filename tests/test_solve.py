@@ -124,3 +124,65 @@ def test_gated_pair_does_not_tighten_ellipse():
                       tdoa_sigma_s=sig)
     # Gating the overconfident pair must grow the ellipse.
     assert gated.ellipse[0] > full.ellipse[0] * 1.3
+
+
+def test_power_ranking_picks_true_candidate():
+    """Two timing-equivalent candidates, amplitudes planted by 1/r at
+    the TRUE one: the path-loss consistency score must prefer it, be
+    invariant to overall transmit power, and survive per-station gain
+    differences when the REF block is supplied for calibration."""
+    from tdoa_tpu.geo import lla_to_ecef
+    from tdoa_tpu.solve import rank_candidates_by_power
+
+    stations = np.array([
+        [41.30, -96.02, 300.0],
+        [41.36, -95.95, 310.0],
+        [41.25, -95.90, 305.0],
+    ])
+    true_c = np.array([41.32, -95.99, 320.0])
+    ghost_c = np.array([41.10, -96.20, 320.0])
+    ref_tx = np.array([41.257, -95.955, 349.0])
+
+    d_true = np.linalg.norm(
+        lla_to_ecef(stations) - lla_to_ecef(true_c), axis=-1)
+    d_ref = np.linalg.norm(
+        lla_to_ecef(stations) - lla_to_ecef(ref_tx), axis=-1)
+    cands = np.stack([ghost_c, true_c])  # ghost listed first
+
+    # Equal gains, arbitrary TX power: score is scale-invariant.
+    for tx_power in (1.0, 37.0):
+        p_tgt = tx_power / d_true**2
+        s = rank_candidates_by_power(cands, stations, p_tgt)
+        assert s[1] < 0.02 and s[0] > s[1] + 0.1, s
+
+    # Per-station gains skew raw powers; REF calibration removes them.
+    gains = np.array([1.0, 6.3, 0.2])
+    p_tgt = gains / d_true**2
+    p_ref = 5.0 * gains / d_ref**2
+    raw = rank_candidates_by_power(cands, stations, p_tgt)
+    cal = rank_candidates_by_power(
+        cands, stations, p_tgt, ref_power=p_ref, ref_tx_lla=ref_tx)
+    assert raw[1] > 0.1  # uncalibrated: gains corrupt the profile
+    assert cal[1] < 0.02 and cal[0] > cal[1] + 0.1, (raw, cal)
+
+
+def test_refit_to_candidate_swaps_and_repropagates(omaha_stations):
+    """refit_to_candidate moves the fix to candidate k, reorders the
+    candidate arrays, and recomputes the ellipse at the new geometry."""
+    from tdoa_tpu.solve import refit_to_candidate
+
+    stations = omaha_stations["station_lla"]
+    tx = np.array([41.10, -96.20, 350.0])  # outside the triangle: ghosts
+    tdoas, pairs = _exact_tdoas(stations, tx)
+    sig = np.full(3, 2e-9)
+    fix = solve_fix(stations, tdoas, tdoa_sigma_s=sig)
+    assert fix.candidates_lla is not None and len(fix.candidates_lla) > 1
+    new = refit_to_candidate(fix, 1, stations, pairs, tdoa_sigma_s=sig)
+    np.testing.assert_allclose(
+        [new.lat, new.lon], fix.candidates_lla[1][:2], atol=1e-9)
+    np.testing.assert_allclose(
+        new.candidates_lla[1], fix.candidates_lla[0], atol=1e-12)
+    assert new.rms_residual_m == fix.candidates_rms[1]
+    assert new.ellipse is not None and np.isfinite(new.ellipse[0])
+    # The original is untouched (dataclasses.replace semantics).
+    assert fix.candidates_rms[0] <= fix.candidates_rms[1]
