@@ -49,6 +49,12 @@ def main(argv=None) -> int:
                    help="CAF over the TGT block + FDOA least squares: "
                         "emitter velocity at the fix (clock-drift "
                         "Doppler removed via the dual REF blocks)")
+    p.add_argument("--prior", metavar="LAT,LON,RADIUS_KM", default=None,
+                   help="coverage prior: surveillance area as center "
+                        "lat,lon (deg) and radius (km). A unique "
+                        "in-prior candidate resolves a ghost-ambiguous "
+                        "fix outright; a fix outside the prior is "
+                        "warned about")
     p.add_argument("--power-disambiguation", action="store_true",
                    help="when a 3-station fix is ghost-ambiguous and "
                         "the 1/r received-power ranking is decisive, "
@@ -68,6 +74,17 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler device trace into DIR "
                         "(TensorBoard-loadable)")
     args = p.parse_args(argv)
+
+    prior = None
+    if args.prior is not None:
+        try:
+            lat_s, lon_s, rad_s = args.prior.split(",")
+            prior = (float(lat_s), float(lon_s), float(rad_s) * 1000.0)
+        except ValueError:
+            p.error("--prior expects LAT,LON,RADIUS_KM (e.g. 41.2,-96.0,25)")
+        if not (-90.0 <= prior[0] <= 90.0 and -180.0 <= prior[1] <= 180.0
+                and prior[2] > 0.0):
+            p.error("--prior out of range: |lat|<=90, |lon|<=180, radius>0")
 
     from tdoa_tpu.pipeline import TDOAProcessor
     from tdoa_tpu.utils.constants import DEFAULT_SAMPLE_RATE
@@ -92,6 +109,7 @@ def main(argv=None) -> int:
         solve_velocity=args.solve_velocity,
         lo_compensation="auto" if args.lo_compensation else "off",
         power_disambiguation=args.power_disambiguation,
+        prior=prior,
     )
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",

@@ -99,6 +99,12 @@ class ProcessorConfig:
     # swap is an operator opt-in; the ranking itself is always
     # reported in the warning and on fix.candidates_power_score.
     power_disambiguation: bool = False
+    # Coverage prior (lat°, lon°, radius m): operator knowledge of the
+    # surveillance area. On an ambiguous fix, a UNIQUE candidate inside
+    # the prior is selected outright (hard knowledge beats the advisory
+    # power ranking); zero or multiple in-prior candidates are reported
+    # and the fix is left alone.
+    prior: Optional[Tuple[float, float, float]] = None
 
 
 @dataclasses.dataclass
@@ -781,13 +787,63 @@ class TDOAProcessor:
                         else np.array([ref_tx.lat, ref_tx.lon, ref_tx.elev])
                     ),
                 )
+                # Coverage prior first: operator knowledge of the
+                # surveillance area is authoritative where the advisory
+                # power ranking only leans. A unique in-prior candidate
+                # wins outright.
+                prior_txt = ""
+                prior_decided = False
+                if cfg.prior is not None:
+                    p_lat, p_lon, p_rad = cfg.prior
+                    center = np.array([p_lat, p_lon, fix.elev])
+                    d_prior = np.array([
+                        float(np.linalg.norm(lla_to_enu(
+                            np.array([c[0], c[1], fix.elev]), center
+                        )[:2]))
+                        for c in fix.candidates_lla
+                    ])
+                    inside = np.flatnonzero(d_prior <= p_rad)
+                    if len(inside) == 1:
+                        k_in = int(inside[0])
+                        if k_in != 0:
+                            fix = refit_to_candidate(
+                                fix, k_in, lla, pairs,
+                                weights=w, tdoa_sigma_s=tdoa_std_s,
+                            )
+                            second = fix.candidates_lla[1]
+                            rms2 = float(fix.candidates_rms[1])
+                            sep = float(np.linalg.norm(lla_to_enu(
+                                np.array([second[0], second[1], fix.elev]),
+                                np.array([fix.lat, fix.lon, fix.elev]),
+                            )[:2]))
+                        prior_txt = (
+                            f"; coverage prior ({p_rad / 1000.0:.0f} km "
+                            f"around {p_lat:.4f},{p_lon:.4f}) selects "
+                            f"the only in-prior solution"
+                            + (" — fix moved there" if k_in != 0 else "")
+                        )
+                        prior_decided = True
+                    elif len(inside) == 0:
+                        prior_txt = (
+                            "; coverage prior excludes ALL candidates — "
+                            "suspect geometry or a prior mismatch"
+                        )
+                    else:
+                        prior_txt = (
+                            f"; coverage prior keeps {len(inside)} "
+                            f"candidates — inconclusive"
+                        )
+                # Power ranking (recomputed from the possibly-reordered
+                # candidate arrays — refit_to_candidate keeps the score
+                # array aligned).
                 scores = np.asarray(fix.candidates_power_score, np.float64)
                 best = int(np.argmin(scores))
                 margin = float(
                     np.delete(scores, best).min() - scores[best]
                 )
                 decisive = margin >= 0.1
-                if cfg.power_disambiguation and decisive and best != 0:
+                if (cfg.power_disambiguation and decisive and best != 0
+                        and not prior_decided):
                     fix = refit_to_candidate(
                         fix, best, lla, pairs,
                         weights=w, tdoa_sigma_s=tdoa_std_s,
@@ -832,7 +888,20 @@ class TDOAProcessor:
                     f"{sep:.0f} m away at {second[0]:.6f},{second[1]:.6f} "
                     f"fits equally well (rms {rms2:.1f} m vs "
                     f"{fix.rms_residual_m:.1f} m) — a fourth station or "
-                    f"a coverage prior disambiguates{power_txt}"
+                    f"a coverage prior disambiguates{prior_txt}{power_txt}"
+                )
+
+        if cfg.prior is not None:
+            p_lat, p_lon, p_rad = cfg.prior
+            d_fix = float(np.linalg.norm(lla_to_enu(
+                np.array([fix.lat, fix.lon, fix.elev]),
+                np.array([p_lat, p_lon, fix.elev]),
+            )[:2]))
+            if d_fix > p_rad:
+                warnings.append(
+                    f"fix is {d_fix / 1000.0:.1f} km outside the "
+                    f"coverage prior ({p_rad / 1000.0:.0f} km around "
+                    f"{p_lat:.4f},{p_lon:.4f})"
                 )
 
         velocity_enu = velocity_residual_hz = fdoa_out = None

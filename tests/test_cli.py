@@ -63,6 +63,17 @@ def test_simple_corr_passes():
     assert "ALL PASS" in r.stdout
 
 
+def test_processor_prior_flag_validation():
+    """--prior is validated before any capture is read: malformed or
+    out-of-range values exit with the argparse usage error (rc 2)."""
+    for bad in ("41.2,-96.0", "a,b,c", "41.2,-96.0,-5", "95,0,10"):
+        r = run_cli("processor", "--prior", bad,
+                    "162400000", "101900000", "stations.csv",
+                    "a.dat", "b.dat", "c.dat", check=False)
+        assert r.returncode == 2, (bad, r.stderr)
+        assert "--prior" in r.stderr, (bad, r.stderr)
+
+
 @pytest.mark.slow
 def test_sim_to_processor_workflow(tmp_path, station_csv):
     """The full documented workflow: simulator → reader → analyzer →

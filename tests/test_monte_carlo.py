@@ -91,6 +91,66 @@ def test_ghost_ambiguity_is_flagged():
     assert res2.fix.ellipse is not None
 
 
+def test_coverage_prior_resolves_ghost():
+    """Same deterministic ghost scene as above, resolved by the
+    operator's coverage prior instead of power: a surveillance area
+    containing only the true candidate moves the fix there outright
+    (hard knowledge beats the advisory power ranking), a prior covering
+    both candidates stays inconclusive, and a fix far outside the prior
+    is warned about."""
+    mc = _load_mc()
+    rng = np.random.default_rng(1112)
+    lla = mc.random_network(rng, 3)
+    tgt = mc.random_target(rng, lla)
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("st0", "st1", "st2")
+    sc = SimScene(
+        station_names=names, station_lla=lla, ref_tx_lla=mc.REF_TX,
+        tgt_tx_lla=tgt, block_len=1 << 17, seed=1112,
+        clock_offsets_s=rng.uniform(-80e-6, 80e-6, 3),
+    )
+    caps, _ = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[k]) for k, n in enumerate(names)],
+        reference_tx=Station("162400000", *mc.REF_TX),
+    )
+
+    def run(prior):
+        proc = TDOAProcessor(
+            ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                            max_lag=768, prior=prior),
+            table,
+        )
+        return proc.process_captures({n: caps[n] for n in names})
+
+    # Tight prior around the true emitter: only the true candidate is
+    # inside (the ghost sits ~548 m away) -> fix moves there.
+    res = run((float(tgt[0]), float(tgt[1]), 200.0))
+    err = np.linalg.norm(
+        lla_to_enu(np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt)[:2]
+    )
+    assert err < 30.0, err
+    assert any("coverage prior" in w and "only in-prior" in w
+               for w in res.warnings), res.warnings
+    assert res.fix.ellipse is not None
+
+    # Wide prior covering both candidates: inconclusive, fix unmoved.
+    res_wide = run((float(tgt[0]), float(tgt[1]), 50_000.0))
+    assert any("inconclusive" in w and "coverage prior" in w
+               for w in res_wide.warnings), res_wide.warnings
+
+    # Prior far away from everything: excludes all candidates AND the
+    # final fix lies outside it -> both warnings.
+    res_far = run((float(tgt[0]) + 3.0, float(tgt[1]), 10_000.0))
+    assert any("excludes ALL candidates" in w for w in res_far.warnings)
+    assert any("outside the" in w and "coverage prior" in w
+               for w in res_far.warnings), res_far.warnings
+
+
 @pytest.mark.slow
 def test_monte_carlo_sweep_small():
     r = subprocess.run(
