@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                         "move the fix to the power-preferred candidate "
                         "(assumes comparable antennas; the ranking is "
                         "always reported in the warning)")
+    p.add_argument("--no-outlier-rejection", action="store_true",
+                   help="disable leave-one-station-out outlier rejection "
+                        "(>= 5-station networks: a station whose unique "
+                        "exclusion restores TDOA consistency is dropped "
+                        "from the fix)")
     p.add_argument("--multi-emitter", type=int, default=1, metavar="N",
                    help="separate up to N co-channel emitters by "
                         "correlation-peak cycle-consistency (default 1: off)")
@@ -110,6 +115,7 @@ def main(argv=None) -> int:
         lo_compensation="auto" if args.lo_compensation else "off",
         power_disambiguation=args.power_disambiguation,
         prior=prior,
+        outlier_rejection=not args.no_outlier_rejection,
     )
     print(f"Processing {len(args.dat_files)} captures "
           f"(ref {args.ref_freq/1e6:.4f} MHz, target {args.target_freq/1e6:.4f} MHz)",
@@ -152,6 +158,7 @@ def main(argv=None) -> int:
             "clock_drift_ppm": None if res.clock_drift_ppm is None else list(res.clock_drift_ppm),
             "quality": list(res.quality),
             "warnings": res.warnings,
+            "excluded_stations": res.excluded_stations,
             "candidates": None if fix.candidates_lla is None else [
                 {"lat": c[0], "lon": c[1], "rms_m": r,
                  "power_score": None if fix.candidates_power_score is None

@@ -105,6 +105,16 @@ class ProcessorConfig:
     # power ranking); zero or multiple in-prior candidates are reported
     # and the fix is left alone.
     prior: Optional[Tuple[float, float, float]] = None
+    # Leave-one-station-out outlier rejection: when the solved TDOA set
+    # is internally inconsistent and the network has >= 5 stations,
+    # re-solve with each station's pairs removed; if EXACTLY ONE
+    # exclusion restores consistency, that station is an outlier
+    # (multipath lock, interference) and is excluded from the fix.
+    # 5 is a floor, not a tuning choice: a single-station timing bias
+    # adds one unknown against the n-1 independent arrival differences,
+    # so at n=4 every leave-one-out subproblem is exactly solvable and
+    # the test cannot identify the bad station.
+    outlier_rejection: bool = True
 
 
 @dataclasses.dataclass
@@ -135,6 +145,11 @@ class TDOAResult:
     velocity_residual_hz: Optional[float] = None
     velocity_sigma_enu: Optional[np.ndarray] = None  # 1σ per axis, m/s
     fdoa_hz: Optional[np.ndarray] = None
+    # Stations excluded from the fix by leave-one-station-out outlier
+    # rejection (config outlier_rejection, >= 5-station networks).
+    # Their measurements remain in the per-pair arrays; their weights
+    # were zeroed for the solve. None when nothing was excluded.
+    excluded_stations: Optional[List[str]] = None
 
 
 @dataclasses.dataclass
@@ -740,6 +755,55 @@ class TDOAProcessor:
         # set — pairs locked on different emitters/paths — blows the
         # ratio out. 5× separates the two regimes with margin both ways.
         resid_gate = max(100.0, 5.0 * sigma_m)
+        excluded_stations: List[str] = []
+        if cfg.outlier_rejection and fix.rms_residual_m > resid_gate:
+            # Leave-one-station-out: one corrupted station (multipath
+            # lock, co-channel interference) poisons n-1 pairs, and with
+            # >= 5 stations the remaining network keeps enough redundancy
+            # to prove it — excluding the bad station restores
+            # consistency, excluding any good one does not. Adopt the
+            # exclusion only when it is UNIQUE in doing so; a test where
+            # several exclusions pass (or none does) stays advisory.
+            # Greedy repeat handles a second outlier while >= 5 stations
+            # remain active.
+            active = np.ones(len(names), bool)
+            while fix.rms_residual_m > resid_gate and int(active.sum()) >= 5:
+                loo = []
+                for s in np.flatnonzero(active):
+                    mask = np.array(
+                        [float(s != i and s != j) for i, j in pairs]
+                    )
+                    w_s = w * mask
+                    if np.count_nonzero(w_s) < 3:
+                        continue
+                    fix_s = solve_fix(
+                        lla, tdoa_s, weights=w_s, pair_idx=pairs,
+                        solve_z=cfg.solve_z, tdoa_sigma_s=tdoa_std_s,
+                    )
+                    loo.append((int(s), w_s, fix_s))
+                passing = [t for t in loo if t[2].rms_residual_m <= resid_gate]
+                if len(passing) != 1:
+                    detail = ", ".join(
+                        f"without {names[s]}: {f.rms_residual_m:.0f} m"
+                        for s, _, f in loo
+                    )
+                    warnings.append(
+                        f"leave-one-station-out test is inconclusive "
+                        f"({len(passing)} exclusions restore consistency; "
+                        f"rms {detail}) — no station excluded"
+                    )
+                    break
+                s, w_s, fix_s = passing[0]
+                warnings.append(
+                    f"station {names[s]} excluded as an outlier: its "
+                    f"pairs are inconsistent with the rest of the "
+                    f"network (rms {fix.rms_residual_m:.0f} m with it, "
+                    f"{fix_s.rms_residual_m:.0f} m without) — suspect "
+                    f"multipath lock or co-channel interference there"
+                )
+                fix, w = fix_s, w_s
+                active[s] = False
+                excluded_stations.append(names[s])
         if fix.rms_residual_m > resid_gate:
             warnings.append(
                 f"TDOA set is internally inconsistent (rms residual "
@@ -1279,6 +1343,7 @@ class TDOAProcessor:
             velocity_residual_hz=velocity_residual_hz,
             velocity_sigma_enu=velocity_sigma,
             fdoa_hz=fdoa_out,
+            excluded_stations=excluded_stations or None,
         )
 
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:

@@ -156,6 +156,93 @@ def test_broken_station_detected_and_survived():
     assert err < 500.0
 
 
+def _five_station_scene(seed=53):
+    scene = SimScene(
+        station_names=NAMES,
+        station_lla=FIVE_LLA,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=np.array([41.30888549464701, -96.02619229605524, 356.0]),
+        block_len=1 << 16,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6, -2e-6, 7e-6]),
+        seed=seed,
+    )
+    captures, truth = simulate_scene(scene)
+    table = StationTable(
+        stations=[Station(n, *row) for n, row in zip(NAMES, FIVE_LLA)],
+        reference_tx=Station("162400000", *scene.ref_tx_lla),
+    )
+    return scene, {n: captures[n] for n in NAMES}, table
+
+
+def _roll_tgt(caps, name, shift):
+    """Plant a consistent timing bias at one station: delay its TGT
+    block by ``shift`` samples (REF blocks untouched, so the clock
+    correction stays honest and every pair involving the station comes
+    out ``shift`` samples wrong — the signature of a multipath lock)."""
+    r1, tgt, r2 = caps[name]
+    caps = dict(caps)
+    caps[name] = (r1, jnp.roll(tgt, shift), r2)
+    return caps
+
+
+def test_outlier_station_excluded_five_stations():
+    """Leave-one-station-out rejection: with 5 stations, the uniquely
+    identifying exclusion is found, the station is dropped, and the fix
+    recovers the planted transmitter."""
+    scene, caps, table = _five_station_scene()
+    caps = _roll_tgt(caps, "st4", 160)  # 80 us bias ~ 24 km
+    proc = TDOAProcessor(
+        ProcessorConfig(
+            ref_freq=scene.ref_freq, tgt_freq=scene.tgt_freq,
+            seg_len=None, max_lag=512,
+        ),
+        table,
+    )
+    res = proc.process_captures(caps)
+    assert res.excluded_stations == ["st4"], res.warnings
+    assert any("excluded as an outlier" in w for w in res.warnings)
+    err = np.linalg.norm(
+        lla_to_enu(
+            np.array([res.fix.lat, res.fix.lon, scene.tgt_tx_lla[2]]),
+            scene.tgt_tx_lla,
+        )[:2]
+    )
+    assert err < 150.0, err
+    # Opt-out control: rejection disabled leaves the corrupted set in
+    # place — inconsistency flagged, nothing excluded, fix dragged.
+    proc_off = TDOAProcessor(
+        ProcessorConfig(
+            ref_freq=scene.ref_freq, tgt_freq=scene.tgt_freq,
+            seg_len=None, max_lag=512, outlier_rejection=False,
+        ),
+        table,
+    )
+    res_off = proc_off.process_captures(caps)
+    assert res_off.excluded_stations is None
+    assert any("internally inconsistent" in w for w in res_off.warnings)
+
+
+def test_two_outlier_stations_inconclusive():
+    """Two corrupted stations of five: no single exclusion restores
+    consistency, so the test must refuse to pick (advisory warning, no
+    exclusion) rather than drop an arbitrary station."""
+    scene, caps, table = _five_station_scene()
+    caps = _roll_tgt(caps, "st4", 160)
+    caps = _roll_tgt(caps, "n3pay", -120)
+    proc = TDOAProcessor(
+        ProcessorConfig(
+            ref_freq=scene.ref_freq, tgt_freq=scene.tgt_freq,
+            seg_len=None, max_lag=512,
+        ),
+        table,
+    )
+    res = proc.process_captures(caps)
+    assert res.excluded_stations is None
+    assert any("leave-one-station-out test is inconclusive" in w
+               for w in res.warnings), res.warnings
+    assert any("internally inconsistent" in w for w in res.warnings)
+
+
 def test_one_bad_pair_downweighted():
     """Redundancy pays: with 5 stations, one corrupted TDOA (zero weight)
     must not break the fix — the exact failure mode the reference's
