@@ -78,6 +78,15 @@ def main(argv=None) -> int:
     p.add_argument("--trace", metavar="DIR", default=None,
                    help="capture a jax.profiler device trace into DIR "
                         "(TensorBoard-loadable)")
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = list(argv)
+    # argparse treats "-33.9,18.4,25" (southern-hemisphere prior) as an
+    # option string, not a value; rewrite to the --prior=VALUE form.
+    for k, a in enumerate(argv[:-1]):
+        if a == "--prior" and argv[k + 1].startswith("-"):
+            argv[k:k + 2] = ["--prior=" + argv[k + 1]]
+            break
     args = p.parse_args(argv)
 
     prior = None

@@ -105,15 +105,17 @@ class ProcessorConfig:
     # power ranking); zero or multiple in-prior candidates are reported
     # and the fix is left alone.
     prior: Optional[Tuple[float, float, float]] = None
-    # Leave-one-station-out outlier rejection: when the solved TDOA set
+    # Leave-stations-out outlier rejection: when the solved TDOA set
     # is internally inconsistent and the network has >= 5 stations,
     # re-solve with each station's pairs removed; if EXACTLY ONE
     # exclusion restores consistency, that station is an outlier
     # (multipath lock, interference) and is excluded from the fix.
-    # 5 is a floor, not a tuning choice: a single-station timing bias
-    # adds one unknown against the n-1 independent arrival differences,
-    # so at n=4 every leave-one-out subproblem is exactly solvable and
-    # the test cannot identify the bad station.
+    # With >= 6 stations, pairs of exclusions are tried the same way
+    # when no single one works (two outliers). 5 is a floor, not a
+    # tuning choice: a single-station timing bias adds one unknown
+    # against the n-1 independent arrival differences, so at n=4 every
+    # leave-one-out subproblem is exactly solvable and the test cannot
+    # identify the bad station. See _reject_outliers.
     outlier_rejection: bool = True
 
 
@@ -347,6 +349,14 @@ def process_blocks(
             corrected_std, tgt_window)
 
 
+def _horiz_m(a_lat, a_lon, b_lat, b_lon, elev) -> float:
+    """Horizontal ENU separation in meters between two lat/lon points
+    (both evaluated at ``elev`` so the measure is purely horizontal)."""
+    return float(np.linalg.norm(lla_to_enu(
+        np.array([a_lat, a_lon, elev]), np.array([b_lat, b_lon, elev])
+    )[:2]))
+
+
 def _station_mean_power(x: C) -> np.ndarray:
     """Per-station mean |x|² from a strided subsample (≤1M samples per
     station) — cheap enough to run eagerly on the rare ambiguous-fix
@@ -476,6 +486,286 @@ class TDOAProcessor:
             and cfg.max_lag <= FFT_LEN - SEG_LEN
             and min_block_samples >= SEG_LEN
         )
+
+    def _reject_outliers(
+        self,
+        fix: FixResult,
+        w: np.ndarray,
+        tdoa_s: np.ndarray,
+        tdoa_std_s: np.ndarray,
+        names: Sequence[str],
+        pairs: np.ndarray,
+        lla: np.ndarray,
+        resid_gate: float,
+        warnings: List[str],
+    ) -> Tuple[FixResult, np.ndarray, List[str]]:
+        """Leave-stations-out outlier rejection on an inconsistent set.
+
+        One corrupted station (multipath lock, co-channel interference)
+        gives clean, confident peaks at wrong delays, poisoning n-1
+        pairs in a way the per-pair quality gate cannot see. With >= 5
+        stations the remaining network keeps a consistency redundancy
+        (n-1 independent arrival differences vs 2 position unknowns),
+        so excluding the bad station restores consistency while
+        excluding any good one does not. An exclusion is adopted only
+        when it is UNIQUE in restoring consistency; when no single
+        exclusion works and >= 6 stations are active, station *pairs*
+        are tried the same way (two outliers). Anything else stays
+        advisory: a warning reports the per-exclusion residuals and the
+        fix is left alone.
+        """
+        cfg = self.config
+        n = len(names)
+        if n < 5:
+            return fix, w, []
+
+        def solve_without(excl):
+            mask = np.array(
+                [float(i not in excl and j not in excl) for i, j in pairs]
+            )
+            w_x = w * mask
+            if np.count_nonzero(w_x) < 3:
+                return None
+            return w_x, solve_fix(
+                lla, tdoa_s, weights=w_x, pair_idx=pairs,
+                solve_z=cfg.solve_z, tdoa_sigma_s=tdoa_std_s,
+            )
+
+        tried = [
+            ((s,), r) for s in range(n) if (r := solve_without({s}))
+        ]
+        passing = [
+            t for t in tried if t[1][1].rms_residual_m <= resid_gate
+        ]
+        if not passing and n >= 6:
+            # Two outliers: no single exclusion can restore consistency,
+            # but a unique pair of exclusions can (the remaining >= 4
+            # stations keep one redundancy).
+            tried = [
+                ((a, b), r)
+                for a in range(n) for b in range(a + 1, n)
+                if (r := solve_without({a, b}))
+            ]
+            passing = [
+                t for t in tried if t[1][1].rms_residual_m <= resid_gate
+            ]
+        if len(passing) != 1:
+            detail = ", ".join(
+                f"without {'+'.join(names[s] for s in excl)}: "
+                f"{r[1].rms_residual_m:.0f} m"
+                for excl, r in tried
+            )
+            warnings.append(
+                f"leave-one-station-out test is inconclusive "
+                f"({len(passing)} exclusions restore consistency; "
+                f"rms {detail}) — no station excluded"
+            )
+            return fix, w, []
+        excl, (w_x, fix_x) = passing[0]
+        excluded = [names[s] for s in excl]
+        plural = len(excluded) > 1
+        warnings.append(
+            f"station{'s' if plural else ''} {' and '.join(excluded)} "
+            f"excluded as outlier{'s' if plural else ''}: "
+            f"{'their' if plural else 'its'} pairs are inconsistent "
+            f"with the rest of the network (rms "
+            f"{fix.rms_residual_m:.0f} m with "
+            f"{'them' if plural else 'it'}, "
+            f"{fix_x.rms_residual_m:.0f} m without) — suspect multipath "
+            f"lock or co-channel interference there"
+        )
+        return fix_x, w_x, excluded
+
+    def _analyze_fix(
+        self,
+        fix: FixResult,
+        w: np.ndarray,
+        tdoa_s: np.ndarray,
+        tdoa_std_s: np.ndarray,
+        names: Sequence[str],
+        pairs: np.ndarray,
+        lla: np.ndarray,
+        tgt: C,
+        ref1: C,
+        warnings: List[str],
+        deramp_note: str = "",
+    ) -> Tuple[FixResult, np.ndarray, List[str]]:
+        """Post-solve analysis of the FINAL TDOA set: consistency gate,
+        outlier rejection, ghost-ambiguity detection (power ranking +
+        coverage prior), and the out-of-prior warning. Must run after
+        any step that can replace the fix/weights wholesale (the
+        Doppler deramp re-solve). Returns the possibly-updated
+        (fix, weights, excluded_station_names)."""
+        cfg = self.config
+        # Mutually inconsistent TDOAs leave a residual the per-pair
+        # quality gate cannot see: a co-channel interferer or strong
+        # multipath produces clean, confident peaks on DIFFERENT
+        # emitters/paths. Threshold scales with the measurement noise so
+        # legitimately noisy (weak-signal) sets don't trip it: a
+        # consistent set's rms residual is ~1-2x the measurement noise
+        # (weak signals inflate residual and sigma together); a mixed
+        # set blows the ratio out. 5x separates the regimes with margin.
+        sigma_m = float(np.median(tdoa_std_s)) * SPEED_OF_LIGHT
+        resid_gate = max(100.0, 5.0 * sigma_m)
+        excluded: List[str] = []
+        if cfg.outlier_rejection and fix.rms_residual_m > resid_gate:
+            fix, w, excluded = self._reject_outliers(
+                fix, w, tdoa_s, tdoa_std_s, names, pairs, lla,
+                resid_gate, warnings,
+            )
+        if fix.rms_residual_m > resid_gate:
+            warnings.append(
+                f"TDOA set is internally inconsistent (rms residual "
+                f"{fix.rms_residual_m:.0f} m vs ~{sigma_m:.1f} m expected "
+                f"noise): suspect co-channel interference, multipath, or "
+                f"a wrong station assignment{deramp_note}"
+            )
+
+        def runnerup(f: FixResult):
+            """(location, rms, horizontal separation) of candidate #2."""
+            second = f.candidates_lla[1]
+            return (
+                second,
+                float(f.candidates_rms[1]),
+                _horiz_m(second[0], second[1], f.lat, f.lon, f.elev),
+            )
+
+        # Ghost ambiguity: with 3 stations TDOA hyperbolas can intersect
+        # TWICE, and both intersections satisfy every pair exactly — the
+        # residual cannot choose (Monte Carlo found a silent 548 m miss
+        # whose runner-up candidate sat 8 m from truth). When a distant
+        # second solution fits within the measurement noise of the best,
+        # the fix is genuinely ambiguous and must say so.
+        if (fix.candidates_lla is not None
+                and len(fix.candidates_lla) > 1
+                and fix.candidates_rms is not None):
+            second, rms2, sep = runnerup(fix)
+            ell_a = fix.ellipse[0] if fix.ellipse is not None else 0.0
+            close_fit = rms2 <= max(
+                2.0 * fix.rms_residual_m, 3.0 * sigma_m, 5.0
+            )
+            if close_fit and sep > max(100.0, 3.0 * ell_a):
+                # Timing cannot choose between the intersections, but
+                # 1/r path loss can lean: the true location's distances
+                # must match the received amplitude profile (the REF
+                # block calibrates per-station gain differences away —
+                # possible only when the REF transmitter position is
+                # known).
+                ref_tx = self.stations.reference_tx
+                fix.candidates_power_score = rank_candidates_by_power(
+                    fix.candidates_lla,
+                    lla,
+                    _station_mean_power(tgt),
+                    ref_power=(
+                        None if ref_tx is None
+                        else _station_mean_power(ref1)
+                    ),
+                    ref_tx_lla=(
+                        None if ref_tx is None
+                        else np.array([ref_tx.lat, ref_tx.lon, ref_tx.elev])
+                    ),
+                )
+                # Coverage prior first: operator knowledge of the
+                # surveillance area is authoritative where the advisory
+                # power ranking only leans. A unique in-prior candidate
+                # wins outright.
+                prior_txt = ""
+                prior_decided = False
+                if cfg.prior is not None:
+                    p_lat, p_lon, p_rad = cfg.prior
+                    d_prior = np.array([
+                        _horiz_m(c[0], c[1], p_lat, p_lon, fix.elev)
+                        for c in fix.candidates_lla
+                    ])
+                    inside = np.flatnonzero(d_prior <= p_rad)
+                    if len(inside) == 1:
+                        k_in = int(inside[0])
+                        if k_in != 0:
+                            fix = refit_to_candidate(
+                                fix, k_in, lla, pairs,
+                                weights=w, tdoa_sigma_s=tdoa_std_s,
+                            )
+                            second, rms2, sep = runnerup(fix)
+                        prior_txt = (
+                            f"; coverage prior ({p_rad / 1000.0:.0f} km "
+                            f"around {p_lat:.4f},{p_lon:.4f}) selects "
+                            f"the only in-prior solution"
+                            + (" — fix moved there" if k_in != 0 else "")
+                        )
+                        prior_decided = True
+                    elif len(inside) == 0:
+                        prior_txt = (
+                            "; coverage prior excludes ALL candidates — "
+                            "suspect geometry or a prior mismatch"
+                        )
+                    else:
+                        prior_txt = (
+                            f"; coverage prior keeps {len(inside)} "
+                            f"candidates — inconclusive"
+                        )
+                # Power ranking (recomputed from the possibly-reordered
+                # candidate arrays — refit_to_candidate keeps the score
+                # array aligned).
+                scores = np.asarray(fix.candidates_power_score, np.float64)
+                best = int(np.argmin(scores))
+                margin = float(
+                    np.delete(scores, best).min() - scores[best]
+                )
+                decisive = margin >= 0.1
+                if (cfg.power_disambiguation and decisive and best != 0
+                        and not prior_decided):
+                    fix = refit_to_candidate(
+                        fix, best, lla, pairs,
+                        weights=w, tdoa_sigma_s=tdoa_std_s,
+                    )
+                    best = 0  # the preferred candidate now leads
+                    second, rms2, sep = runnerup(fix)
+                    swapped = True
+                else:
+                    swapped = False
+                cal_txt = (
+                    "REF-gain-calibrated" if ref_tx is not None
+                    else "UNcalibrated per-station gains"
+                )
+                if decisive:
+                    pref = (
+                        "primary" if best == 0
+                        else f"candidate #{best + 1}"
+                    )
+                    power_txt = (
+                        f"; received-power ranking (1/r path loss, "
+                        f"{cal_txt}, advisory) prefers the {pref} "
+                        f"solution (consistency {scores.min():.2f} vs "
+                        f"next {scores.min() + margin:.2f} log-σ)"
+                    )
+                    if swapped:
+                        power_txt += (
+                            " — fix moved to the power-preferred "
+                            "solution (power_disambiguation on)"
+                        )
+                else:
+                    power_txt = (
+                        f"; received-power ranking ({cal_txt}) is "
+                        f"inconclusive (best margin {margin:.2f} log-σ)"
+                    )
+                warnings.append(
+                    f"ambiguous fix (TDOA ghost): a second solution "
+                    f"{sep:.0f} m away at {second[0]:.6f},{second[1]:.6f} "
+                    f"fits equally well (rms {rms2:.1f} m vs "
+                    f"{fix.rms_residual_m:.1f} m) — a fourth station or "
+                    f"a coverage prior disambiguates{prior_txt}{power_txt}"
+                )
+
+        if cfg.prior is not None:
+            p_lat, p_lon, p_rad = cfg.prior
+            d_fix = _horiz_m(fix.lat, fix.lon, p_lat, p_lon, fix.elev)
+            if d_fix > p_rad:
+                warnings.append(
+                    f"fix is {d_fix / 1000.0:.1f} km outside the "
+                    f"coverage prior ({p_rad / 1000.0:.0f} km around "
+                    f"{p_lat:.4f},{p_lon:.4f})"
+                )
+        return fix, w, excluded
 
     def process_captures(
         self, captures: Dict[str, Tuple]
@@ -744,233 +1034,15 @@ class TDOAProcessor:
                 solve_z=cfg.solve_z,
                 tdoa_sigma_s=tdoa_std_s,
             )
-        # Mutually inconsistent TDOAs leave a residual the per-pair
-        # quality gate cannot see: a co-channel interferer or strong
-        # multipath produces clean, confident peaks on DIFFERENT
-        # emitters/paths. Threshold scales with the measurement noise so
-        # legitimately noisy (weak-signal) sets don't trip it.
-        sigma_m = float(np.median(tdoa_std_s)) * SPEED_OF_LIGHT
-        # A consistent set's rms residual is ~1-2× the measurement noise
-        # (weak signals inflate residual and sigma together); a mixed
-        # set — pairs locked on different emitters/paths — blows the
-        # ratio out. 5× separates the two regimes with margin both ways.
-        resid_gate = max(100.0, 5.0 * sigma_m)
-        excluded_stations: List[str] = []
-        if cfg.outlier_rejection and fix.rms_residual_m > resid_gate:
-            # Leave-one-station-out: one corrupted station (multipath
-            # lock, co-channel interference) poisons n-1 pairs, and with
-            # >= 5 stations the remaining network keeps enough redundancy
-            # to prove it — excluding the bad station restores
-            # consistency, excluding any good one does not. Adopt the
-            # exclusion only when it is UNIQUE in doing so; a test where
-            # several exclusions pass (or none does) stays advisory.
-            # Greedy repeat handles a second outlier while >= 5 stations
-            # remain active.
-            active = np.ones(len(names), bool)
-            while fix.rms_residual_m > resid_gate and int(active.sum()) >= 5:
-                loo = []
-                for s in np.flatnonzero(active):
-                    mask = np.array(
-                        [float(s != i and s != j) for i, j in pairs]
-                    )
-                    w_s = w * mask
-                    if np.count_nonzero(w_s) < 3:
-                        continue
-                    fix_s = solve_fix(
-                        lla, tdoa_s, weights=w_s, pair_idx=pairs,
-                        solve_z=cfg.solve_z, tdoa_sigma_s=tdoa_std_s,
-                    )
-                    loo.append((int(s), w_s, fix_s))
-                passing = [t for t in loo if t[2].rms_residual_m <= resid_gate]
-                if len(passing) != 1:
-                    detail = ", ".join(
-                        f"without {names[s]}: {f.rms_residual_m:.0f} m"
-                        for s, _, f in loo
-                    )
-                    warnings.append(
-                        f"leave-one-station-out test is inconclusive "
-                        f"({len(passing)} exclusions restore consistency; "
-                        f"rms {detail}) — no station excluded"
-                    )
-                    break
-                s, w_s, fix_s = passing[0]
-                warnings.append(
-                    f"station {names[s]} excluded as an outlier: its "
-                    f"pairs are inconsistent with the rest of the "
-                    f"network (rms {fix.rms_residual_m:.0f} m with it, "
-                    f"{fix_s.rms_residual_m:.0f} m without) — suspect "
-                    f"multipath lock or co-channel interference there"
-                )
-                fix, w = fix_s, w_s
-                active[s] = False
-                excluded_stations.append(names[s])
-        if fix.rms_residual_m > resid_gate:
-            warnings.append(
-                f"TDOA set is internally inconsistent (rms residual "
-                f"{fix.rms_residual_m:.0f} m vs ~{sigma_m:.1f} m expected "
-                f"noise): suspect co-channel interference, multipath, or "
-                f"a wrong station assignment"
-            )
-        # Ghost ambiguity: with 3 stations TDOA hyperbolas can intersect
-        # TWICE, and both intersections satisfy every pair exactly — the
-        # residual cannot choose (Monte Carlo found a silent 548 m miss
-        # whose runner-up candidate sat 8 m from truth). When a distant
-        # second solution fits within the measurement noise of the best,
-        # the fix is genuinely ambiguous and must say so.
-        if (fix.candidates_lla is not None
-                and len(fix.candidates_lla) > 1
-                and fix.candidates_rms is not None):
-            second = fix.candidates_lla[1]
-            sep = float(np.linalg.norm(lla_to_enu(
-                np.array([second[0], second[1], fix.elev]),
-                np.array([fix.lat, fix.lon, fix.elev]),
-            )[:2]))
-            rms2 = float(fix.candidates_rms[1])
-            ell_a = fix.ellipse[0] if fix.ellipse is not None else 0.0
-            close_fit = rms2 <= max(
-                2.0 * fix.rms_residual_m, 3.0 * sigma_m, 5.0
-            )
-            if close_fit and sep > max(100.0, 3.0 * ell_a):
-                # Timing cannot choose between the intersections, but
-                # 1/r path loss can lean: the true location's distances
-                # must match the received amplitude profile (the REF
-                # block calibrates per-station gain differences away —
-                # possible only when the REF transmitter position is
-                # known).
-                ref_tx = self.stations.reference_tx
-                fix.candidates_power_score = rank_candidates_by_power(
-                    fix.candidates_lla,
-                    lla,
-                    _station_mean_power(tgt),
-                    ref_power=(
-                        None if ref_tx is None
-                        else _station_mean_power(ref1)
-                    ),
-                    ref_tx_lla=(
-                        None if ref_tx is None
-                        else np.array([ref_tx.lat, ref_tx.lon, ref_tx.elev])
-                    ),
-                )
-                # Coverage prior first: operator knowledge of the
-                # surveillance area is authoritative where the advisory
-                # power ranking only leans. A unique in-prior candidate
-                # wins outright.
-                prior_txt = ""
-                prior_decided = False
-                if cfg.prior is not None:
-                    p_lat, p_lon, p_rad = cfg.prior
-                    center = np.array([p_lat, p_lon, fix.elev])
-                    d_prior = np.array([
-                        float(np.linalg.norm(lla_to_enu(
-                            np.array([c[0], c[1], fix.elev]), center
-                        )[:2]))
-                        for c in fix.candidates_lla
-                    ])
-                    inside = np.flatnonzero(d_prior <= p_rad)
-                    if len(inside) == 1:
-                        k_in = int(inside[0])
-                        if k_in != 0:
-                            fix = refit_to_candidate(
-                                fix, k_in, lla, pairs,
-                                weights=w, tdoa_sigma_s=tdoa_std_s,
-                            )
-                            second = fix.candidates_lla[1]
-                            rms2 = float(fix.candidates_rms[1])
-                            sep = float(np.linalg.norm(lla_to_enu(
-                                np.array([second[0], second[1], fix.elev]),
-                                np.array([fix.lat, fix.lon, fix.elev]),
-                            )[:2]))
-                        prior_txt = (
-                            f"; coverage prior ({p_rad / 1000.0:.0f} km "
-                            f"around {p_lat:.4f},{p_lon:.4f}) selects "
-                            f"the only in-prior solution"
-                            + (" — fix moved there" if k_in != 0 else "")
-                        )
-                        prior_decided = True
-                    elif len(inside) == 0:
-                        prior_txt = (
-                            "; coverage prior excludes ALL candidates — "
-                            "suspect geometry or a prior mismatch"
-                        )
-                    else:
-                        prior_txt = (
-                            f"; coverage prior keeps {len(inside)} "
-                            f"candidates — inconclusive"
-                        )
-                # Power ranking (recomputed from the possibly-reordered
-                # candidate arrays — refit_to_candidate keeps the score
-                # array aligned).
-                scores = np.asarray(fix.candidates_power_score, np.float64)
-                best = int(np.argmin(scores))
-                margin = float(
-                    np.delete(scores, best).min() - scores[best]
-                )
-                decisive = margin >= 0.1
-                if (cfg.power_disambiguation and decisive and best != 0
-                        and not prior_decided):
-                    fix = refit_to_candidate(
-                        fix, best, lla, pairs,
-                        weights=w, tdoa_sigma_s=tdoa_std_s,
-                    )
-                    best = 0  # the preferred candidate now leads
-                    second = fix.candidates_lla[1]
-                    rms2 = float(fix.candidates_rms[1])
-                    sep = float(np.linalg.norm(lla_to_enu(
-                        np.array([second[0], second[1], fix.elev]),
-                        np.array([fix.lat, fix.lon, fix.elev]),
-                    )[:2]))
-                    swapped = True
-                else:
-                    swapped = False
-                cal_txt = (
-                    "REF-gain-calibrated" if ref_tx is not None
-                    else "UNcalibrated per-station gains"
-                )
-                if decisive:
-                    pref = (
-                        "primary" if best == 0
-                        else f"candidate #{best + 1}"
-                    )
-                    power_txt = (
-                        f"; received-power ranking (1/r path loss, "
-                        f"{cal_txt}, advisory) prefers the {pref} "
-                        f"solution (consistency {scores.min():.2f} vs "
-                        f"next {scores.min() + margin:.2f} log-σ)"
-                    )
-                    if swapped:
-                        power_txt += (
-                            " — fix moved to the power-preferred "
-                            "solution (power_disambiguation on)"
-                        )
-                else:
-                    power_txt = (
-                        f"; received-power ranking ({cal_txt}) is "
-                        f"inconclusive (best margin {margin:.2f} log-σ)"
-                    )
-                warnings.append(
-                    f"ambiguous fix (TDOA ghost): a second solution "
-                    f"{sep:.0f} m away at {second[0]:.6f},{second[1]:.6f} "
-                    f"fits equally well (rms {rms2:.1f} m vs "
-                    f"{fix.rms_residual_m:.1f} m) — a fourth station or "
-                    f"a coverage prior disambiguates{prior_txt}{power_txt}"
-                )
-
-        if cfg.prior is not None:
-            p_lat, p_lon, p_rad = cfg.prior
-            d_fix = float(np.linalg.norm(lla_to_enu(
-                np.array([fix.lat, fix.lon, fix.elev]),
-                np.array([p_lat, p_lon, fix.elev]),
-            )[:2]))
-            if d_fix > p_rad:
-                warnings.append(
-                    f"fix is {d_fix / 1000.0:.1f} km outside the "
-                    f"coverage prior ({p_rad / 1000.0:.0f} km around "
-                    f"{p_lat:.4f},{p_lon:.4f})"
-                )
+        # Consistency / outlier / ghost / prior analysis runs AFTER
+        # the deramp re-solve below has settled the final TDOA set
+        # (solve_velocity can replace fix/weights wholesale) — see
+        # _analyze_fix.
 
         velocity_enu = velocity_residual_hz = fdoa_out = None
         velocity_sigma = None
         caf_info = None
+        deramp_note = ""
         if cfg.solve_velocity:
             from tdoa_tpu.ops.caf import caf_pairs
             from tdoa_tpu.ops.corr import resolve_seg
@@ -979,7 +1051,7 @@ class TDOAProcessor:
                 station_doppler_from_pairs,
             )
 
-            with stage("caf+velocity"):
+            with stage("caf+deramp"):
                 lim = min(int(tgt.re.shape[1]), cfg.caf_max_samples)
                 caf_max_lag = min(cfg.max_lag, 2048)
                 tgt_c = C(
@@ -1064,23 +1136,7 @@ class TDOAProcessor:
                         q = q2
                         w = w2
                         tdoa_std_s = std2
-                        sigma_m = (
-                            float(np.median(std2)) * SPEED_OF_LIGHT
-                        )
-                        # The smeared solve's consistency verdict no
-                        # longer applies; re-evaluate it on the adopted
-                        # measurement.
-                        warnings = [
-                            wmsg for wmsg in warnings
-                            if "internally inconsistent" not in wmsg
-                        ]
-                        if fix.rms_residual_m > max(100.0, 5.0 * sigma_m):
-                            warnings.append(
-                                f"TDOA set is internally inconsistent "
-                                f"(rms residual {fix.rms_residual_m:.0f} "
-                                f"m vs ~{sigma_m:.1f} m expected noise) "
-                                f"even after Doppler deramp"
-                            )
+                        deramp_note = " even after Doppler deramp"
                         warnings.append(
                             "significant differential Doppler (up to "
                             f"{np.abs(nu).max():.1f} Hz — emitter motion "
@@ -1088,12 +1144,23 @@ class TDOAProcessor:
                             "measured by deramp-and-correlate and the "
                             "position re-solved"
                         )
-                # Velocity at the (possibly re-solved) fix, in the
-                # solver's own ENU frame. Weights: the deramped
-                # qualities when available — the smeared plain
-                # correlation's qualities systematically zero the
-                # highest-Doppler (most informative) pairs.
+        # The TDOA set is final now (plain or deramp-adopted): run the
+        # consistency gate, outlier rejection, ghost/prior/power
+        # analysis, and the out-of-prior warning on what will actually
+        # be reported.
+        fix, w, excluded_stations = self._analyze_fix(
+            fix, w, tdoa_s, tdoa_std_s, names, pairs, lla, tgt, ref1,
+            warnings, deramp_note=deramp_note,
+        )
 
+        if cfg.solve_velocity:
+            with stage("velocity"):
+                # Velocity at the (possibly re-solved) fix, in the
+                # solver's own ENU frame. Weights: the post-analysis w —
+                # the deramped qualities when adopted (the smeared plain
+                # correlation's qualities systematically zero the
+                # highest-Doppler pairs), with any outlier station's
+                # pairs zeroed.
                 st_v = lla_to_enu(lla, fix.origin_lla)
                 vsol = solve_velocity_enu(
                     st_v, pairs, fix.enu, nu_emitter, cfg.tgt_freq,

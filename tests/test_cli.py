@@ -72,6 +72,14 @@ def test_processor_prior_flag_validation():
                     "a.dat", "b.dat", "c.dat", check=False)
         assert r.returncode == 2, (bad, r.stderr)
         assert "--prior" in r.stderr, (bad, r.stderr)
+    # A southern-hemisphere prior starts with "-"; the CLI must accept
+    # the space-separated form, not demand --prior=VALUE. (The value
+    # parses; the run then fails on the missing capture file, rc 2 with
+    # a file error rather than an argparse --prior error.)
+    r = run_cli("processor", "--prior", "-33.9,18.4,25",
+                "162400000", "101900000", "stations.csv",
+                "a.dat", "b.dat", "c.dat", check=False)
+    assert "--prior" not in r.stderr, r.stderr
 
 
 @pytest.mark.slow

@@ -200,7 +200,7 @@ def test_outlier_station_excluded_five_stations():
     )
     res = proc.process_captures(caps)
     assert res.excluded_stations == ["st4"], res.warnings
-    assert any("excluded as an outlier" in w for w in res.warnings)
+    assert any("excluded as outlier" in w for w in res.warnings)
     err = np.linalg.norm(
         lla_to_enu(
             np.array([res.fix.lat, res.fix.lon, scene.tgt_tx_lla[2]]),
@@ -220,6 +220,48 @@ def test_outlier_station_excluded_five_stations():
     res_off = proc_off.process_captures(caps)
     assert res_off.excluded_stations is None
     assert any("internally inconsistent" in w for w in res_off.warnings)
+
+
+def test_two_outliers_excluded_six_stations():
+    """With 6 stations, two corrupted stations are identified by the
+    pair-exclusion round (no single exclusion restores consistency; a
+    unique pair of exclusions does) and both dropped from the fix."""
+    six_lla = np.vstack([FIVE_LLA, [41.20, -96.16, 345.0]])
+    six_names = NAMES + ("st6",)
+    scene = SimScene(
+        station_names=six_names,
+        station_lla=six_lla,
+        ref_tx_lla=np.array([41.25703803095629, -95.95512763589404, 349.07]),
+        tgt_tx_lla=np.array([41.30888549464701, -96.02619229605524, 356.0]),
+        block_len=1 << 16,
+        clock_offsets_s=np.array([5e-6, -9e-6, 14e-6, -2e-6, 7e-6, -4e-6]),
+        seed=59,
+    )
+    captures, _ = simulate_scene(scene)
+    table = StationTable(
+        stations=[Station(n, *row) for n, row in zip(six_names, six_lla)],
+        reference_tx=Station("162400000", *scene.ref_tx_lla),
+    )
+    caps = {n: captures[n] for n in six_names}
+    caps = _roll_tgt(caps, "st4", 160)
+    caps = _roll_tgt(caps, "n3pay", -120)
+    proc = TDOAProcessor(
+        ProcessorConfig(
+            ref_freq=scene.ref_freq, tgt_freq=scene.tgt_freq,
+            seg_len=None, max_lag=512,
+        ),
+        table,
+    )
+    res = proc.process_captures(caps)
+    assert res.excluded_stations is not None
+    assert sorted(res.excluded_stations) == ["n3pay", "st4"], res.warnings
+    err = np.linalg.norm(
+        lla_to_enu(
+            np.array([res.fix.lat, res.fix.lon, scene.tgt_tx_lla[2]]),
+            scene.tgt_tx_lla,
+        )[:2]
+    )
+    assert err < 150.0, err
 
 
 def test_two_outlier_stations_inconclusive():
