@@ -25,6 +25,13 @@ fix and scores against the planted truth. Regimes:
                the block-midpoint truth position AND the planted
                velocity (within 15 m/s or its own 3σ)
   4station/5station  larger networks, solve over all pairs
+  bad-station  5 stations, one with its TGT block shifted 80-300
+               samples (a multipath/interference lock: clean peaks,
+               wrong delays, REF clock correction honest) —
+               leave-one-station-out rejection must identify and
+               exclude exactly that station and the fix must recover;
+               the sweep fails if the right station is named in <90%
+               of trials
 
 A trial passes when the result is ACCURATE, or when it is inaccurate
 but FLAGGED (warnings: weak correlation, baseline excess, inconsistent
@@ -103,7 +110,7 @@ def random_target(rng: np.random.Generator, lla: np.ndarray) -> np.ndarray:
 
 def run_trial(regime: str, seed: int) -> dict:
     rng = np.random.default_rng(seed)
-    n_st = {"4station": 4, "5station": 5}.get(regime, 3)
+    n_st = {"4station": 4, "5station": 5, "bad-station": 5}.get(regime, 3)
     lla = random_network(rng, n_st)
     tgt = random_target(rng, lla)
     names = tuple(f"st{k}" for k in range(n_st))
@@ -157,7 +164,14 @@ def run_trial(regime: str, seed: int) -> dict:
         block_len = 1 << 18  # CAF Doppler resolution needs the longer block
         max_lag = 512
         atol_tdoa, atol_fix = 1.0, 300.0
-    else:  # 4station / 5station
+    bad = None
+    if regime == "bad-station":
+        kw["clock_offsets_s"] = rng.uniform(-100e-6, 100e-6, n_st)
+        bad = int(rng.integers(0, n_st))
+        bad_shift = int(rng.choice([-1, 1]) * rng.integers(80, 300))
+        atol_fix = 300.0
+    elif regime not in ("clean", "noisy", "wild-clocks", "interferer",
+                        "multipath", "moving"):  # 4station / 5station
         kw["clock_offsets_s"] = rng.uniform(-100e-6, 100e-6, n_st)
 
     sc = SimScene(
@@ -170,6 +184,15 @@ def run_trial(regime: str, seed: int) -> dict:
         **kw,
     )
     caps, truth = simulate_scene(sc)
+    caps = {n: caps[n] for n in names}
+    if bad is not None:
+        import jax.numpy as jnp
+
+        # A multipath/interference lock: the TGT block arrives late by
+        # bad_shift samples with full signal quality, while the REF
+        # blocks (and so the clock correction) stay honest.
+        r1, tb, r2 = caps[names[bad]]
+        caps[names[bad]] = (r1, jnp.roll(tb, bad_shift), r2)
     table = StationTable(
         stations=[Station(n, *lla[k]) for k, n in enumerate(names)],
         reference_tx=Station("162400000", *REF_TX),
@@ -181,7 +204,7 @@ def run_trial(regime: str, seed: int) -> dict:
                         multi_emitter=2 if regime == "interferer" else 1),
         table,
     )
-    res = proc.process_captures({n: caps[n] for n in names})
+    res = proc.process_captures(caps)
 
     by = {n: k for k, n in enumerate(names)}
     order = [by[n] for n in res.station_names]
@@ -189,7 +212,20 @@ def run_trial(regime: str, seed: int) -> dict:
     want = np.array(
         [tau[order[j]] - tau[order[i]] for i, j in res.pair_idx]
     )
-    tdoa_err = float(np.abs(res.corrected_tdoa_samples - want).max())
+    tdoa_errs = np.abs(res.corrected_tdoa_samples - want)
+    if bad is not None:
+        # The corrupted station's pairs measure the planted corruption,
+        # not the estimator: score timing on the healthy pairs and the
+        # exclusion verdict separately.
+        healthy = np.array([
+            names[bad] not in (res.station_names[i], res.station_names[j])
+            for i, j in res.pair_idx
+        ])
+        tdoa_errs = tdoa_errs[healthy]
+    tdoa_err = float(tdoa_errs.max())
+    excluded_right = None
+    if bad is not None:
+        excluded_right = res.excluded_stations == [names[bad]]
 
     # Truth geometry is evaluated at the TGT block's midpoint; for a
     # moving emitter, score the fix against where it actually was then.
@@ -259,6 +295,7 @@ def run_trial(regime: str, seed: int) -> dict:
         "accurate": accurate,
         "silent": not (accurate or covered or flagged),
         "warnings": len(warnings),
+        "excluded_right": excluded_right,
     }
 
 
@@ -271,6 +308,7 @@ REGIMES = {
     "moving": 1.0,
     "4station": 1.0,
     "5station": 1.0,
+    "bad-station": 1.0,
 }
 
 
@@ -327,6 +365,14 @@ def main() -> None:
         )
         if rate < floor or silent:
             failed_total += 1
+        excl = [r for r in results if r["excluded_right"] is not None]
+        if excl:
+            right = sum(r["excluded_right"] for r in excl)
+            rate_x = right / len(excl)
+            print(f"         outlier rejection named the corrupted "
+                  f"station in {right}/{len(excl)} trials", flush=True)
+            if rate_x < 0.9:
+                failed_total += 1
     if ghost_total:
         print(f"ghost-ambiguous fixes: {ghost_total}; received-power "
               f"ranking named the true candidate in "

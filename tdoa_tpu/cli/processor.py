@@ -78,27 +78,12 @@ def main(argv=None) -> int:
     p.add_argument("--trace", metavar="DIR", default=None,
                    help="capture a jax.profiler device trace into DIR "
                         "(TensorBoard-loadable)")
-    if argv is None:
-        argv = sys.argv[1:]
-    argv = list(argv)
-    # argparse treats "-33.9,18.4,25" (southern-hemisphere prior) as an
-    # option string, not a value; rewrite to the --prior=VALUE form.
-    for k, a in enumerate(argv[:-1]):
-        if a == "--prior" and argv[k + 1].startswith("-"):
-            argv[k:k + 2] = ["--prior=" + argv[k + 1]]
-            break
-    args = p.parse_args(argv)
+    from tdoa_tpu.cli import parse_prior, rewrite_prior_argv
 
-    prior = None
-    if args.prior is not None:
-        try:
-            lat_s, lon_s, rad_s = args.prior.split(",")
-            prior = (float(lat_s), float(lon_s), float(rad_s) * 1000.0)
-        except ValueError:
-            p.error("--prior expects LAT,LON,RADIUS_KM (e.g. 41.2,-96.0,25)")
-        if not (-90.0 <= prior[0] <= 90.0 and -180.0 <= prior[1] <= 180.0
-                and prior[2] > 0.0):
-            p.error("--prior out of range: |lat|<=90, |lon|<=180, radius>0")
+    args = p.parse_args(
+        rewrite_prior_argv(sys.argv[1:] if argv is None else argv)
+    )
+    prior = None if args.prior is None else parse_prior(args.prior, p.error)
 
     from tdoa_tpu.pipeline import TDOAProcessor
     from tdoa_tpu.utils.constants import DEFAULT_SAMPLE_RATE
@@ -168,6 +153,8 @@ def main(argv=None) -> int:
             "quality": list(res.quality),
             "warnings": res.warnings,
             "excluded_stations": res.excluded_stations,
+            "solve_weights": None if res.solve_weights is None else
+            list(res.solve_weights),
             "candidates": None if fix.candidates_lla is None else [
                 {"lat": c[0], "lon": c[1], "rms_m": r,
                  "power_score": None if fix.candidates_power_score is None

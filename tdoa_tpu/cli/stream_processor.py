@@ -63,10 +63,24 @@ def main(argv=None) -> int:
                    help="per-window CAF+FDOA velocity fused into the "
                         "track (instant velocity instead of "
                         "position-differencing)")
+    p.add_argument("--prior", metavar="LAT,LON,RADIUS_KM", default=None,
+                   help="coverage prior: surveillance area as center "
+                        "lat,lon (deg) and radius (km) — resolves "
+                        "ghost-ambiguous window fixes, warns on "
+                        "out-of-prior fixes (see the processor CLI)")
+    p.add_argument("--no-outlier-rejection", action="store_true",
+                   help="disable per-window leave-one-station-out "
+                        "outlier rejection (>= 5-station networks)")
     p.add_argument("--idle-exit", type=float, default=None,
                    help="with --watch: exit after this many seconds "
                         "without a new window (default: run forever)")
-    args = p.parse_args(argv)
+
+    from tdoa_tpu.cli import parse_prior, rewrite_prior_argv
+
+    args = p.parse_args(
+        rewrite_prior_argv(sys.argv[1:] if argv is None else argv)
+    )
+    prior = None if args.prior is None else parse_prior(args.prior, p.error)
 
     from tdoa_tpu.io.stations import (
         load_station_table,
@@ -109,6 +123,8 @@ def main(argv=None) -> int:
         solve_velocity=args.solve_velocity,
         multi_emitter=args.multi_emitter,
         power_disambiguation=args.power_disambiguation,
+        prior=prior,
+        outlier_rejection=not args.no_outlier_rejection,
     )
     # Tracker over the station set actually present in each window;
     # rebuilt when the set changes (tracks carry over only while the
@@ -185,6 +201,9 @@ def main(argv=None) -> int:
         vel_meas = {}
         fixes = {args.target_id: res.fix}
         updates = {args.target_id: res.tdoa_seconds}
+        # The processor's final solve weights (gates + outlier
+        # exclusions) must govern the tracker's re-solve too.
+        upd_weights = {args.target_id: res.solve_weights}
         # In multi-emitter mode quality is the associated peak height;
         # in plain mode it is the peak-to-sidelobe ratio — consistent
         # within a run, different scales between modes.
@@ -197,6 +216,7 @@ def main(argv=None) -> int:
             updates = {}
             qualities = {}
             fixes = {}
+            upd_weights = {}
             for k, es in enumerate(res.emitters):
                 updates[ids[k]] = es.tdoa_samples / proc.config.sample_rate
                 qualities[ids[k]] = float(es.peak_value.mean())
@@ -229,6 +249,7 @@ def main(argv=None) -> int:
             fdoa_hz=fdoa,
             carrier_hz=args.target_freq,
             velocity_enu=vel_meas or None,
+            weights=upd_weights or None,
         )
         for tid in updates:
             tr = tracker.tracks[tid]

@@ -152,6 +152,11 @@ class TDOAResult:
     # Their measurements remain in the per-pair arrays; their weights
     # were zeroed for the solve. None when nothing was excluded.
     excluded_stations: Optional[List[str]] = None
+    # [m] the relative per-pair weights the final solve actually used:
+    # quadratic quality weighting, noise-floor gate, and any outlier
+    # station's pairs zeroed. Downstream re-solves (the stream
+    # tracker) must use these, not the raw TDOA vector.
+    solve_weights: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -1411,6 +1416,7 @@ class TDOAProcessor:
             velocity_sigma_enu=velocity_sigma,
             fdoa_hz=fdoa_out,
             excluded_stations=excluded_stations or None,
+            solve_weights=np.asarray(w, np.float64),
         )
 
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:

@@ -226,8 +226,8 @@ class TargetTracker:
 
         self._solve_batch = jax.jit(
             jax.vmap(
-                lambda rd: solve_tdoa_enu(
-                    self.enu, self.pairs, rd, solve_z=solve_z
+                lambda rd, w: solve_tdoa_enu(
+                    self.enu, self.pairs, rd, weights=w, solve_z=solve_z
                 )
             )
         )
@@ -240,6 +240,7 @@ class TargetTracker:
         fdoa_hz: Optional[Dict[str, np.ndarray]] = None,  # per-pair Doppler
         carrier_hz: Optional[float] = None,
         velocity_enu: Optional[Dict[str, np.ndarray]] = None,
+        weights: Optional[Dict[str, np.ndarray]] = None,  # per-pair
     ) -> Dict[str, Track]:
         """``fdoa_hz`` (CAF differential Dopplers, ops/caf.py sign
         convention) upgrades the track's velocity from differentiated
@@ -247,7 +248,11 @@ class TargetTracker:
         (solve/fdoa.py) — one window is enough to know the velocity.
         ``velocity_enu`` passes an already-solved velocity measurement
         directly (e.g. the processor's weighted per-emitter solve) and
-        takes precedence over re-solving from ``fdoa_hz``."""
+        takes precedence over re-solving from ``fdoa_hz``.
+        ``weights`` carries the processor's final per-pair solve
+        weights (``TDOAResult.solve_weights``) — without them the
+        tracker's own re-solve would let pairs the processor gated or
+        excluded (outlier stations) vote again."""
         if not tdoas_s:
             return self.tracks
         ids = list(tdoas_s.keys())
@@ -255,7 +260,16 @@ class TargetTracker:
             np.stack([np.asarray(tdoas_s[i]) * SPEED_OF_LIGHT for i in ids]),
             jnp.float32,
         )
-        pos, rms = self._solve_batch(rd)
+        ones = np.ones(int(self.pairs.shape[0]))
+        w_rows = jnp.asarray(
+            np.stack([
+                ones if weights is None or weights.get(i) is None
+                else np.asarray(weights[i], np.float64)
+                for i in ids
+            ]),
+            jnp.float32,
+        )
+        pos, rms = self._solve_batch(rd, w_rows)
         pos = np.asarray(pos, np.float64)
         st_enu = np.asarray(self.enu, np.float64)
         pairs_np = np.asarray(self.pairs)

@@ -151,6 +151,19 @@ def test_coverage_prior_resolves_ghost():
                for w in res_far.warnings), res_far.warnings
 
 
+def test_bad_station_regime_excludes_corrupted_station():
+    """bad-station regime (seed 1010): one of five stations has its TGT
+    block shifted by a planted amount (multipath/interference lock);
+    leave-one-station-out rejection must name exactly that station and
+    the fix must recover on the healthy pairs."""
+    mc = _load_mc()
+    r = mc.run_trial("bad-station", 1010)
+    assert r["excluded_right"] is True, r
+    assert r["accurate"], r
+    assert r["tdoa_err"] < 0.1, r
+    assert r["fix_err"] < 50.0, r
+
+
 @pytest.mark.slow
 def test_monte_carlo_sweep_small():
     r = subprocess.run(

@@ -114,6 +114,43 @@ def test_target_tracker_converges(omaha_stations):
         assert tracks[tid].n_updates == 10
 
 
+def test_tracker_honors_solve_weights():
+    """The tracker's own re-solve must respect the processor's final
+    per-pair weights: with one station's pairs corrupted (and zeroed by
+    outlier rejection upstream), the weighted update lands on truth
+    while the unweighted one is dragged far off."""
+    lla5 = np.array([
+        [41.18660274289527, -95.96064116595667, 355.69],
+        [41.24669616513154, -96.08366304481238, 329.0],
+        [41.32916620016985, -96.03513381562004, 373.18],
+        [41.26, -95.90, 340.0],
+        [41.36, -96.12, 360.0],
+    ])
+    st = lla_to_ecef(lla5)
+    pairs = station_pairs(5)
+    truth = np.array([41.30888549464701, -96.02619229605524, 356.0])
+    d = np.linalg.norm(st - lla_to_ecef(truth), axis=-1)
+    tdoa = (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+    # Station 3's arrival shifted by 80 us — every pair touching it is
+    # wrong by that much, the exact shape outlier rejection produces.
+    bias = np.array([
+        80e-6 * (float(j == 3) - float(i == 3)) for i, j in pairs
+    ])
+    w = np.array([float(3 not in (i, j)) for i, j in pairs])
+
+    def final_err(weights):
+        tracker = TargetTracker(lla5)
+        tracker.update(0.0, {"t": tdoa + bias},
+                       weights=None if weights is None else {"t": weights})
+        lla = tracker.tracks["t"].lla(tracker.origin)
+        return np.linalg.norm(
+            lla_to_enu(np.array([lla[0], lla[1], truth[2]]), truth)[:2]
+        )
+
+    assert final_err(w) < 50.0
+    assert final_err(None) > 1000.0  # corrupted pairs drag the re-solve
+
+
 def test_tracker_follows_moving_target(omaha_stations):
     """A target drifting ~30 m/s: the alpha-beta filter must keep the
     track within a few hundred meters while smoothing the jitter."""
