@@ -255,12 +255,16 @@ def main(argv=None) -> int:
             tr = tracker.tracks[tid]
             tlla = tr.lla(tracker.origin)
             f = fixes[tid]
+            coast = (
+                f" COASTING[{tr.coasts}] (window fix rejected by the "
+                f"innovation gate)" if tr.coasts else ""
+            )
             print(
                 f"epoch {ep}: fix {f.lat:.6f},{f.lon:.6f} "
                 f"(rms {f.rms_residual_m:.1f} m)  "
                 f"{tid} {tlla[0]:.6f},{tlla[1]:.6f} "
                 f"v=({tr.vel_enu[0]:+.1f},{tr.vel_enu[1]:+.1f}) m/s "
-                f"[{tr.n_updates} updates]",
+                f"[{tr.n_updates} updates]{coast}",
                 flush=True,
             )
 

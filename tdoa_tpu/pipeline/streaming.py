@@ -193,6 +193,12 @@ class Track:
     last_t: float
     n_updates: int = 1
     quality: float = 0.0
+    # Innovation-gate state: EMA of accepted horizontal innovation
+    # magnitudes, consecutive coasted (rejected) windows, and the
+    # lifetime rejection count.
+    innov_ema_m: float = 0.0
+    coasts: int = 0
+    n_rejected: int = 0
 
     def lla(self, origin_lla: np.ndarray) -> np.ndarray:
         return enu_to_lla(self.pos_enu, origin_lla)
@@ -212,6 +218,10 @@ class TargetTracker:
         alpha: float = 0.5,
         beta: float = 0.1,
         solve_z: bool = False,
+        innovation_gate: bool = True,
+        gate_floor_m: float = 500.0,
+        gate_k: float = 8.0,
+        max_coasts: int = 3,
     ):
         self.station_lla = np.asarray(station_lla, dtype=np.float64)
         self.origin = network_origin(self.station_lla)
@@ -222,6 +232,16 @@ class TargetTracker:
         self.alpha = alpha
         self.beta = beta
         self.solve_z = solve_z
+        # Innovation gate: an established track rejects a measurement
+        # landing far outside its own innovation history — one
+        # corrupted window (co-channel burst, bad association) must not
+        # yank the track. Rejected windows coast on the motion model;
+        # after ``max_coasts`` consecutive rejections the measurement
+        # is accepted again (the target genuinely moved — re-acquire).
+        self.innovation_gate = innovation_gate
+        self.gate_floor_m = gate_floor_m
+        self.gate_k = gate_k
+        self.max_coasts = max_coasts
         self.tracks: Dict[str, Track] = {}
 
         self._solve_batch = jax.jit(
@@ -298,14 +318,49 @@ class TargetTracker:
             dt = max(t - tr.last_t, 1e-6)
             pred = tr.pos_enu + tr.vel_enu * dt
             resid = meas - pred
-            tr.pos_enu = pred + self.alpha * resid
-            if v_meas is not None:
-                # Direct velocity measurement: blend instead of the
-                # beta/dt differentiation (which only corrects velocity
-                # via position residuals, several windows late).
-                tr.vel_enu = (1.0 - self.alpha) * tr.vel_enu + self.alpha * v_meas
+            innov = float(np.linalg.norm(resid[:2]))
+            if (self.innovation_gate and tr.n_updates >= 3
+                    and tr.coasts < self.max_coasts
+                    and innov > max(self.gate_floor_m,
+                                    self.gate_k * tr.innov_ema_m)):
+                # A measurement this far outside the track's own
+                # innovation history is a corrupted window, not motion:
+                # coast on the model and count the miss. max_coasts
+                # consecutive rejections mean the target genuinely
+                # relocated — the gate then stands down and the next
+                # measurement re-acquires.
+                tr.pos_enu = pred
+                tr.last_t = t
+                tr.coasts += 1
+                tr.n_rejected += 1
+                continue
+            if tr.coasts >= self.max_coasts:
+                # Re-acquisition: the target persistently measures
+                # elsewhere, so the old state is stale — snap to the
+                # measurement instead of alpha-blending toward it over
+                # many windows, and restart the innovation history.
+                tr.pos_enu = meas
+                tr.vel_enu = (
+                    v_meas if v_meas is not None else np.zeros(3)
+                )
+                tr.innov_ema_m = 0.0
             else:
-                tr.vel_enu = tr.vel_enu + (self.beta / dt) * resid
+                tr.pos_enu = pred + self.alpha * resid
+                if v_meas is not None:
+                    # Direct velocity measurement: blend instead of the
+                    # beta/dt differentiation (which only corrects
+                    # velocity via position residuals, windows late).
+                    tr.vel_enu = (
+                        (1.0 - self.alpha) * tr.vel_enu
+                        + self.alpha * v_meas
+                    )
+                else:
+                    tr.vel_enu = tr.vel_enu + (self.beta / dt) * resid
+                tr.innov_ema_m = (
+                    innov if tr.n_updates < 2
+                    else 0.7 * tr.innov_ema_m + 0.3 * innov
+                )
+            tr.coasts = 0
             tr.last_t = t
             tr.n_updates += 1
             tr.quality = q

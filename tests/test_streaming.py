@@ -151,6 +151,52 @@ def test_tracker_honors_solve_weights():
     assert final_err(None) > 1000.0  # corrupted pairs drag the re-solve
 
 
+def test_tracker_innovation_gate(omaha_stations):
+    """A single corrupted window (solve lands tens of km off) must not
+    yank an established track: the innovation gate coasts through it,
+    and the track re-acquires after persistent relocation."""
+    s = omaha_stations
+    st = lla_to_ecef(s["station_lla"])
+    pairs = station_pairs(3)
+
+    def tdoas_for(tx_lla):
+        d = np.linalg.norm(st - lla_to_ecef(tx_lla), axis=-1)
+        return (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+
+    truth = np.array(s["tgt_tx_lla"])
+    garbage = tdoas_for(truth) + np.array([60e-6, -45e-6, 15e-6])
+
+    tracker = TargetTracker(s["station_lla"])
+    rng = np.random.default_rng(7)
+    for k in range(5):
+        tracker.update(float(k), {"t": tdoas_for(truth)
+                                  + rng.normal(0, 10e-9, 3)})
+
+    def err_to(tx):
+        lla = tracker.tracks["t"].lla(tracker.origin)
+        return np.linalg.norm(
+            lla_to_enu(np.array([lla[0], lla[1], tx[2]]), tx)[:2]
+        )
+
+    base_err = err_to(truth)
+    tracker.update(5.0, {"t": garbage})
+    tr = tracker.tracks["t"]
+    assert tr.n_rejected == 1 and tr.coasts == 1
+    assert err_to(truth) < base_err + 50.0  # coasted, not yanked
+    # A good window resumes normal tracking.
+    tracker.update(6.0, {"t": tdoas_for(truth)})
+    assert tracker.tracks["t"].coasts == 0
+    assert err_to(truth) < 150.0
+
+    # Persistent relocation: after max_coasts consecutive rejections
+    # the gate stands down and the track re-acquires the new position.
+    new_truth = truth + np.array([0.05, 0.04, 0.0])  # ~6 km away
+    for k in range(7, 12):
+        tracker.update(float(k), {"t": tdoas_for(new_truth)})
+    assert err_to(new_truth) < 300.0, err_to(new_truth)
+    assert tracker.tracks["t"].n_rejected >= 3
+
+
 def test_tracker_follows_moving_target(omaha_stations):
     """A target drifting ~30 m/s: the alpha-beta filter must keep the
     track within a few hundred meters while smoothing the jitter."""
