@@ -119,6 +119,7 @@ def run_trial(regime: str, seed: int) -> dict:
     max_lag = 768
     block_len = 1 << 17
     vel_true = None
+    bad = None
     atol_tdoa, atol_fix = 0.5, 200.0
     if regime == "clean":
         kw["clock_offsets_s"] = rng.uniform(-80e-6, 80e-6, n_st)
@@ -164,14 +165,12 @@ def run_trial(regime: str, seed: int) -> dict:
         block_len = 1 << 18  # CAF Doppler resolution needs the longer block
         max_lag = 512
         atol_tdoa, atol_fix = 1.0, 300.0
-    bad = None
-    if regime == "bad-station":
+    elif regime == "bad-station":
         kw["clock_offsets_s"] = rng.uniform(-100e-6, 100e-6, n_st)
         bad = int(rng.integers(0, n_st))
         bad_shift = int(rng.choice([-1, 1]) * rng.integers(80, 300))
         atol_fix = 300.0
-    elif regime not in ("clean", "noisy", "wild-clocks", "interferer",
-                        "multipath", "moving"):  # 4station / 5station
+    else:  # 4station / 5station
         kw["clock_offsets_s"] = rng.uniform(-100e-6, 100e-6, n_st)
 
     sc = SimScene(

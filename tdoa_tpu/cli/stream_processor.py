@@ -221,6 +221,7 @@ def main(argv=None) -> int:
                 updates[ids[k]] = es.tdoa_samples / proc.config.sample_rate
                 qualities[ids[k]] = float(es.peak_value.mean())
                 fixes[ids[k]] = es.fix
+                upd_weights[ids[k]] = es.solve_weights
             # Joint (lag, Doppler) separation attributes each emitter
             # its own velocity; pass the processor's WEIGHTED solve
             # straight to the tracker (re-solving from raw FDOA here

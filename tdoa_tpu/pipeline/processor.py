@@ -173,6 +173,10 @@ class EmitterFix:
     fdoa_hz: Optional[np.ndarray] = None  # [m] drift-corrected
     velocity_enu: Optional[np.ndarray] = None  # [3] m/s
     velocity_sigma_enu: Optional[np.ndarray] = None  # [3] 1σ m/s
+    # [m] the per-pair weights this emitter's solve used (quadratic
+    # associated-peak weighting) — downstream re-solves (the stream
+    # tracker) must use them, mirroring TDOAResult.solve_weights.
+    solve_weights: Optional[np.ndarray] = None
 
 
 @functools.partial(
@@ -1388,6 +1392,7 @@ class TDOAProcessor:
                             fdoa_hz=e_fdoa,
                             velocity_enu=e_vel,
                             velocity_sigma_enu=e_vsig,
+                            solve_weights=np.asarray(ew, np.float64),
                         )
                     )
             if len(emitters) > 1:

@@ -238,6 +238,8 @@ class TargetTracker:
         # yank the track. Rejected windows coast on the motion model;
         # after ``max_coasts`` consecutive rejections the measurement
         # is accepted again (the target genuinely moved — re-acquire).
+        # ``innovation_gate=False`` or ``max_coasts <= 0`` disables the
+        # gate entirely (plain alpha-beta on every window).
         self.innovation_gate = innovation_gate
         self.gate_floor_m = gate_floor_m
         self.gate_k = gate_k
@@ -319,7 +321,8 @@ class TargetTracker:
             pred = tr.pos_enu + tr.vel_enu * dt
             resid = meas - pred
             innov = float(np.linalg.norm(resid[:2]))
-            if (self.innovation_gate and tr.n_updates >= 3
+            if (self.innovation_gate and self.max_coasts > 0
+                    and tr.n_updates >= 3
                     and tr.coasts < self.max_coasts
                     and innov > max(self.gate_floor_m,
                                     self.gate_k * tr.innov_ema_m)):
@@ -334,16 +337,23 @@ class TargetTracker:
                 tr.coasts += 1
                 tr.n_rejected += 1
                 continue
-            if tr.coasts >= self.max_coasts:
+            if 0 < self.max_coasts <= tr.coasts:
                 # Re-acquisition: the target persistently measures
                 # elsewhere, so the old state is stale — snap to the
                 # measurement instead of alpha-blending toward it over
-                # many windows, and restart the innovation history.
+                # many windows, and restart the track's life: n_updates
+                # goes back to 1 (counted since acquisition), which
+                # stands the gate down for the next two windows and
+                # re-seeds the innovation EMA from them. Without the
+                # restart, a moving target re-acquires into a zeroed
+                # EMA whose gate then rejects every genuine window — an
+                # endless reject/snap limp cycle.
                 tr.pos_enu = meas
                 tr.vel_enu = (
                     v_meas if v_meas is not None else np.zeros(3)
                 )
                 tr.innov_ema_m = 0.0
+                tr.n_updates = 0
             else:
                 tr.pos_enu = pred + self.alpha * resid
                 if v_meas is not None:

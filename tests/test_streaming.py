@@ -196,6 +196,20 @@ def test_tracker_innovation_gate(omaha_stations):
     assert err_to(new_truth) < 300.0, err_to(new_truth)
     assert tracker.tracks["t"].n_rejected >= 3
 
+    # Regression (review finding): after re-acquisition the track must
+    # keep following a FAST target. The snap restarts the track's life
+    # (n_updates back to 1), so the next windows re-seed the innovation
+    # EMA instead of being rejected against a zeroed one — without the
+    # restart this scenario limped in an endless reject/snap cycle with
+    # 3 of every 4 genuine windows discarded.
+    rejected_before = tracker.tracks["t"].n_rejected
+    tx = new_truth.copy()
+    for k in range(12, 22):
+        tx = tx + np.array([0.0, 0.008, 0.0])  # ~670 m east / window
+        tracker.update(float(k), {"t": tdoas_for(tx)})
+    assert err_to(tx) < 500.0, err_to(tx)
+    assert tracker.tracks["t"].n_rejected == rejected_before
+
 
 def test_tracker_follows_moving_target(omaha_stations):
     """A target drifting ~30 m/s: the alpha-beta filter must keep the
