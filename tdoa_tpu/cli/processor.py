@@ -71,6 +71,12 @@ def main(argv=None) -> int:
                         "correlation-peak cycle-consistency (default 1: off)")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line instead of text")
+    p.add_argument("--geojson", metavar="PATH", default=None,
+                   help="also write the result as a GeoJSON "
+                        "FeatureCollection (stations, fix, 1σ/3σ error "
+                        "ellipses, ghost candidates, emitters, course "
+                        "line) — loads directly in QGIS/Google Earth/"
+                        "geojson.io")
     p.add_argument("--truncate-s", type=float, default=None,
                    help="use only the first N seconds of each block")
     p.add_argument("--profile", action="store_true",
@@ -131,6 +137,25 @@ def main(argv=None) -> int:
         print("stage timings:\n" + proc.timer.report(), file=sys.stderr)
 
     names = res.station_names
+    if args.geojson:
+        import json as _json
+
+        from tdoa_tpu.io.geojson import result_feature_collection
+
+        ref_tx = proc.stations.reference_tx
+        fc = result_feature_collection(
+            res,
+            proc.stations.lla_array(names),
+            names,
+            ref_tx_lla=(
+                None if ref_tx is None
+                else np.array([ref_tx.lat, ref_tx.lon, ref_tx.elev])
+            ),
+        )
+        with open(args.geojson, "w") as f:
+            _json.dump(fc, f)
+        print(f"GeoJSON written to {args.geojson}",
+              file=sys.stderr if args.json else sys.stdout)
     if args.json:
         import json
 

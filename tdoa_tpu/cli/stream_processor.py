@@ -71,6 +71,11 @@ def main(argv=None) -> int:
     p.add_argument("--no-outlier-rejection", action="store_true",
                    help="disable per-window leave-one-station-out "
                         "outlier rejection (>= 5-station networks)")
+    p.add_argument("--geojson", metavar="PATH", default=None,
+                   help="maintain a live GeoJSON snapshot at PATH "
+                        "(stations, current tracks with velocity/coast "
+                        "state, per-track trails), rewritten after "
+                        "every processed window — point a map at it")
     p.add_argument("--idle-exit", type=float, default=None,
                    help="with --watch: exit after this many seconds "
                         "without a new window (default: run forever)")
@@ -138,6 +143,7 @@ def main(argv=None) -> int:
     # through this (even single-emitter ones) so identity survives
     # 1 <-> 2 emitter transitions.
     emitter_refs: dict = {}  # id -> (TDOA set samples, epoch)
+    track_history: dict = {}  # id -> [[lat, lon], ...] for map trails
     emitter_seq = 0
     seen_warnings: set = set()  # print each distinct warning once
 
@@ -197,6 +203,7 @@ def main(argv=None) -> int:
             # Refs live in the old station set's pair basis; a match
             # against them after a geometry change would be meaningless.
             emitter_refs.clear()
+            track_history.clear()
         fdoa = None
         vel_meas = {}
         fixes = {args.target_id: res.fix}
@@ -268,6 +275,22 @@ def main(argv=None) -> int:
                 f"[{tr.n_updates} updates]{coast}",
                 flush=True,
             )
+            track_history.setdefault(tid, []).append(
+                [float(tlla[0]), float(tlla[1])]
+            )
+        if args.geojson:
+            import json as _json
+
+            from tdoa_tpu.io.geojson import tracks_feature_collection
+
+            fc = tracks_feature_collection(
+                tracker, table.lla_array(tracker_order), tracker_order,
+                history=track_history,
+            )
+            tmp = args.geojson + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(fc, fh)
+            os.replace(tmp, args.geojson)  # atomic for live map readers
 
     processed = set()
     skipped_thin = set()

@@ -109,8 +109,21 @@ def test_sim_to_processor_workflow(tmp_path, station_csv):
         "processor",
         162400000, 101900000, station_csv, *dats,
         "--max-lag", 512, "--seg-len", 65536,
+        "--geojson", str(tmp_path / "fix.geojson"),
     )
     assert "Position fix:" in r.stdout
+    import json as _json
+
+    fc = _json.load(open(tmp_path / "fix.geojson"))
+    assert fc["type"] == "FeatureCollection"
+    kinds = [f["properties"]["kind"] for f in fc["features"]]
+    assert kinds.count("station") == 3
+    assert "reference_tx" in kinds and "fix" in kinds
+    assert kinds.count("error_ellipse") == 2
+    fixf = next(f for f in fc["features"]
+                if f["properties"]["kind"] == "fix")
+    lon, lat = fixf["geometry"]["coordinates"][:2]  # RFC 7946 order
+    assert abs(lat - 41.3089) < 0.01 and abs(lon + 96.0262) < 0.01
     # Fix should land near KEVO (41.3089, -96.0262)
     for line in r.stdout.splitlines():
         if line.startswith("Position fix:"):
