@@ -147,15 +147,19 @@ def main(argv=None) -> int:
             res,
             proc.stations.lla_array(names),
             names,
-            ref_tx_lla=(
-                None if ref_tx is None
-                else np.array([ref_tx.lat, ref_tx.lon, ref_tx.elev])
-            ),
+            ref_tx_lla=None if ref_tx is None else ref_tx.lla(),
         )
-        with open(args.geojson, "w") as f:
-            _json.dump(fc, f)
-        print(f"GeoJSON written to {args.geojson}",
-              file=sys.stderr if args.json else sys.stdout)
+        try:
+            with open(args.geojson, "w") as f:
+                _json.dump(fc, f)
+        except OSError as e:
+            # A side-output path typo must not discard the fix the
+            # pipeline just spent the whole run computing.
+            print(f"warning: could not write --geojson: {e}",
+                  file=sys.stderr)
+        else:
+            print(f"GeoJSON written to {args.geojson}",
+                  file=sys.stderr if args.json else sys.stdout)
     if args.json:
         import json
 

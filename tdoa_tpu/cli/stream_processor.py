@@ -275,9 +275,13 @@ def main(argv=None) -> int:
                 f"[{tr.n_updates} updates]{coast}",
                 flush=True,
             )
-            track_history.setdefault(tid, []).append(
-                [float(tlla[0]), float(tlla[1])]
-            )
+            if args.geojson:
+                # Trail for the map snapshot only; capped so a
+                # run-forever --watch service neither grows without
+                # bound nor rewrites an ever-larger file each window.
+                trail = track_history.setdefault(tid, [])
+                trail.append([float(tlla[0]), float(tlla[1])])
+                del trail[:-1000]
         if args.geojson:
             import json as _json
 
@@ -287,10 +291,14 @@ def main(argv=None) -> int:
                 tracker, table.lla_array(tracker_order), tracker_order,
                 history=track_history,
             )
-            tmp = args.geojson + ".tmp"
-            with open(tmp, "w") as fh:
-                _json.dump(fc, fh)
-            os.replace(tmp, args.geojson)  # atomic for live map readers
+            try:
+                tmp = args.geojson + ".tmp"
+                with open(tmp, "w") as fh:
+                    _json.dump(fc, fh)
+                os.replace(tmp, args.geojson)  # atomic for live readers
+            except OSError as e:
+                print(f"warning: could not write --geojson: {e}",
+                      file=sys.stderr)
 
     processed = set()
     skipped_thin = set()

@@ -46,17 +46,28 @@ def ellipse_ring(
     """Closed ``[lon, lat]`` ring of the k-sigma ellipse, built in the
     local ENU frame at the center (exact geodesy, no flat-earth
     meters-per-degree approximation)."""
-    t = np.linspace(0.0, 2.0 * np.pi, n_points + 1)
+    t = np.linspace(0.0, 2.0 * np.pi, n_points, endpoint=False)
     az = np.radians(azimuth_deg)
     u = np.array([np.sin(az), np.cos(az)])  # major axis, (E, N)
-    v = np.array([np.cos(az), -np.sin(az)])  # minor axis
+    # Minor axis chosen so (u, v) is right-handed: increasing t then
+    # winds the exterior ring counterclockwise (RFC 7946 §3.1.6).
+    v = np.array([-np.cos(az), np.sin(az)])
     en = (
         k_sigma * semi_major_m * np.cos(t)[:, None] * u[None, :]
         + k_sigma * semi_minor_m * np.sin(t)[:, None] * v[None, :]
     )
     enu = np.concatenate([en, np.zeros((len(t), 1))], axis=1)
-    lla = enu_to_lla(enu, np.asarray(center_lla, np.float64))
-    return [[float(p[1]), float(p[0])] for p in lla]
+    center = np.asarray(center_lla, np.float64)
+    lla = enu_to_lla(enu, center)
+    # Unwrap longitudes around the center so a ring straddling the
+    # antimeridian stays continuous (values may exceed ±180 by the
+    # ellipse's width — every major renderer handles that; a ±360°
+    # jump mid-ring renders as a globe-wrapping polygon everywhere).
+    lon = np.asarray([p[1] for p in lla])
+    lon = center[1] + (lon - center[1] + 180.0) % 360.0 - 180.0
+    ring = [[float(lo), float(p[0])] for lo, p in zip(lon, lla)]
+    ring.append(list(ring[0]))  # exact closure, not fp coincidence
+    return ring
 
 
 def result_feature_collection(
@@ -141,13 +152,16 @@ def result_feature_collection(
             np.array([v[0], v[1], 0.0]) * lead_seconds,
             np.array([fix.lat, fix.lon, fix.elev]),
         )
+        # Keep the line continuous across the antimeridian (see
+        # ellipse_ring).
+        lead_lon = fix.lon + (float(lead[1]) - fix.lon + 180.0) % 360.0 - 180.0
         feats.append({
             "type": "Feature",
             "geometry": {
                 "type": "LineString",
                 "coordinates": [
                     _coords(fix.lat, fix.lon, fix.elev),
-                    _coords(lead[0], lead[1], fix.elev),
+                    _coords(lead[0], lead_lon, fix.elev),
                 ],
             },
             "properties": {"kind": "course",

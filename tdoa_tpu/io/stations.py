@@ -24,6 +24,10 @@ class Station:
     lon: float  # degrees
     elev: float  # meters above the WGS84 ellipsoid
 
+    def lla(self) -> "np.ndarray":
+        """(lat°, lon°, elev m) row, the geometry modules' currency."""
+        return np.array([self.lat, self.lon, self.elev])
+
 
 @dataclasses.dataclass
 class StationTable:

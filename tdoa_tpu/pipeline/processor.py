@@ -458,15 +458,7 @@ class TDOAProcessor:
             return np.zeros(len(pairs))
         lla = self.stations.lla_array(names)
         st = lla_to_ecef(lla)
-        tx = lla_to_ecef(
-            np.array(
-                [
-                    self.stations.reference_tx.lat,
-                    self.stations.reference_tx.lon,
-                    self.stations.reference_tx.elev,
-                ]
-            )
-        )
+        tx = lla_to_ecef(self.stations.reference_tx.lla())
         d = np.linalg.norm(st - tx, axis=-1)
         tau = d / SPEED_OF_LIGHT * self.config.sample_rate
         return tau[pairs[:, 1]] - tau[pairs[:, 0]]
@@ -670,8 +662,7 @@ class TDOAProcessor:
                         else _station_mean_power(ref1)
                     ),
                     ref_tx_lla=(
-                        None if ref_tx is None
-                        else np.array([ref_tx.lat, ref_tx.lon, ref_tx.elev])
+                        None if ref_tx is None else ref_tx.lla()
                     ),
                 )
                 # Coverage prior first: operator knowledge of the

@@ -67,6 +67,26 @@ def test_ellipse_ring_geometry():
     assert abs(np.hypot(e, n) - 400.0) < 1.0
 
 
+def test_ellipse_ring_winding_and_antimeridian():
+    """RFC 7946 §3.1.6: exterior rings wind counterclockwise and close
+    exactly; a ring straddling ±180° must stay continuous (unwrapped),
+    not jump 360° mid-ring into a globe-wrapping polygon."""
+    ring = ellipse_ring(np.array([41.3, -96.0, 350.0]), 200.0, 80.0, 30.0)
+    # Shoelace signed area in lon/lat degrees: positive = CCW.
+    xy = np.asarray(ring)
+    area2 = float(np.sum(
+        xy[:-1, 0] * xy[1:, 1] - xy[1:, 0] * xy[:-1, 1]
+    ))
+    assert area2 > 0.0
+    assert ring[0] == ring[-1]
+
+    ring_am = ellipse_ring(
+        np.array([0.0, 179.9999, 0.0]), 5000.0, 3000.0, 10.0
+    )
+    lons = np.asarray([p[0] for p in ring_am])
+    assert np.abs(np.diff(lons)).max() < 1.0, "360-degree jump mid-ring"
+
+
 def test_result_feature_collection():
     res = _result()
     fc = result_feature_collection(
