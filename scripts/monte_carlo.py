@@ -239,6 +239,22 @@ def run_trial(regime: str, seed: int) -> dict:
         ))
 
     fix_err = err_of(res.fix)
+    # Normalized (Mahalanobis) error against the fix's own covariance:
+    # if the uncertainty model is calibrated, maha² ~ chi²(2 dof)
+    # (39.3% of trials within 1σ, 86.5% within 2σ, 98.9% within 3σ).
+    maha = None
+    if res.fix.cov_en is not None and np.all(np.isfinite(res.fix.cov_en)):
+        e_en = (
+            lla_to_enu(
+                np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt
+            )[:2] - mid_off
+        )
+        try:
+            maha = float(np.sqrt(
+                e_en @ np.linalg.solve(res.fix.cov_en, e_en)
+            ))
+        except np.linalg.LinAlgError:
+            maha = None
     if regime == "interferer" and res.emitters:
         # Association resolves both emitters; score the one the
         # framework would hand the operator for THIS target.
@@ -295,6 +311,12 @@ def run_trial(regime: str, seed: int) -> dict:
         "silent": not (accurate or covered or flagged),
         "warnings": len(warnings),
         "excluded_right": excluded_right,
+        "maha": maha,
+        # Ghost-flagged trials have a bimodal error (two timing-exact
+        # intersections) that no covariance models; the ellipse
+        # calibration study excludes them (the ambiguity warning is
+        # their defense, not the ellipse).
+        "ambiguous": any("ambiguous fix" in w for w in warnings),
     }
 
 

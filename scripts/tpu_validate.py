@@ -5,7 +5,8 @@ Checks (each exists because CPU-interpreter validation missed a real
 hardware failure at least once — VMEM budgets, bf16 numerics, compile
 stalls):
  1. full pipeline e2e: fused Pallas accumulator + bf16 .dat decode
- 2. fused kernel vs XLA path agreement
+ 2. fused kernel vs XLA path agreement; split-half empirical sigma
+    (clean sub-sample, corrupted-half inflation) on real bf16 numerics
  3. CAF joint delay-Doppler estimation
  4. streaming accumulator through the fused kernel
  5. Pallas FM-demod kernel vs XLA demod; FM-mode pipeline on chip
@@ -139,6 +140,35 @@ def main():
         "fused kernel vs XLA path",
         abs(d_f - shift) < 0.1 and abs(d_x - shift) < 0.1,
         f"fused {d_f:.3f}, xla {d_x:.3f}, true {shift}",
+    )
+
+    # ---- 2b. split-half empirical sigma on chip ---------------------------
+    # The honest-error-bar machinery (coherence debias + per-half zoom
+    # DFT, BENCHLOG "Honest error bars") runs bf16 matmuls on hardware:
+    # a clean capture must keep a sub-sample sigma, and corrupting ONE
+    # half (noise replaces signal) must inflate sigma — the halves now
+    # disagree — without breaking the delay estimate the good half
+    # still anchors.
+    noise = 0.3 * jax.random.normal(jax.random.PRNGKey(9), (2, n, 2))
+    xn = C(x.re + noise[..., 0], x.im + noise[..., 1])
+    r_clean = correlate_pairs_fused(xn, pairs, max_lag=512, weighting="ht",
+                                    precision="bf16")
+    wreck = jax.random.normal(jax.random.PRNGKey(10), (2, SEG_LEN, 2))
+    xw = C(
+        xn.re.at[1, SEG_LEN:].set(wreck[1, :, 0]),
+        xn.im.at[1, SEG_LEN:].set(wreck[1, :, 1]),
+    )
+    r_wreck = correlate_pairs_fused(xw, pairs, max_lag=512, weighting="ht",
+                                    precision="bf16")
+    s_clean = float(r_clean.delay_std[0])
+    s_wreck = float(r_wreck.delay_std[0])
+    d_clean = float(r_clean.delay[0])
+    check(
+        "split-half sigma on chip",
+        abs(d_clean - shift) < 0.1 and 0.0 < s_clean < 0.5
+        and s_wreck > max(2.0 * s_clean, 0.5),
+        f"delay {d_clean:.3f} (want {shift}), sigma clean {s_clean:.4f}, "
+        f"half-corrupted {s_wreck:.3f}",
     )
 
     # ---- 3. CAF on device ------------------------------------------------

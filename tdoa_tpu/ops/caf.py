@@ -158,8 +158,8 @@ def caf_pairs(
     bi = jnp.einsum("ms,msf->mf", steer_best.re, cross.im,
                     preferred_element_type=f32) + jnp.einsum(
         "ms,msf->mf", steer_best.im, cross.re, preferred_element_type=f32)
-    delay, _ = _phase_slope_refine(C(br, bi), jnp.round(delay), fft_len,
-                                   max_lag)
+    delay, _, _ = _phase_slope_refine(C(br, bi), jnp.round(delay), fft_len,
+                                      max_lag)
     dop_slice = jnp.take_along_axis(
         win, (idx % w)[:, None, None].repeat(ndop, 1), axis=2
     )[:, :, 0]

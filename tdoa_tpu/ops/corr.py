@@ -122,17 +122,25 @@ def _accumulate_cross_spectra(
     return C(cr, ci), psd, energy
 
 
-def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
+def _weight_factor(
+    cross: C, psd, pair_idx, weighting: str, eps: float, n_seg=None
+):
+    """The real per-bin GCC weighting multiplier s [m, F] such that the
+    weighted spectrum is ``cross ⊙ s`` (1 for weighting="none")."""
     mag = cross.abs()
+    if weighting == "none":
+        return jnp.ones_like(mag)
     if weighting == "phat":
-        d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
-        return C(cross.re / d, cross.im / d)
+        return 1.0 / (
+            mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
+        )
     if weighting == "scot":
         denom = jnp.sqrt(
             jnp.maximum(psd[pair_idx[:, 0]] * psd[pair_idx[:, 1]], 0.0)
         )
-        d = denom + eps * jnp.mean(denom, axis=-1, keepdims=True) + 1e-30
-        return C(cross.re / d, cross.im / d)
+        return 1.0 / (
+            denom + eps * jnp.mean(denom, axis=-1, keepdims=True) + 1e-30
+        )
     if weighting in ("ht", "ml"):
         # Hannan–Thomson (maximum-likelihood) GCC: PHAT phase times an
         # SNR weight |γ|²/(1−|γ|²) from the segment-averaged magnitude-
@@ -150,6 +158,23 @@ def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
         denom = jnp.sqrt(saa) * jnp.sqrt(sbb)
         gamma = mag / jnp.maximum(denom, 1e-30)
         gamma2 = jnp.clip(gamma * gamma, 0.0, 0.98)
+        if n_seg is not None:
+            # Debias the segment-averaged coherence: for INCOHERENT
+            # bins E[γ̂²] = 1/S over S segments, so with few segments
+            # raw γ̂² hands noise-only bins real weight (at S=2, noise
+            # bins average γ̂²≈0.5 and some draw near 1, letting their
+            # random phases outvote a narrowband signal's few honest
+            # bins — measured 3-to-50-sample delay errors on short
+            # captures). The standard Welch debias maps the noise
+            # expectation to zero. S=1 carries no coherence
+            # information at all; keep the raw clamp (≈ scaled PHAT)
+            # rather than zeroing every weight.
+            s = jnp.asarray(n_seg, jnp.float32)
+            bias = jnp.where(s > 1.0, 1.0 / jnp.maximum(s, 1.0), 0.0)
+            gamma2 = jnp.clip(
+                (gamma2 - bias) / jnp.maximum(1.0 - bias, 1e-6),
+                0.0, 0.98,
+            )
         snr_w = gamma2 / (1.0 - gamma2)
         # A bin with (near-)zero power carries no information: a tiny
         # denominator makes gamma explode and would hand the garbage bin
@@ -158,11 +183,17 @@ def _weight_spectrum(cross: C, psd, pair_idx, weighting: str, eps: float) -> C:
         snr_w = jnp.where(denom > floor, snr_w, 0.0)
         d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
         w = snr_w / jnp.maximum(jnp.max(snr_w, axis=-1, keepdims=True), 1e-30)
-        s = w / d
-        return C(cross.re * s, cross.im * s)
+        return w / d
+    raise ValueError(f"unknown GCC weighting: {weighting!r}")
+
+
+def _weight_spectrum(
+    cross: C, psd, pair_idx, weighting: str, eps: float, n_seg=None
+) -> C:
     if weighting == "none":
         return cross
-    raise ValueError(f"unknown GCC weighting: {weighting!r}")
+    s = _weight_factor(cross, psd, pair_idx, weighting, eps, n_seg)
+    return C(cross.re * s, cross.im * s)
 
 
 def _lag_window(r: jax.Array, max_lag: int) -> jax.Array:
@@ -174,7 +205,8 @@ def _lag_window(r: jax.Array, max_lag: int) -> jax.Array:
 
 
 def _phase_slope_refine(cross: C, coarse_delay, fft_len: int,
-                        max_lag: int = 0, peak_phase=None):
+                        max_lag: int = 0, peak_phase=None,
+                        clip_samples: float = 1.0):
     """Refine a coarse delay by weighted LS on the cross-spectrum phase.
 
     For pair spectrum ``C = X_j·conj(X_i)`` a pure delay d gives
@@ -239,7 +271,7 @@ def _phase_slope_refine(cross: C, coarse_delay, fft_len: int,
     # energy-weighted mean of direct and echo delays, and a loose bound
     # lets the refine drift off the direct-path peak the correlation
     # argmax correctly selected.
-    delta = jnp.clip(delta, -1.0, 1.0)
+    delta = jnp.clip(delta, -clip_samples, clip_samples)
 
     # Standard error of the slope, scale-invariant in the (relative)
     # weights: var(slope) ≈ σ_r² / (n_eff · S_f) with
@@ -255,7 +287,11 @@ def _phase_slope_refine(cross: C, coarse_delay, fft_len: int,
     s_f = jnp.maximum(swff / sw_safe - (swf / sw_safe) ** 2, 1e-30)
     n_eff = sw_safe**2 / jnp.maximum(jnp.sum(w * w, axis=-1), 1e-30)
     delay_std = jnp.sqrt(sigma_r2 / (n_eff * s_f)) / (2.0 * jnp.pi)
-    return coarse_delay + delta, delay_std
+    # RMS width of the correlation peak envelope in samples (inverse of
+    # the weighted spectral spread) — the length scale of coarse-argmax
+    # jitter the slope fit cannot see.
+    peak_width = 1.0 / (2.0 * jnp.pi * jnp.sqrt(s_f))
+    return coarse_delay + delta, delay_std, peak_width
 
 
 def _finish_correlation(
@@ -268,13 +304,18 @@ def _finish_correlation(
     eps: float,
     fft_len: int,
     refine: str,
+    n_seg=None,
+    coarse_sigma: bool = True,
 ) -> CorrResult:
     """Accumulated cross-spectra → weighted correlation → refined peaks.
 
     Split out so the multi-chip path (parallel/mesh.py) can psum the
     accumulators over the mesh and run this replicated tail unchanged.
+    ``n_seg`` (static int or traced scalar) is the number of averaged
+    segments behind the accumulators — it debiases the coherence the
+    HT/ML weights use.
     """
-    weighted = _weight_spectrum(cross, psd, pair_idx, weighting, eps)
+    weighted = _weight_spectrum(cross, psd, pair_idx, weighting, eps, n_seg)
     r = mfft.ifft(weighted)  # C [m, F]
     wr = _lag_window(r.re, max_lag)
     wi = _lag_window(r.im, max_lag)
@@ -303,15 +344,112 @@ def _finish_correlation(
         pr = jnp.sum(jnp.where(onehot, wr, 0.0), axis=-1)
         pi = jnp.sum(jnp.where(onehot, wi, 0.0), axis=-1)
         peak_phase = jnp.arctan2(pi, pr)
-        delay, delay_std = _phase_slope_refine(
+        delay, delay_std, peak_width = _phase_slope_refine(
             cross, coarse, fft_len, max_lag, peak_phase
         )
     else:
         delay_std = jnp.zeros_like(delay)
+        peak_width = None
     quality = peak_quality(win)
+    if peak_width is not None and coarse_sigma:
+        # Coarse-peak location error. The argmax of a correlation peak
+        # of rms width W samples, perturbed by correlation-domain noise
+        # 1/q of the peak (q = peak-to-sidelobe amplitude ratio),
+        # jitters by ~W/q — band-limited noise displaces a smooth peak
+        # by (noise slope)/(peak curvature) ≈ (σ_n/W)/(p/W²) = W·σ_n/p.
+        # The phase-slope σ above models only the sub-sample fit; its
+        # ±1-sample deramp window also CORRECTS coarse jitter up to one
+        # sample, so only the excess beyond 1 sample survives (relu in
+        # quadrature). Narrowband weak signals — wide peak, modest q —
+        # are exactly where the slope σ alone proved 10-70x optimistic
+        # (scripts/ellipse_calibration.py); wideband strong signals are
+        # unaffected. Beyond the search window the estimate is
+        # uniform-random: cap at the window's uniform std.
+        sigma_coarse = peak_width / jnp.maximum(quality, 1.0)
+        excess2 = jnp.maximum(sigma_coarse * sigma_coarse - 1.0, 0.0)
+        cap = (2.0 * max_lag + 1.0) / jnp.sqrt(12.0)
+        delay_std = jnp.minimum(
+            jnp.sqrt(delay_std * delay_std + excess2), cap
+        )
     return CorrResult(
         delay=delay, peak_value=val, quality=quality, corr=win,
         delay_std=delay_std,
+    )
+
+
+def _zoom_corr_delay(
+    wspec: C, coarse, fft_len: int, max_lag: int, half_width: int = 16
+) -> jax.Array:
+    """Peak delay of a weighted cross-spectrum, evaluated only on a
+    ±half_width lag window around ``coarse`` (per row) — a zoom DFT.
+
+    Four [m,F]×[F,2K+1] matmuls instead of a full iFFT: the split-half
+    σ probe needs each half's peak near the full estimate, not the
+    whole correlation function. The per-row deramp uses the exact
+    int32 fraction trick (see _phase_slope_refine): a float32 product
+    2πf·d carries ~1e-3-cycle error at |d|~2e4. Same overflow guard as
+    there: k·d reaches fft_len·max_lag, so past 2³¹ fall back to the
+    float ramp rather than silently wrapping int32.
+    """
+    if 0 < max_lag and fft_len * (max_lag + 1) < 2**31:
+        k = jnp.arange(fft_len, dtype=jnp.int32)
+        d_i = jnp.round(coarse).astype(jnp.int32)
+        frac = (k[None, :] * d_i[:, None]) % fft_len
+        ang = (2.0 * jnp.pi / fft_len) * frac.astype(jnp.float32)
+    else:
+        f_cyc = jnp.asarray(mfft.fftfreq(fft_len), jnp.float32)
+        ang = jnp.float32(2.0 * jnp.pi) * f_cyc[None, :] * coarse[:, None]
+    cr, sr = jnp.cos(ang), jnp.sin(ang)
+    dre = wspec.re * cr - wspec.im * sr
+    dim = wspec.re * sr + wspec.im * cr
+    f = jnp.asarray(mfft.fftfreq(fft_len))  # cycles/sample
+    delta = jnp.arange(
+        -half_width, half_width + 1, dtype=jnp.float32
+    )
+    ang2 = (2.0 * jnp.pi) * f[:, None] * delta[None, :]
+    er, ei = jnp.cos(ang2), jnp.sin(ang2)
+    f32 = jnp.float32
+    cre = (dre @ er - dim @ ei).astype(f32)
+    cim = (dre @ ei + dim @ er).astype(f32)
+    win = jnp.sqrt(cre * cre + cim * cim)
+    pos, _ = parabolic_peak(win)
+    return coarse + (pos - jnp.float32(half_width))
+
+
+def _combine_halves(
+    acc_a, acc_b, pair_idx, max_lag, weighting, eps, fft_len,
+    n_seg_total,
+):
+    """Full-capture CorrResult from two half-capture accumulators, with
+    the split-half empirical error bar folded into ``delay_std``.
+
+    Each half's delay comes from a ±16-lag zoom DFT around the full
+    estimate's coarse peak — running the full finish per half tripled
+    the iFFT cost (a 27% headline-bench regression), and cheap
+    phase-slope probes collapse under phase wrap for multi-sample
+    errors (both halves fit the same shrunken slope and the σ reads
+    zero). A half whose true peak lies outside the zoom window
+    saturates at ±16 and still reports a correspondingly large σ."""
+    (ca, pa, ea), (cb, pb, eb) = acc_a, acc_b
+    res = _finish_correlation(
+        C(ca.re + cb.re, ca.im + cb.im), pa + pb, ea + eb, pair_idx,
+        max_lag, weighting, eps, fft_len, "phase",
+        n_seg=n_seg_total, coarse_sigma=False,
+    )
+    coarse = jnp.round(res.delay)
+    # Weight BOTH halves with the full capture's (debiased) factor:
+    # each half alone may be a single segment, whose own coherence
+    # carries no information (HT degrades to PHAT and the probe peaks
+    # jitter ~0.5 sample even on clean signals, poisoning σ_emp).
+    s = _weight_factor(
+        C(ca.re + cb.re, ca.im + cb.im), pa + pb, pair_idx,
+        weighting, eps, n_seg_total,
+    )
+    da = _zoom_corr_delay(C(ca.re * s, ca.im * s), coarse, fft_len, max_lag)
+    db = _zoom_corr_delay(C(cb.re * s, cb.im * s), coarse, fft_len, max_lag)
+    sigma_emp = 0.5 * jnp.abs(da - db)
+    return res._replace(
+        delay_std=jnp.maximum(res.delay_std, sigma_emp)
     )
 
 
@@ -379,11 +517,39 @@ def correlate_pairs_planar(
     rms = jnp.sqrt(jnp.mean(x.abs2(), axis=-1, keepdims=True))
     inv = 1.0 / jnp.maximum(rms, 1e-30)
     x = C(x.re * inv, x.im * inv)
-    cross, psd, energy = _accumulate_cross_spectra(
-        x, pair_idx, seg_len, fft_len, fft_precision, seg_batch
+    n_seg_total = n // seg_len
+    if n_seg_total < 2 or refine != "phase":
+        cross, psd, energy = _accumulate_cross_spectra(
+            x, pair_idx, seg_len, fft_len, fft_precision, seg_batch
+        )
+        return _finish_correlation(
+            cross, psd, energy, pair_idx, max_lag, weighting, eps, fft_len,
+            refine, n_seg=n_seg_total,
+        )
+    # Split-half error bar: accumulate the two halves of the capture
+    # separately (same total work — the full accumulators are their
+    # sum) and estimate each half's delay too. Half the disagreement is
+    # an EMPIRICAL 1σ that captures every realization-dependent error
+    # source — coarse-peak displacement by in-band noise, impairment
+    # residue, lobe hopping — which the phase-slope model σ provably
+    # misses (ellipse-calibration study measured it 10-70x optimistic
+    # on weak signals). The model σ stays as the floor: a lucky
+    # agreement between halves must not claim better precision than
+    # the spectrum supports. Systematic biases common to both halves
+    # (e.g. static multipath) remain invisible to both estimators.
+    half = n_seg_total // 2
+    cut, end = half * seg_len, n_seg_total * seg_len
+    acc_a = _accumulate_cross_spectra(
+        C(x.re[:, :cut], x.im[:, :cut]), pair_idx, seg_len, fft_len,
+        fft_precision, seg_batch,
     )
-    return _finish_correlation(
-        cross, psd, energy, pair_idx, max_lag, weighting, eps, fft_len, refine
+    acc_b = _accumulate_cross_spectra(
+        C(x.re[:, cut:end], x.im[:, cut:end]), pair_idx, seg_len, fft_len,
+        fft_precision, seg_batch,
+    )
+    return _combine_halves(
+        acc_a, acc_b, pair_idx, max_lag, weighting, eps, fft_len,
+        n_seg_total,
     )
 
 
@@ -422,12 +588,47 @@ def correlate_pairs_fused(
             f"window {FFT_LEN - SEG_LEN} (= fft {FFT_LEN} − seg {SEG_LEN}); "
             f"use the XLA path (correlate_pairs_planar)"
         )
-    cross, psd, energy = accumulate_cross_spectra_pallas(
-        x, pairs, precision=precision, remove_dc=remove_dc, prescale=True
+    pair_arr = jnp.asarray(np.array(pairs, np.int32))
+    n_seg_total = x.re.shape[1] // SEG_LEN
+    if n_seg_total < 2 or refine != "phase":
+        cross, psd, energy = accumulate_cross_spectra_pallas(
+            x, pairs, precision=precision, remove_dc=remove_dc,
+            prescale=True,
+        )
+        return _finish_correlation(
+            cross, psd, energy, pair_arr,
+            max_lag, weighting, eps, FFT_LEN, refine, n_seg=n_seg_total,
+        )
+    # Split-half empirical error bar — same scheme as the XLA path
+    # (see correlate_pairs_planar): the kernel runs once per half, the
+    # full accumulators are the halves' sum, total segment work is
+    # unchanged. prescale=False: per-half unit-RMS scaling would break
+    # the halves-sum-to-full invariant under nonstationary power (a
+    # noise-only half amplified to unit RMS outvotes the signal half);
+    # instead scale both halves by the FULL capture's per-station RMS,
+    # exactly like the XLA path's single pre-split normalization.
+    half = n_seg_total // 2
+    cut, end = half * SEG_LEN, n_seg_total * SEG_LEN
+    acc_a = accumulate_cross_spectra_pallas(
+        C(x.re[:, :cut], x.im[:, :cut]), pairs,
+        precision=precision, remove_dc=remove_dc, prescale=False,
     )
-    return _finish_correlation(
-        cross, psd, energy, jnp.asarray(np.array(pairs, np.int32)),
-        max_lag, weighting, eps, FFT_LEN, refine,
+    acc_b = accumulate_cross_spectra_pallas(
+        C(x.re[:, cut:end], x.im[:, cut:end]), pairs,
+        precision=precision, remove_dc=remove_dc, prescale=False,
+    )
+    (ca, pa, ea), (cb, pb, eb) = acc_a, acc_b
+    sc = 1.0 / jnp.sqrt(jnp.maximum((ea + eb) / float(end), 1e-30))
+    s_pair = (sc[pair_arr[:, 0]] * sc[pair_arr[:, 1]])[:, None]
+    sc2 = (sc * sc)[:, None]
+
+    def scaled(c, p, use):
+        return (C(c.re * s_pair, c.im * s_pair), p * sc2,
+                jnp.full_like(ea, float(use)))
+
+    return _combine_halves(
+        scaled(ca, pa, cut), scaled(cb, pb, end - cut),
+        pair_arr, max_lag, weighting, eps, FFT_LEN, n_seg_total,
     )
 
 

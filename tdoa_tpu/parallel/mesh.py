@@ -29,6 +29,7 @@ from jax import shard_map
 from tdoa_tpu.ops.corr import (
     CorrResult,
     _accumulate_cross_spectra,
+    _combine_halves,
     _finish_correlation,
     resolve_seg,
 )
@@ -122,6 +123,7 @@ def _sharded_program(mesh, axis, accumulator, pairs_static, seg_len_r,
     """
     if accumulator == "pallas":
         from tdoa_tpu.ops.pallas.corr_accum import (
+            SEG_LEN,
             accumulate_cross_spectra_pallas,
         )
     # The pallas variant disables shard_map's varying-axis typing: the
@@ -136,6 +138,7 @@ def _sharded_program(mesh, axis, accumulator, pairs_static, seg_len_r,
         check_vma=(accumulator != "pallas"),
     )
     def run(xl: C, pairs):
+        local_n = xl.re.shape[1]
         if accumulator == "pallas":
             # bf16 operands on real hardware; the CPU interpreter (mesh
             # dry runs) emulates bf16 matmuls pathologically slowly and
@@ -147,9 +150,40 @@ def _sharded_program(mesh, axis, accumulator, pairs_static, seg_len_r,
                 precision="bf16" if on_tpu() else "f32",
                 prescale=False,
             )
+            local_segs = local_n // SEG_LEN
         else:
             cross, psd, energy = _accumulate_cross_spectra(
                 xl, pairs, seg_len_r, fft_len
+            )
+            local_segs = local_n // seg_len_r
+        # Total averaged segments behind the psum'd accumulators —
+        # debiases the HT coherence exactly like the single-chip path.
+        d = mesh.shape[axis]
+        n_seg = local_segs * d
+        if refine == "phase" and d % 2 == 0:
+            # Split-half empirical error bar at feature parity with the
+            # single-chip paths: the time axis is sharded contiguously,
+            # so devices idx < d/2 hold exactly the capture's first
+            # half. Stack the masked accumulators and psum ONCE — same
+            # collective count as before at 2x payload (still
+            # O(fft_len·pairs), independent of capture length).
+            in_a = (jax.lax.axis_index(axis) < d // 2).astype(
+                cross.re.dtype
+            )
+
+            def halves(t):
+                s = jax.lax.psum(
+                    jnp.stack([t * in_a, t * (1.0 - in_a)]), axis
+                )
+                return s[0], s[1]
+
+            cra, crb = halves(cross.re)
+            cia, cib = halves(cross.im)
+            psa, psb = halves(psd)
+            ena, enb = halves(energy)
+            return _combine_halves(
+                (C(cra, cia), psa, ena), (C(crb, cib), psb, enb),
+                pairs, max_lag, weighting, eps, fft_len, n_seg,
             )
         cross = C(
             jax.lax.psum(cross.re, axis), jax.lax.psum(cross.im, axis)
@@ -157,7 +191,8 @@ def _sharded_program(mesh, axis, accumulator, pairs_static, seg_len_r,
         psd = jax.lax.psum(psd, axis)
         energy = jax.lax.psum(energy, axis)
         return _finish_correlation(
-            cross, psd, energy, pairs, max_lag, weighting, eps, fft_len, refine
+            cross, psd, energy, pairs, max_lag, weighting, eps, fft_len,
+            refine, n_seg=n_seg,
         )
 
     return jax.jit(run)

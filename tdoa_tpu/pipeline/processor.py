@@ -497,7 +497,7 @@ class TDOAProcessor:
         names: Sequence[str],
         pairs: np.ndarray,
         lla: np.ndarray,
-        resid_gate: float,
+        worst_pair,  # callable(fix, weights) -> (score, pair index)
         warnings: List[str],
     ) -> Tuple[FixResult, np.ndarray, List[str]]:
         """Leave-stations-out outlier rejection on an inconsistent set.
@@ -532,12 +532,14 @@ class TDOAProcessor:
                 solve_z=cfg.solve_z, tdoa_sigma_s=tdoa_std_s,
             )
 
+        def consistent(t):
+            excl_w, excl_fix = t[1]
+            return worst_pair(excl_fix, excl_w)[0] <= 1.0
+
         tried = [
             ((s,), r) for s in range(n) if (r := solve_without({s}))
         ]
-        passing = [
-            t for t in tried if t[1][1].rms_residual_m <= resid_gate
-        ]
+        passing = [t for t in tried if consistent(t)]
         if not passing and n >= 6:
             # Two outliers: no single exclusion can restore consistency,
             # but a unique pair of exclusions can (the remaining >= 4
@@ -547,9 +549,7 @@ class TDOAProcessor:
                 for a in range(n) for b in range(a + 1, n)
                 if (r := solve_without({a, b}))
             ]
-            passing = [
-                t for t in tried if t[1][1].rms_residual_m <= resid_gate
-            ]
+            passing = [t for t in tried if consistent(t)]
         if len(passing) != 1:
             detail = ", ".join(
                 f"without {'+'.join(names[s] for s in excl)}: "
@@ -598,29 +598,48 @@ class TDOAProcessor:
         Doppler deramp re-solve). Returns the possibly-updated
         (fix, weights, excluded_station_names)."""
         cfg = self.config
-        # Mutually inconsistent TDOAs leave a residual the per-pair
+        # Mutually inconsistent TDOAs leave residuals the per-pair
         # quality gate cannot see: a co-channel interferer or strong
         # multipath produces clean, confident peaks on DIFFERENT
-        # emitters/paths. Threshold scales with the measurement noise so
-        # legitimately noisy (weak-signal) sets don't trip it: a
-        # consistent set's rms residual is ~1-2x the measurement noise
-        # (weak signals inflate residual and sigma together); a mixed
-        # set blows the ratio out. 5x separates the regimes with margin.
-        sigma_m = float(np.median(tdoa_std_s)) * SPEED_OF_LIGHT
-        resid_gate = max(100.0, 5.0 * sigma_m)
+        # emitters/paths. The test is PER PAIR and normalized by each
+        # pair's own 1σ: a pair whose residual at the fix exceeds
+        # max(5σ, 100 m) is inconsistent beyond its error bar. (An
+        # aggregate rms-vs-median-σ gate fails exactly when needed:
+        # corruption that inflates the honest split-half σs raises the
+        # aggregate gate until a 6 km mixed-emitter residual passes.)
+        gate_m = np.maximum(
+            5.0 * np.asarray(tdoa_std_s, np.float64) * SPEED_OF_LIGHT,
+            100.0,
+        )
+        rd_m = np.asarray(tdoa_s, np.float64) * SPEED_OF_LIGHT
+
+        def worst_pair(f: FixResult, weights) -> Tuple[float, int]:
+            """(max |residual|/gate over active pairs, argmax pair)."""
+            st_enu = lla_to_enu(lla, f.origin_lla)
+            di = np.linalg.norm(f.enu - st_enu[pairs[:, 0]], axis=-1)
+            dj = np.linalg.norm(f.enu - st_enu[pairs[:, 1]], axis=-1)
+            r = np.abs((dj - di) - rd_m) / gate_m
+            r = np.where(np.asarray(weights, np.float64) > 0.0, r, 0.0)
+            k = int(np.argmax(r))
+            return float(r[k]), k
+
         excluded: List[str] = []
-        if cfg.outlier_rejection and fix.rms_residual_m > resid_gate:
+        if cfg.outlier_rejection and worst_pair(fix, w)[0] > 1.0:
             fix, w, excluded = self._reject_outliers(
                 fix, w, tdoa_s, tdoa_std_s, names, pairs, lla,
-                resid_gate, warnings,
+                worst_pair, warnings,
             )
-        if fix.rms_residual_m > resid_gate:
+        score, k_bad = worst_pair(fix, w)
+        if score > 1.0:
+            i, j = pairs[k_bad]
             warnings.append(
-                f"TDOA set is internally inconsistent (rms residual "
-                f"{fix.rms_residual_m:.0f} m vs ~{sigma_m:.1f} m expected "
-                f"noise): suspect co-channel interference, multipath, or "
-                f"a wrong station assignment{deramp_note}"
+                f"TDOA set is internally inconsistent (pair "
+                f"{names[i]}-{names[j]} residual {score * gate_m[k_bad]:.0f} "
+                f"m vs its {gate_m[k_bad]:.0f} m error-bar gate): suspect "
+                f"co-channel interference, multipath, or a wrong station "
+                f"assignment{deramp_note}"
             )
+        sigma_m = float(np.median(np.asarray(tdoa_std_s))) * SPEED_OF_LIGHT
 
         def runnerup(f: FixResult):
             """(location, rms, horizontal separation) of candidate #2."""
@@ -1013,6 +1032,32 @@ class TDOAProcessor:
                     f"pair {names[i]}-{names[j]}: weak correlation "
                     f"(peak-to-sidelobe {q_arr[k]:.1f}) — measurement "
                     f"downweighted"
+                )
+
+        if cfg.multi_emitter == 1:
+            # Co-channel presence check: a second emitter at comparable
+            # power puts a second strong peak in every pair's
+            # correlation. When all pairs lock the SAME second emitter
+            # the TDOA set is cycle-consistent and the fix lands
+            # cleanly — on whichever source won the peak race — so no
+            # residual or quality gate can see it. The secondary peak
+            # can. (With multi_emitter > 1 the association path already
+            # separates and reports the sources.)
+            from tdoa_tpu.solve.association import top_k_peaks
+
+            cand = top_k_peaks(np.asarray(tgt_window, np.float64), 2)
+            second_frac = cand.value[:, 1] / np.maximum(
+                cand.value[:, 0], 1e-30
+            )
+            strong = second_frac >= 0.6
+            if np.count_nonzero(strong) >= max(1, (len(pairs) + 1) // 2):
+                warnings.append(
+                    f"strong secondary correlation peaks on "
+                    f"{int(np.count_nonzero(strong))}/{len(pairs)} pairs "
+                    f"(>= 60% of the primary): a co-channel emitter or "
+                    f"strong multipath is present and the single-emitter "
+                    f"fix may belong to either source — rerun with "
+                    f"--multi-emitter 2 to separate them"
                 )
 
         q = np.asarray(quality[1], np.float64)

@@ -181,6 +181,7 @@ def acc_finalize(
         eps,
         fft_len,
         "phase",
+        n_seg=state.n_seg,
     )
 
 

@@ -7,6 +7,15 @@ multi-chip sharding tests build a real ``jax.sharding.Mesh``.
 
 import os
 
+# Hermetic: drop the axon TPU-tunnel trigger BEFORE any test spawns a
+# subprocess. The axon sitecustomize dials the relay at interpreter
+# start in EVERY python process when this is set — even under
+# JAX_PLATFORMS=cpu — and a half-dead tunnel blocks the dial
+# indefinitely (observed: the dryrun_multichip subprocess test timing
+# out at 600 s on a 9-second workload). CPU tests must never depend on
+# tunnel health.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -237,3 +237,36 @@ def test_fused_twelve_stations_interpret():
     want = np.array([shifts[j] - shifts[i] for i, j in pairs])
     err = np.abs(np.asarray(r.delay) - want).max()
     assert err < 0.05, err
+
+
+def test_fused_split_half_full_capture_prescale():
+    """The split-half error-bar path must scale BOTH halves by the FULL
+    capture's per-station RMS. Per-half unit-RMS scaling (the bug this
+    pins) amplifies a quiet half to parity with the loud half, breaking
+    the halves-sum-to-full invariant under nonstationary power; the
+    planar path, which normalizes once before splitting, is the oracle."""
+    n = SEG_LEN * 2
+    base = fm_source(jax.random.PRNGKey(7), n, 2e6)
+    moved = fractional_delay(base, jnp.float32(21.25))
+    x = jnp.stack([base, moved])
+    xp = C(jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
+    # Emitter keys on mid-capture at station 1: quiet first half.
+    gain = jnp.concatenate(
+        [jnp.full(SEG_LEN, 0.05, jnp.float32),
+         jnp.full(n - SEG_LEN, 1.0, jnp.float32)]
+    )
+    xp = C(xp.re.at[1].mul(gain), xp.im.at[1].mul(gain))
+    fused = correlate_pairs_fused(xp, ((0, 1),), max_lag=128, weighting="ht")
+    planar = correlate_pairs_planar(
+        xp, jnp.asarray([[0, 1]], np.int32), max_lag=128,
+        seg_len=SEG_LEN, fft_len=65536, weighting="ht",
+    )
+    assert abs(float(fused.delay[0]) - 21.25) < 0.05, float(fused.delay[0])
+    np.testing.assert_allclose(
+        float(fused.delay[0]), float(planar.delay[0]), atol=2e-3
+    )
+    # Same data, same split-half estimator: the sigmas agree too.
+    np.testing.assert_allclose(
+        float(fused.delay_std[0]), float(planar.delay_std[0]), rtol=0.05,
+        atol=1e-4,
+    )

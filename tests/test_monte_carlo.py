@@ -74,8 +74,12 @@ def test_ghost_ambiguity_is_flagged():
     k_true = int(np.argmin(cand_errs))
     assert int(np.argmin(scores[:2])) == k_true, (cand_errs, scores)
     assert any("received-power ranking" in w for w in res.warnings)
-    # Opt-in auto-resolution: the fix moves to the power-preferred
-    # candidate (here the solver's primary was the 548 m ghost).
+    # Opt-in auto-resolution: with power_disambiguation the reported
+    # fix must be the true candidate — moved there when the solver's
+    # primary was the ghost (the original regression), already there
+    # when the solver's primary basin found truth first (the coherence
+    # debias improved the estimator enough to make this the common
+    # case; both outcomes are correct).
     proc2 = TDOAProcessor(
         ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=768,
                         power_disambiguation=True),
@@ -86,8 +90,10 @@ def test_ghost_ambiguity_is_flagged():
         lla_to_enu(np.array([res2.fix.lat, res2.fix.lon, tgt[2]]), tgt)[:2]
     )
     assert err2 < 30.0, err2
-    assert any("fix moved to the power-preferred" in w
-               for w in res2.warnings), res2.warnings
+    moved = any("fix moved to the power-preferred" in w
+                for w in res2.warnings)
+    prefers_primary = any("prefers the primary" in w for w in res2.warnings)
+    assert moved or prefers_primary, res2.warnings
     assert res2.fix.ellipse is not None
 
 

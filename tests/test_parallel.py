@@ -154,3 +154,33 @@ def test_sharded_process_blocks_pallas_full_step():
     np.testing.assert_allclose(
         np.asarray(out_p[0]), np.asarray(out_x[0]), atol=0.05
     )
+
+
+def test_sharded_split_half_sigma_parity():
+    """The sharded path's split-half empirical sigma (devices idx < d/2
+    hold the capture's first half) must match the single-chip planar
+    estimator when the device boundary and the segment boundary
+    coincide — same halves, same math, one psum apart."""
+    n = 1 << 16
+    seg = 1 << 12  # 16 segments; planar half = 8 segs = mesh half at d=2,8
+    base = fm_source(jax.random.PRNGKey(2), n, 2e6)
+    noisy = fractional_delay(base, jnp.float32(9.5))
+    kr, ki = jax.random.split(jax.random.PRNGKey(3))
+    x = _planar_stack([base, noisy])
+    x = C(
+        x.re + 0.2 * jax.random.normal(kr, x.re.shape, jnp.float32),
+        x.im + 0.2 * jax.random.normal(ki, x.im.shape, jnp.float32),
+    )
+    pairs = jnp.array([[0, 1]], jnp.int32)
+    single = correlate_pairs_planar(
+        x, pairs, max_lag=128, seg_len=seg, weighting="ht"
+    )
+    shard = correlate_pairs_sharded(
+        x, pairs, make_mesh(8), max_lag=128, seg_len=seg, weighting="ht"
+    )
+    assert abs(float(shard.delay[0]) - 9.5) < 0.1, float(shard.delay[0])
+    np.testing.assert_allclose(
+        float(shard.delay_std[0]), float(single.delay_std[0]),
+        rtol=0.1, atol=1e-4,
+    )
+    assert float(shard.delay_std[0]) > 0.0
