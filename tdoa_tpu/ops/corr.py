@@ -445,12 +445,26 @@ def _combine_halves(
         C(ca.re + cb.re, ca.im + cb.im), pa + pb, pair_idx,
         weighting, eps, n_seg_total,
     )
-    da = _zoom_corr_delay(C(ca.re * s, ca.im * s), coarse, fft_len, max_lag)
-    db = _zoom_corr_delay(C(cb.re * s, cb.im * s), coarse, fft_len, max_lag)
-    sigma_emp = 0.5 * jnp.abs(da - db)
+    sigma_emp = _split_half_sigma(ca, cb, s, coarse, fft_len, max_lag)
     return res._replace(
         delay_std=jnp.maximum(res.delay_std, sigma_emp)
     )
+
+
+def _split_half_sigma(
+    cross_a: C, cross_b: C, wfac, coarse, fft_len: int, max_lag: int
+) -> jax.Array:
+    """Empirical 1σ [m] from two half-capture cross-spectra: each half's
+    zoom-DFT peak near the full-capture coarse delay, half the
+    disagreement. ``wfac`` is the FULL capture's weighting factor
+    (see _combine_halves on why the halves must not self-weight)."""
+    da = _zoom_corr_delay(
+        C(cross_a.re * wfac, cross_a.im * wfac), coarse, fft_len, max_lag
+    )
+    db = _zoom_corr_delay(
+        C(cross_b.re * wfac, cross_b.im * wfac), coarse, fft_len, max_lag
+    )
+    return 0.5 * jnp.abs(da - db)
 
 
 def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[int]):

@@ -35,6 +35,8 @@ from tdoa_tpu.ops.corr import (
     CorrResult,
     _accumulate_cross_spectra,
     _finish_correlation,
+    _split_half_sigma,
+    _weight_factor,
     next_pow2,
 )
 from tdoa_tpu.ops.cplx import C
@@ -54,6 +56,16 @@ class AccState(NamedTuple):
     # Counting segments keeps int32 honest out to ~10^14 samples; a raw
     # sample counter would wrap after ~18 minutes at 2 Msps.
     n_seg: jax.Array
+    # Split-slot cross-spectra for the empirical error bar: update
+    # calls alternate into slot A (the other "half" is total − A).
+    # Contiguous halves need the total duration up front — unknowable
+    # in streaming — so the halves interleave by chunk instead: a
+    # jackknife over time that sees realization noise and impairment
+    # residue, though not slow drift (which contiguous halves would).
+    cross_re_a: jax.Array  # [m, F]
+    cross_im_a: jax.Array  # [m, F]
+    n_seg_a: jax.Array  # scalar int32
+    n_chunks: jax.Array  # scalar int32 (update-call parity selector)
 
 
 def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
@@ -63,6 +75,10 @@ def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
         psd=jnp.zeros((n_st, fft_len), jnp.float32),
         energy=jnp.zeros((n_st,), jnp.float32),
         n_seg=jnp.zeros((), jnp.int32),
+        cross_re_a=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        cross_im_a=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        n_seg_a=jnp.zeros((), jnp.int32),
+        n_chunks=jnp.zeros((), jnp.int32),
     )
 
 
@@ -120,12 +136,18 @@ def acc_update(
         cross, psd, energy = _accumulate_cross_spectra(
             chunk, pair_idx, seg_len, fft_len
         )
+    sel = (state.n_chunks % 2 == 0).astype(jnp.float32)
+    segs = chunk.re.shape[-1] // seg_len
     return AccState(
         cross_re=state.cross_re + cross.re,
         cross_im=state.cross_im + cross.im,
         psd=state.psd + psd,
         energy=state.energy + energy,
-        n_seg=state.n_seg + chunk.re.shape[-1] // seg_len,
+        n_seg=state.n_seg + segs,
+        cross_re_a=state.cross_re_a + sel * cross.re,
+        cross_im_a=state.cross_im_a + sel * cross.im,
+        n_seg_a=state.n_seg_a + (state.n_chunks % 2 == 0) * segs,
+        n_chunks=state.n_chunks + 1,
     )
 
 
@@ -141,18 +163,34 @@ def acc_save(path: str, state: AccState) -> None:
         psd=np.asarray(state.psd),
         energy=np.asarray(state.energy),
         n_seg=np.asarray(state.n_seg),
+        cross_re_a=np.asarray(state.cross_re_a),
+        cross_im_a=np.asarray(state.cross_im_a),
+        n_seg_a=np.asarray(state.n_seg_a),
+        n_chunks=np.asarray(state.n_chunks),
     )
 
 
 def acc_load(path: str) -> AccState:
-    """Resume an accumulator from ``acc_save`` output."""
+    """Resume an accumulator from ``acc_save`` output. Checkpoints
+    written before the split-slot fields load with an empty slot A —
+    finalize then reports the model σ only (no empirical floor) until
+    fresh updates populate both slots."""
     with np.load(path) as z:
+        have_split = "cross_re_a" in z.files
         return AccState(
             cross_re=jnp.asarray(z["cross_re"]),
             cross_im=jnp.asarray(z["cross_im"]),
             psd=jnp.asarray(z["psd"]),
             energy=jnp.asarray(z["energy"]),
             n_seg=jnp.asarray(z["n_seg"]),
+            cross_re_a=jnp.asarray(z["cross_re_a"]) if have_split
+            else jnp.zeros_like(jnp.asarray(z["cross_re"])),
+            cross_im_a=jnp.asarray(z["cross_im_a"]) if have_split
+            else jnp.zeros_like(jnp.asarray(z["cross_im"])),
+            n_seg_a=jnp.asarray(z["n_seg_a"]) if have_split
+            else jnp.zeros((), jnp.int32),
+            n_chunks=jnp.asarray(z["n_chunks"]) if have_split
+            else jnp.zeros((), jnp.int32),
         )
 
 
@@ -168,11 +206,20 @@ def acc_finalize(
     fft_len: Optional[int] = None,
 ) -> CorrResult:
     """Current delay estimates from the accumulated spectra (state is
-    untouched — keep integrating afterwards)."""
+    untouched — keep integrating afterwards).
+
+    ``delay_std`` carries the split-slot empirical floor once BOTH
+    interleaved slots hold data (≥2 update calls): the two slots'
+    zoom-DFT delays are probed with the full accumulation's debiased
+    weights and half their disagreement is folded in, exactly like the
+    batch path's split-half σ (ops/corr.py _combine_halves). With one
+    slot empty (single update, or a pre-split checkpoint) the model σ
+    + coarse-jitter term stands alone."""
     if fft_len is None:
         fft_len = state.cross_re.shape[-1]
-    return _finish_correlation(
-        C(state.cross_re, state.cross_im),
+    cross = C(state.cross_re, state.cross_im)
+    res = _finish_correlation(
+        cross,
         state.psd,
         state.energy,
         pair_idx,
@@ -182,6 +229,24 @@ def acc_finalize(
         fft_len,
         "phase",
         n_seg=state.n_seg,
+    )
+    if weighting == "none":
+        return res
+    n_seg_b = state.n_seg - state.n_seg_a
+    valid = jnp.logical_and(state.n_seg_a > 0, n_seg_b > 0)
+    wfac = _weight_factor(
+        cross, state.psd, pair_idx, weighting, eps, state.n_seg
+    )
+    ca = C(state.cross_re_a, state.cross_im_a)
+    cb = C(state.cross_re - state.cross_re_a,
+           state.cross_im - state.cross_im_a)
+    sigma_emp = _split_half_sigma(
+        ca, cb, wfac, jnp.round(res.delay), fft_len, max_lag
+    )
+    return res._replace(
+        delay_std=jnp.maximum(
+            res.delay_std, jnp.where(valid, sigma_emp, 0.0)
+        )
     )
 
 

@@ -305,3 +305,70 @@ def jnp_ones():
     import jax.numpy as jnp
 
     return jnp.ones((8,)) * 2.0
+
+
+def test_streaming_split_slot_empirical_sigma():
+    """acc_finalize folds a split-slot empirical sigma into delay_std
+    once BOTH interleaved slots hold data: small on a clean stream,
+    inflated when half the stream is corrupted — and absent (model
+    sigma only) after a single update call."""
+    n = 1 << 16
+    seg = 1 << 13
+    chunk_len = 1 << 14
+    base = fm_source(jax.random.PRNGKey(6), n, 2e6)
+    x = _stack([base, fractional_delay(base, jnp.float32(11.5))])
+    kr, ki = jax.random.split(jax.random.PRNGKey(7))
+    x = C(
+        x.re + 0.2 * jax.random.normal(kr, x.re.shape, jnp.float32),
+        x.im + 0.2 * jax.random.normal(ki, x.im.shape, jnp.float32),
+    )
+    pairs = jnp.asarray([[0, 1]], jnp.int32)
+    fft_len = next_pow2(seg + 128)
+
+    def run(sig):
+        st = acc_init(2, 1, fft_len)
+        for c in range(n // chunk_len):
+            st = acc_update(
+                st,
+                C(sig.re[:, c * chunk_len:(c + 1) * chunk_len],
+                  sig.im[:, c * chunk_len:(c + 1) * chunk_len]),
+                pairs, seg, fft_len,
+            )
+        return st, acc_finalize(st, pairs, max_lag=128)
+
+    st_clean, clean = run(x)
+    assert int(st_clean.n_seg_a) == 4  # chunks 0 and 2 (2 segs each)
+    assert abs(float(clean.delay[0]) - 11.5) < 0.1
+    s_clean = float(clean.delay_std[0])
+    assert 0.0 < s_clean < 0.5, s_clean
+
+    # Corrupt the odd chunks (slot B): signal replaced by noise there.
+    # The noise slot's zoom peak is a uniform draw over the +-16
+    # window, so sigma_emp = |da-db|/2 is itself random (it is a
+    # 1-realization estimator; the ellipse-calibration study validates
+    # it statistically) — assert over a few draws, not one.
+    mask = np.zeros(n, np.float32)
+    for c in range(n // chunk_len):
+        if c % 2 == 1:
+            mask[c * chunk_len:(c + 1) * chunk_len] = 1.0
+    m = jnp.asarray(mask)
+    s_wrecks = []
+    for ks in (8, 9, 10):
+        kw = jax.random.normal(
+            jax.random.PRNGKey(ks), (2, n, 2), jnp.float32
+        )
+        xw = C(x.re * (1 - m) + kw[..., 0] * m,
+               x.im * (1 - m) + kw[..., 1] * m)
+        _, wreck = run(xw)
+        s_wrecks.append(float(wreck.delay_std[0]))
+    assert max(s_wrecks) > max(3.0 * s_clean, 0.5), (s_wrecks, s_clean)
+
+    # Single update: slot B empty, model sigma only — finite, no NaN.
+    st1 = acc_init(2, 1, fft_len)
+    st1 = acc_update(
+        st1, C(x.re[:, :chunk_len], x.im[:, :chunk_len]), pairs, seg,
+        fft_len,
+    )
+    one = acc_finalize(st1, pairs, max_lag=128)
+    assert np.isfinite(float(one.delay_std[0]))
+    assert abs(float(one.delay[0]) - 11.5) < 0.1
