@@ -305,7 +305,6 @@ def _finish_correlation(
     fft_len: int,
     refine: str,
     n_seg=None,
-    coarse_sigma: bool = True,
 ) -> CorrResult:
     """Accumulated cross-spectra → weighted correlation → refined peaks.
 
@@ -351,7 +350,7 @@ def _finish_correlation(
         delay_std = jnp.zeros_like(delay)
         peak_width = None
     quality = peak_quality(win)
-    if peak_width is not None and coarse_sigma:
+    if peak_width is not None:
         # Coarse-peak location error. The argmax of a correlation peak
         # of rms width W samples, perturbed by correlation-domain noise
         # 1/q of the peak (q = peak-to-sidelobe amplitude ratio),
@@ -431,10 +430,16 @@ def _combine_halves(
     zero). A half whose true peak lies outside the zoom window
     saturates at ±16 and still reports a correspondingly large σ."""
     (ca, pa, ea), (cb, pb, eb) = acc_a, acc_b
+    # coarse_sigma stays ON: σ_emp is a single-draw (1-dof) estimate
+    # that can land small exactly when the peak is wide and the coarse
+    # jitter is large; the deterministic width/PSR model term backstops
+    # those draws. Its ReLU (only excess beyond the deramp's ±1-sample
+    # correction range survives) keeps clean signals untouched, so the
+    # three terms compose as max(model-slope ⊕ coarse-excess, empirical).
     res = _finish_correlation(
         C(ca.re + cb.re, ca.im + cb.im), pa + pb, ea + eb, pair_idx,
         max_lag, weighting, eps, fft_len, "phase",
-        n_seg=n_seg_total, coarse_sigma=False,
+        n_seg=n_seg_total,
     )
     coarse = jnp.round(res.delay)
     # Weight BOTH halves with the full capture's (debiased) factor:
@@ -454,17 +459,27 @@ def _combine_halves(
 def _split_half_sigma(
     cross_a: C, cross_b: C, wfac, coarse, fft_len: int, max_lag: int
 ) -> jax.Array:
-    """Empirical 1σ [m] from two half-capture cross-spectra: each half's
-    zoom-DFT peak near the full-capture coarse delay, half the
-    disagreement. ``wfac`` is the FULL capture's weighting factor
-    (see _combine_halves on why the halves must not self-weight)."""
+    """Empirical 1σ (samples) from two half-capture cross-spectra: each
+    half's zoom-DFT peak near the full-capture coarse delay, half the
+    disagreement, scaled to a consistent estimator. ``wfac`` is the
+    FULL capture's weighting factor (see _combine_halves on why the
+    halves must not self-weight).
+
+    Scale: with per-half delay noise σ_h, the full estimate (the
+    halves' average) has σ_full = σ_h/√2 and (da−db) ~ N(0, 2σ_h²), so
+    |da−db|/2 is distributed as σ_full·|N(0,1)| — a single absolute
+    deviation whose MEDIAN is 0.674·σ_full. Left unscaled, the typical
+    draw understates σ by 1.5x (measured: noisy-regime true/reported
+    ratio 1.55-1.9, z p50 1.46 vs the 0.674 a calibrated σ gives).
+    The MAD consistency constant 1.4826 = 1/Φ⁻¹(3/4) makes it
+    median-unbiased — the same constant that makes a MAD a σ."""
     da = _zoom_corr_delay(
         C(cross_a.re * wfac, cross_a.im * wfac), coarse, fft_len, max_lag
     )
     db = _zoom_corr_delay(
         C(cross_b.re * wfac, cross_b.im * wfac), coarse, fft_len, max_lag
     )
-    return 0.5 * jnp.abs(da - db)
+    return jnp.float32(0.5 * 1.4826) * jnp.abs(da - db)
 
 
 def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[int]):
