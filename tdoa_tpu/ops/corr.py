@@ -415,42 +415,78 @@ def _zoom_corr_delay(
     return coarse + (pos - jnp.float32(half_width))
 
 
-def _combine_halves(
-    acc_a, acc_b, pair_idx, max_lag, weighting, eps, fft_len,
-    n_seg_total,
-):
-    """Full-capture CorrResult from two half-capture accumulators, with
-    the split-half empirical error bar folded into ``delay_std``.
+# Consistency factor for the K-group split σ, CALIBRATED AGAINST TRUTH
+# (scripts/ellipse_calibration.py is the compliance test; the
+# fixed-geometry noisy experiment in BENCHLOG measured the numbers).
+# K=2: the MAD constant 1.4826 (a 2-draw std IS one absolute deviation
+# whose median is 0.674σ); measured true/reported 1.05-1.27 after.
+# K=4: the chi-median constant alone (1.126) left σ 2.1x small —
+# the group probes share the full capture's coarse peak and weighting,
+# so their spread misses a common-mode error component that the 2-group
+# constant had absorbed numerically. 2.37 ≈ 1.126 · 2.1 makes the
+# noisy-regime z = err/σ chi-distributed (measured p50/p97.5 of |z|:
+# 1.41/4.83 → 0.67/2.30 against chi targets 0.674/2.24).
+_SPLIT_STD_SCALE = {2: 1.4826, 4: 2.37}
 
-    Each half's delay comes from a ±16-lag zoom DFT around the full
-    estimate's coarse peak — running the full finish per half tripled
-    the iFFT cost (a 27% headline-bench regression), and cheap
-    phase-slope probes collapse under phase wrap for multi-sample
-    errors (both halves fit the same shrunken slope and the σ reads
-    zero). A half whose true peak lies outside the zoom window
-    saturates at ±16 and still reports a correspondingly large σ."""
-    (ca, pa, ea), (cb, pb, eb) = acc_a, acc_b
-    # coarse_sigma stays ON: σ_emp is a single-draw (1-dof) estimate
-    # that can land small exactly when the peak is wide and the coarse
-    # jitter is large; the deterministic width/PSR model term backstops
-    # those draws. Its ReLU (only excess beyond the deramp's ±1-sample
-    # correction range survives) keeps clean signals untouched, so the
-    # three terms compose as max(model-slope ⊕ coarse-excess, empirical).
+
+def split_k(n_seg_total: int) -> int:
+    """How many sub-accumulations the empirical error bar uses: 4-way
+    when every group still holds ≥2 segments (a 3-dof σ has far lighter
+    tails than the 1-dof half-split), 2-way down to 2 segments, else
+    none. Static — shapes depend on it."""
+    if n_seg_total >= 8:
+        return 4
+    if n_seg_total >= 2:
+        return 2
+    return 0
+
+
+def _combine_splits(
+    accs, pair_idx, max_lag, weighting, eps, fft_len, n_seg_total,
+):
+    """Full-capture CorrResult from K sub-capture accumulators, with the
+    split empirical error bar folded into ``delay_std``.
+
+    Each group's delay comes from a ±16-lag zoom DFT around the full
+    estimate's coarse peak — running the full finish per group
+    multiplied the iFFT cost (a 27% headline-bench regression at K=2),
+    and cheap phase-slope probes collapse under phase wrap for
+    multi-sample errors (every group fits the same shrunken slope and
+    the σ reads zero). A group whose true peak lies outside the zoom
+    window saturates at ±16 and still reports a correspondingly large
+    σ. The groups are weighted with the FULL capture's (debiased)
+    factor: a 1-2 segment group has no coherence of its own (HT
+    degrades to PHAT and the probe peaks jitter ~0.5 sample even on
+    clean signals, poisoning σ_emp).
+
+    σ_emp = c_K · std(group delays)/√K — the standard error of their
+    mean, median-unbiased by _SPLIT_STD_SCALE. The deterministic
+    width/PSR model term stays on in the finish as a backstop: a K-draw
+    σ can still land small by chance (the dominant failure at K=2,
+    measured z p97.5 10.7 on 8-segment noisy captures), and its ReLU
+    (only excess beyond the deramp's ±1-sample correction range
+    survives) keeps clean signals untouched."""
+    K = len(accs)
+    cr = sum(a[0].re for a in accs)
+    ci = sum(a[0].im for a in accs)
+    psd = sum(a[1] for a in accs)
+    energy = sum(a[2] for a in accs)
     res = _finish_correlation(
-        C(ca.re + cb.re, ca.im + cb.im), pa + pb, ea + eb, pair_idx,
+        C(cr, ci), psd, energy, pair_idx,
         max_lag, weighting, eps, fft_len, "phase",
         n_seg=n_seg_total,
     )
     coarse = jnp.round(res.delay)
-    # Weight BOTH halves with the full capture's (debiased) factor:
-    # each half alone may be a single segment, whose own coherence
-    # carries no information (HT degrades to PHAT and the probe peaks
-    # jitter ~0.5 sample even on clean signals, poisoning σ_emp).
     s = _weight_factor(
-        C(ca.re + cb.re, ca.im + cb.im), pa + pb, pair_idx,
-        weighting, eps, n_seg_total,
+        C(cr, ci), psd, pair_idx, weighting, eps, n_seg_total,
     )
-    sigma_emp = _split_half_sigma(ca, cb, s, coarse, fft_len, max_lag)
+    ds = jnp.stack([
+        _zoom_corr_delay(C(a[0].re * s, a[0].im * s), coarse, fft_len,
+                         max_lag)
+        for a in accs
+    ])  # [K, m]
+    var = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / (K - 1)
+    sigma_emp = jnp.float32(_SPLIT_STD_SCALE[K]) * jnp.sqrt(var / K)
     return res._replace(
         delay_std=jnp.maximum(res.delay_std, sigma_emp)
     )
@@ -462,7 +498,7 @@ def _split_half_sigma(
     """Empirical 1σ (samples) from two half-capture cross-spectra: each
     half's zoom-DFT peak near the full-capture coarse delay, half the
     disagreement, scaled to a consistent estimator. ``wfac`` is the
-    FULL capture's weighting factor (see _combine_halves on why the
+    FULL capture's weighting factor (see _combine_splits on why the
     halves must not self-weight).
 
     Scale: with per-half delay noise σ_h, the full estimate (the
@@ -480,6 +516,46 @@ def _split_half_sigma(
         C(cross_b.re * wfac, cross_b.im * wfac), coarse, fft_len, max_lag
     )
     return jnp.float32(0.5 * 1.4826) * jnp.abs(da - db)
+
+
+def _split_bounds(n_seg_total: int, K: int, unit: int) -> list:
+    """Sample-index boundaries of the K split groups: K+1 cumulative
+    offsets in units of ``unit`` (the segment length). When K does not
+    divide n_seg_total the remainder is spread round-robin (group sizes
+    q or q+1) — dumping it all into one group would give that group up
+    to (2q-1)/q× the others' segment count, and the _SPLIT_STD_SCALE
+    constants were calibrated on equal groups."""
+    q, r = divmod(n_seg_total, K)
+    bounds = [0]
+    for k in range(K):
+        bounds.append(bounds[-1] + (q + (1 if k < r else 0)) * unit)
+    return bounds
+
+
+def auto_seg_len(
+    n: int,
+    max_lag: int,
+    seg_len: Optional[int],
+    target_segs: int = 8,
+    floor: int = 4096,
+) -> Optional[int]:
+    """Shrink a configured segment length so SHORT captures still hold
+    ``target_segs`` Welch segments. More segments mean (a) a less-biased
+    coherence estimate for the HT/ML weights — S=2 is the debias worst
+    case and was measured costing ~1.9x in delay error std on noisy
+    short captures — and (b) enough sub-accumulations for a multi-dof
+    split σ (split_k). Long captures (n ≥ target·seg) keep the
+    configured segment: their Welch average is already deep and the
+    larger FFT amortizes better on the MXU. Never shrinks below
+    ``max_lag`` (resolve_seg's alias-free requirement) or ``floor``
+    (frequency-resolution floor: a 4096-pt segment at 2 Msps still
+    puts ~100 bins across a 50 kHz signal)."""
+    if seg_len is None:
+        return None
+    while (n // seg_len < target_segs and seg_len // 2 > max_lag
+           and seg_len // 2 >= floor):
+        seg_len //= 2
+    return seg_len
 
 
 def resolve_seg(n: int, max_lag: int, seg_len: Optional[int], fft_len: Optional[int]):
@@ -547,7 +623,8 @@ def correlate_pairs_planar(
     inv = 1.0 / jnp.maximum(rms, 1e-30)
     x = C(x.re * inv, x.im * inv)
     n_seg_total = n // seg_len
-    if n_seg_total < 2 or refine != "phase":
+    K = split_k(n_seg_total) if refine == "phase" else 0
+    if K == 0:
         cross, psd, energy = _accumulate_cross_spectra(
             x, pair_idx, seg_len, fft_len, fft_precision, seg_batch
         )
@@ -555,30 +632,29 @@ def correlate_pairs_planar(
             cross, psd, energy, pair_idx, max_lag, weighting, eps, fft_len,
             refine, n_seg=n_seg_total,
         )
-    # Split-half error bar: accumulate the two halves of the capture
+    # Split error bar: accumulate K contiguous slices of the capture
     # separately (same total work — the full accumulators are their
-    # sum) and estimate each half's delay too. Half the disagreement is
-    # an EMPIRICAL 1σ that captures every realization-dependent error
-    # source — coarse-peak displacement by in-band noise, impairment
-    # residue, lobe hopping — which the phase-slope model σ provably
-    # misses (ellipse-calibration study measured it 10-70x optimistic
-    # on weak signals). The model σ stays as the floor: a lucky
-    # agreement between halves must not claim better precision than
-    # the spectrum supports. Systematic biases common to both halves
-    # (e.g. static multipath) remain invisible to both estimators.
-    half = n_seg_total // 2
-    cut, end = half * seg_len, n_seg_total * seg_len
-    acc_a = _accumulate_cross_spectra(
-        C(x.re[:, :cut], x.im[:, :cut]), pair_idx, seg_len, fft_len,
-        fft_precision, seg_batch,
-    )
-    acc_b = _accumulate_cross_spectra(
-        C(x.re[:, cut:end], x.im[:, cut:end]), pair_idx, seg_len, fft_len,
-        fft_precision, seg_batch,
-    )
-    return _combine_halves(
-        acc_a, acc_b, pair_idx, max_lag, weighting, eps, fft_len,
-        n_seg_total,
+    # sum) and estimate each slice's delay too. The spread of the slice
+    # delays is an EMPIRICAL 1σ that captures every
+    # realization-dependent error source — coarse-peak displacement by
+    # in-band noise, impairment residue, lobe hopping — which the
+    # phase-slope model σ provably misses (ellipse-calibration study
+    # measured it 10-70x optimistic on weak signals). The model σ stays
+    # as the floor: a lucky agreement between slices must not claim
+    # better precision than the spectrum supports. Systematic biases
+    # common to all slices (e.g. static multipath) remain invisible to
+    # both estimators.
+    bounds = _split_bounds(n_seg_total, K, seg_len)
+    accs = [
+        _accumulate_cross_spectra(
+            C(x.re[:, bounds[k]:bounds[k + 1]],
+              x.im[:, bounds[k]:bounds[k + 1]]),
+            pair_idx, seg_len, fft_len, fft_precision, seg_batch,
+        )
+        for k in range(K)
+    ]
+    return _combine_splits(
+        accs, pair_idx, max_lag, weighting, eps, fft_len, n_seg_total,
     )
 
 
@@ -619,7 +695,8 @@ def correlate_pairs_fused(
         )
     pair_arr = jnp.asarray(np.array(pairs, np.int32))
     n_seg_total = x.re.shape[1] // SEG_LEN
-    if n_seg_total < 2 or refine != "phase":
+    K = split_k(n_seg_total) if refine == "phase" else 0
+    if K == 0:
         cross, psd, energy = accumulate_cross_spectra_pallas(
             x, pairs, precision=precision, remove_dc=remove_dc,
             prescale=True,
@@ -628,35 +705,37 @@ def correlate_pairs_fused(
             cross, psd, energy, pair_arr,
             max_lag, weighting, eps, FFT_LEN, refine, n_seg=n_seg_total,
         )
-    # Split-half empirical error bar — same scheme as the XLA path
-    # (see correlate_pairs_planar): the kernel runs once per half, the
-    # full accumulators are the halves' sum, total segment work is
-    # unchanged. prescale=False: per-half unit-RMS scaling would break
-    # the halves-sum-to-full invariant under nonstationary power (a
-    # noise-only half amplified to unit RMS outvotes the signal half);
-    # instead scale both halves by the FULL capture's per-station RMS,
+    # Split empirical error bar — same scheme as the XLA path (see
+    # correlate_pairs_planar): the kernel runs once per slice, the full
+    # accumulators are the slices' sum, total segment work is
+    # unchanged. prescale=False: per-slice unit-RMS scaling would break
+    # the slices-sum-to-full invariant under nonstationary power (a
+    # noise-only slice amplified to unit RMS outvotes the signal);
+    # instead scale every slice by the FULL capture's per-station RMS,
     # exactly like the XLA path's single pre-split normalization.
-    half = n_seg_total // 2
-    cut, end = half * SEG_LEN, n_seg_total * SEG_LEN
-    acc_a = accumulate_cross_spectra_pallas(
-        C(x.re[:, :cut], x.im[:, :cut]), pairs,
-        precision=precision, remove_dc=remove_dc, prescale=False,
-    )
-    acc_b = accumulate_cross_spectra_pallas(
-        C(x.re[:, cut:end], x.im[:, cut:end]), pairs,
-        precision=precision, remove_dc=remove_dc, prescale=False,
-    )
-    (ca, pa, ea), (cb, pb, eb) = acc_a, acc_b
-    sc = 1.0 / jnp.sqrt(jnp.maximum((ea + eb) / float(end), 1e-30))
+    end = n_seg_total * SEG_LEN
+    bounds = _split_bounds(n_seg_total, K, SEG_LEN)
+    accs = [
+        accumulate_cross_spectra_pallas(
+            C(x.re[:, bounds[k]:bounds[k + 1]],
+              x.im[:, bounds[k]:bounds[k + 1]]), pairs,
+            precision=precision, remove_dc=remove_dc, prescale=False,
+        )
+        for k in range(K)
+    ]
+    energy_tot = sum(a[2] for a in accs)
+    sc = 1.0 / jnp.sqrt(jnp.maximum(energy_tot / float(end), 1e-30))
     s_pair = (sc[pair_arr[:, 0]] * sc[pair_arr[:, 1]])[:, None]
     sc2 = (sc * sc)[:, None]
 
-    def scaled(c, p, use):
+    def scaled(acc, k):
+        c, p, _ = acc
         return (C(c.re * s_pair, c.im * s_pair), p * sc2,
-                jnp.full_like(ea, float(use)))
+                jnp.full_like(energy_tot,
+                              float(bounds[k + 1] - bounds[k])))
 
-    return _combine_halves(
-        scaled(ca, pa, cut), scaled(cb, pb, end - cut),
+    return _combine_splits(
+        [scaled(a, k) for k, a in enumerate(accs)],
         pair_arr, max_lag, weighting, eps, FFT_LEN, n_seg_total,
     )
 

@@ -29,9 +29,10 @@ from jax import shard_map
 from tdoa_tpu.ops.corr import (
     CorrResult,
     _accumulate_cross_spectra,
-    _combine_halves,
+    _combine_splits,
     _finish_correlation,
     resolve_seg,
+    split_k,
 )
 from tdoa_tpu.ops.cplx import C
 from tdoa_tpu.utils.constants import DEFAULT_MAX_LAG
@@ -160,29 +161,33 @@ def _sharded_program(mesh, axis, accumulator, pairs_static, seg_len_r,
         # debiases the HT coherence exactly like the single-chip path.
         d = mesh.shape[axis]
         n_seg = local_segs * d
-        if refine == "phase" and d % 2 == 0:
-            # Split-half empirical error bar at feature parity with the
+        K = split_k(n_seg) if refine == "phase" else 0
+        while K > 1 and d % K != 0:
+            K //= 2
+        if K >= 2:
+            # Split empirical error bar at feature parity with the
             # single-chip paths: the time axis is sharded contiguously,
-            # so devices idx < d/2 hold exactly the capture's first
-            # half. Stack the masked accumulators and psum ONCE — same
-            # collective count as before at 2x payload (still
-            # O(fft_len·pairs), independent of capture length).
-            in_a = (jax.lax.axis_index(axis) < d // 2).astype(
-                cross.re.dtype
-            )
+            # so device groups idx // (d/K) hold exactly the capture's
+            # K contiguous slices. Stack the masked accumulators and
+            # psum ONCE — same collective count as before at Kx payload
+            # (still O(fft_len·pairs), independent of capture length).
+            gid = jax.lax.axis_index(axis) // (d // K)
 
-            def halves(t):
+            def groups(t):
                 s = jax.lax.psum(
-                    jnp.stack([t * in_a, t * (1.0 - in_a)]), axis
+                    jnp.stack([
+                        t * (gid == k).astype(t.dtype) for k in range(K)
+                    ]),
+                    axis,
                 )
-                return s[0], s[1]
+                return [s[k] for k in range(K)]
 
-            cra, crb = halves(cross.re)
-            cia, cib = halves(cross.im)
-            psa, psb = halves(psd)
-            ena, enb = halves(energy)
-            return _combine_halves(
-                (C(cra, cia), psa, ena), (C(crb, cib), psb, enb),
+            crs = groups(cross.re)
+            cis = groups(cross.im)
+            pss = groups(psd)
+            ens = groups(energy)
+            return _combine_splits(
+                [(C(crs[k], cis[k]), pss[k], ens[k]) for k in range(K)],
                 pairs, max_lag, weighting, eps, fft_len, n_seg,
             )
         cross = C(
@@ -215,8 +220,8 @@ def process_blocks_sharded(
 ):
     """The full multi-chip processing step: all 3 blocks × all pairs,
     sequence-parallel, with clock correction. Mirrors
-    pipeline.process_blocks but sharded; returns the same 8-tuple
-    (..., corrected_std, tgt_correlation_window).
+    pipeline.process_blocks but sharded; returns the same 9-tuple
+    (..., corrected_std, tgt_correlation_window, tgt_std).
 
     ``accumulator="pallas"`` runs the fused segment kernel on every
     chip's local chunk — the max-performance multi-chip configuration
@@ -262,4 +267,4 @@ def process_blocks_sharded(
         corrected_std = stds[1]
     tgt_window = res.corr.reshape(3, m, -1)[1]
     return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-            corrected_std, tgt_window)
+            corrected_std, tgt_window, stds[1])

@@ -207,8 +207,10 @@ def process_blocks(
 ):
     """The fused device program: 3 blocks × all pairs → corrected TDOAs.
 
-    Returns (corrected_tdoa, tgt_delay, ref_delays [m,2], quality, peak),
-    all delays in IQ samples. All three blocks correlate in one batched
+    Returns (corrected_tdoa, tgt_delay, ref_delays [m,2], clock, quality,
+    peak, corrected_std, tgt_corr_window, tgt_std), all delays/σs in IQ
+    samples; ``tgt_std`` is the TGT block's own σ, before the REF
+    clock-correction variance folds into ``corrected_std``. All three blocks correlate in one batched
     call; DC removal happens on-device (the standard preprocessing of
     processor.go:469-499 — the remaining filter cascade there exists to
     prop up a weak time-domain correlator and is superseded by GCC
@@ -261,7 +263,7 @@ def process_blocks(
             corrected = tgt_delay
             corrected_std = stds[1]
         return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-                corrected_std, outs[1].corr)
+                corrected_std, outs[1].corr, stds[1])
 
     # Blocks may arrive bf16 (the fused path's native storage); the XLA
     # path computes in f32.
@@ -319,10 +321,16 @@ def process_blocks(
         # right estimator for audio pattern matching.
         weighting = "none"
     elif mode == "iq":
+        from tdoa_tpu.ops.corr import auto_seg_len
+
         x_corr = C(xr, xi)
         scale = 1.0
         max_lag_c = max_lag
-        seg_c = seg_len
+        # Short captures: shrink the segment so the Welch average still
+        # holds ≥8 segments (better HT coherence + a multi-dof split σ;
+        # measured ~1.9x lower delay-error std on 131072-sample noisy
+        # blocks). Long captures keep the configured segment.
+        seg_c = auto_seg_len(xr.shape[-1], max_lag, seg_len)
     else:
         raise ValueError(f"unknown processing mode: {mode!r}")
 
@@ -354,8 +362,11 @@ def process_blocks(
         corrected = tgt_delay
         corrected_std = stds[1]
     tgt_window = res.corr.reshape(3, m, -1)[1]  # [m, 2*max_lag_c+1]
+    # stds[1] (TGT-only σ) rides along so callers that re-measure the
+    # TGT block (the deramp path) can swap it out of the composite and
+    # keep the REF clock-correction variance.
     return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-            corrected_std, tgt_window)
+            corrected_std, tgt_window, stds[1])
 
 
 def _horiz_m(a_lat, a_lon, b_lat, b_lon, elev) -> float:
@@ -418,12 +429,21 @@ def _deramp_correlate(
     a mover's envelope delay drifts: over a long capture the full-block
     peak smears/walks while a ~1 s window keeps the drift below half a
     sample at aircraft speeds."""
+    from tdoa_tpu.ops.corr import auto_seg_len
+
     yd = _derotate(tgt, s_dop, sample_rate, lim=lim)
+    # Same segment auto-shrink as the primary path (process_blocks
+    # mode="iq"): the deramp window is lim samples — often much shorter
+    # than the capture — and its σ feeds the adoption gate against the
+    # primary's calibrated K=4 split σ. Without the shrink, a short
+    # window lands on S≤2 (the 1-dof half-split whose draws can read
+    # near zero) or S=1 (model σ alone, 10-70x optimistic on weak
+    # signals), and the gate compares incommensurate estimators.
     return correlate_pairs_planar(
         yd,
         jnp.asarray(pairs),
         max_lag=max_lag,
-        seg_len=seg_len,
+        seg_len=auto_seg_len(lim, max_lag, seg_len),
         weighting=weighting,
     )
 
@@ -990,10 +1010,18 @@ class TDOAProcessor:
             if timer is not None:
                 timer.observe(out)
         (corrected, tgt_d, ref_d, clock, quality, peaks, corr_std,
-         tgt_window) = out
+         tgt_window, tgt_std) = out
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
         tdoa_std_s = np.asarray(corr_std, np.float64) / cfg.sample_rate
+        # REF clock-correction variance (s²): the composite σ minus the
+        # TGT block's own — re-attached to any re-measured TGT σ (the
+        # deramp path) so σs stay commensurate across candidate sets.
+        ref_var_s2 = np.maximum(
+            tdoa_std_s ** 2
+            - (np.asarray(tgt_std, np.float64) / cfg.sample_rate) ** 2,
+            0.0,
+        )
         # REF-block midpoints sit at 0.5·L and 2.5·L of the *original*
         # block length — two full blocks apart in capture time regardless
         # of analysis-window truncation.
@@ -1158,9 +1186,17 @@ class TDOAProcessor:
                     # primary solve: a noise-floor pair must not vote
                     if np.count_nonzero(gated2) >= min(3, len(pairs)):
                         w2 = gated2
-                    std2 = (
-                        np.asarray(r2.delay_std, np.float64)
-                        / cfg.sample_rate
+                    # The deramp re-measures only the TGT block; its
+                    # corrected TDOAs still carry the SAME REF clock
+                    # correction, so the composite σ keeps the REF
+                    # variance term — comparing a TGT-only σ against
+                    # the primary's composite would bias adoption
+                    # toward the deramped set and under-report the
+                    # adopted ellipse.
+                    std2 = np.sqrt(
+                        (np.asarray(r2.delay_std, np.float64)
+                         / cfg.sample_rate) ** 2
+                        + ref_var_s2
                     )
                     fix2 = solve_fix(
                         lla,
@@ -1170,7 +1206,25 @@ class TDOAProcessor:
                         solve_z=cfg.solve_z,
                         tdoa_sigma_s=std2,
                     )
-                    if fix2.rms_residual_m <= fix.rms_residual_m:
+                    # Adopt when the deramp demonstrably SHARPENED the
+                    # measurement (median per-pair σ). The residual
+                    # test alone is a coin flip at 3 stations — 3 TDOAs
+                    # always fit 2 unknowns with near-zero residual,
+                    # smeared or not (observed: a motion-smeared plain
+                    # set with 1.4-3.8-sample errors and honest
+                    # 3-17-sample σs out-residualed the exact deramped
+                    # set and kept a 400 m fix). The σ test is the
+                    # physical one: deramping re-concentrates the
+                    # correlation peak, and a failed deramp (wrong
+                    # per-station Doppler solve) leaves σ large. A
+                    # residual win may still adopt, but only when σ did
+                    # not materially degrade (≤1.5×) — otherwise a
+                    # failed deramp that wins the residual coin flip
+                    # would slip through.
+                    med, med2 = np.median(tdoa_std_s), np.median(std2)
+                    if (med2 <= med
+                            or (fix2.rms_residual_m <= fix.rms_residual_m
+                                and med2 <= 1.5 * med)):
                         # Adopt the deramped measurement WHOLESALE so
                         # the reported fields stay mutually consistent
                         # (delays, qualities, sigmas, weights, fix).

@@ -212,7 +212,7 @@ def acc_finalize(
     interleaved slots hold data (≥2 update calls): the two slots'
     zoom-DFT delays are probed with the full accumulation's debiased
     weights and half their disagreement is folded in, exactly like the
-    batch path's split-half σ (ops/corr.py _combine_halves). With one
+    batch path's split σ (ops/corr.py _combine_splits). With one
     slot empty (single update, or a pre-split checkpoint) the model σ
     + coarse-jitter term stands alone."""
     if fft_len is None:

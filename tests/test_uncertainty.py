@@ -107,3 +107,89 @@ def test_covariance_geometry():
     # Stations lie along east — north (across) is the weak direction:
     # the major axis points near north (azimuth ≈ 0/180).
     assert az < 40 or az > 140
+
+
+def test_split_bounds_round_robin():
+    """The K-group split distributes a non-divisible segment count
+    round-robin (group sizes q or q+1): dumping the remainder into one
+    group would give it up to 2x the others' variance and miscalibrate
+    the equal-group _SPLIT_STD_SCALE constants."""
+    from tdoa_tpu.ops.corr import _split_bounds
+
+    for n_seg, k in [(8, 4), (9, 4), (11, 4), (3, 2), (5, 2), (100, 4)]:
+        b = _split_bounds(n_seg, k, 10)
+        sizes = np.diff(b) // 10
+        assert b[0] == 0 and b[-1] == n_seg * 10
+        assert sizes.sum() == n_seg
+        assert sizes.max() - sizes.min() <= 1  # round-robin, not dump
+
+
+def test_auto_seg_len_contract():
+    """Short captures shrink to hold >=8 Welch segments; long captures
+    keep the configured segment; never below max_lag or the 4096
+    frequency-resolution floor; None passes through."""
+    from tdoa_tpu.ops.corr import auto_seg_len
+
+    assert auto_seg_len(131072, 512, 65536) == 16384  # 8 segments
+    assert auto_seg_len(1 << 21, 512, 65536) == 65536  # already >=8
+    assert auto_seg_len(131072, 512, None) is None
+    assert auto_seg_len(16384, 512, 16384) >= 4096  # floor holds
+    # max_lag floor: seg//2 must stay > max_lag
+    assert auto_seg_len(1 << 15, 8192, 1 << 14) == 1 << 14
+
+
+def test_split_sigma_unequal_groups():
+    """K=4 split sigma with a non-divisible segment count (S=11): the
+    delay stays exact and the sigma finite/positive — the remainder
+    round-robin must not corrupt the full-capture accumulation."""
+    from tdoa_tpu.ops.corr import correlate_pairs_planar
+    from tdoa_tpu.ops.cplx import C
+
+    n_seg, seg = 11, 4096
+    n = n_seg * seg
+    base = fm_source(jax.random.PRNGKey(5), n, 2e6)
+    d = fractional_delay(base, jnp.float32(33.0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    d = d + 0.1 * (jax.random.normal(k1, (n,))
+                   + 1j * jax.random.normal(k2, (n,))).astype(jnp.complex64)
+    x = C(jnp.stack([jnp.real(base), jnp.real(d)]),
+          jnp.stack([jnp.imag(base), jnp.imag(d)]))
+    res = correlate_pairs_planar(
+        x, jnp.asarray([[0, 1]]), max_lag=128, seg_len=seg, weighting="ht",
+    )
+    assert abs(float(res.delay[0]) - 33.0) < 0.15
+    s = float(res.delay_std[0])
+    assert np.isfinite(s) and s > 0
+
+
+def test_process_blocks_tgt_std_commensurate():
+    """process_blocks' 9th element is the TGT block's own sigma: the
+    composite corrected_std must be >= it (REF clock variance only adds),
+    and with clock_correction=False they are identical."""
+    from tdoa_tpu.ops.cplx import C
+    from tdoa_tpu.pipeline.processor import process_blocks
+
+    n = 1 << 15
+    blocks = []
+    for bk in range(3):
+        src = fm_source(jax.random.PRNGKey(50 + bk), n, 2e6)
+        sigs = [src, fractional_delay(src, jnp.float32(12.0 if bk == 1 else 0.0))]
+        k1, k2 = jax.random.split(jax.random.PRNGKey(60 + bk))
+        noisy = [
+            s + 0.3 * (jax.random.normal(jax.random.fold_in(k1, i), (n,))
+                       + 1j * jax.random.normal(jax.random.fold_in(k2, i), (n,))
+                       ).astype(jnp.complex64)
+            for i, s in enumerate(sigs)
+        ]
+        blocks.append(C(jnp.stack([jnp.real(s) for s in noisy]),
+                        jnp.stack([jnp.imag(s) for s in noisy])))
+    pairs = jnp.asarray([[0, 1]], jnp.int32)
+    geo = jnp.zeros(1, jnp.float32)
+    out = process_blocks(blocks[0], blocks[1], blocks[2], pairs, geo,
+                         max_lag=128, seg_len=1 << 12, weighting="ht")
+    corr_std, tgt_std = np.asarray(out[6]), np.asarray(out[8])
+    assert corr_std[0] >= tgt_std[0] - 1e-6
+    out_nc = process_blocks(blocks[0], blocks[1], blocks[2], pairs, geo,
+                            max_lag=128, seg_len=1 << 12, weighting="ht",
+                            clock_correction=False)
+    np.testing.assert_allclose(np.asarray(out_nc[6]), np.asarray(out_nc[8]))
