@@ -11,9 +11,9 @@ stalls):
  4. streaming accumulator through the fused kernel
  5. Pallas FM-demod kernel vs XLA demod; FM-mode pipeline on chip
     (the XLA conv path requested 34 GB at 100 s scale — regression)
- 6. 8/12/16-station fused kernel: computed VMEM limits (capacity gate
-    fused_capacity_ok — 16 stations = 120 pairs, ~105 MB computed
-    need clamped to the 100 MB request), DC clamps
+ 6. 8/12/16/20-station fused kernel: computed VMEM limits (16 stations
+    = 120 pairs fit one invocation; 20 = 190 pairs pair-TILE across two
+    invocations, fused_max_pairs), DC clamps
  7. multi-emitter separation through the fused path
  8. moving emitter: CAF + deramp-and-correlate + FDOA velocity
  9. joint (lag, Doppler) separation: mover + co-channel interferer
@@ -281,9 +281,10 @@ def main():
     br8 = np.asarray(base_r)
     bi8 = np.asarray(base_i)
     # 8 = the round-1 limit; 12 and 16 = the capacity-gated extension
-    # (fused_capacity_ok: 16 stations = 120 pairs, ~105 MB computed need
-    # clamped to the 100 MB request — the largest network that fits).
-    for n_st in (8, 12, 16):
+    # (fused_max_pairs: 16 stations = 120 pairs fit ONE invocation);
+    # 20 = pair tiling (190 pairs split across 2 kernel invocations,
+    # stitched cross-spectra — the cap-lift path must be chip-proven).
+    for n_st in (8, 12, 16, 20):
         shifts = [7 * k for k in range(n_st)] if n_st <= 8 else [
             5 * k for k in range(n_st)
         ]

@@ -160,34 +160,40 @@ def _kernel(xr_ref, xi_ref,
             ci_ref[m] += bis[j] * brs[i] - brs[j] * bis[i]
 
 
-def fused_capacity_ok(n_st: int, n_pairs: int,
-                      remove_dc: bool = True) -> bool:
-    """True when the kernel's VMEM-resident accumulators fit the v5e
-    budget (same arithmetic as the vmem_limit_bytes request below).
+def fused_max_pairs(n_st: int, remove_dc: bool = True) -> int:
+    """Largest pair count ONE kernel invocation can hold in the v5e
+    VMEM budget (inverse of the vmem_limit_bytes arithmetic below; the
+    calibration point is 16 stations / 120 pairs ≈ 94 MB request,
+    chip-validated in BENCHLOG round 2 — the 1.25 factor is headroom).
 
-    This is the real station limit — measured on chip: 16 stations
-    (120 pairs, ~94 MB request) compiles and validates; the round-1
-    "8-station cap" was just a conservative gate. Beyond capacity the
-    caller falls back to the XLA path.
-    """
-    accum_bytes = (2 * n_pairs + n_st * (3 if remove_dc else 1)) * R * R * 4
+    Larger pair lists are pair-TILED: accumulate_cross_spectra_pallas
+    splits them into chunks of at most this size and runs the kernel
+    per chunk, so any station count runs at fused-kernel speed — each
+    extra chunk re-reads the input and re-runs the per-station FFTs,
+    but keeps the VMEM-resident accumulation that makes the kernel
+    ~2x the XLA path. Returns 0 when even the per-station accumulators
+    alone exceed the budget (hundreds of stations)."""
+    station_bytes = n_st * (3 if remove_dc else 1) * R * R * 4
     input_bytes = 2 * 2 * n_st * SEG_ROWS * R * 2  # bf16, double-buffered
     const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * 2 + 2 * R * R * 4
     scratch_bytes = 2 * R * R * 2
-    need = (int(1.25 * (accum_bytes + input_bytes + const_bytes
-                        + scratch_bytes)) + (2 << 20))
-    # 16 stations computes `need` ≈ 105 MB; its actual request clamps
-    # to the 100 MB vmem_limit and Mosaic fits it (the 1.25 factor is
-    # headroom, not hard usage) — chip-validated, BENCHLOG round 2.
-    # 17 stations (~112 MB) is past anything validated: XLA path.
-    return need <= (105 << 20)
+    fixed = station_bytes + input_bytes + const_bytes + scratch_bytes
+    budget = ((105 << 20) - (2 << 20)) / 1.25
+    return max(0, int((budget - fixed) // (2 * R * R * 4)))
+
+
+def fused_capacity_ok(n_st: int, n_pairs: int,
+                      remove_dc: bool = True) -> bool:
+    """True when the fused path can run this geometry at all — in one
+    invocation OR pair-tiled across several (see fused_max_pairs)."""
+    return n_pairs >= 1 and fused_max_pairs(n_st, remove_dc) >= 1
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "pairs", "precision", "interpret", "segs_per_step", "remove_dc",
-        "prescale", "vma",
+        "prescale", "vma", "_force_max_pairs",
     ),
 )
 def accumulate_cross_spectra_pallas(
@@ -199,6 +205,7 @@ def accumulate_cross_spectra_pallas(
     remove_dc: bool = False,
     prescale: bool = False,
     vma: Optional[frozenset] = None,
+    _force_max_pairs: Optional[int] = None,  # tests: force pair tiling
 ):
     """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
     FFT_LEN], energy [n_st]) in TRUE frequency order, matching
@@ -220,6 +227,38 @@ def accumulate_cross_spectra_pallas(
     if interpret is None:
         interpret = default_interpret_mode()
     n_st, n = x.re.shape
+    # Pair tiling: when the pair list exceeds one invocation's VMEM
+    # budget, run the kernel over near-equal pair chunks and stitch the
+    # cross-spectra back in order. The per-station outputs (psd,
+    # energy) are recomputed identically by every chunk — take the
+    # first chunk's. This lifts the 16-station single-invocation cap
+    # (fused_max_pairs) to arbitrary networks at fused-kernel speed.
+    cap = (fused_max_pairs(n_st, remove_dc) if _force_max_pairs is None
+           else _force_max_pairs)
+    if cap < 1:
+        raise ValueError(
+            f"{n_st} stations: per-station VMEM accumulators alone "
+            f"exceed the fused kernel budget; use the XLA path"
+        )
+    if len(pairs) > cap:
+        n_chunks = -(-len(pairs) // cap)
+        # Near-equal chunk sizes (q or q+1) so no invocation is tiny.
+        q, r = divmod(len(pairs), n_chunks)
+        outs, lo = [], 0
+        for ch in range(n_chunks):
+            hi = lo + q + (1 if ch < r else 0)
+            outs.append(accumulate_cross_spectra_pallas(
+                x, tuple(pairs[lo:hi]), precision=precision,
+                interpret=interpret, segs_per_step=segs_per_step,
+                remove_dc=remove_dc, prescale=prescale, vma=vma,
+                _force_max_pairs=_force_max_pairs,
+            ))
+            lo = hi
+        cross = C(
+            jnp.concatenate([o[0].re for o in outs], axis=0),
+            jnp.concatenate([o[0].im for o in outs], axis=0),
+        )
+        return cross, outs[0][1], outs[0][2]
     n_seg = n // SEG_LEN
     if n_seg == 0:
         raise ValueError(

@@ -500,8 +500,11 @@ class TDOAProcessor:
         return (
             on_tpu()
             and cfg.mode == "iq"
-            # VMEM capacity: 16 stations (120 pairs) validated on chip;
-            # beyond the accumulator budget use XLA.
+            # VMEM capacity: ≤16 stations run in one kernel invocation
+            # (120 pairs, chip-validated); larger networks pair-tile
+            # across invocations (corr_accum.fused_max_pairs). Only a
+            # station count whose PER-STATION accumulators alone bust
+            # the budget falls back to XLA.
             and fused_capacity_ok(n_stations, n_pairs, remove_dc=True)
             # Alias-free correlation window of the fixed kernel geometry.
             and cfg.max_lag <= FFT_LEN - SEG_LEN

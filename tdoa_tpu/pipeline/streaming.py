@@ -101,8 +101,8 @@ def acc_update(
 
     Pass ``pairs_static`` (the pair list as a static tuple) to route the
     chunk through the fused Pallas kernel on TPU when the accumulator
-    geometry matches it (fft_len 65536, seg_len 45056, stations within
-    the VMEM capacity gate — 16 on v5e, fused_capacity_ok) — the
+    geometry matches it (fft_len 65536, seg_len 45056; pair lists past
+    one invocation's VMEM budget pair-tile, fused_max_pairs) — the
     streaming path then integrates at the batch pipeline's kernel
     speed. ``precision`` sets the kernel's matmul operand width:
     "bf16" (default, ~2.5× faster; bf16 chunks flow straight through,
@@ -124,7 +124,9 @@ def acc_update(
     if (pairs_static is not None and on_tpu() and fft_len == _P_FFT
             and seg_len == _P_SEG and chunk.re.shape[-1] >= _P_SEG
             # Same VMEM-capacity gate as the batch pipeline's
-            # _fused_eligible — the two must never diverge.
+            # _fused_eligible — the two must never diverge. Pair lists
+            # beyond one invocation's budget pair-tile inside the
+            # kernel wrapper.
             and fused_capacity_ok(chunk.re.shape[0], len(pairs_static),
                                   remove_dc=False)):
         cross, psd, energy = accumulate_cross_spectra_pallas(

@@ -201,14 +201,24 @@ def test_dc_heavy_input_stays_finite():
 
 def test_fused_capacity_gate():
     """The station limit is a VMEM-capacity computation, not a magic
-    number: 8/12/16 stations fit v5e's budget (16 validated on chip,
-    BENCHLOG round 2); 17+ falls back to XLA."""
-    from tdoa_tpu.ops.pallas.corr_accum import fused_capacity_ok
+    number: 8/12/16 stations fit v5e's budget in ONE invocation (16
+    validated on chip, BENCHLOG round 2); 17+ pair-tile across
+    invocations; only a network whose per-station accumulators alone
+    bust the budget falls back to XLA."""
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        fused_capacity_ok,
+        fused_max_pairs,
+    )
 
     for n_st in (3, 8, 12, 16):
         m = n_st * (n_st - 1) // 2
+        assert fused_max_pairs(n_st, remove_dc=True) >= m, n_st
+    for n_st in (17, 20, 32, 64):
+        m = n_st * (n_st - 1) // 2
+        # Tiled: supported, but not in one invocation.
         assert fused_capacity_ok(n_st, m, remove_dc=True), n_st
-    for n_st in (17, 20, 32):
+        assert fused_max_pairs(n_st, remove_dc=True) < m, n_st
+    for n_st in (128, 300):
         m = n_st * (n_st - 1) // 2
         assert not fused_capacity_ok(n_st, m, remove_dc=True), n_st
 
@@ -270,3 +280,31 @@ def test_fused_split_half_full_capture_prescale():
         float(fused.delay_std[0]), float(planar.delay_std[0]), rtol=0.05,
         atol=1e-4,
     )
+
+
+def test_fused_pair_tiling_matches_single_invocation():
+    """Pair lists past one invocation's VMEM budget split into chunks
+    (fused_max_pairs); the stitched cross-spectra and the per-station
+    outputs must match the single-invocation result exactly — the
+    chunks run the identical kernel on identical inputs."""
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        accumulate_cross_spectra_pallas,
+        fused_max_pairs,
+    )
+
+    assert fused_max_pairs(17) >= 1  # 17+ stations are now supported
+    n_st, n = 5, SEG_LEN
+    key = jax.random.PRNGKey(3)
+    sig = jax.random.normal(key, (2, n_st, n), jnp.float32)
+    x = C(sig[0], sig[1])
+    pairs = tuple((i, j) for i in range(n_st) for j in range(i + 1, n_st))
+    one = accumulate_cross_spectra_pallas(
+        x, pairs, remove_dc=True, prescale=True)
+    tiled = accumulate_cross_spectra_pallas(
+        x, pairs, remove_dc=True, prescale=True, _force_max_pairs=4)
+    np.testing.assert_array_equal(np.asarray(tiled[0].re),
+                                  np.asarray(one[0].re))
+    np.testing.assert_array_equal(np.asarray(tiled[0].im),
+                                  np.asarray(one[0].im))
+    np.testing.assert_array_equal(np.asarray(tiled[1]), np.asarray(one[1]))
+    np.testing.assert_array_equal(np.asarray(tiled[2]), np.asarray(one[2]))
