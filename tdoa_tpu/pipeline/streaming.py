@@ -57,15 +57,25 @@ class AccState(NamedTuple):
     # sample counter would wrap after ~18 minutes at 2 Msps.
     n_seg: jax.Array
     # Split-slot cross-spectra for the empirical error bar: update
-    # calls alternate into slot A (the other "half" is total − A).
-    # Contiguous halves need the total duration up front — unknowable
-    # in streaming — so the halves interleave by chunk instead: a
-    # jackknife over time that sees realization noise and impairment
-    # residue, though not slow drift (which contiguous halves would).
+    # calls rotate through slots A/B/C (the fourth slot D is
+    # total − A − B − C). Contiguous groups need the total duration up
+    # front — unknowable in streaming — so the slots interleave by
+    # chunk instead: a jackknife over time that sees realization noise
+    # and impairment residue, though not slow drift (which contiguous
+    # groups would). Four slots give the batch path's 3-dof σ
+    # (ops/corr.py split_k) once all hold data; with only the even/odd
+    # pair populated (2-3 chunks, or a 2-slot-era checkpoint) the
+    # even (A+C) vs odd (B+D) halves reproduce the K=2 estimator.
     cross_re_a: jax.Array  # [m, F]
     cross_im_a: jax.Array  # [m, F]
     n_seg_a: jax.Array  # scalar int32
-    n_chunks: jax.Array  # scalar int32 (update-call parity selector)
+    n_chunks: jax.Array  # scalar int32 (update-call slot selector)
+    cross_re_b: jax.Array  # [m, F]
+    cross_im_b: jax.Array  # [m, F]
+    n_seg_b: jax.Array  # scalar int32
+    cross_re_c: jax.Array  # [m, F]
+    cross_im_c: jax.Array  # [m, F]
+    n_seg_c: jax.Array  # scalar int32
 
 
 def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
@@ -79,6 +89,12 @@ def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
         cross_im_a=jnp.zeros((n_pairs, fft_len), jnp.float32),
         n_seg_a=jnp.zeros((), jnp.int32),
         n_chunks=jnp.zeros((), jnp.int32),
+        cross_re_b=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        cross_im_b=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        n_seg_b=jnp.zeros((), jnp.int32),
+        cross_re_c=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        cross_im_c=jnp.zeros((n_pairs, fft_len), jnp.float32),
+        n_seg_c=jnp.zeros((), jnp.int32),
     )
 
 
@@ -138,7 +154,8 @@ def acc_update(
         cross, psd, energy = _accumulate_cross_spectra(
             chunk, pair_idx, seg_len, fft_len
         )
-    sel = (state.n_chunks % 2 == 0).astype(jnp.float32)
+    slot = state.n_chunks % 4
+    sels = [(slot == k).astype(jnp.float32) for k in range(3)]
     segs = chunk.re.shape[-1] // seg_len
     return AccState(
         cross_re=state.cross_re + cross.re,
@@ -146,10 +163,16 @@ def acc_update(
         psd=state.psd + psd,
         energy=state.energy + energy,
         n_seg=state.n_seg + segs,
-        cross_re_a=state.cross_re_a + sel * cross.re,
-        cross_im_a=state.cross_im_a + sel * cross.im,
-        n_seg_a=state.n_seg_a + (state.n_chunks % 2 == 0) * segs,
+        cross_re_a=state.cross_re_a + sels[0] * cross.re,
+        cross_im_a=state.cross_im_a + sels[0] * cross.im,
+        n_seg_a=state.n_seg_a + (slot == 0) * segs,
         n_chunks=state.n_chunks + 1,
+        cross_re_b=state.cross_re_b + sels[1] * cross.re,
+        cross_im_b=state.cross_im_b + sels[1] * cross.im,
+        n_seg_b=state.n_seg_b + (slot == 1) * segs,
+        cross_re_c=state.cross_re_c + sels[2] * cross.re,
+        cross_im_c=state.cross_im_c + sels[2] * cross.im,
+        n_seg_c=state.n_seg_c + (slot == 2) * segs,
     )
 
 
@@ -169,16 +192,28 @@ def acc_save(path: str, state: AccState) -> None:
         cross_im_a=np.asarray(state.cross_im_a),
         n_seg_a=np.asarray(state.n_seg_a),
         n_chunks=np.asarray(state.n_chunks),
+        cross_re_b=np.asarray(state.cross_re_b),
+        cross_im_b=np.asarray(state.cross_im_b),
+        n_seg_b=np.asarray(state.n_seg_b),
+        cross_re_c=np.asarray(state.cross_re_c),
+        cross_im_c=np.asarray(state.cross_im_c),
+        n_seg_c=np.asarray(state.n_seg_c),
     )
 
 
 def acc_load(path: str) -> AccState:
     """Resume an accumulator from ``acc_save`` output. Checkpoints
-    written before the split-slot fields load with an empty slot A —
+    written before the split-slot fields load with empty slots —
     finalize then reports the model σ only (no empirical floor) until
-    fresh updates populate both slots."""
+    fresh updates populate the slots. Two-slot-era checkpoints load
+    their slot A (even-parity chunks) with B/C empty; slot D = total −
+    A is then the odd half, so finalize's K=2 fallback (even A+C vs
+    odd B+D) reproduces the exact estimator they were written under."""
     with np.load(path) as z:
         have_split = "cross_re_a" in z.files
+        have_4 = "cross_re_b" in z.files
+        zero_mf = jnp.zeros_like(jnp.asarray(z["cross_re"]))
+        zero_s = jnp.zeros((), jnp.int32)
         return AccState(
             cross_re=jnp.asarray(z["cross_re"]),
             cross_im=jnp.asarray(z["cross_im"]),
@@ -186,13 +221,17 @@ def acc_load(path: str) -> AccState:
             energy=jnp.asarray(z["energy"]),
             n_seg=jnp.asarray(z["n_seg"]),
             cross_re_a=jnp.asarray(z["cross_re_a"]) if have_split
-            else jnp.zeros_like(jnp.asarray(z["cross_re"])),
+            else zero_mf,
             cross_im_a=jnp.asarray(z["cross_im_a"]) if have_split
-            else jnp.zeros_like(jnp.asarray(z["cross_im"])),
-            n_seg_a=jnp.asarray(z["n_seg_a"]) if have_split
-            else jnp.zeros((), jnp.int32),
-            n_chunks=jnp.asarray(z["n_chunks"]) if have_split
-            else jnp.zeros((), jnp.int32),
+            else zero_mf,
+            n_seg_a=jnp.asarray(z["n_seg_a"]) if have_split else zero_s,
+            n_chunks=jnp.asarray(z["n_chunks"]) if have_split else zero_s,
+            cross_re_b=jnp.asarray(z["cross_re_b"]) if have_4 else zero_mf,
+            cross_im_b=jnp.asarray(z["cross_im_b"]) if have_4 else zero_mf,
+            n_seg_b=jnp.asarray(z["n_seg_b"]) if have_4 else zero_s,
+            cross_re_c=jnp.asarray(z["cross_re_c"]) if have_4 else zero_mf,
+            cross_im_c=jnp.asarray(z["cross_im_c"]) if have_4 else zero_mf,
+            n_seg_c=jnp.asarray(z["n_seg_c"]) if have_4 else zero_s,
         )
 
 
@@ -210,13 +249,17 @@ def acc_finalize(
     """Current delay estimates from the accumulated spectra (state is
     untouched — keep integrating afterwards).
 
-    ``delay_std`` carries the split-slot empirical floor once BOTH
-    interleaved slots hold data (≥2 update calls): the two slots'
-    zoom-DFT delays are probed with the full accumulation's debiased
-    weights and half their disagreement is folded in, exactly like the
-    batch path's split σ (ops/corr.py _combine_splits). With one
-    slot empty (single update, or a pre-split checkpoint) the model σ
-    + coarse-jitter term stands alone."""
+    ``delay_std`` carries a split-slot empirical floor matching the
+    batch path's estimator ladder (ops/corr.py _combine_splits): once
+    all FOUR interleaved slots hold comparable data (≥4 update calls,
+    max/min slot-segment ratio ≤2) the four slot zoom-DFT delays give a
+    3-dof σ with the truth-calibrated K=4 scale; with only the
+    even/odd halves populated (2-3 updates, or a 2-slot-era
+    checkpoint) the K=2 half-split σ is folded in instead; with one
+    slot total (single update, or a pre-split checkpoint) the model σ
+    + coarse-jitter term stands alone. All slot delays are probed with
+    the FULL accumulation's debiased weights — a 1-2 segment slot has
+    no coherence of its own."""
     if fft_len is None:
         fft_len = state.cross_re.shape[-1]
     cross = C(state.cross_re, state.cross_im)
@@ -234,21 +277,49 @@ def acc_finalize(
     )
     if weighting == "none":
         return res
-    n_seg_b = state.n_seg - state.n_seg_a
-    valid = jnp.logical_and(state.n_seg_a > 0, n_seg_b > 0)
+    from tdoa_tpu.ops.corr import _SPLIT_STD_SCALE, _zoom_corr_delay
+
+    na, nb, nc = state.n_seg_a, state.n_seg_b, state.n_seg_c
+    nd = state.n_seg - na - nb - nc
     wfac = _weight_factor(
         cross, state.psd, pair_idx, weighting, eps, state.n_seg
     )
+    coarse = jnp.round(res.delay)
     ca = C(state.cross_re_a, state.cross_im_a)
-    cb = C(state.cross_re - state.cross_re_a,
-           state.cross_im - state.cross_im_a)
-    sigma_emp = _split_half_sigma(
-        ca, cb, wfac, jnp.round(res.delay), fft_len, max_lag
+    cb = C(state.cross_re_b, state.cross_im_b)
+    cc = C(state.cross_re_c, state.cross_im_c)
+    cd = C(state.cross_re - ca.re - cb.re - cc.re,
+           state.cross_im - ca.im - cb.im - cc.im)
+    # K=4: slot spread → 3-dof σ (same formula and calibrated constant
+    # as the batch quarters). Gated on all slots holding data AND being
+    # balanced (≤2x segment-count spread): the scale constant assumes
+    # comparable groups, and resumed 2-slot-era checkpoints start
+    # lopsided.
+    counts = jnp.stack([na, nb, nc, nd])
+    valid4 = jnp.logical_and(
+        jnp.all(counts > 0), jnp.max(counts) <= 2 * jnp.min(counts)
+    )
+    ds = jnp.stack([
+        _zoom_corr_delay(C(s.re * wfac, s.im * wfac), coarse, fft_len,
+                         max_lag)
+        for s in (ca, cb, cc, cd)
+    ])  # [4, m]
+    var4 = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / 3.0
+    sigma4 = jnp.float32(_SPLIT_STD_SCALE[4]) * jnp.sqrt(var4 / 4.0)
+    # K=2 fallback: even (A+C) vs odd (B+D) — exactly the historical
+    # chunk-parity halves (and what a 2-slot-era checkpoint resumes
+    # into).
+    valid2 = jnp.logical_and(na + nc > 0, nb + nd > 0)
+    sigma2 = _split_half_sigma(
+        C(ca.re + cc.re, ca.im + cc.im),
+        C(cb.re + cd.re, cb.im + cd.im),
+        wfac, coarse, fft_len, max_lag,
+    )
+    sigma_emp = jnp.where(
+        valid4, sigma4, jnp.where(valid2, sigma2, 0.0)
     )
     return res._replace(
-        delay_std=jnp.maximum(
-            res.delay_std, jnp.where(valid, sigma_emp, 0.0)
-        )
+        delay_std=jnp.maximum(res.delay_std, sigma_emp)
     )
 
 

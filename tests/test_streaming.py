@@ -337,7 +337,10 @@ def test_streaming_split_slot_empirical_sigma():
         return st, acc_finalize(st, pairs, max_lag=128)
 
     st_clean, clean = run(x)
-    assert int(st_clean.n_seg_a) == 4  # chunks 0 and 2 (2 segs each)
+    # 4 chunks rotate through the 4 slots: 2 segs each, K=4 active.
+    assert int(st_clean.n_seg_a) == 2  # chunk 0 only
+    assert int(st_clean.n_seg_b) == 2
+    assert int(st_clean.n_seg_c) == 2
     assert abs(float(clean.delay[0]) - 11.5) < 0.1
     s_clean = float(clean.delay_std[0])
     assert 0.0 < s_clean < 0.5, s_clean
@@ -372,3 +375,71 @@ def test_streaming_split_slot_empirical_sigma():
     one = acc_finalize(st1, pairs, max_lag=128)
     assert np.isfinite(float(one.delay_std[0]))
     assert abs(float(one.delay[0]) - 11.5) < 0.1
+
+
+def test_streaming_k4_slots_and_k2_fallback():
+    """Slot ladder: 4 balanced slots -> K=4 sigma; 2-3 chunks -> the
+    even/odd K=2 halves; 2-slot-era checkpoints (no B/C arrays) load
+    with empty slots and finalize still folds the K=2 floor in."""
+    import os
+    import tempfile
+
+    from tdoa_tpu.pipeline.streaming import (
+        acc_finalize,
+        acc_init,
+        acc_load,
+        acc_save,
+        acc_update,
+    )
+
+    n = 1 << 16
+    seg = 1 << 13
+    chunk_len = 1 << 14
+    base = fm_source(jax.random.PRNGKey(16), n, 2e6)
+    x = _stack([base, fractional_delay(base, jnp.float32(7.5))])
+    kr, ki = jax.random.split(jax.random.PRNGKey(17))
+    x = C(
+        x.re + 0.2 * jax.random.normal(kr, x.re.shape, jnp.float32),
+        x.im + 0.2 * jax.random.normal(ki, x.im.shape, jnp.float32),
+    )
+    pairs = jnp.asarray([[0, 1]], jnp.int32)
+    fft_len = next_pow2(seg + 128)
+
+    def advance(st, lo, hi):
+        for c in range(lo, hi):
+            st = acc_update(
+                st,
+                C(x.re[:, c * chunk_len:(c + 1) * chunk_len],
+                  x.im[:, c * chunk_len:(c + 1) * chunk_len]),
+                pairs, seg, fft_len,
+            )
+        return st
+
+    # 3 chunks: slot D empty -> the K=2 even/odd fallback must engage
+    # (finite sigma, correct delay).
+    st3 = advance(acc_init(2, 1, fft_len), 0, 3)
+    r3 = acc_finalize(st3, pairs, max_lag=128)
+    assert abs(float(r3.delay[0]) - 7.5) < 0.1
+    assert np.isfinite(float(r3.delay_std[0]))
+
+    # 4 chunks: all slots hold 2 segments -> K=4 active.
+    st4 = advance(st3, 3, 4)
+    assert int(st4.n_seg - st4.n_seg_a - st4.n_seg_b - st4.n_seg_c) == 2
+    r4 = acc_finalize(st4, pairs, max_lag=128)
+    assert abs(float(r4.delay[0]) - 7.5) < 0.1
+    assert 0.0 < float(r4.delay_std[0]) < 1.0
+
+    # 2-slot-era checkpoint: strip the B/C arrays from a saved state.
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ck.npz")
+        acc_save(p, st4)
+        with np.load(p) as z:
+            legacy = {k: z[k] for k in z.files
+                      if not (k.endswith("_b") or k.endswith("_c"))}
+        np.savez(p, **legacy)
+        st_old = acc_load(p)
+        assert int(st_old.n_seg_b) == 0 and int(st_old.n_seg_c) == 0
+        r_old = acc_finalize(st_old, pairs, max_lag=128)
+        # Slot A (chunks 0,4,... here just 0) vs D=total-A: K=2 path.
+        assert abs(float(r_old.delay[0]) - 7.5) < 0.1
+        assert np.isfinite(float(r_old.delay_std[0]))
