@@ -160,33 +160,60 @@ def _kernel(xr_ref, xi_ref,
             ci_ref[m] += bis[j] * brs[i] - brs[j] * bis[i]
 
 
-def fused_max_pairs(n_st: int, remove_dc: bool = True) -> int:
+# The fused path is chip-validated up to a 4-way pair tiling; past
+# that the redundant per-chunk FFT/input work erodes the kernel's ~2x
+# advantage over the XLA path with no measurement to back it, so the
+# router falls back (conservative cost bound, not a VMEM limit).
+MAX_PAIR_CHUNKS = 4
+
+
+def _vmem_need(n_st: int, n_pairs: int, mm_bytes: int, step_rows: int,
+               remove_dc: bool) -> int:
+    """The kernel's computed VMEM request in bytes — the ONE copy of
+    the footprint arithmetic, shared by the pallas_call budget below
+    and the fused_max_pairs inversion (two diverging copies of this
+    formula was a review finding)."""
+    accum_bytes = (2 * n_pairs + n_st * (3 if remove_dc else 1)) * R * R * 4
+    input_bytes = 2 * 2 * n_st * step_rows * R * mm_bytes  # double-buffered
+    const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * mm_bytes + 2 * R * R * 4
+    scratch_bytes = 2 * R * R * mm_bytes
+    return (int(1.25 * (accum_bytes + input_bytes + const_bytes
+                        + scratch_bytes)) + (2 << 20))
+
+
+def fused_max_pairs(n_st: int, remove_dc: bool = True,
+                    precision: str = "bf16",
+                    segs_per_step: int = 1) -> int:
     """Largest pair count ONE kernel invocation can hold in the v5e
-    VMEM budget (inverse of the vmem_limit_bytes arithmetic below; the
-    calibration point is 16 stations / 120 pairs ≈ 94 MB request,
-    chip-validated in BENCHLOG round 2 — the 1.25 factor is headroom).
+    VMEM budget (inverse of _vmem_need; the calibration point is 16
+    stations / 120 pairs ≈ 94 MB request, chip-validated in BENCHLOG
+    round 2 — the 1.25 factor is headroom).
 
     Larger pair lists are pair-TILED: accumulate_cross_spectra_pallas
     splits them into chunks of at most this size and runs the kernel
-    per chunk, so any station count runs at fused-kernel speed — each
-    extra chunk re-reads the input and re-runs the per-station FFTs,
-    but keeps the VMEM-resident accumulation that makes the kernel
-    ~2x the XLA path. Returns 0 when even the per-station accumulators
-    alone exceed the budget (hundreds of stations)."""
-    station_bytes = n_st * (3 if remove_dc else 1) * R * R * 4
-    input_bytes = 2 * 2 * n_st * SEG_ROWS * R * 2  # bf16, double-buffered
-    const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * 2 + 2 * R * R * 4
-    scratch_bytes = 2 * R * R * 2
-    fixed = station_bytes + input_bytes + const_bytes + scratch_bytes
-    budget = ((105 << 20) - (2 << 20)) / 1.25
-    return max(0, int((budget - fixed) // (2 * R * R * 4)))
+    per chunk, so bigger networks still run at fused-kernel speed —
+    each extra chunk re-reads the input and re-runs the per-station
+    FFTs, but keeps the VMEM-resident accumulation that makes the
+    kernel ~2x the XLA path. Returns 0 when even the per-station
+    accumulators alone exceed the budget."""
+    base = _vmem_need(n_st, 0, 2 if precision == "bf16" else 4,
+                      segs_per_step * SEG_ROWS, remove_dc)
+    spare = (105 << 20) - base
+    # Each pair adds 1.25 · 2·R·R·4 bytes to the need.
+    return max(0, int(spare // int(1.25 * 2 * R * R * 4)))
 
 
 def fused_capacity_ok(n_st: int, n_pairs: int,
-                      remove_dc: bool = True) -> bool:
-    """True when the fused path can run this geometry at all — in one
-    invocation OR pair-tiled across several (see fused_max_pairs)."""
-    return n_pairs >= 1 and fused_max_pairs(n_st, remove_dc) >= 1
+                      remove_dc: bool = True,
+                      precision: str = "bf16") -> bool:
+    """True when the fused path should run this geometry — in one
+    invocation, or pair-tiled across at most MAX_PAIR_CHUNKS (past
+    that the per-chunk FFT/input redundancy makes the XLA fallback
+    the better program; see fused_max_pairs)."""
+    cap = fused_max_pairs(n_st, remove_dc, precision)
+    if n_pairs < 1 or cap < 1:
+        return False
+    return -(-n_pairs // cap) <= MAX_PAIR_CHUNKS
 
 
 @functools.partial(
@@ -233,8 +260,8 @@ def accumulate_cross_spectra_pallas(
     # energy) are recomputed identically by every chunk — take the
     # first chunk's. This lifts the 16-station single-invocation cap
     # (fused_max_pairs) to arbitrary networks at fused-kernel speed.
-    cap = (fused_max_pairs(n_st, remove_dc) if _force_max_pairs is None
-           else _force_max_pairs)
+    cap = (fused_max_pairs(n_st, remove_dc, precision, segs_per_step)
+           if _force_max_pairs is None else _force_max_pairs)
     if cap < 1:
         raise ValueError(
             f"{n_st} stations: per-station VMEM accumulators alone "
@@ -304,12 +331,7 @@ def accumulate_cross_spectra_pallas(
     # needs so larger networks (8 stations = 28 pairs ≈ 20 MB of f32
     # accumulators) compile. v5e has 128 MB of VMEM.
     mm_bytes = 2 if mm_dtype == jnp.bfloat16 else 4
-    accum_bytes = (2 * m + n_st * (3 if remove_dc else 1)) * R * R * 4
-    input_bytes = 2 * 2 * n_st * step_rows * R * mm_bytes  # double-buffered
-    const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * mm_bytes + 2 * R * R * 4
-    scratch_bytes = 2 * R * R * mm_bytes
-    need = (int(1.25 * (accum_bytes + input_bytes + const_bytes
-                        + scratch_bytes)) + (2 << 20))
+    need = _vmem_need(n_st, m, mm_bytes, step_rows, remove_dc)
     # Never request less than Mosaic's 16 MB default (a tighter bound
     # buys nothing), never more than a safe fraction of v5e's 128 MB.
     vmem_budget = min(max(need, 16 << 20), 100 << 20)

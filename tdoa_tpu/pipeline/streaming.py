@@ -251,8 +251,9 @@ def acc_finalize(
 
     ``delay_std`` carries a split-slot empirical floor matching the
     batch path's estimator ladder (ops/corr.py _combine_splits): once
-    all FOUR interleaved slots hold comparable data (≥4 update calls,
-    max/min slot-segment ratio ≤2) the four slot zoom-DFT delays give a
+    all FOUR interleaved slots hold comparable data (≥2 segments each —
+    the batch split_k floor — and max/min slot-segment ratio ≤2) the
+    four slot zoom-DFT delays give a
     3-dof σ with the truth-calibrated K=4 scale; with only the
     even/odd halves populated (2-3 updates, or a 2-slot-era
     checkpoint) the K=2 half-split σ is folded in instead; with one
@@ -291,32 +292,45 @@ def acc_finalize(
     cd = C(state.cross_re - ca.re - cb.re - cc.re,
            state.cross_im - ca.im - cb.im - cc.im)
     # K=4: slot spread → 3-dof σ (same formula and calibrated constant
-    # as the batch quarters). Gated on all slots holding data AND being
+    # as the batch quarters). Gated on every slot holding ≥2 segments
+    # (the batch ladder's split_k floor — 1-segment groups' zoom probes
+    # jitter ~0.5 sample even on clean signals) AND the slots being
     # balanced (≤2x segment-count spread): the scale constant assumes
     # comparable groups, and resumed 2-slot-era checkpoints start
     # lopsided.
     counts = jnp.stack([na, nb, nc, nd])
     valid4 = jnp.logical_and(
-        jnp.all(counts > 0), jnp.max(counts) <= 2 * jnp.min(counts)
+        jnp.all(counts >= 2), jnp.max(counts) <= 2 * jnp.min(counts)
     )
-    ds = jnp.stack([
-        _zoom_corr_delay(C(s.re * wfac, s.im * wfac), coarse, fft_len,
-                         max_lag)
-        for s in (ca, cb, cc, cd)
-    ])  # [4, m]
-    var4 = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / 3.0
-    sigma4 = jnp.float32(_SPLIT_STD_SCALE[4]) * jnp.sqrt(var4 / 4.0)
-    # K=2 fallback: even (A+C) vs odd (B+D) — exactly the historical
-    # chunk-parity halves (and what a 2-slot-era checkpoint resumes
-    # into).
     valid2 = jnp.logical_and(na + nc > 0, nb + nd > 0)
-    sigma2 = _split_half_sigma(
-        C(ca.re + cc.re, ca.im + cc.im),
-        C(cb.re + cd.re, cb.im + cd.im),
-        wfac, coarse, fft_len, max_lag,
-    )
-    sigma_emp = jnp.where(
-        valid4, sigma4, jnp.where(valid2, sigma2, 0.0)
+
+    def _sigma4():
+        ds = jnp.stack([
+            _zoom_corr_delay(C(s.re * wfac, s.im * wfac), coarse,
+                             fft_len, max_lag)
+            for s in (ca, cb, cc, cd)
+        ])  # [4, m]
+        var4 = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / 3.0
+        return jnp.float32(_SPLIT_STD_SCALE[4]) * jnp.sqrt(var4 / 4.0)
+
+    def _sigma2():
+        # K=2 fallback: even (A+C) vs odd (B+D) — exactly the
+        # historical chunk-parity halves (and what a 2-slot-era
+        # checkpoint resumes into).
+        return _split_half_sigma(
+            C(ca.re + cc.re, ca.im + cc.im),
+            C(cb.re + cd.re, cb.im + cd.im),
+            wfac, coarse, fft_len, max_lag,
+        )
+
+    # lax.cond, not where: only the active ladder rung's zoom probes
+    # run — finalize is called continuously while integrating, and
+    # where() would pay all six probes every call.
+    sigma_emp = jax.lax.cond(
+        valid4, _sigma4,
+        lambda: jax.lax.cond(
+            valid2, _sigma2, lambda: jnp.zeros_like(res.delay)
+        ),
     )
     return res._replace(
         delay_std=jnp.maximum(res.delay_std, sigma_emp)
