@@ -99,6 +99,25 @@ class ProcessorConfig:
     # swap is an operator opt-in; the ranking itself is always
     # reported in the warning and on fix.candidates_power_score.
     power_disambiguation: bool = False
+    # FDOA ghost disambiguation (solve_velocity runs only): both ghost
+    # intersections satisfy the TDOAs, but only near the TRUE position
+    # do the measured pairwise Dopplers stay consistent with a single
+    # emitter velocity — at the ghost the emitter→station unit-vector
+    # geometry differs and the linear FDOA fit leaves a residual.
+    # Physics, not a propagation assumption, so the decisive swap is on
+    # by default (still requires a 3x residual margin); the ranking is
+    # always reported in the ghost warning. With 3 stations the fit has
+    # one dof and the residual alone can be inconclusive — the ghost
+    # then "explains" the Dopplers only with an absurd velocity (the
+    # distant intersection's unit-vector differences shrink, so |v|
+    # inflates ~1/geometry; observed 1944 m/s vs a 105 m/s truth): a
+    # candidate whose fitted speed exceeds max_emitter_speed_mps loses
+    # to one within it.
+    fdoa_disambiguation: bool = True
+    # Speed plausibility ceiling for the FDOA ghost ranking ONLY (never
+    # gates the velocity solve itself). 700 m/s covers every aircraft
+    # including military jets at dash speed.
+    max_emitter_speed_mps: float = 700.0
     # Coverage prior (lat°, lon°, radius m): operator knowledge of the
     # surveillance area. On an ambiguous fix, a UNIQUE candidate inside
     # the prior is selected outright (hard knowledge beats the advisory
@@ -613,12 +632,16 @@ class TDOAProcessor:
         ref1: C,
         warnings: List[str],
         deramp_note: str = "",
+        fdoa_hz: Optional[np.ndarray] = None,
     ) -> Tuple[FixResult, np.ndarray, List[str]]:
         """Post-solve analysis of the FINAL TDOA set: consistency gate,
-        outlier rejection, ghost-ambiguity detection (power ranking +
-        coverage prior), and the out-of-prior warning. Must run after
-        any step that can replace the fix/weights wholesale (the
-        Doppler deramp re-solve). Returns the possibly-updated
+        outlier rejection, ghost-ambiguity detection (coverage prior +
+        FDOA consistency + power ranking), and the out-of-prior
+        warning. Must run after any step that can replace the
+        fix/weights wholesale (the Doppler deramp re-solve).
+        ``fdoa_hz``: the CAF's per-pair differential Dopplers (emitter
+        motion only, drift-corrected), when solve_velocity measured
+        them. Returns the possibly-updated
         (fix, weights, excluded_station_names)."""
         cfg = self.config
         # Mutually inconsistent TDOAs leave residuals the per-pair
@@ -745,6 +768,83 @@ class TDOAProcessor:
                             f"; coverage prior keeps {len(inside)} "
                             f"candidates — inconclusive"
                         )
+                # FDOA consistency second (physics, weaker only than
+                # operator knowledge): both intersections satisfy the
+                # TDOAs, but the measured pairwise Dopplers fit a
+                # single emitter velocity only where the emitter→
+                # station geometry is the true one. Requires real
+                # Doppler (≥2 Hz) and an overdetermined velocity fit.
+                fdoa_txt = ""
+                fdoa_decided = False
+                n_dim_v = 3 if cfg.solve_z else 2
+                if (fdoa_hz is not None and cfg.fdoa_disambiguation
+                        and not prior_decided
+                        and np.abs(np.asarray(fdoa_hz)).max() >= 2.0
+                        and np.count_nonzero(
+                            np.asarray(w, np.float64) > 0) > n_dim_v):
+                    from tdoa_tpu.solve.fdoa import solve_velocity_enu
+
+                    nu_g = np.asarray(fdoa_hz, np.float64)
+                    st_g = lla_to_enu(lla, fix.origin_lla)
+                    sols = [
+                        solve_velocity_enu(
+                            st_g, pairs,
+                            lla_to_enu(np.asarray(c, np.float64),
+                                       fix.origin_lla),
+                            nu_g, cfg.tgt_freq, weights=w,
+                            solve_z=cfg.solve_z,
+                        )
+                        for c in fix.candidates_lla
+                    ]
+                    resids = np.array([s.residual_hz for s in sols])
+                    speeds = np.array([s.speed for s in sols])
+                    k_f = int(np.argmin(resids))
+                    r_f = float(resids[k_f])
+                    r_2 = float(np.delete(resids, k_f).min())
+                    # Residual test: 0.5 Hz floor ≈ CAF sub-bin
+                    # interpolation noise; decisive needs a 3x margin.
+                    # When the 1-dof residual cannot choose (both
+                    # intersections "fit"), speed plausibility can:
+                    # exactly one candidate within the ceiling wins.
+                    plaus = np.flatnonzero(
+                        speeds <= cfg.max_emitter_speed_mps
+                    )
+                    if r_2 >= 3.0 * (r_f + 0.5):
+                        how = (f"FDOA fit residual {r_f:.2f} Hz vs "
+                               f"{r_2:.2f} Hz")
+                    elif len(plaus) == 1:
+                        k_f = int(plaus[0])
+                        how = (
+                            f"only its fitted velocity is physical "
+                            f"({speeds[k_f]:.0f} m/s; the other "
+                            f"candidate needs "
+                            f"{np.delete(speeds, k_f).min():.0f} m/s "
+                            f"to explain the measured Doppler)"
+                        )
+                    else:
+                        how = ""
+                    if how:
+                        if k_f != 0:
+                            fix = refit_to_candidate(
+                                fix, k_f, lla, pairs,
+                                weights=w, tdoa_sigma_s=tdoa_std_s,
+                            )
+                            second, rms2, sep = runnerup(fix)
+                        fdoa_decided = True
+                        pref_f = ("the primary" if k_f == 0
+                                  else f"candidate #{k_f + 1}")
+                        fdoa_txt = (
+                            f"; differential-Doppler consistency "
+                            f"selects {pref_f} solution ({how})"
+                            + (" — fix moved there" if k_f != 0 else "")
+                        )
+                    else:
+                        fdoa_txt = (
+                            f"; differential-Doppler consistency is "
+                            f"inconclusive ({r_f:.2f} vs {r_2:.2f} Hz, "
+                            f"speeds {'/'.join(f'{s:.0f}' for s in speeds)}"
+                            f" m/s)"
+                        )
                 # Power ranking (recomputed from the possibly-reordered
                 # candidate arrays — refit_to_candidate keeps the score
                 # array aligned).
@@ -755,7 +855,7 @@ class TDOAProcessor:
                 )
                 decisive = margin >= 0.1
                 if (cfg.power_disambiguation and decisive and best != 0
-                        and not prior_decided):
+                        and not prior_decided and not fdoa_decided):
                     fix = refit_to_candidate(
                         fix, best, lla, pairs,
                         weights=w, tdoa_sigma_s=tdoa_std_s,
@@ -795,7 +895,8 @@ class TDOAProcessor:
                     f"{sep:.0f} m away at {second[0]:.6f},{second[1]:.6f} "
                     f"fits equally well (rms {rms2:.1f} m vs "
                     f"{fix.rms_residual_m:.1f} m) — a fourth station or "
-                    f"a coverage prior disambiguates{prior_txt}{power_txt}"
+                    f"a coverage prior disambiguates"
+                    f"{prior_txt}{fdoa_txt}{power_txt}"
                 )
 
         if cfg.prior is not None:
@@ -1119,6 +1220,7 @@ class TDOAProcessor:
         velocity_sigma = None
         caf_info = None
         deramp_note = ""
+        nu_emitter = None
         if cfg.solve_velocity:
             from tdoa_tpu.ops.caf import caf_pairs
             from tdoa_tpu.ops.corr import resolve_seg
@@ -1252,7 +1354,7 @@ class TDOAProcessor:
         # be reported.
         fix, w, excluded_stations = self._analyze_fix(
             fix, w, tdoa_s, tdoa_std_s, names, pairs, lla, tgt, ref1,
-            warnings, deramp_note=deramp_note,
+            warnings, deramp_note=deramp_note, fdoa_hz=nu_emitter,
         )
 
         if cfg.solve_velocity:

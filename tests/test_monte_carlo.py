@@ -180,3 +180,66 @@ def test_monte_carlo_sweep_small():
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-500:]
     assert "SILENT-FAIL" not in r.stdout
+
+
+def test_fdoa_disambiguation_resolves_moving_ghost():
+    """Monte Carlo regression (moving seed 1009): a moving emitter's
+    ghost intersection satisfies the TDOAs exactly AND fits the
+    measured pairwise Dopplers with 1 dof — but only by an absurd
+    fitted velocity (observed 1944 m/s vs the 105 m/s truth; the
+    distant intersection's unit-vector differences shrink, inflating
+    |v|). The FDOA disambiguator's speed-plausibility rung must move
+    the fix to the physical candidate (25.2 km -> meters), and turning
+    fdoa_disambiguation off must restore the flagged-ambiguous miss."""
+    mc = _load_mc()
+    r = mc.run_trial("moving", 1009)
+    assert r["fix_err"] < 50.0, r["fix_err"]
+    assert r["vel_err"] < 15.0, r["vel_err"]
+
+    # The off switch: the trial reverts to the (flagged) ghost pick.
+    rng = np.random.default_rng(1009)
+    lla = mc.random_network(rng, 3)
+    tgt = mc.random_target(rng, lla)
+    from tdoa_tpu.geo import lla_to_enu
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("st0", "st1", "st2")
+    speed = rng.uniform(30.0, 150.0)
+    heading = rng.uniform(0.0, 2.0 * np.pi)
+    vel = np.array([speed * np.cos(heading), speed * np.sin(heading), 0.0])
+    sc = SimScene(
+        station_names=names, station_lla=lla, ref_tx_lla=mc.REF_TX,
+        tgt_tx_lla=tgt, block_len=1 << 18, seed=1009,
+        tgt_velocity_enu=vel, clock_offsets_s=rng.uniform(-20e-6, 20e-6, 3),
+    )
+    caps, _ = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[k]) for k, n in enumerate(names)],
+        reference_tx=Station("162400000", *mc.REF_TX),
+    )
+    mid_off = vel[:2] * (1.5 * sc.block_len / sc.sample_rate)
+
+    def run(**cfg):
+        proc = TDOAProcessor(
+            ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                            max_lag=512, solve_velocity=True, **cfg),
+            table,
+        )
+        res = proc.process_captures({n: caps[n] for n in names})
+        err = np.linalg.norm(lla_to_enu(
+            np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt
+        )[:2] - mid_off)
+        return res, float(err)
+
+    res_on, err_on = run()
+    assert err_on < 50.0, err_on
+    assert any("differential-Doppler consistency selects" in w
+               for w in res_on.warnings), res_on.warnings
+    # The re-solved velocity at the physical candidate is the truth.
+    assert np.linalg.norm(res_on.velocity_enu[:2] - vel[:2]) < 15.0
+
+    res_off, err_off = run(fdoa_disambiguation=False)
+    assert err_off > 10_000.0, err_off  # the ghost pick returns
+    assert any("ambiguous fix" in w for w in res_off.warnings)
