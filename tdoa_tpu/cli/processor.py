@@ -61,6 +61,17 @@ def main(argv=None) -> int:
                         "move the fix to the power-preferred candidate "
                         "(assumes comparable antennas; the ranking is "
                         "always reported in the warning)")
+    p.add_argument("--no-fdoa-disambiguation", action="store_true",
+                   help="disable the FDOA ghost disambiguator "
+                        "(--solve-velocity runs: the emitter velocity "
+                        "is solved at every ghost candidate; decisive "
+                        "fit-residual margin or speed plausibility "
+                        "moves the fix to the physical candidate)")
+    p.add_argument("--max-emitter-speed", type=float, default=700.0,
+                   metavar="MPS",
+                   help="speed plausibility ceiling (m/s) for the FDOA "
+                        "ghost ranking only — never gates the velocity "
+                        "solve itself (default 700)")
     p.add_argument("--no-outlier-rejection", action="store_true",
                    help="disable leave-one-station-out outlier rejection "
                         "(>= 5-station networks: a station whose unique "
@@ -114,6 +125,8 @@ def main(argv=None) -> int:
         solve_velocity=args.solve_velocity,
         lo_compensation="auto" if args.lo_compensation else "off",
         power_disambiguation=args.power_disambiguation,
+        fdoa_disambiguation=not args.no_fdoa_disambiguation,
+        max_emitter_speed_mps=args.max_emitter_speed,
         prior=prior,
         outlier_rejection=not args.no_outlier_rejection,
     )
