@@ -388,6 +388,30 @@ def process_blocks(
             corrected_std, tgt_window, stds[1])
 
 
+def _lobe_centroid_drift(win: np.ndarray, l_narrow: int = 20,
+                         l_wide: int = 60) -> np.ndarray:
+    """Per-pair main-lobe shape-drift statistic: |power-centroid offset
+    at ±l_wide − offset at ±l_narrow| around each correlation peak
+    (lags). A clean GCC lobe is symmetric at every width, so the
+    centroid barely moves as the window widens; a direct-path + in-peak
+    echo composite keeps dragging it toward the echo. Calibrated on the
+    Monte Carlo regimes: clean/noisy stay < 0.5, planted 15-60-sample
+    echoes at 0.3-0.6 amplitude exceed 1.0 on 11/13 scenes."""
+    out = []
+    for w in np.abs(win.astype(np.float64)):
+        p = int(np.argmax(w))
+
+        def centroid(L):
+            lo, hi = max(p - L, 0), min(p + L + 1, len(w))
+            seg = w[lo:hi] ** 2
+            lags = np.arange(lo, hi) - p
+            return float(np.sum(lags * seg)
+                         / np.maximum(np.sum(seg), 1e-30))
+
+        out.append(abs(centroid(l_wide) - centroid(l_narrow)))
+    return np.asarray(out)
+
+
 def _horiz_m(a_lat, a_lon, b_lat, b_lon, elev) -> float:
     """Horizontal ENU separation in meters between two lat/lon points
     (both evaluated at ``elev`` so the measure is purely horizontal)."""
@@ -1166,6 +1190,7 @@ class TDOAProcessor:
                     f"downweighted"
                 )
 
+        secondary_fired = False
         if cfg.multi_emitter == 1:
             # Co-channel presence check: a second emitter at comparable
             # power puts a second strong peak in every pair's
@@ -1183,6 +1208,7 @@ class TDOAProcessor:
             )
             strong = second_frac >= 0.6
             if np.count_nonzero(strong) >= max(1, (len(pairs) + 1) // 2):
+                secondary_fired = True
                 warnings.append(
                     f"strong secondary correlation peaks on "
                     f"{int(np.count_nonzero(strong))}/{len(pairs)} pairs "
@@ -1191,6 +1217,26 @@ class TDOAProcessor:
                     f"fix may belong to either source — rerun with "
                     f"--multi-emitter 2 to separate them"
                 )
+        # In-peak multipath detector: an echo INSIDE the correlation
+        # peak width merges with the direct path — no secondary peak,
+        # no quality drop, and a 3-station fix absorbs the common bias
+        # with near-zero residual (a Monte Carlo silent miss, seed
+        # 6204). The merged lobe's shape gives it away: a clean GCC
+        # peak's power centroid is stable as the measuring window
+        # widens (|skew| change < 0.5 over L=20→60 on clean AND noisy
+        # scenes), while a direct+echo composite drags the centroid
+        # further with every widening (drift > 1.0 on 11/13 planted-
+        # echo scenes). Computed on the plain windows, so it stands
+        # down when motion smear explains the distortion (deramp) or a
+        # resolvable second source already fired the stronger warning.
+        # (IQ mode only: FM-mode audio correlation is plain-weighted and
+        # oversampled — its lobes are legitimately wide and asymmetric.)
+        if cfg.mode == "iq":
+            lobe_drift = _lobe_centroid_drift(
+                np.asarray(tgt_window, np.float64)
+            )
+        else:
+            lobe_drift = np.zeros(len(pairs))
 
         q = np.asarray(quality[1], np.float64)
         # Quadratic quality weighting with a hard gate: a pair whose
@@ -1348,6 +1394,26 @@ class TDOAProcessor:
                             "measured by deramp-and-correlate and the "
                             "position re-solved"
                         )
+        # Lobe-shape verdict, now that motion is ruled in or out: a
+        # smeared mover's plain window is EXPECTED to be distorted (the
+        # deramp already re-measured and warned), and a resolvable
+        # second source already fired the stronger secondary-peak
+        # warning — otherwise a drifting centroid is the only trace an
+        # in-peak echo leaves.
+        if (not deramp_note and not secondary_fired
+                and np.max(lobe_drift) > 1.0):
+            k_d = int(np.argmax(lobe_drift))
+            i_d, j_d = pairs[k_d]
+            n_d = int(np.count_nonzero(lobe_drift > 1.0))
+            warnings.append(
+                f"correlation main lobe is asymmetric on "
+                f"{n_d}/{len(pairs)} pairs (worst {names[i_d]}-"
+                f"{names[j_d]}, centroid drift "
+                f"{lobe_drift[k_d]:.1f} samples): suspect an in-peak "
+                f"multipath echo (or uncompensated emitter motion — "
+                f"rerun with --solve-velocity) — the TDOA may carry a "
+                f"bias of a few samples that no error bar covers"
+            )
         # The TDOA set is final now (plain or deramp-adopted): run the
         # consistency gate, outlier rejection, ghost/prior/power
         # analysis, and the out-of-prior warning on what will actually

@@ -243,3 +243,45 @@ def test_fdoa_disambiguation_resolves_moving_ghost():
     res_off, err_off = run(fdoa_disambiguation=False)
     assert err_off > 10_000.0, err_off  # the ghost pick returns
     assert any("ambiguous fix" in w for w in res_off.warnings)
+
+
+def test_in_peak_multipath_is_flagged():
+    """Monte Carlo regression (multipath seed 6204, the one silent miss
+    in a 250-trial soak): a 15-60-sample echo INSIDE the correlation
+    peak width merges with the direct path — no secondary peak, no
+    quality drop, and the 3-station fix absorbs the ~3.5-sample common
+    bias with near-zero residual. The main-lobe centroid-drift detector
+    must turn the silent miss into a flagged one."""
+    mc = _load_mc()
+    r = mc.run_trial("multipath", 6204)
+    assert not r["silent"], r
+    assert r["warnings"] >= 1
+    # And it must not fire on the clean twin of the same geometry
+    # (seed 6204's clean trial has its own ghost warning or none — the
+    # lobe text specifically must be absent).
+    rng = np.random.default_rng(6204)
+    lla = mc.random_network(rng, 3)
+    tgt = mc.random_target(rng, lla)
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim.scene import SimScene, simulate_scene
+
+    names = ("st0", "st1", "st2")
+    sc = SimScene(
+        station_names=names, station_lla=lla, ref_tx_lla=mc.REF_TX,
+        tgt_tx_lla=tgt, block_len=1 << 17, seed=6204,
+        clock_offsets_s=rng.uniform(-50e-6, 50e-6, 3),
+    )
+    caps, _ = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[k]) for k, n in enumerate(names)],
+        reference_tx=Station("162400000", *mc.REF_TX),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6, max_lag=768),
+        table,
+    )
+    res = proc.process_captures({n: caps[n] for n in names})
+    assert not any("main lobe is asymmetric" in w for w in res.warnings), (
+        res.warnings
+    )
