@@ -396,15 +396,29 @@ def _lobe_centroid_drift(win: np.ndarray, l_narrow: int = 20,
     centroid barely moves as the window widens; a direct-path + in-peak
     echo composite keeps dragging it toward the echo. Calibrated on the
     Monte Carlo regimes: clean/noisy stay < 0.5, planted 15-60-sample
-    echoes at 0.3-0.6 amplitude exceed 1.0 on 11/13 scenes."""
+    echoes at 0.3-0.6 amplitude exceed 1.0 (review hardening kept the
+    separation: floor-subtraction removes the noise-floor centroid pull
+    at low peak-to-sidelobe, and a peak too close to the window edge
+    returns 0 — a clamped one-sided wide window fakes drift ~1.4 on
+    clean lobes)."""
     out = []
     for w in np.abs(win.astype(np.float64)):
         p = int(np.argmax(w))
+        if min(p, len(w) - 1 - p) < l_wide:
+            # Both centroids must see symmetric windows; a clamped
+            # side drags the wide centroid one way on a CLEAN lobe.
+            out.append(0.0)
+            continue
+        # Sidelobe-floor subtraction: the window is mostly floor, so
+        # its median estimates the floor robustly (the lobe occupies
+        # a few % of ±max_lag). Without it the floor's asymmetric
+        # noise realization pulls the wide centroid ~1.3 samples on
+        # healthy peaks barely past the quality gate.
+        v = np.maximum(w - np.median(w), 0.0)
 
         def centroid(L):
-            lo, hi = max(p - L, 0), min(p + L + 1, len(w))
-            seg = w[lo:hi] ** 2
-            lags = np.arange(lo, hi) - p
+            seg = v[p - L:p + L + 1] ** 2
+            lags = np.arange(-L, L + 1)
             return float(np.sum(lags * seg)
                          / np.maximum(np.sum(seg), 1e-30))
 
@@ -796,16 +810,20 @@ class TDOAProcessor:
                 # operator knowledge): both intersections satisfy the
                 # TDOAs, but the measured pairwise Dopplers fit a
                 # single emitter velocity only where the emitter→
-                # station geometry is the true one. Requires real
-                # Doppler (≥2 Hz) and an overdetermined velocity fit.
+                # station geometry is the true one. Runs only on
+                # CAF-significant Doppler (the caller's gate) with at
+                # least a determined velocity fit.
                 fdoa_txt = ""
                 fdoa_decided = False
                 n_dim_v = 3 if cfg.solve_z else 2
+                # (the caller already gated fdoa_hz on the CAF's own
+                # significance test — > 2 Doppler grid bins; the speed
+                # rung works even on an exactly-determined velocity
+                # fit, so only >= n_dim_v active pairs are required)
                 if (fdoa_hz is not None and cfg.fdoa_disambiguation
                         and not prior_decided
-                        and np.abs(np.asarray(fdoa_hz)).max() >= 2.0
                         and np.count_nonzero(
-                            np.asarray(w, np.float64) > 0) > n_dim_v):
+                            np.asarray(w, np.float64) > 0) >= n_dim_v):
                     from tdoa_tpu.solve.fdoa import solve_velocity_enu
 
                     nu_g = np.asarray(fdoa_hz, np.float64)
@@ -826,14 +844,22 @@ class TDOAProcessor:
                     r_f = float(resids[k_f])
                     r_2 = float(np.delete(resids, k_f).min())
                     # Residual test: 0.5 Hz floor ≈ CAF sub-bin
-                    # interpolation noise; decisive needs a 3x margin.
-                    # When the 1-dof residual cannot choose (both
-                    # intersections "fit"), speed plausibility can:
-                    # exactly one candidate within the ceiling wins.
+                    # interpolation noise; decisive needs a 3x margin —
+                    # with >0 dof (the residual carries information)
+                    # AND a physical fitted speed at the winner (a
+                    # residual win must never install a candidate the
+                    # speed rung would reject). When the residual
+                    # cannot choose (both intersections "fit"), speed
+                    # plausibility can: exactly one candidate within
+                    # the ceiling wins.
                     plaus = np.flatnonzero(
                         speeds <= cfg.max_emitter_speed_mps
                     )
-                    if r_2 >= 3.0 * (r_f + 0.5):
+                    n_active = int(np.count_nonzero(
+                        np.asarray(w, np.float64) > 0))
+                    if (n_active > n_dim_v
+                            and r_2 >= 3.0 * (r_f + 0.5)
+                            and speeds[k_f] <= cfg.max_emitter_speed_mps):
                         how = (f"FDOA fit residual {r_f:.2f} Hz vs "
                                f"{r_2:.2f} Hz")
                     elif len(plaus) == 1:
@@ -1190,33 +1216,35 @@ class TDOAProcessor:
                     f"downweighted"
                 )
 
-        secondary_fired = False
-        if cfg.multi_emitter == 1:
-            # Co-channel presence check: a second emitter at comparable
-            # power puts a second strong peak in every pair's
-            # correlation. When all pairs lock the SAME second emitter
-            # the TDOA set is cycle-consistent and the fix lands
-            # cleanly — on whichever source won the peak race — so no
-            # residual or quality gate can see it. The secondary peak
-            # can. (With multi_emitter > 1 the association path already
-            # separates and reports the sources.)
-            from tdoa_tpu.solve.association import top_k_peaks
+        # Co-channel presence check: a second emitter at comparable
+        # power puts a second strong peak in every pair's correlation.
+        # When all pairs lock the SAME second emitter the TDOA set is
+        # cycle-consistent and the fix lands cleanly — on whichever
+        # source won the peak race — so no residual or quality gate can
+        # see it. The secondary peak can. The detection runs in every
+        # mode (the lobe-shape detector below stands down on it); the
+        # WARNING is mode-1 only — with multi_emitter > 1 the
+        # association path already separates and reports the sources.
+        from tdoa_tpu.solve.association import top_k_peaks
 
-            cand = top_k_peaks(np.asarray(tgt_window, np.float64), 2)
-            second_frac = cand.value[:, 1] / np.maximum(
-                cand.value[:, 0], 1e-30
+        win64 = np.asarray(tgt_window, np.float64)
+        cand = top_k_peaks(win64, 2)
+        second_frac = cand.value[:, 1] / np.maximum(
+            cand.value[:, 0], 1e-30
+        )
+        strong = second_frac >= 0.6
+        secondary_fired = bool(
+            np.count_nonzero(strong) >= max(1, (len(pairs) + 1) // 2)
+        )
+        if secondary_fired and cfg.multi_emitter == 1:
+            warnings.append(
+                f"strong secondary correlation peaks on "
+                f"{int(np.count_nonzero(strong))}/{len(pairs)} pairs "
+                f"(>= 60% of the primary): a co-channel emitter or "
+                f"strong multipath is present and the single-emitter "
+                f"fix may belong to either source — rerun with "
+                f"--multi-emitter 2 to separate them"
             )
-            strong = second_frac >= 0.6
-            if np.count_nonzero(strong) >= max(1, (len(pairs) + 1) // 2):
-                secondary_fired = True
-                warnings.append(
-                    f"strong secondary correlation peaks on "
-                    f"{int(np.count_nonzero(strong))}/{len(pairs)} pairs "
-                    f"(>= 60% of the primary): a co-channel emitter or "
-                    f"strong multipath is present and the single-emitter "
-                    f"fix may belong to either source — rerun with "
-                    f"--multi-emitter 2 to separate them"
-                )
         # In-peak multipath detector: an echo INSIDE the correlation
         # peak width merges with the direct path — no secondary peak,
         # no quality drop, and a 3-station fix absorbs the common bias
@@ -1232,9 +1260,7 @@ class TDOAProcessor:
         # (IQ mode only: FM-mode audio correlation is plain-weighted and
         # oversampled — its lobes are legitimately wide and asymmetric.)
         if cfg.mode == "iq":
-            lobe_drift = _lobe_centroid_drift(
-                np.asarray(tgt_window, np.float64)
-            )
+            lobe_drift = _lobe_centroid_drift(win64)
         else:
             lobe_drift = np.zeros(len(pairs))
 
@@ -1267,6 +1293,7 @@ class TDOAProcessor:
         caf_info = None
         deramp_note = ""
         nu_emitter = None
+        motion_detected = False  # significant Doppler seen by the CAF
         if cfg.solve_velocity:
             from tdoa_tpu.ops.caf import caf_pairs
             from tdoa_tpu.ops.corr import resolve_seg
@@ -1319,6 +1346,7 @@ class TDOAProcessor:
                 # coarse-peak ambiguity on broad narrowband peaks; the
                 # deramped plain path recovers sub-0.01-sample accuracy.
                 deramped = np.abs(nu).max() > 2.0 * bin_hz
+                motion_detected = bool(deramped)
                 if deramped:
                     s_dop = station_doppler_from_pairs(
                         pairs, nu, len(names)
@@ -1395,12 +1423,13 @@ class TDOAProcessor:
                             "position re-solved"
                         )
         # Lobe-shape verdict, now that motion is ruled in or out: a
-        # smeared mover's plain window is EXPECTED to be distorted (the
-        # deramp already re-measured and warned), and a resolvable
-        # second source already fired the stronger secondary-peak
-        # warning — otherwise a drifting centroid is the only trace an
-        # in-peak echo leaves.
-        if (not deramp_note and not secondary_fired
+        # smeared mover's plain window is EXPECTED to be distorted
+        # whether or not the deramp re-solve was adopted (the σ gate
+        # can reject it without making the distortion multipath), and
+        # a resolvable second source already set secondary_fired (in
+        # any multi_emitter mode) — otherwise a drifting centroid is
+        # the only trace an in-peak echo leaves.
+        if (not motion_detected and not secondary_fired
                 and np.max(lobe_drift) > 1.0):
             k_d = int(np.argmax(lobe_drift))
             i_d, j_d = pairs[k_d]
@@ -1420,7 +1449,13 @@ class TDOAProcessor:
         # be reported.
         fix, w, excluded_stations = self._analyze_fix(
             fix, w, tdoa_s, tdoa_std_s, names, pairs, lla, tgt, ref1,
-            warnings, deramp_note=deramp_note, fdoa_hz=nu_emitter,
+            warnings, deramp_note=deramp_note,
+            # Only Doppler the CAF deemed significant (> 2 grid bins —
+            # the same adaptive gate as the deramp decision) may rank
+            # ghost candidates: below it the "measured" Doppler is
+            # sub-bin interpolation noise and any verdict from it would
+            # be noise-driven.
+            fdoa_hz=nu_emitter if motion_detected else None,
         )
 
         if cfg.solve_velocity:
@@ -1598,7 +1633,7 @@ class TDOAProcessor:
                     else:
                         scale = 1.0
                         max_lag_c = cfg.max_lag
-                    win = np.asarray(tgt_window, np.float64)
+                    win = win64
                     cand = top_k_peaks(win, k=k)
                     cand_tdoa = (
                         (cand.lag - max_lag_c) * scale
