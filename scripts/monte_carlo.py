@@ -28,6 +28,10 @@ fix and scores against the planted truth. Regimes:
                UNDER a 30-150 m/s mover: joint lag-Doppler association
                separates them, per-emitter CAF reads give the mover
                its own velocity
+  stream-moving  five epoch windows of a mover through the REAL
+               stream_processor CLI; window 4 carries a 200-sample
+               burst on one station — the tracker must coast it on the
+               innovation gate and end on the true trajectory
   4station/5station  larger networks, solve over all pairs
   bad-station  5 stations, one with its TGT block shifted 80-300
                samples (a multipath/interference lock: clean peaks,
@@ -112,7 +116,108 @@ def random_target(rng: np.random.Generator, lla: np.ndarray) -> np.ndarray:
     return center
 
 
+def run_stream_trial(seed: int) -> dict:
+    """Randomized CONTINUOUS-tracking trial through the real
+    stream_processor CLI: five epoch-stamped windows of a moving
+    emitter land in a directory; one mid-stream window is corrupted
+    (a 200-sample TGT shift on one station — a multipath/interference
+    burst). The tracker must fuse the per-window FDOA velocities,
+    COAST through the corrupted window on the innovation gate, and end
+    within bounds of the emitter's true final position. Scored on the
+    FINAL track state (position + velocity), the stream surface the
+    batch regimes never exercise."""
+    import contextlib
+    import io as _io
+    import re
+    import tempfile
+
+    from tdoa_tpu.geo import enu_to_lla
+    from tdoa_tpu.io.datfile import save_dat
+    from tdoa_tpu.sim.scene import simulate_scene as _simulate
+
+    rng = np.random.default_rng(seed)
+    lla = random_network(rng, 3)
+    tgt0 = random_target(rng, lla)
+    names = ("st0", "st1", "st2")
+    speed = rng.uniform(30.0, 120.0)
+    heading = rng.uniform(0.0, 2.0 * np.pi)
+    vel = np.array([speed * np.cos(heading), speed * np.sin(heading), 0.0])
+    offsets = rng.uniform(-20e-6, 20e-6, 3)
+    n_win, dt_s = 5, 5.0
+    block_len = 1 << 18
+    fs = 2e6
+    corrupt_win = 3  # gate needs >= 3 accepted updates first
+    bad_st = int(rng.integers(0, 3))
+    epoch0 = 1_700_000_000
+
+    with tempfile.TemporaryDirectory() as td:
+        csv = os.path.join(td, "stations.csv")
+        with open(csv, "w") as f:
+            f.write("Name,Latitude,Longitude,Elevation\n")
+            f.write(f"162400000,{REF_TX[0]},{REF_TX[1]},{REF_TX[2]}\n")
+            for n, row in zip(names, lla):
+                f.write(f"{n},{row[0]},{row[1]},{row[2]}\n")
+        inbox = os.path.join(td, "inbox")
+        os.mkdir(inbox)
+        for k in range(n_win):
+            tgt_k = enu_to_lla(vel * (k * dt_s), tgt0)
+            sc = SimScene(
+                station_names=names, station_lla=lla, ref_tx_lla=REF_TX,
+                tgt_tx_lla=tgt_k, block_len=block_len, seed=seed + k,
+                tgt_velocity_enu=vel, clock_offsets_s=offsets,
+            )
+            caps, _ = _simulate(sc)
+            for n in names:
+                r1, tb, r2 = caps[n]
+                if k == corrupt_win and n == names[bad_st]:
+                    tb = np.roll(np.asarray(tb), 200)
+                save_dat(
+                    os.path.join(inbox, f"{n}-{epoch0 + int(k * dt_s)}.dat"),
+                    r1, tb, r2,
+                )
+        from tdoa_tpu.cli import stream_processor as sp
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = sp.main([
+                "162400000", "101900000", csv, inbox,
+                "--max-lag", "512", "--seg-len", "65536",
+                "--solve-velocity",
+            ])
+        out = buf.getvalue()
+
+    lines = re.findall(
+        r"epoch (\d+).*?target ([-0-9.]+),([-0-9.]+) "
+        r"v=\(([-+0-9.]+),([-+0-9.]+)\).*?\[(\d+) updates\](.*)", out)
+    coasted = any("COASTING" in ln[6] for ln in lines)
+    ok_run = rc == 0 and len(lines) == n_win
+    if ok_run:
+        ep_last, tlat, tlon, ve, vn, n_upd, _tail = lines[-1]
+        t_final = (n_win - 1) * dt_s + 1.5 * block_len / fs
+        truth_final = enu_to_lla(vel * t_final, tgt0)
+        fix_err = float(np.linalg.norm(lla_to_enu(
+            np.array([float(tlat), float(tlon), truth_final[2]]),
+            truth_final)[:2]))
+        vel_err = float(np.hypot(float(ve) - vel[0], float(vn) - vel[1]))
+    else:
+        fix_err, vel_err = float("inf"), float("inf")
+    # The corrupted window must not have been silently ABSORBED: either
+    # the gate coasted it, or the window's own defenses re-measured /
+    # flagged it (warnings go to stderr; coast is the visible contract).
+    accurate = (ok_run and fix_err < 300.0 and vel_err < 15.0
+                and coasted)
+    return {
+        "seed": seed, "tdoa_err": 0.0 if accurate else float("inf"),
+        "fix_err": fix_err, "vel_err": vel_err,
+        "power_pick_err": None, "ok": accurate, "accurate": accurate,
+        "silent": not accurate, "warnings": 0,
+        "excluded_right": None, "maha": None, "ambiguous": False,
+    }
+
+
 def run_trial(regime: str, seed: int) -> dict:
+    if regime == "stream-moving":
+        return run_stream_trial(seed)
     rng = np.random.default_rng(seed)
     n_st = {"4station": 4, "5station": 5, "bad-station": 5}.get(regime, 3)
     lla = random_network(rng, n_st)
@@ -367,6 +472,7 @@ REGIMES = {
     "multipath": 1.0,
     "moving": 1.0,
     "moving-interferer": 1.0,
+    "stream-moving": 1.0,
     "4station": 1.0,
     "5station": 1.0,
     "bad-station": 1.0,
