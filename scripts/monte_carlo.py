@@ -178,13 +178,16 @@ def run_stream_trial(seed: int) -> dict:
         from tdoa_tpu.cli import stream_processor as sp
 
         buf = _io.StringIO()
-        with contextlib.redirect_stdout(buf):
+        ebuf = _io.StringIO()
+        with contextlib.redirect_stdout(buf), \
+                contextlib.redirect_stderr(ebuf):
             rc = sp.main([
                 "162400000", "101900000", csv, inbox,
                 "--max-lag", "512", "--seg-len", "65536",
                 "--solve-velocity",
             ])
         out = buf.getvalue()
+        err = ebuf.getvalue()
 
     lines = re.findall(
         r"epoch (\d+).*?target ([-0-9.]+),([-0-9.]+) "
@@ -201,16 +204,21 @@ def run_stream_trial(seed: int) -> dict:
         vel_err = float(np.hypot(float(ve) - vel[0], float(vn) - vel[1]))
     else:
         fix_err, vel_err = float("inf"), float("inf")
-    # The corrupted window must not have been silently ABSORBED: either
-    # the gate coasted it, or the window's own defenses re-measured /
-    # flagged it (warnings go to stderr; coast is the visible contract).
+    # The corrupted window must not have been silently ABSORBED: the
+    # gate must visibly coast it (the stream contract). An inaccurate
+    # final track is still non-silent when the windows carried
+    # warnings (same flagged-rescue rule as the batch regimes).
     accurate = (ok_run and fix_err < 300.0 and vel_err < 15.0
                 and coasted)
+    n_warn = err.count("WARNING:") + err.count(
+        "ghost-ambiguous window fix moved")
+    flagged = n_warn > 0
     return {
         "seed": seed, "tdoa_err": 0.0 if accurate else float("inf"),
         "fix_err": fix_err, "vel_err": vel_err,
-        "power_pick_err": None, "ok": accurate, "accurate": accurate,
-        "silent": not accurate, "warnings": 0,
+        "power_pick_err": None, "ok": accurate or flagged,
+        "accurate": accurate,
+        "silent": not (accurate or flagged), "warnings": n_warn,
         "excluded_right": None, "maha": None, "ambiguous": False,
     }
 

@@ -187,6 +187,57 @@ def main(argv=None) -> int:
             return False
         return (time.time() - newest) >= args.settle
 
+    def prefer_track_candidate(res, ep: float):
+        """Stream-level ghost disambiguation: the batch processor's
+        ladder (prior > FDOA > power) can stay inconclusive when both
+        intersections are close and both fitted speeds plausible — but
+        an ESTABLISHED track knows where the emitter is heading. When
+        the window fix is ghost-ambiguous, the candidate consistent
+        with the track's own predicted position is the physical one;
+        decisively closer (inside the innovation gate, with the other
+        candidate well outside) swaps the fix. Returns the (possibly
+        refit) fix."""
+        fix = res.fix
+        tr = tracker.tracks.get(args.target_id) if tracker else None
+        if (tr is None or tr.n_updates < 2
+                or fix.candidates_lla is None
+                or len(fix.candidates_lla) < 2
+                or fix.candidates_rms is None):
+            return fix
+        sigma_m = (
+            float(np.median(np.asarray(res.tdoa_std_s))) * 299792458.0
+            if res.tdoa_std_s is not None else 0.0
+        )
+        # Same runner-up-fits-within-noise test as the processor's
+        # ghost warning — unambiguous fixes are left alone.
+        if float(fix.candidates_rms[1]) > max(
+                2.0 * fix.rms_residual_m, 3.0 * sigma_m, 5.0):
+            return fix
+        from tdoa_tpu.geo import lla_to_enu
+        from tdoa_tpu.solve import refit_to_candidate
+
+        pred = tr.pos_enu + tr.vel_enu * max(float(ep) - tr.last_t, 0.0)
+        d = np.array([
+            np.linalg.norm(lla_to_enu(
+                np.asarray(c, np.float64), tracker.origin)[:2] - pred[:2])
+            for c in fix.candidates_lla
+        ])
+        k = int(np.argmin(d))
+        gate = max(tracker.gate_floor_m, tracker.gate_k * tr.innov_ema_m)
+        if k == 0 or d[k] > gate or np.delete(d, k).min() < 2.0 * gate:
+            return fix
+        fix = refit_to_candidate(
+            fix, k, table.lla_array(tracker_order), res.pair_idx,
+            weights=res.solve_weights, tdoa_sigma_s=res.tdoa_std_s,
+        )
+        print(
+            f"epoch {ep}: ghost-ambiguous window fix moved to the "
+            f"track-consistent candidate ({d[k]:.0f} m from the "
+            f"predicted position vs {np.delete(d, k).min():.0f} m)",
+            file=sys.stderr,
+        )
+        return fix
+
     def process_window(ep, files) -> None:
         nonlocal tracker, tracker_order
         res = proc.process_files(sorted(files.values()))
@@ -206,7 +257,9 @@ def main(argv=None) -> int:
             track_history.clear()
         fdoa = None
         vel_meas = {}
-        fixes = {args.target_id: res.fix}
+        fix0 = prefer_track_candidate(res, float(ep))
+        swapped = fix0 is not res.fix
+        fixes = {args.target_id: fix0}
         updates = {args.target_id: res.tdoa_seconds}
         # The processor's final solve weights (gates + outlier
         # exclusions) must govern the tracker's re-solve too.
@@ -242,7 +295,12 @@ def main(argv=None) -> int:
                     and len(res.emitters) == 1:
                 fdoa = {ids[0]: res.fdoa_hz}
         elif res.fdoa_hz is not None:
-            if res.velocity_enu is not None:
+            if swapped:
+                # The processor solved its velocity at the OLD primary
+                # (the ghost): re-solve from the measured Dopplers at
+                # the track-consistent position instead.
+                fdoa = {args.target_id: res.fdoa_hz}
+            elif res.velocity_enu is not None:
                 vel_meas = {args.target_id: res.velocity_enu}
             else:
                 fdoa = {args.target_id: res.fdoa_hz}
@@ -250,6 +308,19 @@ def main(argv=None) -> int:
             if wmsg not in seen_warnings:
                 seen_warnings.add(wmsg)
                 print(f"epoch {ep}: WARNING: {wmsg}", file=sys.stderr)
+        from tdoa_tpu.geo import lla_to_enu as _lla_to_enu
+
+        # Feed the PROCESSOR's fixes to the tracker instead of letting
+        # it re-solve raw TDOAs: the per-window fix went through the
+        # full defense ladder (ghost disambiguation, outlier exclusion,
+        # the track-consistency swap above) — a raw re-solve can land
+        # in a basin the processor rejected.
+        positions = {
+            tid: _lla_to_enu(
+                np.array([f.lat, f.lon, f.elev]), tracker.origin
+            )
+            for tid, f in fixes.items()
+        }
         tracker.update(
             float(ep),
             updates,
@@ -258,6 +329,7 @@ def main(argv=None) -> int:
             carrier_hz=args.target_freq,
             velocity_enu=vel_meas or None,
             weights=upd_weights or None,
+            positions_enu=positions,
         )
         for tid in updates:
             tr = tracker.tracks[tid]

@@ -416,6 +416,7 @@ class TargetTracker:
         carrier_hz: Optional[float] = None,
         velocity_enu: Optional[Dict[str, np.ndarray]] = None,
         weights: Optional[Dict[str, np.ndarray]] = None,  # per-pair
+        positions_enu: Optional[Dict[str, np.ndarray]] = None,
     ) -> Dict[str, Track]:
         """``fdoa_hz`` (CAF differential Dopplers, ops/caf.py sign
         convention) upgrades the track's velocity from differentiated
@@ -427,7 +428,13 @@ class TargetTracker:
         ``weights`` carries the processor's final per-pair solve
         weights (``TDOAResult.solve_weights``) — without them the
         tracker's own re-solve would let pairs the processor gated or
-        excluded (outlier stations) vote again."""
+        excluded (outlier stations) vote again.
+        ``positions_enu`` (per target, in THIS tracker's origin frame)
+        bypasses the tracker's own re-solve for those targets: the
+        processor's fix already went through the full defense ladder
+        (ghost disambiguation by prior/FDOA/power, outlier exclusion) —
+        a raw re-solve here can land in the ghost basin the processor
+        rejected. Targets without an entry keep the re-solve path."""
         if not tdoas_s:
             return self.tracks
         ids = list(tdoas_s.keys())
@@ -446,6 +453,10 @@ class TargetTracker:
         )
         pos, rms = self._solve_batch(rd, w_rows)
         pos = np.asarray(pos, np.float64)
+        if positions_enu:
+            for k, tid in enumerate(ids):
+                if positions_enu.get(tid) is not None:
+                    pos[k] = np.asarray(positions_enu[tid], np.float64)
         st_enu = np.asarray(self.enu, np.float64)
         pairs_np = np.asarray(self.pairs)
         for k, tid in enumerate(ids):
