@@ -190,7 +190,7 @@ def run_stream_trial(seed: int) -> dict:
         err = ebuf.getvalue()
 
     lines = re.findall(
-        r"epoch (\d+).*?target ([-0-9.]+),([-0-9.]+) "
+        r"epoch (\d+).*?target ([-0-9.]+),([-0-9.]+)(?: ±[0-9.]+m)? "
         r"v=\(([-+0-9.]+),([-+0-9.]+)\).*?\[(\d+) updates\](.*)", out)
     coasted = any("COASTING" in ln[6] for ln in lines)
     ok_run = rc == 0 and len(lines) == n_win

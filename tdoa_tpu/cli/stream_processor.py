@@ -4,7 +4,8 @@ per-epoch fixes → smoothed target track.
 The streaming shape of the system (BASELINE.json config #5): each
 collection round produces ``{station}-{epoch}.dat`` files; this tool
 groups them by epoch, runs the standard pipeline per window, and feeds
-the fixes through the alpha-beta tracker (pipeline/streaming.py).
+the fixes through the tracker (pipeline/streaming.py — Kalman blend
+when the windows carry calibrated covariances, alpha-beta otherwise).
 
     python -m tdoa_tpu.cli.stream_processor <ref_freq> <tgt_freq> \
         <stations.csv> <capture_dir> [--target-id T] [--watch [SECS]]
@@ -79,6 +80,14 @@ def main(argv=None) -> int:
     p.add_argument("--idle-exit", type=float, default=None,
                    help="with --watch: exit after this many seconds "
                         "without a new window (default: run forever)")
+    p.add_argument("--state", metavar="PATH", default=None,
+                   help="checkpoint/resume for the tracking layer: "
+                        "persist tracks, emitter identities, and the "
+                        "processed-epoch set to PATH after every "
+                        "window (atomic rewrite), and resume from it "
+                        "on startup — a restarted --watch service "
+                        "keeps its tracks instead of starting cold "
+                        "and reprocessing the directory")
 
     from tdoa_tpu.cli import parse_prior, rewrite_prior_argv
 
@@ -146,6 +155,76 @@ def main(argv=None) -> int:
     track_history: dict = {}  # id -> [[lat, lon], ...] for map trails
     emitter_seq = 0
     seen_warnings: set = set()  # print each distinct warning once
+    restored_processed: set = set()
+
+    if args.state and os.path.exists(args.state):
+        import json as _json
+
+        try:
+            with open(args.state) as fh:
+                st = _json.load(fh)
+            order = [str(n) for n in st["station_order"]]
+            unknown = [n for n in order if n not in known]
+            if unknown:
+                raise ValueError(
+                    f"stations {unknown} not in {args.csv}"
+                )
+            tracker_order = order
+            tracker = TargetTracker(table.lla_array(tracker_order))
+            tracker.load_state_dict(st.get("tracks", {}))
+            emitter_seq = int(st.get("emitter_seq", 0))
+            emitter_refs = {
+                str(k): (np.asarray(v["tdoa"], float), float(v["epoch"]))
+                for k, v in st.get("emitter_refs", {}).items()
+            }
+            track_history = {
+                str(k): [[float(a), float(b)] for a, b in v]
+                for k, v in st.get("track_history", {}).items()
+            }
+            restored_processed = {int(e) for e in st.get("processed", [])}
+            print(
+                f"resumed {len(tracker.tracks)} track(s) / "
+                f"{len(restored_processed)} processed epoch(s) "
+                f"from {args.state}",
+                file=sys.stderr,
+            )
+        except (OSError, ValueError, KeyError, TypeError) as e:
+            print(
+                f"warning: could not resume --state {args.state} "
+                f"({e}); starting fresh",
+                file=sys.stderr,
+            )
+            tracker = tracker_order = None
+            emitter_refs, track_history = {}, {}
+            emitter_seq = 0
+            restored_processed = set()
+
+    def save_state(processed_eps) -> None:
+        if not args.state or tracker is None:
+            return
+        import json as _json
+
+        st = {
+            "version": 1,
+            "station_order": list(tracker_order),
+            "tracks": tracker.state_dict(),
+            "emitter_seq": emitter_seq,
+            "emitter_refs": {
+                k: {"tdoa": [float(x) for x in v[0]],
+                    "epoch": float(v[1])}
+                for k, v in emitter_refs.items()
+            },
+            "processed": sorted(int(e) for e in processed_eps),
+            "track_history": track_history,
+        }
+        try:
+            tmp = args.state + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(st, fh)
+            os.replace(tmp, args.state)  # atomic, like --geojson
+        except OSError as e:
+            print(f"warning: could not write --state: {e}",
+                  file=sys.stderr)
 
     def assign_emitter_ids(sets, ep: float) -> dict:
         """Greedy nearest-neighbor matching of this window's emitter
@@ -321,6 +400,13 @@ def main(argv=None) -> int:
             )
             for tid, f in fixes.items()
         }
+        # Calibrated window covariances (FixResult.cov_en, present when
+        # the processor produced split-σ TDOA errors) upgrade the
+        # tracker's position blend to a Kalman gain.
+        covs = {
+            tid: f.cov_en for tid, f in fixes.items()
+            if f.cov_en is not None
+        }
         tracker.update(
             float(ep),
             updates,
@@ -330,6 +416,7 @@ def main(argv=None) -> int:
             velocity_enu=vel_meas or None,
             weights=upd_weights or None,
             positions_enu=positions,
+            covs_en=covs or None,
         )
         for tid in updates:
             tr = tracker.tracks[tid]
@@ -339,10 +426,16 @@ def main(argv=None) -> int:
                 f" COASTING[{tr.coasts}] (window fix rejected by the "
                 f"innovation gate)" if tr.coasts else ""
             )
+            sig = ""
+            if tr.cov_p is not None:
+                # 1σ semi-major axis of the TRACK estimate (shrinks as
+                # calibrated windows accumulate, unlike the per-window
+                # ellipse).
+                sig = f" ±{np.sqrt(np.linalg.eigvalsh(tr.cov_p)[-1]):.0f}m"
             print(
                 f"epoch {ep}: fix {f.lat:.6f},{f.lon:.6f} "
                 f"(rms {f.rms_residual_m:.1f} m)  "
-                f"{tid} {tlla[0]:.6f},{tlla[1]:.6f} "
+                f"{tid} {tlla[0]:.6f},{tlla[1]:.6f}{sig} "
                 f"v=({tr.vel_enu[0]:+.1f},{tr.vel_enu[1]:+.1f}) m/s "
                 f"[{tr.n_updates} updates]{coast}",
                 flush=True,
@@ -372,7 +465,7 @@ def main(argv=None) -> int:
                 print(f"warning: could not write --geojson: {e}",
                       file=sys.stderr)
 
-    processed = set()
+    processed = set(restored_processed)
     skipped_thin = set()
     last_new = time.time()
     while True:
@@ -391,6 +484,7 @@ def main(argv=None) -> int:
                 continue
             process_window(ep, files)
             processed.add(ep)
+            save_state(processed)
             last_new = time.time()
         if args.watch is None:
             break

@@ -186,7 +186,7 @@ def tracks_feature_collection(
     for tid, tr in tracker.tracks.items():
         lla = tr.lla(tracker.origin)
         ve, vn = float(tr.vel_enu[0]), float(tr.vel_enu[1])
-        feats.append(_point(lla[0], lla[1], lla[2], {
+        props = {
             "kind": "track",
             "id": str(tid),
             "speed_mps": float(np.hypot(ve, vn)),
@@ -194,7 +194,31 @@ def tracks_feature_collection(
             "n_updates": int(tr.n_updates),
             "coasting": int(tr.coasts),
             "n_rejected": int(tr.n_rejected),
-        }))
+        }
+        ell = None
+        if tr.cov_p is not None:
+            # The TRACK's own Kalman covariance — tighter than any one
+            # window's ellipse once calibrated windows accumulate.
+            from tdoa_tpu.solve.multilateration import error_ellipse
+
+            ell = error_ellipse(tr.cov_p)
+            props["ellipse_1sigma_m"] = {
+                "semi_major": ell[0],
+                "semi_minor": ell[1],
+                "azimuth_deg": ell[2],
+            }
+        feats.append(_point(lla[0], lla[1], lla[2], props))
+        if ell is not None and ell[0] > 0:
+            feats.append({
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [ellipse_ring(lla, ell[0], ell[1],
+                                                 ell[2], k_sigma=1)],
+                },
+                "properties": {"kind": "track_error_ellipse",
+                               "id": str(tid), "k_sigma": 1},
+            })
         if history and history.get(tid) and len(history[tid]) > 1:
             feats.append({
                 "type": "Feature",

@@ -339,7 +339,9 @@ def acc_finalize(
 
 @dataclasses.dataclass
 class Track:
-    """Alpha-beta smoothed target track in the network's ENU frame."""
+    """Smoothed target track in the network's ENU frame: Kalman
+    position blend when the windows carry calibrated covariances,
+    alpha-beta otherwise."""
 
     pos_enu: np.ndarray  # [3]
     vel_enu: np.ndarray  # [3] m/s
@@ -352,9 +354,44 @@ class Track:
     innov_ema_m: float = 0.0
     coasts: int = 0
     n_rejected: int = 0
+    # Horizontal (E,N) position covariance of the track estimate —
+    # maintained only when window fixes arrive with their own
+    # calibrated covariance (TargetTracker.update covs_en).
+    cov_p: Optional[np.ndarray] = None  # [2, 2]
 
     def lla(self, origin_lla: np.ndarray) -> np.ndarray:
         return enu_to_lla(self.pos_enu, origin_lla)
+
+    def to_jsonable(self) -> dict:
+        """JSON-safe snapshot (checkpoint/resume — see
+        ``TargetTracker.state_dict``)."""
+        return {
+            "pos_enu": [float(v) for v in self.pos_enu],
+            "vel_enu": [float(v) for v in self.vel_enu],
+            "last_t": float(self.last_t),
+            "n_updates": int(self.n_updates),
+            "quality": float(self.quality),
+            "innov_ema_m": float(self.innov_ema_m),
+            "coasts": int(self.coasts),
+            "n_rejected": int(self.n_rejected),
+            "cov_p": None if self.cov_p is None
+            else [[float(v) for v in row] for row in self.cov_p],
+        }
+
+    @classmethod
+    def from_jsonable(cls, d: dict) -> "Track":
+        return cls(
+            pos_enu=np.asarray(d["pos_enu"], np.float64),
+            vel_enu=np.asarray(d["vel_enu"], np.float64),
+            last_t=float(d["last_t"]),
+            n_updates=int(d.get("n_updates", 1)),
+            quality=float(d.get("quality", 0.0)),
+            innov_ema_m=float(d.get("innov_ema_m", 0.0)),
+            coasts=int(d.get("coasts", 0)),
+            n_rejected=int(d.get("n_rejected", 0)),
+            cov_p=None if d.get("cov_p") is None
+            else np.asarray(d["cov_p"], np.float64),
+        )
 
 
 class TargetTracker:
@@ -375,6 +412,7 @@ class TargetTracker:
         gate_floor_m: float = 500.0,
         gate_k: float = 8.0,
         max_coasts: int = 3,
+        process_sigma_v: float = 15.0,  # m/s: Kalman process noise
     ):
         self.station_lla = np.asarray(station_lla, dtype=np.float64)
         self.origin = network_origin(self.station_lla)
@@ -397,6 +435,10 @@ class TargetTracker:
         self.gate_floor_m = gate_floor_m
         self.gate_k = gate_k
         self.max_coasts = max_coasts
+        # Unmodeled-maneuver growth for the Kalman blend: the track
+        # covariance inflates by (process_sigma_v·dt)² per axis each
+        # window, so a long gap or a turning emitter re-opens the gain.
+        self.process_sigma_v = process_sigma_v
         self.tracks: Dict[str, Track] = {}
 
         self._solve_batch = jax.jit(
@@ -406,6 +448,19 @@ class TargetTracker:
                 )
             )
         )
+
+    def state_dict(self) -> dict:
+        """JSON-serializable snapshot of every track — the tracking
+        layer's checkpoint (the stream CLI's ``--state``). The ENU
+        frame is defined by the station set, so a state is only
+        meaningful for the same ``station_lla`` it was saved under."""
+        return {tid: tr.to_jsonable() for tid, tr in self.tracks.items()}
+
+    def load_state_dict(self, d: dict) -> None:
+        """Resume tracks saved by ``state_dict`` (replaces any current
+        track with the same id)."""
+        for tid, s in d.items():
+            self.tracks[str(tid)] = Track.from_jsonable(s)
 
     def update(
         self,
@@ -417,6 +472,7 @@ class TargetTracker:
         velocity_enu: Optional[Dict[str, np.ndarray]] = None,
         weights: Optional[Dict[str, np.ndarray]] = None,  # per-pair
         positions_enu: Optional[Dict[str, np.ndarray]] = None,
+        covs_en: Optional[Dict[str, np.ndarray]] = None,  # [2,2] per tid
     ) -> Dict[str, Track]:
         """``fdoa_hz`` (CAF differential Dopplers, ops/caf.py sign
         convention) upgrades the track's velocity from differentiated
@@ -434,7 +490,15 @@ class TargetTracker:
         processor's fix already went through the full defense ladder
         (ghost disambiguation by prior/FDOA/power, outlier exclusion) —
         a raw re-solve here can land in the ghost basin the processor
-        rejected. Targets without an entry keep the re-solve path."""
+        rejected. Targets without an entry keep the re-solve path.
+        ``covs_en`` (per target, horizontal 2×2 ENU covariance of the
+        window fix — ``FixResult.cov_en``) upgrades the position blend
+        from the fixed-α filter to a Kalman gain: the track keeps its
+        own covariance, each window is weighted by how much it actually
+        knows (the covariances are chi²-calibrated — see
+        scripts/ellipse_calibration.py), and a weak window moves the
+        track less instead of α of the way. Targets without an entry
+        keep the α-β blend."""
         if not tdoas_s:
             return self.tracks
         ids = list(tdoas_s.keys())
@@ -459,9 +523,23 @@ class TargetTracker:
                     pos[k] = np.asarray(positions_enu[tid], np.float64)
         st_enu = np.asarray(self.enu, np.float64)
         pairs_np = np.asarray(self.pairs)
+        def valid_cov(tid):
+            r = covs_en.get(tid) if covs_en else None
+            if r is None:
+                return None
+            r = np.asarray(r, np.float64)
+            if r.shape != (2, 2) or not np.all(np.isfinite(r)):
+                return None
+            r = 0.5 * (r + r.T)
+            # 2x2 PSD check: positive diagonal + non-negative det.
+            if r[0, 0] <= 0 or r[1, 1] <= 0 or np.linalg.det(r) < 0:
+                return None
+            return r
+
         for k, tid in enumerate(ids):
             q = float(qualities.get(tid, 0.0)) if qualities else 0.0
             meas = pos[k]
+            R = valid_cov(tid)
             v_meas = None
             if velocity_enu is not None and tid in velocity_enu:
                 v_meas = np.asarray(velocity_enu[tid], np.float64)
@@ -479,12 +557,20 @@ class TargetTracker:
                     vel_enu=v_meas if v_meas is not None else np.zeros(3),
                     last_t=t,
                     quality=q,
+                    cov_p=None if R is None else R.copy(),
                 )
                 continue
             dt = max(t - tr.last_t, 1e-6)
             pred = tr.pos_enu + tr.vel_enu * dt
             resid = meas - pred
             innov = float(np.linalg.norm(resid[:2]))
+            # Covariance predict (Kalman blend only): unmodeled
+            # maneuvers grow the track's uncertainty with time.
+            q_proc = (self.process_sigma_v * dt) ** 2
+            cov_pred = (
+                None if tr.cov_p is None
+                else tr.cov_p + q_proc * np.eye(2)
+            )
             if (self.innovation_gate and self.max_coasts > 0
                     and tr.n_updates >= 3
                     and tr.coasts < self.max_coasts
@@ -497,6 +583,10 @@ class TargetTracker:
                 # relocated — the gate then stands down and the next
                 # measurement re-acquires.
                 tr.pos_enu = pred
+                if cov_pred is not None:
+                    # Coasting keeps the grown prediction covariance so
+                    # the Kalman gain re-opens after the outage.
+                    tr.cov_p = cov_pred
                 tr.last_t = t
                 tr.coasts += 1
                 tr.n_rejected += 1
@@ -518,8 +608,38 @@ class TargetTracker:
                 )
                 tr.innov_ema_m = 0.0
                 tr.n_updates = 0
+                # The old covariance described the stale state; restart
+                # it from the acquiring window's own uncertainty.
+                tr.cov_p = None if R is None else R.copy()
             else:
-                tr.pos_enu = pred + self.alpha * resid
+                pos_corr = None  # actual position correction (Kalman)
+                if cov_pred is None and R is not None:
+                    # First calibrated window on a legacy track: seed
+                    # the covariance so the next window runs the true
+                    # Kalman blend. (This window itself still alpha-
+                    # blends — there is no prior P to weigh against.)
+                    tr.cov_p = R.copy()
+                if cov_pred is not None and R is not None:
+                    # Kalman position update in the horizontal plane:
+                    # S = P + R, K = P S⁻¹ — a weak window (large R)
+                    # moves the track by almost nothing, a tight one by
+                    # almost the full residual, instead of a fixed α.
+                    gain = cov_pred @ np.linalg.inv(cov_pred + R)
+                    tr.pos_enu = pred.copy()
+                    tr.pos_enu[:2] = pred[:2] + gain @ resid[:2]
+                    # No calibrated vertical covariance exists; z keeps
+                    # the α blend.
+                    tr.pos_enu[2] = pred[2] + self.alpha * resid[2]
+                    pos_corr = tr.pos_enu - pred
+                    new_p = (np.eye(2) - gain) @ cov_pred
+                    tr.cov_p = 0.5 * (new_p + new_p.T)
+                else:
+                    if cov_pred is not None:
+                        # Un-calibrated window on a Kalman track: the α
+                        # blend ran, keep the grown prediction
+                        # covariance alive for the next window.
+                        tr.cov_p = cov_pred
+                    tr.pos_enu = pred + self.alpha * resid
                 if v_meas is not None:
                     # Direct velocity measurement: blend instead of the
                     # beta/dt differentiation (which only corrects
@@ -528,6 +648,15 @@ class TargetTracker:
                         (1.0 - self.alpha) * tr.vel_enu
                         + self.alpha * v_meas
                     )
+                elif pos_corr is not None:
+                    # Differentiated velocity must follow the position
+                    # correction the gain ACTUALLY applied (legacy
+                    # relation: vel-corr = β/(α·dt) × pos-corr) — a
+                    # weak window that barely moved the position must
+                    # not yank the velocity either.
+                    tr.vel_enu = tr.vel_enu + (
+                        self.beta / (self.alpha * dt)
+                    ) * pos_corr
                 else:
                     tr.vel_enu = tr.vel_enu + (self.beta / dt) * resid
                 tr.innov_ema_m = (

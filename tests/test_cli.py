@@ -284,3 +284,43 @@ def test_stream_joint_moving_and_static_tracks(tmp_path, station_csv):
     # First window: the mover's track already carries ~134 m/s.
     assert 110 < fast < 160, speeds
     assert slow < 80, speeds
+
+
+@pytest.mark.slow
+def test_stream_processor_state_resume(tmp_path, station_csv):
+    """--state: a restarted stream service resumes its tracks and skips
+    already-processed epochs instead of starting cold and reprocessing
+    the whole directory."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    sim_dir = tmp_path / "sim"
+    sim_dir.mkdir()
+    state = tmp_path / "state.json"
+
+    def land(ep_off):
+        run_cli("simulator", "--duration-s", 0.3, "--seed", 11 + ep_off,
+                "--out", str(sim_dir))
+        epoch = 1_800_000_000 + ep_off * 10
+        for p in sorted(sim_dir.glob("sim-*.dat")):
+            station = p.name[len("sim-"):].rsplit("-", 1)[0]
+            (inbox / f"{station}-{epoch}.dat").write_bytes(p.read_bytes())
+            p.unlink()
+
+    land(0)
+    land(1)
+    args = ("stream_processor", 162400000, 101900000, station_csv,
+            str(inbox), "--max-lag", 512, "--seg-len", 32768,
+            "--state", str(state))
+    r1 = run_cli(*args)
+    assert r1.stdout.count("[1 updates]") == 1, r1.stdout
+    assert r1.stdout.count("[2 updates]") == 1, r1.stdout
+    assert state.exists()
+
+    # Restart over the same directory plus one NEW window: the old
+    # epochs are skipped (not reprinted) and the resumed track
+    # continues counting from where it left off.
+    land(2)
+    r2 = run_cli(*args)
+    assert "resumed 1 track(s) / 2 processed epoch(s)" in r2.stderr, r2.stderr
+    assert "[1 updates]" not in r2.stdout, r2.stdout
+    assert r2.stdout.count("[3 updates]") == 1, r2.stdout

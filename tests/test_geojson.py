@@ -142,3 +142,32 @@ def test_tracks_feature_collection():
     trail = next(f for f in fc["features"]
                  if f["properties"]["kind"] == "trail")
     assert trail["geometry"]["coordinates"][0] == [-96.03, 41.30]
+    # No calibrated window covariances -> no track ellipse exported.
+    assert "ellipse_1sigma_m" not in tr["properties"]
+    assert "track_error_ellipse" not in kinds
+
+
+def test_tracks_feature_collection_kalman_ellipse():
+    """A Kalman track (windows carried cov_en) exports its own 1σ
+    covariance: ellipse props on the track point + a polygon ring."""
+    st = lla_to_ecef(LLA3)
+    pairs = station_pairs(3)
+    d = np.linalg.norm(st - lla_to_ecef(TX), axis=-1)
+    tdoa = (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+    tracker = TargetTracker(LLA3)
+    p0 = lla_to_enu(TX, tracker.origin)
+    for k in range(3):
+        tracker.update(float(k), {"t": tdoa}, positions_enu={"t": p0},
+                       covs_en={"t": np.diag([400.0, 100.0])})
+    fc = tracks_feature_collection(tracker, LLA3, NAMES)
+    tr = next(f for f in fc["features"] if f["properties"]["kind"] == "track")
+    ell = tr["properties"]["ellipse_1sigma_m"]
+    assert ell["semi_major"] >= ell["semi_minor"] > 0.0
+    ring = next(f for f in fc["features"]
+                if f["properties"]["kind"] == "track_error_ellipse")
+    coords = np.asarray(ring["geometry"]["coordinates"][0])
+    assert coords.shape[1] == 2 and len(coords) >= 16
+    # Ring centered on the track position (lon, lat order).
+    lon, lat, _ = tr["geometry"]["coordinates"]
+    assert abs(coords[:, 0].mean() - lon) < 1e-3
+    assert abs(coords[:, 1].mean() - lat) < 1e-3

@@ -236,6 +236,92 @@ def test_tracker_follows_moving_target(omaha_stations):
     assert v[1] > 10.0
 
 
+def _geom_tdoas(station_lla, tx_lla):
+    st = lla_to_ecef(station_lla)
+    pairs = station_pairs(len(station_lla))
+    d = np.linalg.norm(st - lla_to_ecef(np.asarray(tx_lla)), axis=-1)
+    return (d[pairs[:, 1]] - d[pairs[:, 0]]) / SPEED_OF_LIGHT
+
+
+def test_tracker_kalman_blend_weights_windows(omaha_stations):
+    """With calibrated window covariances, the position blend is a
+    Kalman gain: a weak window (10 km σ) must barely move an
+    established track — or its velocity — while an equally-offset
+    tight window (10 m σ) moves it most of the way. The fixed-α blend
+    would move 50% of the residual in both cases."""
+    s = omaha_stations
+    truth = np.array(s["tgt_tx_lla"])
+    tdoa = _geom_tdoas(s["station_lla"], truth)
+    tight = 100.0 * np.eye(2)  # 10 m σ
+
+    def established():
+        tracker = TargetTracker(s["station_lla"])
+        p0 = lla_to_enu(truth, tracker.origin)
+        for k in range(5):
+            tracker.update(float(k), {"t": tdoa},
+                           positions_enu={"t": p0},
+                           covs_en={"t": tight})
+        return tracker, p0
+
+    tracker, p0 = established()
+    tr = tracker.tracks["t"]
+    assert tr.cov_p is not None
+    # Five 10 m-σ windows: the track knows more than one window does.
+    assert np.sqrt(tr.cov_p[0, 0]) < 12.0
+    base = tr.pos_enu.copy()
+    meas = p0 + np.array([400.0, 0.0, 0.0])  # inside the 500 m gate
+
+    tracker.update(5.0, {"t": tdoa}, positions_enu={"t": meas},
+                   covs_en={"t": (1e4 ** 2) * np.eye(2)})
+    moved_weak = np.linalg.norm(tracker.tracks["t"].pos_enu[:2] - base[:2])
+    assert moved_weak < 5.0, moved_weak
+    # The velocity correction follows the APPLIED position correction,
+    # so the weak window cannot yank it either.
+    assert np.linalg.norm(tracker.tracks["t"].vel_enu) < 1.0
+
+    tracker2, _ = established()
+    tracker2.update(5.0, {"t": tdoa}, positions_enu={"t": meas},
+                    covs_en={"t": tight})
+    moved_tight = np.linalg.norm(
+        tracker2.tracks["t"].pos_enu[:2] - base[:2]
+    )
+    assert moved_tight > 150.0, moved_tight
+
+
+def test_tracker_kalman_covariance_lifecycle(omaha_stations):
+    """cov_p stays None on the legacy path, seeds from the first
+    calibrated window, grows across a coast/time gap (process noise),
+    and a malformed covariance is ignored rather than crashing."""
+    s = omaha_stations
+    truth = np.array(s["tgt_tx_lla"])
+    tdoa = _geom_tdoas(s["station_lla"], truth)
+    tracker = TargetTracker(s["station_lla"])
+    p0 = lla_to_enu(truth, tracker.origin)
+
+    tracker.update(0.0, {"t": tdoa}, positions_enu={"t": p0})
+    assert tracker.tracks["t"].cov_p is None  # legacy: no covariance
+
+    # First calibrated window seeds the covariance.
+    tracker.update(1.0, {"t": tdoa}, positions_enu={"t": p0},
+                   covs_en={"t": 100.0 * np.eye(2)})
+    assert tracker.tracks["t"].cov_p is not None
+
+    # An un-calibrated window keeps (and grows) it: predict adds
+    # (process_sigma_v*dt)^2 per axis and no update shrinks it.
+    before = tracker.tracks["t"].cov_p[0, 0]
+    tracker.update(2.0, {"t": tdoa}, positions_enu={"t": p0})
+    after = tracker.tracks["t"].cov_p[0, 0]
+    assert after >= before + 0.9 * tracker.process_sigma_v ** 2
+
+    # Malformed covariances (non-PSD, NaN, wrong shape) fall back to
+    # the alpha blend instead of crashing the stream.
+    for bad in (np.array([[1.0, 9.0], [9.0, 1.0]]),  # det < 0
+                np.full((2, 2), np.nan),
+                np.eye(3)):
+        tracker.update(3.0, {"t": tdoa}, positions_enu={"t": p0},
+                       covs_en={"t": bad})
+
+
 def test_acc_checkpoint_roundtrip(tmp_path):
     """acc_save/acc_load: integrate, checkpoint, resume in a fresh
     state, and finalize — identical delays to an uninterrupted run."""
