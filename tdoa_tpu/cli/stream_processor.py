@@ -80,6 +80,14 @@ def main(argv=None) -> int:
     p.add_argument("--idle-exit", type=float, default=None,
                    help="with --watch: exit after this many seconds "
                         "without a new window (default: run forever)")
+    p.add_argument("--process-sigma-v", type=float, default=15.0,
+                   metavar="MPS",
+                   help="tracker process noise (m/s): how fast the "
+                        "track's uncertainty grows per second to cover "
+                        "unmodeled maneuvers — governs the Kalman gain "
+                        "on calibrated windows and how much the "
+                        "innovation gate widens across gaps (default "
+                        "15, ~ a turning vehicle)")
     p.add_argument("--state", metavar="PATH", default=None,
                    help="checkpoint/resume for the tracking layer: "
                         "persist tracks, emitter identities, and the "
@@ -157,20 +165,59 @@ def main(argv=None) -> int:
     seen_warnings: set = set()  # print each distinct warning once
     restored_processed: set = set()
 
+    def _atomic_write_json(path: str, obj: dict, label: str) -> None:
+        import json as _json
+
+        try:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(obj, fh)
+            os.replace(tmp, path)  # atomic for live readers
+        except OSError as e:
+            print(f"warning: could not write {label}: {e}",
+                  file=sys.stderr)
+
     if args.state and os.path.exists(args.state):
         import json as _json
 
         try:
             with open(args.state) as fh:
                 st = _json.load(fh)
+            if st.get("version") != 1:
+                raise ValueError(
+                    f"state version {st.get('version')!r}, want 1"
+                )
+            # The saved ENU frame and TDOA basis are only meaningful
+            # for the same run: same station coordinates (a corrected
+            # CSV shifts the network origin) and same frequencies.
+            for key, want in (("ref_freq", args.ref_freq),
+                              ("target_freq", args.target_freq)):
+                if key in st and float(st[key]) != float(want):
+                    raise ValueError(
+                        f"state was saved for {key}={st[key]}, "
+                        f"this run uses {want}"
+                    )
             order = [str(n) for n in st["station_order"]]
             unknown = [n for n in order if n not in known]
             if unknown:
                 raise ValueError(
                     f"stations {unknown} not in {args.csv}"
                 )
+            if "station_lla" in st:
+                saved = np.asarray(st["station_lla"], np.float64)
+                cur = np.asarray(table.lla_array(order), np.float64)
+                # rtol must be 0: allclose's default rtol=1e-5 on a
+                # ~41 deg latitude swallows ~1e-4 deg (≈ 10 m) moves.
+                # JSON round-trips float64 exactly; 1e-9 deg is slack.
+                if saved.shape != cur.shape or not np.allclose(
+                        saved, cur, rtol=0.0, atol=1e-9):
+                    raise ValueError(
+                        "station coordinates changed since the state "
+                        "was saved (the track ENU frame moved)"
+                    )
             tracker_order = order
-            tracker = TargetTracker(table.lla_array(tracker_order))
+            tracker = TargetTracker(table.lla_array(tracker_order),
+                        process_sigma_v=args.process_sigma_v)
             tracker.load_state_dict(st.get("tracks", {}))
             emitter_seq = int(st.get("emitter_seq", 0))
             emitter_refs = {
@@ -199,14 +246,18 @@ def main(argv=None) -> int:
             emitter_seq = 0
             restored_processed = set()
 
-    def save_state(processed_eps) -> None:
+    def save_state(processed_eps, present_eps) -> None:
         if not args.state or tracker is None:
             return
-        import json as _json
-
         st = {
             "version": 1,
             "station_order": list(tracker_order),
+            "station_lla": [
+                [float(v) for v in row]
+                for row in table.lla_array(tracker_order)
+            ],
+            "ref_freq": float(args.ref_freq),
+            "target_freq": float(args.target_freq),
             "tracks": tracker.state_dict(),
             "emitter_seq": emitter_seq,
             "emitter_refs": {
@@ -214,17 +265,16 @@ def main(argv=None) -> int:
                     "epoch": float(v[1])}
                 for k, v in emitter_refs.items()
             },
-            "processed": sorted(int(e) for e in processed_eps),
+            # Pruned to epochs whose files are still in the directory:
+            # the set only guards against REprocessing present files,
+            # and an unpruned list grows without bound in a run-forever
+            # service (rewritten every window).
+            "processed": sorted(
+                int(e) for e in processed_eps if e in present_eps
+            ),
             "track_history": track_history,
         }
-        try:
-            tmp = args.state + ".tmp"
-            with open(tmp, "w") as fh:
-                _json.dump(st, fh)
-            os.replace(tmp, args.state)  # atomic, like --geojson
-        except OSError as e:
-            print(f"warning: could not write --state: {e}",
-                  file=sys.stderr)
+        _atomic_write_json(args.state, st, "--state")
 
     def assign_emitter_ids(sets, ep: float) -> dict:
         """Greedy nearest-neighbor matching of this window's emitter
@@ -329,7 +379,8 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
             tracker_order = res.station_names
-            tracker = TargetTracker(table.lla_array(tracker_order))
+            tracker = TargetTracker(table.lla_array(tracker_order),
+                        process_sigma_v=args.process_sigma_v)
             # Refs live in the old station set's pair basis; a match
             # against them after a geometry change would be meaningless.
             emitter_refs.clear()
@@ -448,22 +499,13 @@ def main(argv=None) -> int:
                 trail.append([float(tlla[0]), float(tlla[1])])
                 del trail[:-1000]
         if args.geojson:
-            import json as _json
-
             from tdoa_tpu.io.geojson import tracks_feature_collection
 
             fc = tracks_feature_collection(
                 tracker, table.lla_array(tracker_order), tracker_order,
                 history=track_history,
             )
-            try:
-                tmp = args.geojson + ".tmp"
-                with open(tmp, "w") as fh:
-                    _json.dump(fc, fh)
-                os.replace(tmp, args.geojson)  # atomic for live readers
-            except OSError as e:
-                print(f"warning: could not write --geojson: {e}",
-                      file=sys.stderr)
+            _atomic_write_json(args.geojson, fc, "--geojson")
 
     processed = set(restored_processed)
     skipped_thin = set()
@@ -484,7 +526,7 @@ def main(argv=None) -> int:
                 continue
             process_window(ep, files)
             processed.add(ep)
-            save_state(processed)
+            save_state(processed, windows.keys())
             last_new = time.time()
         if args.watch is None:
             break
@@ -497,6 +539,9 @@ def main(argv=None) -> int:
         except KeyboardInterrupt:
             break
         windows = scan_windows()
+        # Epochs whose files left the directory can never be re-seen;
+        # keep the guard set bounded in a run-forever service.
+        processed &= set(windows)
     if tracker is None:
         print("no complete windows", file=sys.stderr)
         return 1

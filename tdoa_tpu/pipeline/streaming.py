@@ -380,17 +380,33 @@ class Track:
 
     @classmethod
     def from_jsonable(cls, d: dict) -> "Track":
+        pos = np.asarray(d["pos_enu"], np.float64)
+        vel = np.asarray(d["vel_enu"], np.float64)
+        cov = (None if d.get("cov_p") is None
+               else np.asarray(d["cov_p"], np.float64))
+        # A corrupted-but-parseable state (truncated vector, NaN from a
+        # poisoned run, future schema) must fail HERE, inside the
+        # loader's try, not at the first window's update.
+        if pos.shape != (3,) or vel.shape != (3,):
+            raise ValueError(f"track state has shapes {pos.shape}/"
+                             f"{vel.shape}, want (3,)/(3,)")
+        if not (np.all(np.isfinite(pos)) and np.all(np.isfinite(vel))
+                and np.isfinite(float(d["last_t"]))
+                and np.isfinite(float(d.get("innov_ema_m", 0.0)))):
+            raise ValueError("track state has non-finite fields")
+        if cov is not None and (
+                cov.shape != (2, 2) or not np.all(np.isfinite(cov))):
+            raise ValueError("track state has invalid cov_p")
         return cls(
-            pos_enu=np.asarray(d["pos_enu"], np.float64),
-            vel_enu=np.asarray(d["vel_enu"], np.float64),
+            pos_enu=pos,
+            vel_enu=vel,
             last_t=float(d["last_t"]),
             n_updates=int(d.get("n_updates", 1)),
             quality=float(d.get("quality", 0.0)),
             innov_ema_m=float(d.get("innov_ema_m", 0.0)),
             coasts=int(d.get("coasts", 0)),
             n_rejected=int(d.get("n_rejected", 0)),
-            cov_p=None if d.get("cov_p") is None
-            else np.asarray(d["cov_p"], np.float64),
+            cov_p=cov,
         )
 
 
@@ -502,25 +518,36 @@ class TargetTracker:
         if not tdoas_s:
             return self.tracks
         ids = list(tdoas_s.keys())
-        rd = jnp.asarray(
-            np.stack([np.asarray(tdoas_s[i]) * SPEED_OF_LIGHT for i in ids]),
-            jnp.float32,
-        )
-        ones = np.ones(int(self.pairs.shape[0]))
-        w_rows = jnp.asarray(
-            np.stack([
-                ones if weights is None or weights.get(i) is None
-                else np.asarray(weights[i], np.float64)
-                for i in ids
-            ]),
-            jnp.float32,
-        )
-        pos, rms = self._solve_batch(rd, w_rows)
-        pos = np.asarray(pos, np.float64)
-        if positions_enu:
-            for k, tid in enumerate(ids):
-                if positions_enu.get(tid) is not None:
-                    pos[k] = np.asarray(positions_enu[tid], np.float64)
+        if positions_enu and all(
+                positions_enu.get(i) is not None for i in ids):
+            # Every target already carries the processor's fix (the
+            # stream CLI's normal case) — skip the batched re-solve
+            # entirely instead of computing and discarding it.
+            pos = np.stack([
+                np.asarray(positions_enu[i], np.float64) for i in ids
+            ])
+        else:
+            rd = jnp.asarray(
+                np.stack([
+                    np.asarray(tdoas_s[i]) * SPEED_OF_LIGHT for i in ids
+                ]),
+                jnp.float32,
+            )
+            ones = np.ones(int(self.pairs.shape[0]))
+            w_rows = jnp.asarray(
+                np.stack([
+                    ones if weights is None or weights.get(i) is None
+                    else np.asarray(weights[i], np.float64)
+                    for i in ids
+                ]),
+                jnp.float32,
+            )
+            pos, _rms = self._solve_batch(rd, w_rows)
+            pos = np.asarray(pos, np.float64)
+            if positions_enu:
+                for k, tid in enumerate(ids):
+                    if positions_enu.get(tid) is not None:
+                        pos[k] = np.asarray(positions_enu[tid], np.float64)
         st_enu = np.asarray(self.enu, np.float64)
         pairs_np = np.asarray(self.pairs)
         def valid_cov(tid):
@@ -571,11 +598,23 @@ class TargetTracker:
                 None if tr.cov_p is None
                 else tr.cov_p + q_proc * np.eye(2)
             )
+            # The prediction's own uncertainty widens the gate: after a
+            # long gap (service restart from --state, missed windows)
+            # the extrapolated position is not trustworthy, and a
+            # genuine window landing far from it must be ACCEPTED, not
+            # rejected for max_coasts windows of stale extrapolation.
+            # For ordinary window spacings the slack (3·σv·dt) sits
+            # below the 500 m floor and changes nothing.
+            slack = self.process_sigma_v * dt
+            if cov_pred is not None:
+                slack = max(slack, float(np.sqrt(max(
+                    np.linalg.eigvalsh(cov_pred)[-1], 0.0))))
+            gate_m = max(self.gate_floor_m,
+                         self.gate_k * tr.innov_ema_m) + 3.0 * slack
             if (self.innovation_gate and self.max_coasts > 0
                     and tr.n_updates >= 3
                     and tr.coasts < self.max_coasts
-                    and innov > max(self.gate_floor_m,
-                                    self.gate_k * tr.innov_ema_m)):
+                    and innov > gate_m):
                 # A measurement this far outside the track's own
                 # innovation history is a corrupted window, not motion:
                 # coast on the model and count the miss. max_coasts

@@ -324,3 +324,28 @@ def test_stream_processor_state_resume(tmp_path, station_csv):
     assert "resumed 1 track(s) / 2 processed epoch(s)" in r2.stderr, r2.stderr
     assert "[1 updates]" not in r2.stdout, r2.stdout
     assert r2.stdout.count("[3 updates]") == 1, r2.stdout
+
+    # A corrupted-but-parseable checkpoint (truncated track vector)
+    # must fall back to a fresh start — reprocess everything — not
+    # crash or resume poisoned tracks.
+    import json
+    st = json.loads(state.read_text())
+    next(iter(st["tracks"].values()))["pos_enu"] = [1.0, 2.0]
+    state.write_text(json.dumps(st))
+    r3 = run_cli(*args)
+    assert "starting fresh" in r3.stderr, r3.stderr
+    assert r3.stdout.count("[3 updates]") == 1, r3.stdout
+
+    # A station coordinate corrected in the CSV moves the saved ENU
+    # frame: the state must be refused, not resumed shifted. (~10 m
+    # latitude moves sit under allclose's default rtol at 41 deg —
+    # regression for the rtol=0 requirement.)
+    moved_csv = tmp_path / "moved.csv"
+    moved_csv.write_text(
+        open(station_csv).read().replace("41.18660274289527",
+                                         "41.18670000000000")
+    )
+    r4 = run_cli("stream_processor", 162400000, 101900000,
+                 str(moved_csv), str(inbox), "--max-lag", 512,
+                 "--seg-len", 32768, "--state", str(state))
+    assert "station coordinates changed" in r4.stderr, r4.stderr

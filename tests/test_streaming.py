@@ -322,6 +322,100 @@ def test_tracker_kalman_covariance_lifecycle(omaha_stations):
                        covs_en={"t": bad})
 
 
+def test_tracker_gate_stands_down_after_long_gap(omaha_stations):
+    """A genuine window after a long outage (service restart from
+    --state, missed windows) must be ACCEPTED: the prediction is a
+    stale extrapolation and the gate widens with the prediction's own
+    uncertainty (3·σv·dt, or the grown Kalman covariance). At normal
+    window spacing the same jump is still rejected."""
+    s = omaha_stations
+    truth = np.array(s["tgt_tx_lla"])
+    tdoa = _geom_tdoas(s["station_lla"], truth)
+
+    def established(covs):
+        tracker = TargetTracker(s["station_lla"])
+        p0 = lla_to_enu(truth, tracker.origin)
+        for k in range(4):
+            tracker.update(float(k), {"t": tdoa},
+                           positions_enu={"t": p0}, covs_en=covs)
+        return tracker, p0
+
+    jump = np.array([2000.0, 0.0, 0.0])  # 2 km > the 500 m floor
+
+    for covs in (None, {"t": 100.0 * np.eye(2)}):
+        # Normal spacing: the 2 km jump is a corrupted window — coast.
+        tracker, p0 = established(covs)
+        tracker.update(4.0, {"t": tdoa},
+                       positions_enu={"t": p0 + jump}, covs_en=covs)
+        assert tracker.tracks["t"].coasts == 1, covs
+
+        # One hour later: the same offset is expected drift — accept.
+        tracker, p0 = established(covs)
+        tracker.update(3600.0, {"t": tdoa},
+                       positions_enu={"t": p0 + jump}, covs_en=covs)
+        tr = tracker.tracks["t"]
+        assert tr.coasts == 0 and tr.n_rejected == 0, covs
+        moved = np.linalg.norm(tr.pos_enu[:2] - p0[:2])
+        # Kalman: the grown covariance snaps nearly all the way;
+        # legacy: the alpha blend takes half.
+        assert moved > 900.0, (covs, moved)
+
+
+def test_track_covariance_calibration(omaha_stations):
+    """The Kalman track's claimed covariance must COVER the actual
+    track error (chi²(2) coverage at or above the nominal levels).
+    With measurement noise drawn exactly from the windows' stated R,
+    the only mismatch is the process-noise inflation — which errs
+    conservative for a static emitter, never overconfident."""
+    s = omaha_stations
+    truth = np.array(s["tgt_tx_lla"])
+    tdoa = _geom_tdoas(s["station_lla"], truth)
+    # Correlated, anisotropic measurement covariance.
+    R = np.array([[120.0, 35.0], [35.0, 60.0]])
+    chol = np.linalg.cholesky(R)
+    maha = []
+    for seed in range(150):
+        rng = np.random.default_rng(seed)
+        tracker = TargetTracker(s["station_lla"])
+        p0 = lla_to_enu(truth, tracker.origin)
+        for k in range(8):
+            noise = chol @ rng.standard_normal(2)
+            meas = p0 + np.array([noise[0], noise[1], 0.0])
+            tracker.update(float(k), {"t": tdoa},
+                           positions_enu={"t": meas}, covs_en={"t": R})
+        tr = tracker.tracks["t"]
+        e = tr.pos_enu[:2] - p0[:2]
+        maha.append(float(e @ np.linalg.solve(tr.cov_p, e)))
+    maha = np.asarray(maha)
+    # chi²(2) quantiles: 2.30 (39.3%), 6.18 (86.5%), 11.83 (98.9%).
+    for q, target in ((2.30, 0.393), (6.18, 0.865), (11.83, 0.989)):
+        cov = float(np.mean(maha <= q))
+        assert cov >= target - 0.05, (q, cov)
+
+
+def test_track_from_jsonable_rejects_corrupt_state():
+    """A corrupted-but-parseable checkpoint must fail in the loader
+    (where the CLI falls back to a fresh start), not at the first
+    window's update."""
+    import pytest
+
+    from tdoa_tpu.pipeline.streaming import Track
+
+    good = Track(pos_enu=np.zeros(3), vel_enu=np.zeros(3),
+                 last_t=1.0, cov_p=np.eye(2)).to_jsonable()
+    assert Track.from_jsonable(good).cov_p is not None
+
+    for mutate in (
+        {"pos_enu": [1.0, 2.0]},                 # truncated vector
+        {"vel_enu": [0.0, float("nan"), 0.0]},   # NaN-poisoned
+        {"last_t": float("nan")},
+        {"cov_p": [[1.0, 0.0]]},                 # wrong shape
+    ):
+        bad = dict(good, **mutate)
+        with pytest.raises((ValueError, TypeError)):
+            Track.from_jsonable(bad)
+
+
 def test_acc_checkpoint_roundtrip(tmp_path):
     """acc_save/acc_load: integrate, checkpoint, resume in a fresh
     state, and finalize — identical delays to an uninterrupted run."""
