@@ -80,6 +80,13 @@ def main(argv=None) -> int:
     p.add_argument("--idle-exit", type=float, default=None,
                    help="with --watch: exit after this many seconds "
                         "without a new window (default: run forever)")
+    p.add_argument("--jsonl", metavar="PATH", default=None,
+                   help="append one JSON record per (window, target) "
+                        "to PATH: window fix with its 1σ ellipse, "
+                        "track state (position, velocity, own σ, "
+                        "coast counter), quality, warnings — the "
+                        "service counterpart of the batch processor's "
+                        "--json, safe to tail -f")
     p.add_argument("--process-sigma-v", type=float, default=15.0,
                    metavar="MPS",
                    help="tracker process noise (m/s): how fast the "
@@ -491,6 +498,45 @@ def main(argv=None) -> int:
                 f"[{tr.n_updates} updates]{coast}",
                 flush=True,
             )
+            if args.jsonl:
+                import json as _json
+
+                rec = {
+                    "epoch": int(ep),
+                    "id": str(tid),
+                    "fix": {
+                        "lat": float(f.lat), "lon": float(f.lon),
+                        "elev_m": float(f.elev),
+                        "rms_residual_m": float(f.rms_residual_m),
+                    },
+                    "track": {
+                        "lat": float(tlla[0]), "lon": float(tlla[1]),
+                        "vel_e_mps": float(tr.vel_enu[0]),
+                        "vel_n_mps": float(tr.vel_enu[1]),
+                        "n_updates": int(tr.n_updates),
+                        "coasting": int(tr.coasts),
+                    },
+                    "quality": float(qualities.get(tid, 0.0)),
+                    "warnings": list(res.warnings),
+                }
+                if f.ellipse is not None:
+                    maj, mnr, azd = f.ellipse
+                    rec["fix"]["ellipse_1sigma_m"] = {
+                        "semi_major": float(maj),
+                        "semi_minor": float(mnr),
+                        "azimuth_deg": float(azd),
+                    }
+                if tr.cov_p is not None:
+                    rec["track"]["sigma_major_m"] = float(
+                        np.sqrt(max(np.linalg.eigvalsh(tr.cov_p)[-1],
+                                    0.0))
+                    )
+                try:
+                    with open(args.jsonl, "a") as fh:
+                        fh.write(_json.dumps(rec) + "\n")
+                except OSError as e:
+                    print(f"warning: could not append --jsonl: {e}",
+                          file=sys.stderr)
             if args.geojson:
                 # Trail for the map snapshot only; capped so a
                 # run-forever --watch service neither grows without

@@ -308,13 +308,22 @@ def test_stream_processor_state_resume(tmp_path, station_csv):
 
     land(0)
     land(1)
+    jsonl = tmp_path / "windows.jsonl"
     args = ("stream_processor", 162400000, 101900000, station_csv,
             str(inbox), "--max-lag", 512, "--seg-len", 32768,
-            "--state", str(state))
+            "--state", str(state), "--jsonl", str(jsonl))
     r1 = run_cli(*args)
     assert r1.stdout.count("[1 updates]") == 1, r1.stdout
     assert r1.stdout.count("[2 updates]") == 1, r1.stdout
     assert state.exists()
+
+    # --jsonl: one machine-readable record per (window, target).
+    import json
+    recs = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    assert len(recs) == 2
+    assert recs[0]["track"]["n_updates"] == 1
+    assert recs[1]["track"]["n_updates"] == 2
+    assert {"lat", "lon", "rms_residual_m"} <= set(recs[0]["fix"])
 
     # Restart over the same directory plus one NEW window: the old
     # epochs are skipped (not reprinted) and the resumed track
