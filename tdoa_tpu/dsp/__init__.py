@@ -6,11 +6,13 @@ from tdoa_tpu.dsp.filters import (
     fir_filter,
     fir_decimate,
     hilbert_taps,
+    resample_fft,
 )
 from tdoa_tpu.dsp.fm import (
     am_demodulate,
     fm_discriminate,
     fm_demodulate,
+    fm_modulate,
     ssb_demodulate,
 )
 from tdoa_tpu.dsp.snr import spectral_snr, psd_welch
@@ -24,9 +26,11 @@ __all__ = [
     "fir_filter",
     "fir_decimate",
     "hilbert_taps",
+    "resample_fft",
     "am_demodulate",
     "fm_discriminate",
     "fm_demodulate",
+    "fm_modulate",
     "ssb_demodulate",
     "spectral_snr",
     "psd_welch",

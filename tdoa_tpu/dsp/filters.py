@@ -108,3 +108,33 @@ def fir_decimate(
     the output Nyquist) in one strided convolution."""
     taps = lowpass_taps(cutoff_frac * fs / decim, fs, num_taps)
     return fir_filter(x, taps, stride=decim)
+
+
+def resample_fft(x: jax.Array, n_out: int) -> jax.Array:
+    """Resample a real signal to ``n_out`` samples by Fourier zero-pad /
+    truncation (exact for bandlimited inputs, the audio-template case:
+    a 44.1/48 kHz recording moving to the 2 Msps capture clock or the
+    demodulated-audio rate — docs/audio-pattern-matching.md:31-47).
+
+    Sample k of the output sits at time ``k·n_in/n_out`` of the input
+    (both grids share t=0), so a template resampled with this keeps its
+    absolute timing.
+    """
+    n_in = x.shape[-1]
+    if n_out == n_in:
+        return x.astype(jnp.float32)
+    spec = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
+    k_in, k_out = n_in // 2 + 1, n_out // 2 + 1
+    if n_out > n_in:
+        pad = [(0, 0)] * (spec.ndim - 1) + [(0, k_out - k_in)]
+        spec = jnp.pad(spec, pad)
+        # Upsampling splits an even input's Nyquist bin across the two
+        # conjugate bins it unfolds into.
+        if n_in % 2 == 0:
+            spec = spec.at[..., k_in - 1].multiply(0.5)
+    else:
+        spec = spec[..., :k_out]
+        if n_out % 2 == 0:
+            # The output Nyquist bin must be real for a real irfft.
+            spec = spec.at[..., -1].set(jnp.real(spec[..., -1]))
+    return jnp.fft.irfft(spec, n=n_out, axis=-1) * (n_out / n_in)

@@ -27,7 +27,28 @@ import jax
 import jax.numpy as jnp
 
 from tdoa_tpu.dsp.filters import fir_decimate, fir_filter, hilbert_taps, remove_dc
-from tdoa_tpu.ops.cplx import C
+from tdoa_tpu.ops.cplx import C, exp_i
+
+
+def fm_modulate(
+    audio: jax.Array,
+    sample_rate: float,
+    deviation_hz: float = 25_000.0,
+) -> C:
+    """Synthesize the unit-amplitude complex-baseband FM signal a given
+    audio program generates: ``f_inst = k_f·audio`` around the carrier
+    (the prediction step of the reference's audio-pattern-matching plan,
+    docs/audio-pattern-matching.md:41-47 — documented there but never
+    built). Inverse of :func:`fm_demodulate` up to the decimation filter.
+
+    ``audio`` must already be at ``sample_rate`` (see
+    :func:`tdoa_tpu.dsp.filters.resample_fft`); full scale ±1 maps to
+    ±``deviation_hz``. Phase integrates from 0 at sample 0.
+    """
+    phase = (
+        2.0 * jnp.pi * deviation_hz / sample_rate
+    ) * jnp.cumsum(audio.astype(jnp.float32), axis=-1)
+    return exp_i(phase)
 
 
 def fm_discriminate(x: C, sample_rate: float = 1.0) -> jax.Array:

@@ -6,6 +6,7 @@ from tdoa_tpu.io.datfile import (
     save_dat,
     split_blocks,
 )
+from tdoa_tpu.io.wav import read_wav, write_wav
 from tdoa_tpu.io.stations import (
     Station,
     StationTable,
@@ -24,4 +25,6 @@ __all__ = [
     "StationTable",
     "load_station_table",
     "station_from_filename",
+    "read_wav",
+    "write_wav",
 ]

@@ -72,6 +72,7 @@ def _segment_cross_spectra(x: C, pair_idx, seg_len, fft_len, precision):
     jax.jit,
     static_argnames=(
         "max_lag", "seg_len", "n_doppler", "sample_rate", "fft_precision",
+        "weighting",
     ),
 )
 def caf_pairs(
@@ -84,12 +85,22 @@ def caf_pairs(
     doppler_span_hz: Optional[float] = None,
     eps: float = 1e-3,
     fft_precision: str = "f32",
+    weighting: str = "phat",
 ) -> CafResult:
     """Delay-Doppler surface for every station pair.
 
     ``doppler_span_hz`` defaults to the full unambiguous span
     ±1/(2·T_seg). Doppler sign convention: positive ν means station
     ``j``'s signal is received *up-shifted* relative to station ``i``'s.
+
+    ``weighting="phat"`` whitens per segment (sharp delay peaks for
+    pairwise station×station surfaces, both sides noisy).
+    ``weighting="none"`` keeps the raw cross-power — the true matched
+    filter, correct when one side is a NOISELESS template
+    (pipeline/audio_match.py): whitening there hands the 90+% empty
+    bins' segment-edge leakage — common to every channel and anchored
+    at lag 0 — enough votes to bury near-zero true delays (measured: a
+    3.25-sample truth reported as the clip-bound 1.0).
     """
     n = x.re.shape[1]
     seg_len_r, fft_len = resolve_seg(n, max_lag, seg_len, None)
@@ -107,11 +118,19 @@ def caf_pairs(
     # would hand noise-only segments (emitter silent) the same unit vote
     # as high-SNR ones in the slow-time Doppler sum, while whitening by
     # the segment-averaged magnitude blunts/biases the delay peak.
-    mag = jnp.sqrt(cross.abs2())
-    d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
-    seg_mag = jnp.mean(mag, axis=-1, keepdims=True)  # [m, S, 1]
-    seg_w = seg_mag / (jnp.mean(seg_mag, axis=1, keepdims=True) + 1e-30)
-    white = C(cross.re / d * seg_w, cross.im / d * seg_w)
+    if weighting == "phat":
+        mag = jnp.sqrt(cross.abs2())
+        d = mag + eps * jnp.mean(mag, axis=-1, keepdims=True) + 1e-30
+        seg_mag = jnp.mean(mag, axis=-1, keepdims=True)  # [m, S, 1]
+        seg_w = seg_mag / (jnp.mean(seg_mag, axis=1, keepdims=True) + 1e-30)
+        white = C(cross.re / d * seg_w, cross.im / d * seg_w)
+    elif weighting == "none":
+        # Plain cross-power: bins vote by energy (segments implicitly
+        # too), the matched-filter weighting.
+        white = cross
+    else:
+        raise ValueError(f"caf weighting must be 'phat' or 'none', "
+                         f"got {weighting!r}")
 
     # Slow-time steering: a pair with relative Doppler ν has cross-
     # spectrum phase advancing by +2π ν T_seg per segment (positive ν =

@@ -1,0 +1,416 @@
+"""Audio-pattern-matching TDOA: matched-filter each station against the
+FM signal a KNOWN audio recording would generate.
+
+This implements the reference's documented-but-never-built innovation
+(docs/audio-pattern-matching.md): record the audio program a transmitter
+is broadcasting, predict the RF pattern it generates
+(``f_inst = f_carrier + k_f·audio``, audio-pattern-matching.md:41-47),
+and search each station's capture for that pattern
+(audio-pattern-matching.md:60-75). Where the standard pipeline
+cross-correlates stations *pairwise* (both sides noisy), the matched
+filter correlates each station against a NOISELESS template — per-pair
+SNR improves ~3 dB, cost scales with stations N instead of pairs N²,
+and each station gets an absolute time-of-arrival of the audio content.
+
+Two matching domains:
+
+- ``mode="audio"`` (robust default): FM-demodulate the station blocks
+  and correlate the audio. The template rides through the SAME
+  demodulation chain (modulate → stack as an extra channel → demod all
+  together), so every filter group delay is common and cancels.
+  Receiver LO offsets become DC, removed at demod — no frequency
+  search needed (the doc's "Doppler effects" challenge,
+  audio-pattern-matching.md:117-119, dissolves). Deviation mismatch
+  only scales audio amplitude, which correlation normalizes away.
+- ``mode="rf"``: correlate the predicted complex-baseband RF pattern
+  directly, searching a ±``lo_span_hz`` frequency window per station
+  with the CAF machinery (the doc's "search with frequency offsets"
+  solution). Coherent over the full bandwidth — sharper peaks when the
+  deviation constant is known exactly — and it measures each
+  station's LO offset as a by-product.
+
+Per-station TOAs difference into pairwise TDOAs; the dual-REF clock
+correction from the standard pipeline removes the station clock
+offsets; the usual solver turns them into a fix. The standard pairwise
+result rides along for cross-validation (the doc's validation ladder,
+audio-pattern-matching.md:155-170).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tdoa_tpu.ops.cplx import C, from_complex
+from tdoa_tpu.utils.constants import DEFAULT_SAMPLE_RATE
+
+
+class TemplateMatch(NamedTuple):
+    """Per-station matched-filter result against one template."""
+
+    toa_samples: jax.Array  # [n_st] IQ samples the station lags the template
+    toa_std: jax.Array  # [n_st] 1σ, IQ samples
+    quality: jax.Array  # [n_st] peak-to-sidelobe ratio
+    peak_value: jax.Array  # [n_st] normalized correlation peak
+    lo_offset_hz: Optional[jax.Array] = None  # [n_st] rf mode only
+
+
+def template_iq(
+    audio: np.ndarray,
+    audio_fs: float,
+    n_samples: int,
+    sample_rate: float = DEFAULT_SAMPLE_RATE,
+    deviation_hz: float = 25_000.0,
+) -> Tuple[C, float]:
+    """Predict the complex-baseband FM pattern of an audio recording,
+    on the capture clock, exactly ``n_samples`` long.
+
+    Returns ``(template, covered_fraction)`` — the fraction of the
+    capture window the recording spans. A shorter recording zero-pads
+    (a burst template: the dead tail contributes nothing to the matched
+    filter); a longer one truncates to the window.
+    """
+    from tdoa_tpu.dsp.filters import resample_fft
+    from tdoa_tpu.dsp.fm import fm_modulate
+
+    n_res = int(round(len(audio) * sample_rate / audio_fs))
+    a = resample_fft(jnp.asarray(audio, jnp.float32), n_res)
+    if n_res >= n_samples:
+        a = a[:n_samples]
+        covered = 1.0
+    else:
+        covered = n_res / n_samples
+    tpl = fm_modulate(a, sample_rate, deviation_hz)
+    if n_res < n_samples:
+        pad = n_samples - n_res
+        tpl = C(
+            jnp.pad(tpl.re, (0, pad)),
+            jnp.pad(tpl.im, (0, pad)),
+        )
+    return tpl, covered
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "decim", "max_lag", "seg_len"),
+)
+def match_template_audio(
+    tgt: C,  # [n_st, L] planar complex station blocks
+    template: C,  # [L] planar complex predicted RF pattern
+    sample_rate: float = DEFAULT_SAMPLE_RATE,
+    decim: int = 8,
+    max_lag: int = 20000,
+    seg_len: Optional[int] = None,
+) -> TemplateMatch:
+    """Audio-domain matched filter: demodulate stations AND template
+    through one chain, correlate each station's audio against the
+    template's. TOAs come back in IQ samples (sub-sample refined).
+    """
+    from tdoa_tpu.dsp.fm import fm_demodulate
+    from tdoa_tpu.ops.corr import correlate_pairs_planar
+    from tdoa_tpu.utils.platform import on_tpu
+
+    n_st = tgt.re.shape[0]
+    xr = jnp.concatenate(
+        [tgt.re, template.re[None]], axis=0).astype(jnp.float32)
+    xi = jnp.concatenate(
+        [tgt.im, template.im[None]], axis=0).astype(jnp.float32)
+    xr = xr - jnp.mean(xr, axis=-1, keepdims=True)  # capture DC (u8 center)
+    xi = xi - jnp.mean(xi, axis=-1, keepdims=True)
+
+    if on_tpu():
+        # The XLA conv relayout explodes HBM at full rate (see
+        # process_blocks mode="fm"); the fused Pallas demod kernel is
+        # the TPU path. Group delay differs from the XLA FIR by a
+        # constant — common to stations AND template, so it cancels.
+        from tdoa_tpu.ops.pallas.fm_demod import fm_demod_decimate_pallas
+
+        chans = [
+            fm_demod_decimate_pallas(
+                C(xr[k], xi[k]), sample_rate, decim=decim
+            )
+            for k in range(n_st + 1)
+        ]
+        audio = jnp.stack(chans)
+        audio = audio - jnp.mean(audio, axis=-1, keepdims=True)
+    else:
+        audio = fm_demodulate(C(xr, xi), sample_rate, decim=decim)
+
+    # Pair (template, station): positive delay = station lags template
+    # = the station's TOA of the audio content.
+    pairs = jnp.stack(
+        [jnp.full(n_st, n_st, jnp.int32),
+         jnp.arange(n_st, dtype=jnp.int32)],
+        axis=1,
+    )
+    max_lag_c = max(max_lag // decim + 2, 16)
+    seg_c = (
+        None if seg_len is None
+        else max(seg_len // decim, 4 * max_lag_c)
+    )
+    # Plain (power-weighted) correlation, not GCC whitening: demodulated
+    # audio occupies only the bottom of the decimated band, and
+    # whitening hands the empty bins' common edge-leakage the vote (the
+    # measured failure mode documented at process_blocks mode="fm").
+    res = correlate_pairs_planar(
+        C(audio, jnp.zeros_like(audio)), pairs,
+        max_lag=max_lag_c, seg_len=seg_c, weighting="none",
+    )
+    s = jnp.float32(decim)
+    return TemplateMatch(
+        toa_samples=res.delay * s,
+        toa_std=res.delay_std * s,
+        quality=res.quality,
+        peak_value=res.peak_value,
+    )
+
+
+def _pow2_at_most(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
+
+
+def match_template_rf(
+    tgt: C,  # [n_st, L]
+    template: C,  # [L]
+    sample_rate: float = DEFAULT_SAMPLE_RATE,
+    max_lag: int = 20000,
+    lo_span_hz: float = 200.0,
+    n_doppler: int = 64,
+    seg_len: Optional[int] = None,
+) -> TemplateMatch:
+    """RF-domain matched filter with per-station LO-offset search.
+
+    A receiver LO error of Δf rotates the station against the template
+    by 2πΔf·t — fatal to a coherent matched filter over seconds — so
+    the match runs on the CAF surface over ±``lo_span_hz``
+    (audio-pattern-matching.md:117-119's "search with frequency
+    offsets"). The winning Doppler bin IS the station's LO offset
+    (sub-bin refined), reported per station.
+    """
+    from tdoa_tpu.ops.caf import caf_pairs
+
+    n_st = tgt.re.shape[0]
+    xr = jnp.concatenate(
+        [tgt.re, template.re[None]], axis=0).astype(jnp.float32)
+    xi = jnp.concatenate(
+        [tgt.im, template.im[None]], axis=0).astype(jnp.float32)
+    xr = xr - jnp.mean(xr, axis=-1, keepdims=True)
+    xi = xi - jnp.mean(xi, axis=-1, keepdims=True)
+
+    if seg_len is None:
+        # Slow-time Doppler steering is unambiguous over ±fs/(2·seg):
+        # size the segment so the search span fits, within [2^10, 2^15].
+        seg_len = min(
+            1 << 15,
+            max(1 << 10, _pow2_at_most(int(sample_rate / (2.0 * lo_span_hz)))),
+        )
+    pairs = jnp.stack(
+        [jnp.full(n_st, n_st, jnp.int32),
+         jnp.arange(n_st, dtype=jnp.int32)],
+        axis=1,
+    )
+    # weighting="none": the template side is noiseless, so the plain
+    # cross-power IS the optimal matched filter; PHAT whitening instead
+    # hands the empty out-of-band bins' common segment-edge leakage the
+    # vote and buries near-zero TOAs under the lag-0 artifact.
+    res = caf_pairs(
+        C(xr, xi), pairs, sample_rate=sample_rate,
+        max_lag=max_lag, seg_len=seg_len, n_doppler=n_doppler,
+        doppler_span_hz=lo_span_hz, weighting="none",
+    )
+    # Peak-to-sidelobe quality on the winning Doppler row, peak
+    # neighborhood excluded — same PSR convention as the GCC path.
+    surf = res.surface  # [n_st, D, W]
+    row_peak = jnp.max(surf, axis=-1)  # [n_st, D]
+    di = jnp.argmax(row_peak, axis=-1)  # [n_st]
+    row = jnp.take_along_axis(
+        surf, di[:, None, None].repeat(surf.shape[-1], -1), axis=1
+    )[:, 0, :]  # [n_st, W]
+    w = row.shape[-1]
+    k = jnp.argmax(row, axis=-1)
+    lag_idx = jnp.arange(w)[None, :]
+    guard = jnp.abs(lag_idx - k[:, None]) > 8
+    side = jnp.where(guard, row, 0.0)
+    rms_side = jnp.sqrt(
+        jnp.sum(side**2, axis=-1) / jnp.maximum(jnp.sum(guard, -1), 1)
+    )
+    peak = jnp.max(row, axis=-1)
+    quality = peak / jnp.maximum(rms_side, 1e-30)
+    # Delay-σ proxy from the peak's parabolic curvature is not exposed
+    # by caf_pairs; use the Doppler-compensated phase-slope σ stand-in:
+    # σ ≈ lag-bin / PSR (empirically conservative on the CAF surface).
+    toa_std = 1.0 / jnp.maximum(quality, 1.0)
+    return TemplateMatch(
+        toa_samples=res.delay,
+        toa_std=toa_std,
+        quality=quality,
+        peak_value=peak,
+        lo_offset_hz=res.doppler_hz,
+    )
+
+
+@dataclasses.dataclass
+class AudioMatchResult:
+    """Template-matched TDOA result, with the standard pairwise result
+    riding along for cross-validation."""
+
+    station_names: List[str]
+    pair_idx: np.ndarray  # [m, 2]
+    toa_samples: np.ndarray  # [n] per-station template TOA, IQ samples
+    toa_std_samples: np.ndarray  # [n]
+    station_quality: np.ndarray  # [n] matched-filter PSR
+    template_tdoa_samples: np.ndarray  # [m] raw TOA differences
+    corrected_tdoa_samples: np.ndarray  # [m] after dual-REF clock removal
+    tdoa_seconds: np.ndarray  # [m]
+    tdoa_std_s: np.ndarray  # [m]
+    fix: "FixResult"  # noqa: F821 — solve.multilateration.FixResult
+    pairwise: "TDOAResult"  # noqa: F821 — the standard pipeline's result
+    covered_fraction: float  # of the TGT window the recording spans
+    lo_offset_hz: Optional[np.ndarray] = None  # [n] rf mode
+    warnings: List[str] = dataclasses.field(default_factory=list)
+
+
+def match_captures(
+    processor,  # TDOAProcessor
+    captures: Dict[str, Tuple],
+    audio: np.ndarray,
+    audio_fs: float,
+    mode: str = "audio",
+    deviation_hz: float = 25_000.0,
+    decim: int = 8,
+    lo_span_hz: float = 200.0,
+    n_doppler: int = 64,
+) -> AudioMatchResult:
+    """Full audio-pattern-matching run on in-memory captures.
+
+    1. the standard pairwise pipeline runs first — its dual-REF clock
+       offsets calibrate the template TOAs, and its fix is the
+       cross-validation baseline;
+    2. the recording becomes a predicted RF template on the capture
+       clock (:func:`template_iq`);
+    3. each station's TGT block is matched against the template
+       (``mode="audio"`` or ``"rf"``);
+    4. TOA differences − clock offsets → corrected TDOAs → fix.
+    """
+    from tdoa_tpu.solve.multilateration import solve_fix
+
+    if mode not in ("audio", "rf"):
+        raise ValueError(f"mode must be 'audio' or 'rf', got {mode!r}")
+    cfg = processor.config
+    pairwise = processor.process_captures(captures)
+    names = pairwise.station_names
+    pairs = pairwise.pair_idx
+
+    def prep(b) -> C:
+        if not isinstance(b, C):
+            b = from_complex(b)
+        b = C(b.re.astype(jnp.float32), b.im.astype(jnp.float32))
+        if cfg.truncate_samples is not None:
+            b = C(b.re[: cfg.truncate_samples], b.im[: cfg.truncate_samples])
+        return b
+
+    blocks = [prep(captures[n][1]) for n in names]
+    tgt = C(
+        jnp.stack([b.re for b in blocks]),
+        jnp.stack([b.im for b in blocks]),
+    )
+    L = int(tgt.re.shape[-1])
+    tpl, covered = template_iq(
+        audio, audio_fs, L,
+        sample_rate=cfg.sample_rate, deviation_hz=deviation_hz,
+    )
+
+    warnings: List[str] = []
+    if covered < 0.5:
+        warnings.append(
+            f"audio recording spans only {covered:.0%} of the target "
+            "window — matched-filter SNR is reduced accordingly"
+        )
+    if mode == "audio":
+        m = match_template_audio(
+            tgt, tpl, sample_rate=cfg.sample_rate, decim=decim,
+            max_lag=cfg.max_lag, seg_len=cfg.seg_len,
+        )
+    else:
+        m = match_template_rf(
+            tgt, tpl, sample_rate=cfg.sample_rate, max_lag=cfg.max_lag,
+            lo_span_hz=lo_span_hz, n_doppler=n_doppler,
+        )
+
+    toa = np.asarray(m.toa_samples, np.float64)
+    toa_std = np.asarray(m.toa_std, np.float64)
+    q = np.asarray(m.quality, np.float64)
+    fs = cfg.sample_rate
+
+    low_q = [names[i] for i in range(len(names)) if q[i] < 3.0]
+    if low_q:
+        warnings.append(
+            "weak template match (peak-to-sidelobe < 3) at: "
+            + ", ".join(low_q)
+            + " — check the recording covers the capture window and the "
+            "station actually received the target"
+        )
+
+    raw = toa[pairs[:, 1]] - toa[pairs[:, 0]]
+    clock = np.asarray(pairwise.clock_offset_samples, np.float64)
+    corrected = raw - clock
+    # Matched-filter σ per pair; the dual-REF clock correction adds the
+    # same REF variance term as the pairwise path — recover it from the
+    # pairwise composite (corrected² − tgt²) isn't stored, so propagate
+    # the template σs and let the solver's residual scale absorb the
+    # shared clock term.
+    sigma = np.sqrt(toa_std[pairs[:, 0]] ** 2 + toa_std[pairs[:, 1]] ** 2)
+    # Pair weight: limited by its weaker station, quadratic like the
+    # pairwise solve's quality weighting.
+    pq = np.minimum(q[pairs[:, 0]], q[pairs[:, 1]])
+    wmax = max(pq.max(), 1e-9)
+    weights = (pq / wmax) ** 2
+
+    lla = processor.stations.lla_array(names)
+    fix = solve_fix(
+        lla, corrected / fs, weights=weights, pair_idx=pairs,
+        solve_z=cfg.solve_z, tdoa_sigma_s=sigma / fs,
+    )
+
+    # Cross-validation against the pairwise pipeline (the doc's
+    # validation ladder): large disagreement on any pair is a warning,
+    # not an error — the operator decides which measurement to trust.
+    pw = np.asarray(pairwise.corrected_tdoa_samples, np.float64)
+    disagree = np.abs(pw - corrected)
+    bad = disagree > np.maximum(4.0, 6.0 * sigma)
+    if bad.any():
+        worst = int(np.argmax(disagree))
+        i, j = pairs[worst]
+        warnings.append(
+            f"template and pairwise TDOAs disagree on {int(bad.sum())} "
+            f"pair(s); worst {names[i]}-{names[j]}: "
+            f"{disagree[worst]:.2f} samples"
+        )
+
+    return AudioMatchResult(
+        station_names=names,
+        pair_idx=pairs,
+        toa_samples=toa,
+        toa_std_samples=toa_std,
+        station_quality=q,
+        template_tdoa_samples=raw,
+        corrected_tdoa_samples=corrected,
+        tdoa_seconds=corrected / fs,
+        tdoa_std_s=sigma / fs,
+        fix=fix,
+        pairwise=pairwise,
+        covered_fraction=covered,
+        lo_offset_hz=(
+            None if m.lo_offset_hz is None
+            else np.asarray(m.lo_offset_hz, np.float64)
+        ),
+        warnings=warnings,
+    )

@@ -1723,6 +1723,13 @@ class TDOAProcessor:
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:
         """Load ``.dat`` files (station identity from filenames,
         processor.go:110-122) and process them."""
+        return self.process_captures(self.load_files(dat_paths))
+
+    def load_files(
+        self, dat_paths: Sequence[str]
+    ) -> Dict[str, Tuple[C, C, C]]:
+        """Load ``.dat`` files into {station: (ref1, tgt, ref2)} blocks,
+        decoding into the dtype the configured correlator path wants."""
         import os
 
         # When the fused Pallas correlator will run, decode straight
@@ -1771,4 +1778,4 @@ class TDOAProcessor:
                 captures[st] = (cap.ref1, cap.tgt, cap.ref2)
             if self.timer is not None:
                 self.timer.observe([captures[st][0].re])
-        return self.process_captures(captures)
+        return captures

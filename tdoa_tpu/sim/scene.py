@@ -95,6 +95,15 @@ class SimScene:
     # apply_channel_moving): per-station Doppler = what the CAF
     # measures, geometry evaluated at the TGT block's midpoint.
     tgt_velocity_enu: Optional[np.ndarray] = None  # [3]
+    # Known target audio program (float, at ``sample_rate``): the TGT
+    # block transmits fm_modulate(tgt_audio) instead of an FM-of-noise
+    # realization. This is the audio-pattern-matching validation rung
+    # (audio-pattern-matching.md:155-159: "Generate synthetic FM
+    # signals from known audio") — the same recording can then be
+    # handed to pipeline/audio_match.py as the template. Shorter audio
+    # zero-pads (dead air); longer truncates.
+    tgt_audio: Optional[np.ndarray] = None
+    tgt_deviation_hz: float = 25_000.0
     # Model the LO-offset aspect of clock drift: a crystal off by
     # d ppm also offsets the LO by d·1e-6·f_c (~160 Hz/ppm at VHF),
     # which smears coherent integration — a much harsher impairment
@@ -289,7 +298,18 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
         (2, scene.ref_freq, tau_ref, amp_ref, scene.ref_profile),
     ]
     for b, (bi, carrier, tau, amp, profile) in enumerate(specs):
-        src = fm_source(keys[b], scene.block_len, fs)
+        if bi == 1 and scene.tgt_audio is not None:
+            from tdoa_tpu.dsp.fm import fm_modulate
+            from tdoa_tpu.ops.cplx import to_complex
+
+            a = np.zeros(scene.block_len, np.float32)
+            m = min(len(scene.tgt_audio), scene.block_len)
+            a[:m] = np.asarray(scene.tgt_audio[:m], np.float32)
+            src = to_complex(
+                fm_modulate(jnp.asarray(a), fs, scene.tgt_deviation_hz)
+            )
+        else:
+            src = fm_source(keys[b], scene.block_len, fs)
         delays = jnp.asarray(
             tau + np.asarray(truth.clock_offset_samples[:, bi]), jnp.float32
         )
