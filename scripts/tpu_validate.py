@@ -17,6 +17,7 @@ stalls):
  7. multi-emitter separation through the fused path
  8. moving emitter: CAF + deramp-and-correlate + FDOA velocity
  9. joint (lag, Doppler) separation: mover + co-channel interferer
+ 10. audio-pattern matched filter (both match domains) on chip
 """
 
 import os
@@ -485,6 +486,70 @@ def main():
         )
     check("joint lag-Doppler separation", j_ok,
           f"{detail_j}, {time.time()-t0:.0f}s")
+
+    # ---- 10. audio-pattern matched filter on chip -----------------------
+    # A known 44.1 kHz recording drives the TGT emitter; both match
+    # domains (demod-audio correlation, complex-RF CAF with LO search)
+    # run their FFT/matmul programs on the real chip.
+    t0 = time.time()
+    from tdoa_tpu.dsp.filters import resample_fft
+    from tdoa_tpu.pipeline.audio_match import match_captures
+    from tdoa_tpu.sim import simulate_scene
+    from tdoa_tpu.sim.source import bandlimited_noise
+
+    blk_a = 2 * SEG_LEN
+    fs = 2e6
+    n44 = int(round(blk_a * 44100.0 / fs))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        audio44 = np.asarray(
+            bandlimited_noise(jax.random.PRNGKey(11), n44, 10e3, 44100.0)
+        )
+        audio44 = 0.8 * audio44 / np.abs(audio44).max()
+        n_res = int(round(n44 * fs / 44100.0))
+        audio_fs = np.asarray(resample_fft(jnp.asarray(audio44), n_res))
+        scene_a = SimScene(
+            station_names=omaha["names"],
+            station_lla=omaha["lla"],
+            ref_tx_lla=omaha["ref_tx"],
+            tgt_tx_lla=omaha["tgt_tx"],
+            ref_freq=162.4e6,
+            tgt_freq=101.9e6,
+            block_len=blk_a,
+            clock_offsets_s=np.array([12e-6, -31e-6, 48e-6]),
+            tgt_audio=audio_fs,
+            tgt_deviation_hz=50e3,
+            seed=11,
+        )
+        caps_a, truth_a = simulate_scene(scene_a)
+    proc_a = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                        max_lag=1024, seg_len=None),
+        table_me,
+    )
+    tau_a = dict(
+        zip(scene_a.station_names, truth_a.station_delays_samples[:, 1])
+    )
+    for am_mode in ("audio", "rf"):
+        res_a = match_captures(
+            proc_a, {n: caps_a[n] for n in scene_a.station_names},
+            audio44, 44100.0, mode=am_mode, deviation_hz=50e3,
+        )
+        order_a = res_a.station_names
+        want_a = np.array([
+            tau_a[order_a[j]] - tau_a[order_a[i]]
+            for i, j in res_a.pair_idx
+        ])
+        err_a = np.abs(
+            np.asarray(res_a.corrected_tdoa_samples) - want_a
+        ).max()
+        est_a = np.array([res_a.fix.lat, res_a.fix.lon, omaha["tgt_tx"][2]])
+        fixe_a = np.linalg.norm(lla_to_enu(est_a, omaha["tgt_tx"])[:2])
+        check(f"audio-match ({am_mode}) on chip",
+              err_a < 4.0 and fixe_a < 4000.0,
+              f"tdoa err {err_a:.2f} smp, fix err {fixe_a:.0f} m, "
+              f"covered {res_a.covered_fraction:.2f}, "
+              f"{time.time()-t0:.0f}s")
+        t0 = time.time()
 
     print()
     if FAILURES:

@@ -14,6 +14,15 @@ Backends:
   the same process boundary as collector.go:124-163;
 - ``--backend sim``: hardware-free capture via the scene simulator
   (station geometry from --csv), for end-to-end rehearsal.
+
+Service mode: ``--repeat N --interval S`` collects N epoch-aligned
+windows (N=0: forever), one capture every S seconds. With
+``start_epoch 0`` the first window self-aligns to the next multiple of
+the interval, so independent stations sharing only NTP and the same
+CLI arguments produce identically-stamped ``{station}-{epoch}.dat``
+windows — point ``stream_processor --watch`` at the output directory
+for a continuous live geolocation service (the loop the reference
+leaves to humans/cron, docs/usage.md:21-52).
 """
 
 from __future__ import annotations
@@ -60,6 +69,12 @@ def main(argv=None) -> int:
     p.add_argument("--csv", default="lat-lon-table.csv",
                    help="station table (sim backend geometry)")
     p.add_argument("--out", default=".")
+    p.add_argument("--repeat", type=int, default=1, metavar="N",
+                   help="collect N epoch-aligned windows (0 = forever); "
+                        "each writes its own {station}-{epoch}.dat")
+    p.add_argument("--interval", type=int, default=None, metavar="S",
+                   help="seconds between window starts in --repeat mode "
+                        "(default: duration + 2; must exceed duration)")
     args = p.parse_args(argv)
 
     if args.duration > MAX_DURATION_S:
@@ -68,13 +83,65 @@ def main(argv=None) -> int:
     g1 = args.gain if args.gain is not None else args.gain1
     g2 = args.gain if args.gain is not None else args.gain2
 
-    epoch = args.start_epoch or int(time.time())
-    out_path = os.path.join(args.out, f"{args.station_id}-{epoch}.dat")
-    samples_per_freq = args.duration * SAMPLE_RATE // 3
-
     backend = args.backend
     if backend is None:
         backend = "native" if os.path.exists(_native_tool()) else "sim"
+
+    repeat = args.repeat
+    interval = args.interval
+    if interval is None:
+        interval = args.duration + 2
+    if repeat != 1 and interval <= args.duration:
+        print(f"--interval {interval} must exceed --duration "
+              f"{args.duration}")
+        return 2
+
+    if args.start_epoch:
+        epoch = args.start_epoch
+    elif repeat == 1:
+        epoch = int(time.time())
+    else:
+        # Self-align to the next interval multiple: stations sharing
+        # NTP + these arguments pick identical epochs with no rendezvous.
+        epoch = (int(time.time()) // interval + 1) * interval
+
+    ok_windows = 0
+    window = 0
+    while True:
+        rc = _capture_window(args, backend, epoch, g1, g2)
+        if rc == 0:
+            ok_windows += 1
+        elif repeat == 1:
+            return rc
+        window += 1
+        if repeat and window >= repeat:
+            break
+        epoch, missed = _next_epoch(epoch, interval, time.time())
+        if missed:
+            print(f"WARNING: missed {missed} window(s) "
+                  f"(capture overran the interval)")
+    if repeat != 1:
+        print(f"Service done: {ok_windows}/{window} windows valid")
+        return 0 if ok_windows else 1
+    return 0
+
+
+def _next_epoch(epoch: int, interval: int, now: float):
+    """Next grid epoch strictly in the future: a window that overran
+    its slot skips ahead on the fixed grid (epoch0 + k*interval)
+    rather than drifting it. Returns (next_epoch, windows_missed)."""
+    epoch += interval
+    missed = 0
+    while epoch <= now:
+        epoch += interval
+        missed += 1
+    return epoch, missed
+
+
+def _capture_window(args, backend, epoch, g1, g2) -> int:
+    """One epoch-stamped capture + validation (collector.go:113-248)."""
+    out_path = os.path.join(args.out, f"{args.station_id}-{epoch}.dat")
+    samples_per_freq = args.duration * SAMPLE_RATE // 3
 
     # Busy-wait for the start second (collector.go:113-116).
     now = time.time()
