@@ -28,6 +28,10 @@ fix and scores against the planted truth. Regimes:
                UNDER a 30-150 m/s mover: joint lag-Doppler association
                separates them, per-emitter CAF reads give the mover
                its own velocity
+  audio-match  a known 44.1 kHz recording drives the emitter; the
+               audio-pattern matched filter (random audio/rf domain)
+               produces the TDOAs under a noisy channel, random
+               clocks, and crystal drift (LO offsets for rf mode)
   stream-moving  five epoch windows of a mover through the REAL
                stream_processor CLI; window 4 carries a 200-sample
                burst on one station — the tracker must coast it on the
@@ -223,9 +227,119 @@ def run_stream_trial(seed: int) -> dict:
     }
 
 
+def run_audio_trial(seed: int) -> dict:
+    """Audio-pattern-matching regime: a KNOWN 44.1 kHz recording drives
+    the TGT emitter; the trial records it back (WAV-free, in memory),
+    matched-filters every station against it (pipeline/audio_match.py,
+    mode randomized between the audio and rf domains), and scores the
+    template-derived clock-corrected TDOAs and fix against truth —
+    under a noisy TGT channel, random clock offsets, and crystal drift
+    (whose LO-offset component the rf mode must search out)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdoa_tpu.dsp.filters import resample_fft
+    from tdoa_tpu.pipeline.audio_match import match_captures
+    from tdoa_tpu.sim.source import bandlimited_noise
+
+    rng = np.random.default_rng(seed)
+    lla = random_network(rng, 3)
+    tgt = random_target(rng, lla)
+    names = ("st0", "st1", "st2")
+    block_len = 1 << 17
+    fs = 2e6
+
+    n44 = int(round(block_len * 44100.0 / fs))
+    audio44 = np.asarray(
+        bandlimited_noise(jax.random.PRNGKey(seed % (1 << 31)),
+                          n44, 10e3, 44100.0)
+    )
+    audio44 = 0.8 * audio44 / np.abs(audio44).max()
+    n_res = int(round(n44 * fs / 44100.0))
+    audio_fs = np.asarray(resample_fft(jnp.asarray(audio44), n_res))
+
+    sc = SimScene(
+        station_names=names,
+        station_lla=lla,
+        ref_tx_lla=REF_TX,
+        tgt_tx_lla=tgt,
+        block_len=block_len,
+        seed=seed,
+        tgt_audio=audio_fs,
+        tgt_deviation_hz=50e3,
+        tgt_profile=NoiseProfile(
+            signal_amplitude=1.0,
+            noise_amplitude=rng.uniform(0.1, 0.5),
+        ),
+        clock_offsets_s=rng.uniform(-50e-6, 50e-6, 3),
+        clock_drifts_ppm=rng.uniform(-0.1, 0.1, 3),
+    )
+    caps, truth = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[k]) for k, n in enumerate(names)],
+        reference_tx=Station("162400000", *REF_TX),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                        max_lag=1024, seg_len=None),
+        table,
+    )
+    mode = "audio" if rng.random() < 0.5 else "rf"
+    res = match_captures(
+        proc, {n: caps[n] for n in names}, audio44, 44100.0,
+        mode=mode, deviation_hz=50e3,
+    )
+
+    by = {n: k for k, n in enumerate(names)}
+    order = [by[n] for n in res.station_names]
+    tau = truth.station_delays_samples[:, 1]
+    want = np.array(
+        [tau[order[j]] - tau[order[i]] for i, j in res.pair_idx]
+    )
+    tdoa_err = float(
+        np.abs(np.asarray(res.corrected_tdoa_samples) - want).max()
+    )
+    fix_err = float(np.linalg.norm(
+        lla_to_enu(np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt)[:2]
+    ))
+    maha = None
+    if res.fix.cov_en is not None and np.all(np.isfinite(res.fix.cov_en)):
+        e_en = lla_to_enu(
+            np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt
+        )[:2]
+        try:
+            maha = float(np.sqrt(
+                e_en @ np.linalg.solve(res.fix.cov_en, e_en)
+            ))
+        except np.linalg.LinAlgError:
+            maha = None
+    warnings = list(res.warnings) + list(res.pairwise.warnings)
+    atol_tdoa, atol_fix = 4.0, 2500.0
+    accurate = tdoa_err < atol_tdoa and fix_err < atol_fix
+    covered = (res.fix.ellipse is not None
+               and fix_err < 3.0 * res.fix.ellipse[0])
+    flagged = len(warnings) > 0
+    return {
+        "seed": seed,
+        "tdoa_err": tdoa_err,
+        "fix_err": fix_err,
+        "vel_err": None,
+        "power_pick_err": None,
+        "ok": accurate or covered or flagged,
+        "accurate": accurate,
+        "silent": not (accurate or covered or flagged),
+        "warnings": len(warnings),
+        "excluded_right": None,
+        "maha": maha,
+        "ambiguous": any("ambiguous fix" in w for w in warnings),
+    }
+
+
 def run_trial(regime: str, seed: int) -> dict:
     if regime == "stream-moving":
         return run_stream_trial(seed)
+    if regime == "audio-match":
+        return run_audio_trial(seed)
     rng = np.random.default_rng(seed)
     n_st = {"4station": 4, "5station": 5, "bad-station": 5}.get(regime, 3)
     lla = random_network(rng, n_st)
@@ -481,6 +595,7 @@ REGIMES = {
     "moving": 1.0,
     "moving-interferer": 1.0,
     "stream-moving": 1.0,
+    "audio-match": 1.0,
     "4station": 1.0,
     "5station": 1.0,
     "bad-station": 1.0,
