@@ -521,6 +521,12 @@ def main():
             seed=11,
         )
         caps_a, truth_a = simulate_scene(scene_a)
+        # Planar conversion on CPU: eager complex transfers to the TPU
+        # are UNIMPLEMENTED (same convention as checks 7 and 9).
+        caps_a = {
+            n: tuple(from_complex(b) for b in blocks)
+            for n, blocks in caps_a.items()
+        }
     proc_a = TDOAProcessor(
         ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
                         max_lag=1024, seg_len=None),

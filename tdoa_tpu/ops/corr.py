@@ -454,10 +454,20 @@ def _combine_splits(
     multi-sample errors (every group fits the same shrunken slope and
     the σ reads zero). A group whose true peak lies outside the zoom
     window saturates at ±16 and still reports a correspondingly large
-    σ. The groups are weighted with the FULL capture's (debiased)
-    factor: a 1-2 segment group has no coherence of its own (HT
-    degrades to PHAT and the probe peaks jitter ~0.5 sample even on
-    clean signals, poisoning σ_emp).
+    σ. Each group's probe is weighted with the OTHER groups'
+    (leave-one-out) debiased factor: a 1-2 segment group has no
+    coherence of its own (HT degrades to PHAT and the probe peaks
+    jitter ~0.5 sample even on clean signals, poisoning σ_emp) — but
+    the FULL capture's factor must not be used either, because its
+    1/(1−γ̂²) tail selects precisely the bins where EVERY segment's
+    cross phasor aligned, including a corrupted group's noise. That
+    selection bias dragged a half-wrecked capture's noise groups to
+    the full estimate's delay (zoom delay 36.99 on pure noise,
+    σ 0.003 where the honest answer is O(samples) — caught by the
+    on-chip split-half check). LOO weights are independent of group
+    k's noise, so a corrupted group's probe diverges and σ_emp
+    inflates as designed; on clean captures the LOO factor selects
+    the same coherent band and σ is unchanged.
 
     σ_emp = c_K · std(group delays)/√K — the standard error of their
     mean, median-unbiased by _SPLIT_STD_SCALE. The deterministic
@@ -477,14 +487,18 @@ def _combine_splits(
         n_seg=n_seg_total,
     )
     coarse = jnp.round(res.delay)
-    s = _weight_factor(
-        C(cr, ci), psd, pair_idx, weighting, eps, n_seg_total,
-    )
-    ds = jnp.stack([
-        _zoom_corr_delay(C(a[0].re * s, a[0].im * s), coarse, fft_len,
-                         max_lag)
-        for a in accs
-    ])  # [K, m]
+    q, r = divmod(n_seg_total, K)
+    probes = []
+    for k, a in enumerate(accs):
+        s_k = _weight_factor(
+            C(cr - a[0].re, ci - a[0].im), psd - a[1], pair_idx,
+            weighting, eps, n_seg_total - (q + (1 if k < r else 0)),
+        )
+        probes.append(
+            _zoom_corr_delay(C(a[0].re * s_k, a[0].im * s_k), coarse,
+                             fft_len, max_lag)
+        )
+    ds = jnp.stack(probes)  # [K, m]
     var = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / (K - 1)
     sigma_emp = jnp.float32(_SPLIT_STD_SCALE[K]) * jnp.sqrt(var / K)
     return res._replace(
@@ -493,13 +507,16 @@ def _combine_splits(
 
 
 def _split_half_sigma(
-    cross_a: C, cross_b: C, wfac, coarse, fft_len: int, max_lag: int
+    cross_a: C, cross_b: C, wfac_a, wfac_b, coarse, fft_len: int,
+    max_lag: int,
 ) -> jax.Array:
     """Empirical 1σ (samples) from two half-capture cross-spectra: each
     half's zoom-DFT peak near the full-capture coarse delay, half the
-    disagreement, scaled to a consistent estimator. ``wfac`` is the
-    FULL capture's weighting factor (see _combine_splits on why the
-    halves must not self-weight).
+    disagreement, scaled to a consistent estimator. ``wfac_a`` weights
+    half a's probe and must be computed WITHOUT half a (and vice
+    versa): the halves must not self-weight (degenerate coherence),
+    and the full capture's factor selection-biases a corrupted half's
+    probe toward the full delay (see _combine_splits).
 
     Scale: with per-half delay noise σ_h, the full estimate (the
     halves' average) has σ_full = σ_h/√2 and (da−db) ~ N(0, 2σ_h²), so
@@ -510,10 +527,12 @@ def _split_half_sigma(
     The MAD consistency constant 1.4826 = 1/Φ⁻¹(3/4) makes it
     median-unbiased — the same constant that makes a MAD a σ."""
     da = _zoom_corr_delay(
-        C(cross_a.re * wfac, cross_a.im * wfac), coarse, fft_len, max_lag
+        C(cross_a.re * wfac_a, cross_a.im * wfac_a), coarse, fft_len,
+        max_lag,
     )
     db = _zoom_corr_delay(
-        C(cross_b.re * wfac, cross_b.im * wfac), coarse, fft_len, max_lag
+        C(cross_b.re * wfac_b, cross_b.im * wfac_b), coarse, fft_len,
+        max_lag,
     )
     return jnp.float32(0.5 * 1.4826) * jnp.abs(da - db)
 

@@ -79,19 +79,25 @@ def template_iq(
     from tdoa_tpu.dsp.fm import fm_modulate
 
     n_res = int(round(len(audio) * sample_rate / audio_fs))
-    a = resample_fft(jnp.asarray(audio, jnp.float32), n_res)
-    if n_res >= n_samples:
-        a = a[:n_samples]
-        covered = 1.0
-    else:
-        covered = n_res / n_samples
-    tpl = fm_modulate(a, sample_rate, deviation_hz)
-    if n_res < n_samples:
-        pad = n_samples - n_res
-        tpl = C(
-            jnp.pad(tpl.re, (0, pad)),
-            jnp.pad(tpl.im, (0, pad)),
-        )
+    # Host-side prep, pinned to CPU: resample_fft is jnp.fft (no FFT
+    # primitive on the TPU backend — the device compute path uses the
+    # planar MXU FFT instead), and this runs once per recording at
+    # audio scale. The planar f32 template transfers to the device
+    # when the matched filter consumes it.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        a = resample_fft(jnp.asarray(audio, jnp.float32), n_res)
+        if n_res >= n_samples:
+            a = a[:n_samples]
+            covered = 1.0
+        else:
+            covered = n_res / n_samples
+        tpl = fm_modulate(a, sample_rate, deviation_hz)
+        if n_res < n_samples:
+            pad = n_samples - n_res
+            tpl = C(
+                jnp.pad(tpl.re, (0, pad)),
+                jnp.pad(tpl.im, (0, pad)),
+            )
     return tpl, covered
 
 

@@ -1479,6 +1479,28 @@ class TDOAProcessor:
                 velocity_residual_hz = vsol.residual_hz
                 velocity_sigma = vsol.sigma_enu
                 fdoa_out = nu_emitter
+                # Plausibility check (a warning, not a gate): an FDOA
+                # set mixing two co-channel emitters (or reading a
+                # ghost geometry) "fits" only with an absurd velocity.
+                # Observed in the Monte Carlo sweep: a mover+interferer
+                # lag collision slipped association and yielded
+                # 1347 m/s ± 559 — fast beyond any aircraft and with a
+                # σ larger than real speeds. Flag it so a mixed-emitter
+                # lock is never silent.
+                spd = float(np.linalg.norm(velocity_enu))
+                sig_h = float(np.linalg.norm(velocity_sigma[:2]))
+                if spd > cfg.max_emitter_speed_mps or (
+                    sig_h > cfg.max_emitter_speed_mps / 2.0
+                ):
+                    warnings.append(
+                        f"velocity estimate implausible "
+                        f"({spd:.0f} m/s, 1σ {sig_h:.0f} m/s vs the "
+                        f"{cfg.max_emitter_speed_mps:.0f} m/s emitter "
+                        f"ceiling): the FDOA set likely mixes "
+                        f"co-channel emitters or reads a ghost "
+                        f"geometry — treat the fix and velocity with "
+                        f"suspicion"
+                    )
                 if cfg.multi_emitter > 1:
                     # Kept for joint (lag, Doppler) association; the
                     # host copy of the surface is only paid when the
@@ -1552,8 +1574,19 @@ class TDOAProcessor:
 
                     surf = caf_info["surface"]
                     lag_res = caf_lag_resolution(surf)
+                    # Wider slate than the lag-only path (+4, not +2):
+                    # a smeared mover colliding in LAG with a static
+                    # emitter leaves a ridge whose Doppler sidelobes
+                    # occupy several 2D top-k slots at one lag; with
+                    # only +2 the mover's own (weaker) candidate fell
+                    # off the list and association found nothing
+                    # (Monte Carlo seed 11657). The joint gate's
+                    # second (Doppler) axis keeps the extra noise
+                    # candidates from assembling spurious sets — the
+                    # lag-only path has no such axis, so its slate
+                    # stays at +2.
                     lags, dops, vals = top_k_peaks_2d(
-                        surf, k, guard_lag=lag_res
+                        surf, k + 2, guard_lag=lag_res
                     )
                     clock_np = np.asarray(clock, np.float64)
                     cand_tdoa = (
@@ -1696,6 +1729,21 @@ class TDOAProcessor:
                     f"{len(emitters)} co-channel emitters resolved; the "
                     f"primary fix reflects the per-pair dominant peaks "
                     f"(see emitters[] for the separated fixes)"
+                )
+            elif not emitters:
+                # Association was requested and found NOTHING cycle-
+                # consistent: the per-pair candidate peaks disagree in
+                # lag (or Doppler, on the joint path). That is itself
+                # a diagnosis — the capture's peaks do not belong to
+                # one set of per-station arrivals — and it must never
+                # pass silently, because the primary fix may then be a
+                # lock on one emitter of several, or a mixture.
+                warnings.append(
+                    "multi-emitter association found no cycle-"
+                    "consistent candidate sets (per-pair peaks "
+                    "disagree in lag/Doppler): the primary fix may "
+                    "mix co-channel emitters or lock onto just one "
+                    "of them"
                 )
         return TDOAResult(
             fix=fix,

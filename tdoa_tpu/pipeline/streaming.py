@@ -282,9 +282,6 @@ def acc_finalize(
 
     na, nb, nc = state.n_seg_a, state.n_seg_b, state.n_seg_c
     nd = state.n_seg - na - nb - nc
-    wfac = _weight_factor(
-        cross, state.psd, pair_idx, weighting, eps, state.n_seg
-    )
     coarse = jnp.round(res.delay)
     ca = C(state.cross_re_a, state.cross_im_a)
     cb = C(state.cross_re_b, state.cross_im_b)
@@ -304,23 +301,41 @@ def acc_finalize(
     )
     valid2 = jnp.logical_and(na + nc > 0, nb + nd > 0)
 
+    # Leave-one-out probe weights: slot k's zoom is weighted by the
+    # OTHER slots' cross (full-state PSD — per-slot PSDs are not kept,
+    # and the selection bias lives in the cross PHASE alignment, which
+    # LOO-cross removes; see ops/corr._combine_splits). The full-state
+    # factor must NOT weight the slots: its 1/(1−γ̂²) tail selects the
+    # bins where even a corrupted slot's noise aligned, dragging that
+    # slot's probe to the full delay and collapsing σ.
+    def _loo_w(ck, nk):
+        return _weight_factor(
+            C(cross.re - ck.re, cross.im - ck.im), state.psd, pair_idx,
+            weighting, eps, state.n_seg - nk,
+        )
+
     def _sigma4():
-        ds = jnp.stack([
-            _zoom_corr_delay(C(s.re * wfac, s.im * wfac), coarse,
-                             fft_len, max_lag)
-            for s in (ca, cb, cc, cd)
-        ])  # [4, m]
+        probes = []
+        for s, nk in ((ca, na), (cb, nb), (cc, nc), (cd, nd)):
+            w = _loo_w(s, nk)
+            probes.append(
+                _zoom_corr_delay(C(s.re * w, s.im * w), coarse,
+                                 fft_len, max_lag)
+            )
+        ds = jnp.stack(probes)  # [4, m]
         var4 = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / 3.0
         return jnp.float32(_SPLIT_STD_SCALE[4]) * jnp.sqrt(var4 / 4.0)
 
     def _sigma2():
         # K=2 fallback: even (A+C) vs odd (B+D) — exactly the
         # historical chunk-parity halves (and what a 2-slot-era
-        # checkpoint resumes into).
+        # checkpoint resumes into). Each half weighted by the other.
+        h_a = C(ca.re + cc.re, ca.im + cc.im)
+        h_b = C(cb.re + cd.re, cb.im + cd.im)
         return _split_half_sigma(
-            C(ca.re + cc.re, ca.im + cc.im),
-            C(cb.re + cd.re, cb.im + cd.im),
-            wfac, coarse, fft_len, max_lag,
+            h_a, h_b,
+            _loo_w(h_a, na + nc), _loo_w(h_b, nb + nd),
+            coarse, fft_len, max_lag,
         )
 
     # lax.cond, not where: only the active ladder rung's zoom probes

@@ -193,3 +193,54 @@ def test_process_blocks_tgt_std_commensurate():
                             max_lag=128, seg_len=1 << 12, weighting="ht",
                             clock_correction=False)
     np.testing.assert_allclose(np.asarray(out_nc[6]), np.asarray(out_nc[8]))
+
+
+def test_split_sigma_catches_contiguous_corruption():
+    """Bursty corruption (the second HALF of one station replaced by
+    noise) must inflate the split empirical sigma. Regression for a
+    selection-bias leak: weighting every group's zoom probe with the
+    FULL capture's HT factor selects exactly the bins where even the
+    corrupted groups' noise phasors aligned with the full delay, so
+    the corrupted groups zoomed to the full estimate and sigma
+    collapsed to 0.003 while half the capture was junk (caught by the
+    on-chip split-half check). Leave-one-out probe weights restore the
+    honest answer."""
+    from tdoa_tpu.ops.cplx import C
+    from tdoa_tpu.ops.corr import correlate_pairs_planar
+
+    n = 1 << 15
+    seg = 1 << 12  # 8 segments -> K=4 contiguous groups of 2
+    shift = 21
+    kr, ki = jax.random.split(jax.random.PRNGKey(3))
+    br = jax.random.normal(kr, (n,), jnp.float32)
+    bi = jax.random.normal(ki, (n,), jnp.float32)
+    x = C(
+        jnp.stack([br, jnp.roll(br, shift)]),
+        jnp.stack([bi, jnp.roll(bi, shift)]),
+    )
+    noise = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (2, n, 2))
+    xn = C(x.re + noise[..., 0], x.im + noise[..., 1])
+    pairs = jnp.asarray([[0, 1]], jnp.int32)
+    kw = {"max_lag": 64, "seg_len": seg, "fft_len": 1 << 13,
+          "weighting": "ht"}
+    clean = correlate_pairs_planar(xn, pairs, **kw)
+    s_clean = float(clean.delay_std[0])
+    assert abs(float(clean.delay[0]) - shift) < 0.05
+    assert 0.0 < s_clean < 0.1, s_clean
+
+    # The corrupted-group zoom peak is a uniform draw over the +-16
+    # window, so one draw of sigma_emp can land small by chance —
+    # assert over a few noise realizations like the streaming test.
+    s_wrecks = []
+    for ks in (5, 6, 7):
+        wr = jax.random.normal(jax.random.PRNGKey(ks), (n // 2, 2),
+                               jnp.float32)
+        xw = C(
+            xn.re.at[1, n // 2:].set(wr[:, 0]),
+            xn.im.at[1, n // 2:].set(wr[:, 1]),
+        )
+        res = correlate_pairs_planar(xw, pairs, **kw)
+        # The clean half still anchors the delay estimate.
+        assert abs(float(res.delay[0]) - shift) < 0.2
+        s_wrecks.append(float(res.delay_std[0]))
+    assert max(s_wrecks) > max(10.0 * s_clean, 0.5), (s_wrecks, s_clean)
