@@ -146,6 +146,35 @@ def main() -> None:
     rows.append((f"streaming window update+finalize ({win_len/FS:.1f} s "
                  "window)", t_st, "per stream_processor window"))
 
+    # ---- 5. audio-pattern matched filter ------------------------------
+    # Per-station template match at the full TGT-block scale (~33 s of
+    # the 100 s capture): the N-scaling alternative to pairwise
+    # correlation when the broadcast audio is known.
+    from tdoa_tpu.pipeline.audio_match import (
+        match_template_audio,
+        match_template_rf,
+    )
+
+    tpl = C(ref2.re[0], ref2.im[0])  # same-length template, same stats
+
+    def run_am_audio():
+        m = match_template_audio(tgt, tpl, sample_rate=FS, decim=8,
+                                 max_lag=20000)
+        sync(m.toa_samples)
+
+    t_am = timed(run_am_audio)
+    rows.append(("audio-match, audio domain (3 stations, 33 s TGT block)",
+                 t_am, "per capture with cli.audio_match"))
+
+    def run_am_rf():
+        m = match_template_rf(tgt, tpl, sample_rate=FS, max_lag=20000,
+                              lo_span_hz=200.0, n_doppler=64)
+        sync(m.toa_samples)
+
+    t_rf = timed(run_am_rf)
+    rows.append(("audio-match, rf domain (±200 Hz LO search, 64 bins)",
+                 t_rf, "per capture with --match-mode rf"))
+
     print("| path | steady s | note |")
     print("|---|---|---|")
     for name, t, note in rows:

@@ -58,6 +58,9 @@ class TemplateMatch(NamedTuple):
     quality: jax.Array  # [n_st] peak-to-sidelobe ratio
     peak_value: jax.Array  # [n_st] normalized correlation peak
     lo_offset_hz: Optional[jax.Array] = None  # [n_st] rf mode only
+    # rf mode: the LO span actually searched (may be below the request
+    # when max_lag forces a segment longer than the span allows).
+    lo_span_eff_hz: Optional[float] = None
 
 
 def template_iq(
@@ -213,11 +216,23 @@ def match_template_rf(
 
     if seg_len is None:
         # Slow-time Doppler steering is unambiguous over ±fs/(2·seg):
-        # size the segment so the search span fits, within [2^10, 2^15].
-        seg_len = min(
-            1 << 15,
-            max(1 << 10, _pow2_at_most(int(sample_rate / (2.0 * lo_span_hz)))),
+        # size the segment so the search span fits, within [2^10, 2^15]
+        # — but the CAF also needs seg_len > max_lag (the lag window
+        # must fit one segment), and the lag requirement wins: raw
+        # TOAs include the stations' clock offsets (up to ms ⇒
+        # max_lag 20000 by default), while an LO span clipped below
+        # the request degrades gracefully (the caller warns; aliasing
+        # beyond the span only costs coherence, the lag peak stays).
+        min_seg = 1 << 10
+        while min_seg <= max_lag:
+            min_seg <<= 1
+        seg_len = max(
+            min_seg,
+            min(1 << 15,
+                max(1 << 10,
+                    _pow2_at_most(int(sample_rate / (2.0 * lo_span_hz))))),
         )
+    span_eff = min(lo_span_hz, sample_rate / (2.0 * seg_len))
     pairs = jnp.stack(
         [jnp.full(n_st, n_st, jnp.int32),
          jnp.arange(n_st, dtype=jnp.int32)],
@@ -230,7 +245,7 @@ def match_template_rf(
     res = caf_pairs(
         C(xr, xi), pairs, sample_rate=sample_rate,
         max_lag=max_lag, seg_len=seg_len, n_doppler=n_doppler,
-        doppler_span_hz=lo_span_hz, weighting="none",
+        doppler_span_hz=span_eff, weighting="none",
     )
     # Peak-to-sidelobe quality on the winning Doppler row, peak
     # neighborhood excluded — same PSR convention as the GCC path.
@@ -260,6 +275,7 @@ def match_template_rf(
         quality=quality,
         peak_value=peak,
         lo_offset_hz=res.doppler_hz,
+        lo_span_eff_hz=float(span_eff),
     )
 
 
@@ -350,6 +366,17 @@ def match_captures(
             tgt, tpl, sample_rate=cfg.sample_rate, max_lag=cfg.max_lag,
             lo_span_hz=lo_span_hz, n_doppler=n_doppler,
         )
+        if (m.lo_span_eff_hz is not None
+                and m.lo_span_eff_hz < 0.99 * lo_span_hz):
+            warnings.append(
+                f"rf-mode LO search span clipped to "
+                f"±{m.lo_span_eff_hz:.1f} Hz (requested "
+                f"±{lo_span_hz:.1f}): max_lag {cfg.max_lag} forces a "
+                f"segment longer than the span allows — an LO offset "
+                f"beyond the clipped span aliases (costing coherence); "
+                f"lower --max-lag if clocks permit, or use "
+                f"--match-mode audio (LO-immune)"
+            )
 
     toa = np.asarray(m.toa_samples, np.float64)
     toa_std = np.asarray(m.toa_std, np.float64)
