@@ -252,8 +252,16 @@ def main() -> None:
                 total_samples / full_s / 1e6, 2
             ),
             # The <1 s north star is defined for the 100 s capture.
+            # Two verdicts: the raw wall number includes this
+            # environment's remote-tunnel link (see link_mb_per_s);
+            # the device-path verdict is the same program with the
+            # capture bytes pre-staged — what a deployed host with a
+            # PCIe link (~10+ GB/s ⇒ +~0.1 s for 1.2 GB) would see.
             "beats_1s_target": (bool(full_s < 1.0) if seconds >= 100
                                 else None),
+            "beats_1s_target_device_path": (
+                bool(device_path_s < 1.0) if seconds >= 100 else None
+            ),
         }
 
     print(
