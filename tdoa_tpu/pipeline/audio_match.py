@@ -300,6 +300,75 @@ class AudioMatchResult:
     warnings: List[str] = dataclasses.field(default_factory=list)
 
 
+def cross_validation_warnings(
+    corrected: np.ndarray,  # [m] template clock-corrected TDOAs, samples
+    sigma: np.ndarray,  # [m] template per-pair 1σ, samples
+    pairwise,  # TDOAResult — the standard pipeline's result
+    fix,  # FixResult from the template TDOAs
+    names: Sequence[str],
+    pairs: np.ndarray,
+    fs: float,
+) -> List[str]:
+    """Template-vs-pairwise cross-validation (the doc's validation
+    ladder): disagreement is a warning, not an error — the operator
+    decides which measurement to trust. Two rungs:
+
+    1. Per-pair: |pairwise − template| against the COMBINED σ
+       (template ⊕ pairwise). Gating on the template σ alone at a
+       slack multiple let a 3.6σ disagreement — a 12-sample template
+       error and a 2 km bad fix — pass silently (Monte Carlo seed
+       21908). Floor 3.0 samples keeps clean captures quiet
+       (agreement there is sub-sample).
+    2. Fix separation: the two fixes must agree within 3σ of their
+       combined error ellipses. Per-pair tails can each sit just under
+       rung 1 while their joint effect moves the fix kilometers; the
+       separation catches that accumulation directly. Floor 50 m.
+    """
+    out: List[str] = []
+    pw = np.asarray(pairwise.corrected_tdoa_samples, np.float64)
+    pw_sig = (
+        np.asarray(pairwise.tdoa_std_s, np.float64) * fs
+        if pairwise.tdoa_std_s is not None
+        else np.zeros_like(pw)
+    )
+    disagree = np.abs(pw - corrected)
+    comb = np.sqrt(np.asarray(sigma, np.float64) ** 2 + pw_sig**2)
+    bad = disagree > np.maximum(3.0, 3.5 * comb)
+    if bad.any():
+        worst = int(np.argmax(disagree / np.maximum(comb, 1e-9)))
+        i, j = pairs[worst]
+        out.append(
+            f"template and pairwise TDOAs disagree on {int(bad.sum())} "
+            f"pair(s); worst {names[i]}-{names[j]}: "
+            f"{disagree[worst]:.2f} samples "
+            f"({disagree[worst] / max(comb[worst], 1e-9):.1f}σ combined)"
+        )
+
+    if (
+        fix.ellipse is not None
+        and pairwise.fix.ellipse is not None
+        and np.isfinite([fix.lat, fix.lon,
+                         pairwise.fix.lat, pairwise.fix.lon]).all()
+    ):
+        from tdoa_tpu.geo import lla_to_enu
+
+        sep = float(np.linalg.norm(lla_to_enu(
+            np.array([fix.lat, fix.lon, pairwise.fix.elev]),
+            np.array([pairwise.fix.lat, pairwise.fix.lon,
+                      pairwise.fix.elev]),
+        )[:2]))
+        allow = 3.0 * (fix.ellipse[0] + pairwise.fix.ellipse[0])
+        if sep > max(allow, 50.0):
+            out.append(
+                f"template fix and pairwise fix are {sep:.0f} m apart "
+                f"(vs {allow:.0f} m at 3σ of the combined ellipses) — "
+                "one of the two measurements is biased; compare "
+                "per-pair TDOAs and the match quality before trusting "
+                "either"
+            )
+    return out
+
+
 def match_captures(
     processor,  # TDOAProcessor
     captures: Dict[str, Tuple],
@@ -413,20 +482,11 @@ def match_captures(
         solve_z=cfg.solve_z, tdoa_sigma_s=sigma / fs,
     )
 
-    # Cross-validation against the pairwise pipeline (the doc's
-    # validation ladder): large disagreement on any pair is a warning,
-    # not an error — the operator decides which measurement to trust.
-    pw = np.asarray(pairwise.corrected_tdoa_samples, np.float64)
-    disagree = np.abs(pw - corrected)
-    bad = disagree > np.maximum(4.0, 6.0 * sigma)
-    if bad.any():
-        worst = int(np.argmax(disagree))
-        i, j = pairs[worst]
-        warnings.append(
-            f"template and pairwise TDOAs disagree on {int(bad.sum())} "
-            f"pair(s); worst {names[i]}-{names[j]}: "
-            f"{disagree[worst]:.2f} samples"
+    warnings.extend(
+        cross_validation_warnings(
+            corrected, sigma, pairwise, fix, names, pairs, fs
         )
+    )
 
     return AudioMatchResult(
         station_names=names,

@@ -315,3 +315,71 @@ def test_audio_match_cli_json(omaha_stations, station_csv, tmp_path):
     assert np.abs(np.sort(np.abs(got)) - np.sort(np.abs(want))).max() < 3.0
     assert out["fix"]["lat"] == pytest.approx(scene.tgt_tx_lla[0], abs=0.05)
     assert out["covered_fraction"] > 0.99
+
+
+# ------------------------------------------- cross-validation gates
+
+
+def _fake_fix(lat, lon, semi_major):
+    from tdoa_tpu.solve.multilateration import FixResult
+
+    return FixResult(
+        lat=lat, lon=lon, elev=300.0, enu=np.zeros(3),
+        rms_residual_m=1.0, origin_lla=np.array([lat, lon, 300.0]),
+        ellipse=(semi_major, semi_major / 2, 0.0),
+    )
+
+
+def _fake_pairwise(tdoa_samples, std_samples, fix):
+    class PW:
+        corrected_tdoa_samples = np.asarray(tdoa_samples, np.float64)
+        tdoa_std_s = np.asarray(std_samples, np.float64) / FS
+    PW.fix = fix
+    return PW
+
+
+def test_cross_validation_flags_seed_21908_numbers():
+    """Regression: the Monte Carlo silent failure (seed 21908) — a
+    12-sample template error at ~3.6σ of the combined error bar and a
+    2 km fix separation — must raise BOTH cross-validation warnings
+    (the old 6σ-of-template-σ gate let it through silently)."""
+    from tdoa_tpu.pipeline.audio_match import cross_validation_warnings
+
+    names = ("st0", "st1", "st2")
+    pairs = np.array([[0, 1], [0, 2], [1, 2]])
+    # The trial's actual numbers: template vs pairwise disagreement
+    # [3.84, 13.44, 9.59] samples, template pair sigma from toa_std
+    # [1.908, 0.657, 3.197] -> [2.02, 3.72, 3.26].
+    corrected = np.array([-12.029, 52.831, 64.859])
+    pw_tdoa = np.array([-15.869, 39.392, 55.266])
+    sigma = np.array([2.02, 3.72, 3.26])
+    fix_t = _fake_fix(41.28, -95.98, 300.0)  # ~2 km north of pairwise
+    fix_p = _fake_fix(41.262, -95.98, 120.0)
+    pw = _fake_pairwise(pw_tdoa, np.full(3, 0.05), fix_p)
+
+    warns = cross_validation_warnings(
+        corrected, sigma, pw, fix_t, names, pairs, FS
+    )
+    assert len(warns) == 2
+    assert "disagree" in warns[0]
+    assert "fix" in warns[1] and "apart" in warns[1]
+
+
+def test_cross_validation_quiet_on_agreement():
+    """Sub-sample disagreement and nearby fixes stay below both floors
+    (3 samples / 50 m) even with tiny reported sigmas."""
+    from tdoa_tpu.pipeline.audio_match import cross_validation_warnings
+
+    names = ("st0", "st1", "st2")
+    pairs = np.array([[0, 1], [0, 2], [1, 2]])
+    corrected = np.array([-15.5, 39.8, 55.4])
+    pw_tdoa = np.array([-15.9, 39.4, 55.3])
+    sigma = np.full(3, 0.05)  # rf-mode 1/PSR proxy: optimistic
+    fix_t = _fake_fix(41.2621, -95.98, 80.0)
+    fix_p = _fake_fix(41.2620, -95.98, 80.0)  # ~11 m apart
+    pw = _fake_pairwise(pw_tdoa, np.full(3, 0.05), fix_p)
+
+    warns = cross_validation_warnings(
+        corrected, sigma, pw, fix_t, names, pairs, FS
+    )
+    assert warns == []
