@@ -18,9 +18,9 @@
 //                             sanitizer-provable) without hardware.
 //  - MakeUsbDevice: the RTL2832U protocol driver implementing Device on
 //    top of any UsbTransport: baseband init, demod register writes,
-//    I2C-repeater discipline, R82xx tuner programming (PLL, gain,
-//    bandwidth), EEPROM access, and the ordered async bulk engine built
-//    on OrderedTransferQueue.
+//    I2C-repeater discipline, tuner programming (R82xx low-IF and
+//    E4000 zero-IF: PLL, gain, filters, offset tuning), EEPROM access,
+//    and the ordered async bulk engine built on OrderedTransferQueue.
 #pragma once
 
 #include <atomic>
@@ -100,8 +100,15 @@ std::unique_ptr<Device> MakeUsbDeviceByIndex(uint32_t index);
 // ---------------------------------------------------------------------
 // Mock transport (tests / CI — this environment has no SDR hardware).
 
+// Which tuner chip the mock dongle carries. The probe order and
+// per-chip protocol differ (librtlsdr.c:1500-1546): R82xx answers
+// 0x69 at reg 0 with bit-reversed reads; the E4000 answers 0x40 at
+// reg 2 with plain pointer reads.
+enum class MockTunerModel : uint8_t { kR828d, kE4000 };
+
 struct MockUsbOptions {
   uint64_t seed = 1;
+  MockTunerModel tuner = MockTunerModel::kR828d;
   // Complete bulk transfers out of submission order (pairwise swap) to
   // exercise the engine's re-ordering. The byte stream itself stays in
   // logical order — exactly how real USB behaves: data is ordered on

@@ -35,8 +35,10 @@ namespace sdrcap {
 namespace {
 
 constexpr uint8_t kR828dI2cAddr = 0x74;
+constexpr uint8_t kE4kI2cAddr = 0xc8;
 constexpr uint8_t kEepromAddr = 0xa0;
 constexpr uint32_t kR828dXtalHz = 16'000'000;
+constexpr uint32_t kRtlXtalHz = 28'800'000;  // E4000 runs off this
 
 uint8_t bitrev(uint8_t b) {
   b = (uint8_t)(((b & 0xf0) >> 4) | ((b & 0x0f) << 4));
@@ -64,6 +66,11 @@ class MockUsbTransport final : public UsbTransport {
     tuner_status_[0] = bitrev(0x69);  // so the RAW probe read is 0x69
     tuner_status_[2] = 0x40;
     tuner_status_[4] = (uint8_t)((1 << 4) | 0x04);
+    // E4000 register file: chip id 0x40 at reg 2 (E4K_CHECK_ADDR/VAL),
+    // PLL lock bit in SYNTH1 bit 0 (tuner_e4k.c:592-597) — band writes
+    // read-modify only bits 1-2, so the lock indication persists.
+    e4k_regs_[0x02] = 0x40;
+    e4k_regs_[0x07] = 0x01;
   }
 
   int control_transfer(bool in, uint16_t value, uint16_t index,
@@ -229,6 +236,12 @@ class MockUsbTransport final : public UsbTransport {
         data[i] = eeprom_[(eeprom_ptr_++) & 0xff];
       return len;
     }
+    if (opts_.tuner == MockTunerModel::kE4000) {
+      if (i2c_addr == kE4kI2cAddr) return e4k_xfer(in, data, len);
+      // R82xx addresses float: their probes must miss.
+      if (in) std::memset(data, 0, len);
+      return len;
+    }
     if (i2c_addr != kR828dI2cAddr) {
       // No chip at this address: reads float to 0, writes vanish —
       // how the real bus answers the R820T/E4000/FC001x probes.
@@ -254,6 +267,55 @@ class MockUsbTransport final : public UsbTransport {
       data[i] = bitrev(logical);
     }
     return len;
+  }
+
+  // E4000 I2C semantics (tuner_e4k.c:57-101): writes are
+  // [start_reg, values...] with auto-increment; a 1-byte write sets the
+  // read pointer; reads return plain (NOT bit-reversed) register
+  // values from the pointer onward.
+  int e4k_xfer(bool in, uint8_t* data, uint16_t len) {
+    if (!state_->repeater_on.load())
+      state_->repeater_violations.fetch_add(1);
+    if (!in) {
+      if (len >= 1) e4k_ptr_ = data[0];
+      for (int i = 1; i < len; ++i)
+        e4k_regs_[(e4k_ptr_ + i - 1) & 0xff] = data[i];
+      if (len > 1) decode_e4k();
+      return len;
+    }
+    for (int i = 0; i < len; ++i) data[i] = e4k_regs_[(e4k_ptr_++) & 0xff];
+    return len;
+  }
+
+  // Invert the E4000 synth programming (tuner_e4k.c:481-560) back to
+  // the LO: flo = fosc * (Z + X/65536) / R, with R from the SYNTH7
+  // band value (tuner_e4k.c:359-370).
+  void decode_e4k() {
+    uint32_t mult = 0;
+    switch (e4k_regs_[0x0d]) {  // SYNTH7
+      case (1 << 3) | 7: mult = 48; break;
+      case (1 << 3) | 6: mult = 40; break;
+      case (1 << 3) | 5: mult = 32; break;
+      case (1 << 3) | 4: mult = 24; break;
+      case (1 << 3) | 3: mult = 16; break;
+      case (1 << 3) | 2: mult = 12; break;
+      case (1 << 3) | 1: mult = 8; break;
+      case 3: mult = 8; break;
+      case 2: mult = 6; break;
+      case 1: mult = 4; break;
+      default: mult = 0; break;
+    }
+    if (mult) {
+      const uint8_t z = e4k_regs_[0x09];
+      const uint32_t x =
+          (uint32_t)e4k_regs_[0x0a] | ((uint32_t)e4k_regs_[0x0b] << 8);
+      const double fvco = (double)kRtlXtalHz * (z + x / 65536.0);
+      state_->tuner_lo_hz.store((uint32_t)(fvco / mult + 0.5));
+    }
+    state_->lna_index.store(e4k_regs_[0x14] & 0x0f);        // GAIN1
+    state_->mixer_index.store(e4k_regs_[0x15] & 0x01);      // GAIN2
+    // AGC1 mod field 0x0 = serial (manual), 0x9 = LNA autonomous.
+    state_->tuner_manual_gain.store((e4k_regs_[0x1a] & 0x0f) == 0x00);
   }
 
   // Invert the R82xx PLL programming (tuner_r82xx.c:417-527) back into
@@ -308,6 +370,8 @@ class MockUsbTransport final : public UsbTransport {
   uint8_t tuner_regs_[256] = {};
   uint8_t tuner_ptr_ = 0;
   uint8_t tuner_status_[5] = {};
+  uint8_t e4k_regs_[256] = {};
+  uint8_t e4k_ptr_ = 0;
   std::deque<Pending> pending_;
   std::deque<Pending> reaped_;  // cancelled, awaiting delivery
   uint64_t byte_counter_ = 0;

@@ -6,15 +6,18 @@
 // baseband bring-up (librtlsdr.c:585-674), IF/DDC and resampler math
 // (librtlsdr.c:686-714, 1062-1126), tuner probe + R82xx-specific demod
 // config (librtlsdr.c:1407-1580), graceful async cancel and
-// device-lost tracking (librtlsdr.c:1655-1914). The R82xx tuner logic
-// follows tuner_r82xx.c (capability level: PLL/frequency, gain,
-// standard/filter init for the R820T/R828D the project deploys —
-// README.md:37). All code is a fresh C++ design: class-based, shadow
-// state, OrderedTransferQueue engine; no C translation.
+// device-lost tracking (librtlsdr.c:1655-1914). Tuner programming is
+// capability-level for the chips deployments actually carry: R82xx
+// (tuner_r82xx.c — the R820T/R828D the project deploys, README.md:37)
+// and the Elonics E4000 (tuner_e4k.c — zero-IF, the one chip with
+// offset tuning, librtlsdr.c:1222). All code is a fresh C++ design:
+// class-based, shadow state, OrderedTransferQueue engine; no C
+// translation.
 #include "sdrcap/usb.h"
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <chrono>
 #include <cstdio>
 #include <cstring>
@@ -142,6 +145,34 @@ class RepeaterScope {
   RegIo& io_;
 };
 
+// --- tuner abstraction ------------------------------------------------
+// The reference dispatches tuner ops through a function table
+// (librtlsdr.c:269-312). Here each chip implements TunerChip; the
+// device driver consults if_freq_hz() to pick the demod datapath
+// (low-IF single-ADC for R82xx, zero-IF dual-ADC for E4000 —
+// librtlsdr.c:1556-1580 vs the init_baseband defaults).
+
+class TunerChip {
+ public:
+  virtual ~TunerChip() = default;
+  virtual bool init() = 0;
+  virtual bool set_freq(uint32_t freq_hz) = 0;
+  virtual bool set_gain_manual(int tenth_db) = 0;
+  virtual bool standby() = 0;
+  virtual void set_xtal(uint32_t hz) = 0;
+  // 0 means zero-IF (tuner LO sits on the target frequency).
+  virtual uint32_t if_freq_hz() const = 0;
+  // Snap to the chip's discrete gain ladder (convenience.c:112-137).
+  virtual double nearest_gain_db(double requested_db) const = 0;
+  // E4000-only (librtlsdr.c:1222-1232 returns -2 on R82xx).
+  virtual bool supports_offset_tuning() const { return false; }
+  // Offset tuning re-centers the IF filters (librtlsdr.c:1240-1245).
+  virtual bool set_bandwidth(uint32_t bw_hz) {
+    (void)bw_hz;
+    return true;
+  }
+};
+
 // --- R82xx tuner (tuner_r82xx.c, capability level) -------------------
 
 // Chip register init values (tuner_r82xx.c:41-49) and per-band RF mux
@@ -174,17 +205,20 @@ constexpr int kLnaSteps[16] = {0, 9,  13, 40, 38, 13, 31, 22,
 constexpr int kMixerSteps[16] = {0,  5,  10, 10, 19, 9, 10, 25,
                                  17, 10, 8,  16, 13, 6, 3,  -8};
 
-class R82xxTuner {
+class R82xxTuner final : public TunerChip {
  public:
   R82xxTuner(RegIo& io, uint8_t i2c_addr, uint32_t xtal_hz, bool is_828d)
       : io_(io), i2c_addr_(i2c_addr), xtal_hz_(xtal_hz), is_828d_(is_828d) {}
 
-  uint32_t if_freq_hz() const { return kR82xxIfHz; }
-  void set_xtal(uint32_t hz) { xtal_hz_ = hz; }
+  uint32_t if_freq_hz() const override { return kR82xxIfHz; }
+  void set_xtal(uint32_t hz) override { xtal_hz_ = hz; }
+  double nearest_gain_db(double requested_db) const override {
+    return NearestGainDb(requested_db);  // R820T ladder
+  }
 
   // tuner_r82xx.c:1221-1243: register init + digital-TV standard
   // (filter calibration) + system frequency selection.
-  bool init() {
+  bool init() override {
     std::memcpy(shadow_, kR82xxInit, sizeof(kR82xxInit));
     if (write(0x05, kR82xxInit, sizeof(kR82xxInit)) < 0) return false;
     if (!set_tv_standard()) return false;
@@ -192,7 +226,7 @@ class R82xxTuner {
   }
 
   // tuner_r82xx.c:1076-1110: LO = RF + IF, band mux, then PLL.
-  bool set_freq(uint32_t freq_hz) {
+  bool set_freq(uint32_t freq_hz) override {
     uint32_t lo = freq_hz + kR82xxIfHz;
     if (!set_mux(lo) || !set_pll(lo)) return false;
     if (is_828d_) {
@@ -208,7 +242,7 @@ class R82xxTuner {
 
   // tuner_r82xx.c:1007-1074: manual gain splits across LNA and mixer
   // steps; VGA pinned at a fixed index.
-  bool set_gain_manual(int tenth_db) {
+  bool set_gain_manual(int tenth_db) override {
     if (write_mask(0x05, 0x10, 0x10) < 0) return false;  // LNA auto off
     if (write_mask(0x07, 0x00, 0x10) < 0) return false;  // mixer auto off
     if (write_mask(0x0c, 0x08, 0x9f) < 0) return false;  // VGA 16.3 dB
@@ -230,7 +264,7 @@ class R82xxTuner {
   }
 
   // tuner_r82xx.c:1112-1153.
-  bool standby() {
+  bool standby() override {
     static constexpr uint8_t kRegs[][2] = {
         {0x06, 0xb1}, {0x05, 0x03}, {0x07, 0x3a}, {0x08, 0x40},
         {0x09, 0xc0}, {0x0a, 0x36}, {0x0c, 0x35}, {0x0f, 0x68},
@@ -440,6 +474,249 @@ class R82xxTuner {
   uint8_t shadow_[27] = {};  // regs 0x05..0x1f
 };
 
+// --- E4000 tuner (tuner_e4k.c, capability level) ----------------------
+// Zero-IF chip: the LO sits directly on the target frequency
+// (librtlsdr.c:1556-1580 leaves the init_baseband zero-IF datapath in
+// place for it). Programmed: PLL (R-divider band table + integer-Z +
+// 16-bit fractional-X synth, tuner_e4k.c:359-370, 481-560), band/bias
+// + RF tracking filter (tuner_e4k.c:448-472, 151-221), LNA/mixer
+// manual gain (tuner_e4k.c:645-770, librtlsdr.c:175-191), IF filter
+// bandwidths (tuner_e4k.c:230-303), standby (tuner_e4k.c:895-901).
+
+constexpr uint8_t kE4kI2cAddr = 0xc8;   // E4K_I2C_ADDR
+constexpr uint8_t kE4kCheckReg = 0x02;  // E4K_CHECK_ADDR
+constexpr uint8_t kE4kCheckVal = 0x40;  // E4K_CHECK_VAL
+
+// PLL R-divider selection: below each frequency, the SYNTH7 register
+// value and the total VCO multiplier (tuner_e4k.c:359-370; bit 3 of
+// SYNTH7 = 3-phase mixing below 350 MHz).
+struct E4kPllVar {
+  uint32_t below_hz;
+  uint8_t reg_synth7;
+  uint8_t mult;
+};
+constexpr E4kPllVar kE4kPllVars[] = {
+    {72'400'000, (1 << 3) | 7, 48}, {81'200'000, (1 << 3) | 6, 40},
+    {108'300'000, (1 << 3) | 5, 32}, {162'500'000, (1 << 3) | 4, 24},
+    {216'600'000, (1 << 3) | 3, 16}, {325'000'000, (1 << 3) | 2, 12},
+    {350'000'000, (1 << 3) | 1, 8},  {432'000'000, 3, 8},
+    {667'000'000, 2, 6},             {1'200'000'000, 1, 4}};
+
+// Manual gain ladder in tenths of dB (librtlsdr.c:963-964) and the
+// LNA dB -> register-index map (tuner_e4k.c:645-659).
+constexpr int kE4kGainsTenthDb[] = {-10, 15,  40,  65,  90,  115, 140,
+                                    165, 190, 215, 240, 290, 340, 420};
+struct E4kLnaStep {
+  int tenth_db;
+  uint8_t index;
+};
+constexpr E4kLnaStep kE4kLnaSteps[] = {
+    {-50, 0}, {-25, 1}, {0, 4},    {25, 5},   {50, 6},   {75, 7},
+    {100, 8}, {125, 9}, {150, 10}, {175, 11}, {200, 12}, {250, 13},
+    {300, 14}};
+
+// RF tracking-filter band centers (tuner_e4k.c:151-164).
+constexpr uint32_t kE4kUhfFiltMhz[] = {360, 380, 405, 425, 450, 475,
+                                       505, 540, 575, 615, 670, 720,
+                                       760, 840, 890, 970};
+constexpr uint32_t kE4kLFiltMhz[] = {1300, 1320, 1360, 1410, 1445, 1460,
+                                     1490, 1530, 1560, 1590, 1640, 1660,
+                                     1680, 1700, 1720, 1750};
+
+// IF filter bandwidth tables in kHz (tuner_e4k.c:223-249): mixer
+// (FILT2[7:4]), RC (FILT2[3:0]), channel (FILT3[4:0]).
+constexpr uint32_t kE4kMixBwKhz[] = {27000, 27000, 27000, 27000, 27000,
+                                     27000, 27000, 27000, 4600,  4200,
+                                     3800,  3400,  3300,  2700,  2300,
+                                     1900};
+constexpr uint32_t kE4kRcBwKhz[] = {21400, 21000, 17600, 14700, 12400,
+                                    10600, 9000,  7700,  6400,  5300,
+                                    4400,  3400,  2600,  1800,  1200,
+                                    1000};
+constexpr uint32_t kE4kChanBwKhz[] = {
+    5500, 5300, 5000, 4800, 4600, 4400, 4300, 4100, 3900, 3800, 3700,
+    3600, 3400, 3300, 3200, 3100, 3000, 2950, 2900, 2800, 2750, 2700,
+    2600, 2550, 2500, 2450, 2400, 2300, 2280, 2240, 2200, 2150};
+
+class E4kTuner final : public TunerChip {
+ public:
+  E4kTuner(RegIo& io, uint32_t xtal_hz) : io_(io), fosc_(xtal_hz) {}
+
+  uint32_t if_freq_hz() const override { return 0; }  // zero-IF
+  void set_xtal(uint32_t hz) override { fosc_ = hz; }
+  bool supports_offset_tuning() const override { return true; }
+
+  double nearest_gain_db(double requested_db) const override {
+    double best = kE4kGainsTenthDb[0] / 10.0, err = 1e18;
+    for (int g : kE4kGainsTenthDb) {
+      double e = std::abs(requested_db - g / 10.0);
+      if (e < err) {
+        err = e;
+        best = g / 10.0;
+      }
+    }
+    return best;
+  }
+
+  // e4k_init (tuner_e4k.c:922-1002): reset + POR clear, clock config,
+  // the documented "magic" analog block, AGC thresholds, serial LNA
+  // AGC mode, manual mixer gain, moderate IF gains, narrowest IF
+  // filters, time-variant DC correction off.
+  bool init() override {
+    uint8_t scratch;
+    read(0x00, &scratch, 1);  // dummy access, not ACKed on silicon
+    if (write_reg(0x00, 0x07) < 0) return false;  // MASTER1: reset|stby|por
+    write_reg(0x05, 0x00);  // CLK_INP
+    write_reg(0x06, 0x00);  // REF_CLK
+    write_reg(0x7a, 0x96);  // CLKOUT_PWDN
+    // magic_init (tuner_e4k.c:906-919).
+    write_reg(0x7e, 0x01);
+    write_reg(0x7f, 0xfe);
+    write_reg(0x82, 0x00);
+    write_reg(0x86, 0x50);
+    write_reg(0x87, 0x20);
+    write_reg(0x88, 0x01);
+    write_reg(0x9f, 0x7f);
+    write_reg(0xa0, 0x07);
+    write_reg(0x1d, 0x10);  // AGC4 high threshold
+    write_reg(0x1e, 0x04);  // AGC5 low threshold
+    write_reg(0x1f, 0x1a);  // AGC6 LNA calib + loop rate
+    if (set_mask(0x1a, 0x0f, 0x00) < 0) return false;  // LNA AGC serial
+    if (set_mask(0x20, 0x01, 0x00) < 0) return false;  // mixer manual
+    set_gain_auto();
+    // Moderate IF gains: stage1 +6 dB, stage5/6 +9 dB
+    // (tuner_e4k.c:979-984; GAIN3/GAIN4 fields at :632-640).
+    set_mask(0x16, 0x7f, 0x01);
+    set_mask(0x17, 0x3f, (uint8_t)((2 << 3) | 2));
+    // Narrowest IF filters: mix 1.9 MHz, RC 1.0 MHz, chan 2.15 MHz
+    // (tuner_e4k.c:994-998) + channel filter enabled.
+    set_bandwidth_khz(1900, 1000, 2150);
+    set_mask(0x12, 0x20, 0x00);  // FILT3 chan-filter disable bit off
+    // Time-variant DC correction + LUT off (tuner_e4k.c:999-1001).
+    set_mask(0x2d, 0x03, 0x00);
+    set_mask(0x70, 0x03, 0x00);
+    return set_mask(0x71, 0x03, 0x00) >= 0;
+  }
+
+  // e4k_tune_freq (tuner_e4k.c:572-600): compute the R-divider, the
+  // integer Z and fractional X (Y = 65536), program SYNTH3/4/5/7,
+  // verify PLL lock (SYNTH1 bit 0), then band + RF filter.
+  bool set_freq(uint32_t freq_hz) override {
+    const E4kPllVar* var = nullptr;
+    for (const auto& v : kE4kPllVars) {
+      if (freq_hz < v.below_hz) {
+        var = &v;
+        break;
+      }
+    }
+    if (var == nullptr) return false;  // above 1.2 GHz synth range
+    const uint64_t fvco = (uint64_t)freq_hz * var->mult;
+    const uint8_t z = (uint8_t)(fvco / fosc_);
+    const uint64_t remainder = fvco - (uint64_t)fosc_ * z;
+    const uint16_t x = (uint16_t)((remainder * 65536) / fosc_);
+    if (write_reg(0x0d, var->reg_synth7) < 0) return false;  // SYNTH7
+    write_reg(0x09, z);                       // SYNTH3
+    write_reg(0x0a, (uint8_t)(x & 0xff));     // SYNTH4
+    write_reg(0x0b, (uint8_t)(x >> 8));       // SYNTH5
+    // PLL lock check (tuner_e4k.c:592-597).
+    uint8_t synth1 = 0;
+    if (read(0x07, &synth1, 1) < 0 || !(synth1 & 0x01)) return false;
+    // Band + bias (tuner_e4k.c:448-472), with the 325-350 MHz gap
+    // workaround: clear the band field before setting it.
+    uint8_t band;  // E4K_BAND_*: VHF2 0, VHF3 1, UHF 2, L 3
+    if (freq_hz < 140'000'000) band = 0;
+    else if (freq_hz < 350'000'000) band = 1;
+    else if (freq_hz < 1'135'000'000) band = 2;
+    else band = 3;
+    write_reg(0x78, band == 3 ? 0x00 : 0x03);  // BIAS
+    set_mask(0x07, 0x06, 0x00);
+    set_mask(0x07, 0x06, (uint8_t)(band << 1));
+    // RF tracking filter (tuner_e4k.c:184-221): FILT1[3:0].
+    uint8_t filt = 0;
+    const uint32_t mhz = freq_hz / 1'000'000;
+    if (band == 2) filt = closest_idx(kE4kUhfFiltMhz, 16, mhz);
+    else if (band == 3) filt = closest_idx(kE4kLFiltMhz, 16, mhz);
+    return set_mask(0x10, 0x0f, filt) >= 0;
+  }
+
+  // librtlsdr.c:175-191 e4000_set_gain: mixer takes 12 dB above
+  // 34 dB total, else 4 dB; the LNA absorbs the rest.
+  bool set_gain_manual(int tenth_db) override {
+    // Manual modes on (e4k_enable_manual_gain, tuner_e4k.c:695-713).
+    if (set_mask(0x1a, 0x0f, 0x00) < 0) return false;
+    if (set_mask(0x20, 0x01, 0x00) < 0) return false;
+    set_mask(0x24, 0x07, 0x00);  // AGC11: LNA gain enhancement off
+    const int mixgain = (tenth_db > 340) ? 12 : 4;
+    const int lna = std::min(300, tenth_db - mixgain * 10);
+    uint8_t lna_idx = 0;
+    for (const auto& s : kE4kLnaSteps)
+      if (s.tenth_db <= lna) lna_idx = s.index;
+    if (set_mask(0x14, 0x0f, lna_idx) < 0) return false;  // GAIN1
+    // e4k_mixer_gain_set (tuner_e4k.c:754-770): GAIN2 bit 0.
+    return set_mask(0x15, 0x01, mixgain == 12 ? 0x01 : 0x00) >= 0;
+  }
+
+  bool set_gain_auto() {
+    // e4k_enable_manual_gain(0): LNA AGC autonomous + IF serial,
+    // mixer AGC on (tuner_e4k.c:703-711).
+    if (set_mask(0x1a, 0x0f, 0x09) < 0) return false;
+    if (set_mask(0x20, 0x01, 0x01) < 0) return false;
+    return set_mask(0x24, 0x07, 0x00) >= 0;
+  }
+
+  // Offset tuning widens/narrows all three IF filters around the
+  // shifted IF (librtlsdr.c:1240-1245 -> e4000_set_bw).
+  bool set_bandwidth(uint32_t bw_hz) override {
+    const uint32_t khz = bw_hz / 1000;
+    return set_bandwidth_khz(khz, khz, khz);
+  }
+
+  // e4k_standby (tuner_e4k.c:895-901): clear MASTER1 NORM_STBY.
+  bool standby() override { return set_mask(0x00, 0x02, 0x00) >= 0; }
+
+ private:
+  static uint8_t closest_idx(const uint32_t* arr, int n, uint32_t v) {
+    int best = 0;
+    uint32_t best_d = ~0u;
+    for (int i = 0; i < n; ++i) {
+      uint32_t d = arr[i] > v ? arr[i] - v : v - arr[i];
+      if (d < best_d) {
+        best_d = d;
+        best = i;
+      }
+    }
+    return (uint8_t)best;
+  }
+
+  bool set_bandwidth_khz(uint32_t mix, uint32_t rc, uint32_t chan) {
+    const uint8_t mi = closest_idx(kE4kMixBwKhz, 16, mix);
+    const uint8_t ri = closest_idx(kE4kRcBwKhz, 16, rc);
+    const uint8_t ci = closest_idx(kE4kChanBwKhz, 32, chan);
+    if (set_mask(0x11, 0xf0, (uint8_t)(mi << 4)) < 0) return false;
+    if (set_mask(0x11, 0x0f, ri) < 0) return false;
+    return set_mask(0x12, 0x1f, ci) >= 0;
+  }
+
+  // E4K register access: plain [reg, value] writes, pointer reads —
+  // no bit-reversal (that is an R82xx quirk). tuner_e4k.c:57-77.
+  int write_reg(uint8_t reg, uint8_t val) {
+    uint8_t buf[2] = {reg, val};
+    return io_.i2c_write(kE4kI2cAddr, buf, 2) == 2 ? 0 : -1;
+  }
+  int read(uint8_t reg, uint8_t* out, int len) {
+    if (io_.i2c_write(kE4kI2cAddr, &reg, 1) < 1) return -1;
+    return io_.i2c_read(kE4kI2cAddr, out, len) == len ? 0 : -1;
+  }
+  int set_mask(uint8_t reg, uint8_t mask, uint8_t val) {
+    uint8_t cur = 0;
+    if (read(reg, &cur, 1) < 0) return -1;
+    return write_reg(reg, (uint8_t)((cur & ~mask) | (val & mask)));
+  }
+
+  RegIo& io_;
+  uint32_t fosc_;
+};
+
 // --- the Device implementation ---------------------------------------
 
 class RtlUsbDevice final : public Device {
@@ -459,7 +736,8 @@ class RtlUsbDevice final : public Device {
   }
 
   // Open-time bring-up (librtlsdr.c:1445-1580): dummy write, baseband
-  // init, tuner probe, R82xx demod configuration, tuner init.
+  // init, tuner probe (E4000 first, then R820T/R828D — the reference's
+  // order, librtlsdr.c:1500-1530), per-chip demod datapath, tuner init.
   bool init() {
     // Dummy write probes liveness (librtlsdr.c:1500-1504).
     if (io_.write_reg(kUsb, kUsbSysctl, 0x09, 1) < 0) return false;
@@ -467,7 +745,10 @@ class RtlUsbDevice final : public Device {
 
     {
       RepeaterScope rep(io_);
-      if (io_.i2c_read_reg(kR820tI2cAddr, 0x00) == kR82xxCheckVal) {
+      if (io_.i2c_read_reg(kE4kI2cAddr, kE4kCheckReg) == kE4kCheckVal) {
+        tuner_xtal_ = kRtlXtalHz;  // E4000 runs off the RTL crystal
+        tuner_.reset(new E4kTuner(io_, tuner_xtal_));
+      } else if (io_.i2c_read_reg(kR820tI2cAddr, 0x00) == kR82xxCheckVal) {
         tuner_xtal_ = kRtlXtalHz;
         tuner_.reset(
             new R82xxTuner(io_, kR820tI2cAddr, tuner_xtal_, false));
@@ -477,16 +758,12 @@ class RtlUsbDevice final : public Device {
             new R82xxTuner(io_, kR828dI2cAddr, tuner_xtal_, true));
       } else {
         // Capability scope: the deployed hardware is R820T/R828D
-        // (README.md:37); other tuners fail the open cleanly.
-        std::fprintf(stderr, "sdrcap-usb: no R82xx tuner found\n");
+        // (README.md:37) and E4000 is the common alternative; the
+        // FC001x/FC2580 chips fail the open cleanly.
+        std::fprintf(stderr, "sdrcap-usb: no supported tuner found\n");
         return false;
       }
-      // R82xx runs low-IF: disable Zero-IF, I-ADC only, IF 3.57 MHz,
-      // spectrum inversion (librtlsdr.c:1560-1574).
-      io_.demod_write(1, 0xb1, 0x1a, 1);
-      io_.demod_write(0, 0x08, 0x4d, 1);
-      set_if_freq(kR82xxIfHz);
-      io_.demod_write(1, 0x15, 0x01, 1);
+      apply_tuner_datapath();
       if (!tuner_->init()) return false;
     }
     return true;
@@ -509,6 +786,9 @@ class RtlUsbDevice final : public Device {
     // Soft reset (librtlsdr.c:1116-1118).
     io_.demod_write(1, 0x01, 0x14, 1);
     io_.demod_write(1, 0x01, 0x10, 1);
+    // The offset-tuning shift is derived from the rate; recompute it
+    // (librtlsdr.c:1120-1123).
+    if (offs_freq_) return set_offset_tuning(true);
     return true;
   }
 
@@ -518,8 +798,10 @@ class RtlUsbDevice final : public Device {
       freq_ = freq_hz;
       return true;
     }
+    // With offset tuning active the LO sits offs_freq below the target
+    // and the DDC shifts it back (librtlsdr.c:897-901).
     RepeaterScope rep(io_);
-    if (!tuner_->set_freq(freq_hz)) {
+    if (!tuner_->set_freq(freq_hz - offs_freq_)) {
       freq_ = 0;
       return false;
     }
@@ -528,7 +810,7 @@ class RtlUsbDevice final : public Device {
   }
 
   bool set_tuner_gain_db(double gain_db) override {
-    int tenth = (int)(NearestGainDb(gain_db) * 10.0 + 0.5);
+    int tenth = (int)std::lround(tuner_->nearest_gain_db(gain_db) * 10.0);
     RepeaterScope rep(io_);
     return tuner_->set_gain_manual(tenth);
   }
@@ -571,12 +853,8 @@ class RtlUsbDevice final : public Device {
         RepeaterScope rep(io_);
         if (!tuner_->init()) return false;
       }
-      // Back to the R82xx low-IF configuration
-      // (librtlsdr.c:1186-1199).
-      io_.demod_write(1, 0xb1, 0x1a, 1);
-      io_.demod_write(0, 0x08, 0x4d, 1);
-      set_if_freq(kR82xxIfHz);
-      io_.demod_write(1, 0x15, 0x01, 1);
+      // Back to the tuner's own datapath (librtlsdr.c:1186-1199).
+      apply_tuner_datapath();
       io_.demod_write(0, 0x06, 0x80, 1);
       direct_sampling_ = 0;
     }
@@ -584,9 +862,23 @@ class RtlUsbDevice final : public Device {
     return true;
   }
 
-  // E4000-only feature; honestly unsupported on R82xx
-  // (librtlsdr.c:1229-1232 returns -2).
-  bool set_offset_tuning(bool enabled) override { return !enabled; }
+  // E4000-only feature (librtlsdr.c:1222-1251; R82xx returns -2):
+  // shift the LO below the target by 1.7x the Nyquist band — based on
+  // keenerd's 1/f noise measurements — and DDC back, so the zero-IF
+  // chip's DC spike/1-over-f noise lands out of band; the tuner's IF
+  // filters widen to pass the shifted band.
+  bool set_offset_tuning(bool enabled) override {
+    if (!tuner_->supports_offset_tuning()) return !enabled;
+    if (direct_sampling_) return false;
+    offs_freq_ = enabled ? (rate_ / 2) * 170 / 100 : 0;
+    set_if_freq(offs_freq_);
+    {
+      RepeaterScope rep(io_);
+      tuner_->set_bandwidth(enabled ? 2 * offs_freq_ : rate_);
+    }
+    if (freq_ > offs_freq_) return set_center_freq(freq_);
+    return true;
+  }
 
   uint32_t center_freq() const override { return freq_; }
   uint32_t sample_rate() const override { return rate_; }
@@ -779,6 +1071,24 @@ class RtlUsbDevice final : public Device {
   uint64_t transfer_errors() const override { return errors_.load(); }
 
  private:
+  // Per-chip demod datapath (librtlsdr.c:1556-1580): R82xx runs low-IF
+  // — Zero-IF off, I-ADC only, IF 3.57 MHz, spectrum inversion; the
+  // E4000 runs zero-IF — both ADCs, DDC at 0 (or the offset-tuning
+  // shift), Zero-IF mode on, no inversion.
+  void apply_tuner_datapath() {
+    if (tuner_->if_freq_hz() != 0) {
+      io_.demod_write(1, 0xb1, 0x1a, 1);
+      io_.demod_write(0, 0x08, 0x4d, 1);
+      set_if_freq(tuner_->if_freq_hz());
+      io_.demod_write(1, 0x15, 0x01, 1);
+    } else {
+      io_.demod_write(1, 0xb1, 0x1b, 1);
+      io_.demod_write(0, 0x08, 0xcd, 1);
+      set_if_freq(offs_freq_);
+      io_.demod_write(1, 0x15, 0x00, 1);
+    }
+  }
+
   // librtlsdr.c:585-674 bring-up sequence.
   void init_baseband() {
     io_.write_reg(kUsb, kUsbSysctl, 0x09, 1);
@@ -842,9 +1152,10 @@ class RtlUsbDevice final : public Device {
 
   std::unique_ptr<UsbTransport> transport_;
   RegIo io_;
-  std::unique_ptr<R82xxTuner> tuner_;
+  std::unique_ptr<TunerChip> tuner_;
   uint32_t tuner_xtal_ = kRtlXtalHz;
   uint32_t freq_ = 0;
+  uint32_t offs_freq_ = 0;  // offset-tuning DDC shift (E4000)
   uint32_t rate_ = 2'048'000;  // lib default (rtl_sdr.c:45)
   int ppm_ = 0;
   int direct_sampling_ = 0;

@@ -328,6 +328,127 @@ static void test_eeprom_roundtrip() {
   std::puts("eeprom_roundtrip OK");
 }
 
+// --- E4000 (zero-IF) tuner --------------------------------------------
+// The probe must find the E4000 at 0xc8 (chip id 0x40 at reg 2,
+// librtlsdr.c:1504-1508) and leave the demod in the zero-IF datapath:
+// DDC at 0, both ADCs — unlike the R82xx's 3.57 MHz low-IF.
+static void test_e4k_probe_and_zero_if() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kE4000;
+  Rig r = make_rig(opts);
+  CHECK(r.state->baseband_on.load());
+  CHECK(r.state->repeater_violations.load() == 0);
+  CHECK(r.state->if_freq_reg.load() == 0);  // zero-IF
+  std::puts("e4k_probe OK");
+}
+
+// Zero-IF PLL: the synthesized LO must sit ON the target frequency,
+// within the 16-bit fractional quantization (fosc / 65536 / R — under
+// 120 Hz everywhere). Above the 1.2 GHz R-divider table the tune must
+// fail (tuner_e4k.c:359-370).
+static void test_e4k_pll_roundtrip() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kE4000;
+  Rig r = make_rig(opts);
+  for (uint32_t freq : {52'000'000u, 101'900'000u, 162'400'000u,
+                        433'920'000u, 915'000'000u, 1'090'000'000u}) {
+    CHECK(r.dev->set_center_freq(freq));
+    const double lo = (double)r.state->tuner_lo_hz.load();
+    CHECK(std::fabs(lo - (double)freq) < 500.0);
+  }
+  CHECK(!r.dev->set_center_freq(1'250'000'000u));
+  CHECK(r.state->repeater_violations.load() == 0);
+  std::puts("e4k_pll_roundtrip OK");
+}
+
+// Gain split per librtlsdr.c:175-191: mixer takes 12 dB above 34 dB
+// total (GAIN2 bit 0), else 4 dB, and the LNA register index comes
+// from the tuner_e4k.c:645-659 dB map.
+static void test_e4k_gain_ladder() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kE4000;
+  Rig r = make_rig(opts);
+  struct Case {
+    double db;
+    uint32_t lna_idx, mix_idx;
+  };
+  // 42.0 -> mixer 12 dB + LNA 30.0 dB (idx 14); 1.5 -> mixer 4 dB +
+  // LNA -2.5 dB (idx 1); 33.5 snaps to 34.0 -> mixer 4 dB + LNA 30.0.
+  for (const Case& c : {Case{42.0, 14, 1}, Case{1.5, 1, 0},
+                        Case{33.5, 14, 0}, Case{-5.0, 0, 0}}) {
+    CHECK(r.dev->set_tuner_gain_db(c.db));
+    CHECK(r.state->tuner_manual_gain.load());
+    CHECK(r.state->lna_index.load() == c.lna_idx);
+    CHECK(r.state->mixer_index.load() == c.mix_idx);
+  }
+  CHECK(r.state->repeater_violations.load() == 0);
+  std::puts("e4k_gain_ladder OK");
+}
+
+// Offset tuning (librtlsdr.c:1222-1251, E4000-only): the DDC shifts by
+// 1.7x Nyquist, the LO drops below the target by the same amount, and
+// disabling restores both.
+static void test_e4k_offset_tuning() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kE4000;
+  Rig r = make_rig(opts);
+  CHECK(r.dev->set_sample_rate(2'400'000));
+  CHECK(r.dev->set_center_freq(100'000'000));
+  CHECK(r.state->if_freq_reg.load() == 0);
+  CHECK(r.dev->set_offset_tuning(true));
+  const uint32_t offs = (r.dev->sample_rate() / 2) * 170 / 100;
+  const int32_t want_if = -(int32_t)(((uint64_t)offs << 22) / 28'800'000ull);
+  CHECK(std::abs(r.state->if_freq_reg.load() - want_if) <= 1);
+  const double lo = (double)r.state->tuner_lo_hz.load();
+  CHECK(std::fabs(lo - (100'000'000.0 - (double)offs)) < 500.0);
+  CHECK(r.dev->set_offset_tuning(false));
+  CHECK(r.state->if_freq_reg.load() == 0);
+  CHECK(std::fabs((double)r.state->tuner_lo_hz.load() - 100'000'000.0) <
+        500.0);
+  std::puts("e4k_offset_tuning OK");
+}
+
+// The full 2-frequency capture engine must run unchanged on the
+// zero-IF chip: exactly 3*n bytes, both retunes landed on the PLL.
+static void test_e4k_two_freq_capture() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kE4000;
+  Rig r = make_rig(opts);
+  CaptureConfig cfg;
+  cfg.freq1_hz = 162'400'000;
+  cfg.freq2_hz = 101'900'000;
+  cfg.gain1_db = 29.0;
+  cfg.gain2_db = 9.0;
+  cfg.samples_per_freq = 50'000;
+  cfg.buf_len = 16'384;
+  cfg.num_buffers = 4;
+  std::vector<uint8_t> out;
+  CaptureStats st = RunTwoFreqCapture(
+      *r.dev, cfg, [&](const uint8_t* d, size_t n) {
+        out.insert(out.end(), d, d + n);
+        return true;
+      });
+  CHECK(st.completed);
+  CHECK(st.retunes == 2);
+  CHECK(out.size() == 3 * 2 * cfg.samples_per_freq);
+  // Block middles carry the right tunings (zero-IF: tag = freq/1000).
+  auto tags = [&](uint32_t freq, double gain) {
+    r.dev->set_tuner_gain_db(gain);
+    r.dev->set_center_freq(freq);
+    uint32_t ft = r.state->tuner_lo_hz.load() / 1000u;
+    uint32_t gt = r.state->lna_index.load() * 16u +
+                  r.state->mixer_index.load();
+    return std::make_pair(ft, gt);
+  };
+  auto [f1t, g1t] = tags(cfg.freq1_hz, cfg.gain1_db);
+  auto [f2t, g2t] = tags(cfg.freq2_hz, cfg.gain2_db);
+  const size_t bs = 2 * cfg.samples_per_freq;
+  CHECK(out[bs / 2] == mock_byte(bs / 2, f1t, g1t, 1));
+  CHECK(out[bs + bs / 2] == mock_byte(bs + bs / 2, f2t, g2t, 1));
+  CHECK(out[2 * bs + bs / 2] == mock_byte(2 * bs + bs / 2, f1t, g1t, 1));
+  std::puts("e4k_two_freq_capture OK");
+}
+
 // The libusb factory must never crash: with no dongle (CI) it returns
 // nullptr cleanly; on a station with real hardware attached it may
 // legitimately open the device — don't assert either way, and don't
@@ -358,6 +479,11 @@ int main() {
   test_device_lost_mid_stream();
   test_sink_abort_cancels();
   test_eeprom_roundtrip();
+  test_e4k_probe_and_zero_if();
+  test_e4k_pll_roundtrip();
+  test_e4k_gain_ladder();
+  test_e4k_offset_tuning();
+  test_e4k_two_freq_capture();
   test_libusb_factory_graceful();
   std::puts("ALL USB TESTS PASSED");
   return 0;
