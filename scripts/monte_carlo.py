@@ -29,7 +29,7 @@ fix and scores against the planted truth. Regimes:
                separates them, per-emitter CAF reads give the mover
                its own velocity
   audio-match  a known 44.1 kHz recording drives the emitter; the
-               audio-pattern matched filter (random audio/rf domain)
+               audio-pattern matched filter (random audio/rf/auto)
                produces the TDOAs under a noisy channel, random
                clocks, and crystal drift (LO offsets for rf mode)
   stream-moving  five epoch windows of a mover through the REAL
@@ -55,6 +55,7 @@ nonzero if any regime's pass rate drops below its floor or any silent
 failure occurs. CPU-hermetic.
 
 Usage: python scripts/monte_carlo.py [--trials-per-regime N] [--seed S]
+       [--regimes clean,noisy,...]
 """
 
 from __future__ import annotations
@@ -231,7 +232,9 @@ def run_audio_trial(seed: int) -> dict:
     """Audio-pattern-matching regime: a KNOWN 44.1 kHz recording drives
     the TGT emitter; the trial records it back (WAV-free, in memory),
     matched-filters every station against it (pipeline/audio_match.py,
-    mode randomized between the audio and rf domains), and scores the
+    mode randomized among the audio, rf, and auto domains — auto being
+    the production default with validation-driven escalation), and
+    scores the
     template-derived clock-corrected TDOAs and fix against truth —
     under a noisy TGT channel, random clock offsets, and crystal drift
     (whose LO-offset component the rf mode must search out)."""
@@ -284,7 +287,8 @@ def run_audio_trial(seed: int) -> dict:
                         max_lag=1024, seg_len=None),
         table,
     )
-    mode = "audio" if rng.random() < 0.5 else "rf"
+    draw = rng.random()
+    mode = "audio" if draw < 1 / 3 else ("rf" if draw < 2 / 3 else "auto")
     res = match_captures(
         proc, {n: caps[n] for n in names}, audio44, 44100.0,
         mode=mode, deviation_hz=50e3,
@@ -606,13 +610,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials-per-regime", type=int, default=10)
     ap.add_argument("--seed", type=int, default=1000)
+    ap.add_argument("--regimes", default=None,
+                    help="comma-separated regime filter (default: all)")
     args = ap.parse_args()
+    regimes = dict(REGIMES)
+    if args.regimes:
+        want = [r.strip() for r in args.regimes.split(",") if r.strip()]
+        unknown = [r for r in want if r not in REGIMES]
+        if unknown:
+            ap.error(f"unknown regime(s): {', '.join(unknown)} "
+                     f"(known: {', '.join(REGIMES)})")
+        regimes = {r: REGIMES[r] for r in want}
 
     failed_total = 0
     silent_total = 0
     ghost_total = 0
     ghost_power_right = 0
-    for regime, floor in REGIMES.items():
+    for regime, floor in regimes.items():
         results = []
         for t in range(args.trials_per_regime):
             r = run_trial(

@@ -32,11 +32,13 @@ def main(argv=None) -> int:
     p.add_argument("csv", help="lat-lon-table.csv station geometry")
     p.add_argument("wav", help="recorded target audio (uncompressed WAV)")
     p.add_argument("dat_files", nargs="+", help=".dat capture files (>= 3)")
-    p.add_argument("--match-mode", default="audio",
-                   choices=["audio", "rf"],
-                   help="correlate demodulated audio (robust to LO "
-                        "offsets and deviation mismatch; default) or "
-                        "the predicted RF pattern with a per-station "
+    p.add_argument("--match-mode", default="auto",
+                   choices=["auto", "audio", "rf"],
+                   help="auto (default): demodulated-audio correlation "
+                        "with escalation to the rf-domain filter when "
+                        "the audio match fails validation; audio: "
+                        "LO-immune audio correlation only; rf: the "
+                        "predicted RF pattern with a per-station "
                         "LO-offset search")
     p.add_argument("--deviation", type=float, default=25000.0,
                    help="FM deviation constant k_f, Hz full-scale "
@@ -110,13 +112,14 @@ def main(argv=None) -> int:
             "pairwise_tdoa_us": [s * 1e6 for s in pw.tdoa_seconds],
             "pairwise_fix": {"lat": pw.fix.lat, "lon": pw.fix.lon},
             "covered_fraction": res.covered_fraction,
+            "mode_used": res.mode_used,
             "warnings": res.warnings + pw.warnings,
         }))
         return 0
 
     print(f"Audio template: {args.wav} "
           f"({res.covered_fraction:.0%} of the target window, "
-          f"mode={args.match_mode})", file=out)
+          f"mode={res.mode_used})", file=out)
     print("\nPer-station template TOA:", file=out)
     for i, n in enumerate(names):
         lo = ("" if res.lo_offset_hz is None

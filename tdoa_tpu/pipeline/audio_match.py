@@ -28,6 +28,16 @@ Two matching domains:
   solution). Coherent over the full bandwidth — sharper peaks when the
   deviation constant is known exactly — and it measures each
   station's LO offset as a by-product.
+- ``mode="auto"`` (default): audio first; when the audio match fails
+  its own validation — weak per-station peak-to-sidelobe or
+  disagreement with the pairwise baseline — escalate to the rf-domain
+  filter and keep whichever result cross-validates better. The audio
+  domain collapses below the FM threshold (≲10 dB channel SNR: click
+  noise replaces the program and the correlation peak wanders by
+  hundreds of samples — measured on Monte Carlo seeds 31108/32208),
+  exactly where the LINEAR rf-domain filter still works; conversely
+  rf degrades when unsynchronized ms clocks force a clipped LO span.
+  Auto gets both regimes right and names the escalation in a warning.
 
 Per-station TOAs difference into pairwise TDOAs; the dual-REF clock
 correction from the standard pipeline removes the station clock
@@ -298,6 +308,9 @@ class AudioMatchResult:
     covered_fraction: float  # of the TGT window the recording spans
     lo_offset_hz: Optional[np.ndarray] = None  # [n] rf mode
     warnings: List[str] = dataclasses.field(default_factory=list)
+    # The matching domain that produced this result ("audio"/"rf") —
+    # informative under mode="auto", which may escalate.
+    mode_used: str = "audio"
 
 
 def cross_validation_warnings(
@@ -324,7 +337,28 @@ def cross_validation_warnings(
        rung 1 while their joint effect moves the fix kilometers; the
        separation catches that accumulation directly. Floor 50 m.
     """
+    return _cross_validation(
+        corrected, sigma, pairwise, fix, names, pairs, fs
+    )[0]
+
+
+def _cross_validation(
+    corrected: np.ndarray,
+    sigma: np.ndarray,
+    pairwise,
+    fix,
+    names: Sequence[str],
+    pairs: np.ndarray,
+    fs: float,
+) -> Tuple[List[str], Tuple[int, float]]:
+    """Cross-validation warnings plus a comparable badness score
+    ``(worst_normalized_disagreement, rungs_fired)`` — mode="auto"
+    ranks the audio- and rf-domain candidates by it (smaller wins,
+    lexicographic). The continuous magnitude leads: a candidate whose
+    worst pair sits 60x over the gate must lose to one 1.2x over it
+    even if the latter trips a rung on more pairs."""
     out: List[str] = []
+    worst_norm = 0.0
     pw = np.asarray(pairwise.corrected_tdoa_samples, np.float64)
     pw_sig = (
         np.asarray(pairwise.tdoa_std_s, np.float64) * fs
@@ -333,6 +367,15 @@ def cross_validation_warnings(
     )
     disagree = np.abs(pw - corrected)
     comb = np.sqrt(np.asarray(sigma, np.float64) ** 2 + pw_sig**2)
+    # Badness normalizes by a scale COMMON to every candidate — the
+    # pairwise baseline's σ with the absolute floor, NOT the combined σ
+    # the warning gate uses. Normalizing by each candidate's own σ
+    # would let a sloppy candidate shrink its own score: the audio
+    # domain's inflated σs under FM-threshold noise out-scored the
+    # accurate rf match exactly when escalation mattered (seed 31308).
+    worst_norm = float(
+        np.max(disagree / np.maximum(3.0, 3.5 * pw_sig), initial=0.0)
+    )
     bad = disagree > np.maximum(3.0, 3.5 * comb)
     if bad.any():
         worst = int(np.argmax(disagree / np.maximum(comb, 1e-9)))
@@ -358,6 +401,11 @@ def cross_validation_warnings(
                       pairwise.fix.elev]),
         )[:2]))
         allow = 3.0 * (fix.ellipse[0] + pairwise.fix.ellipse[0])
+        # Score side: pairwise-only scale (common across candidates).
+        worst_norm = max(
+            worst_norm,
+            sep / max(3.0 * pairwise.fix.ellipse[0], 50.0),
+        )
         if sep > max(allow, 50.0):
             out.append(
                 f"template fix and pairwise fix are {sep:.0f} m apart "
@@ -366,7 +414,7 @@ def cross_validation_warnings(
                 "per-pair TDOAs and the match quality before trusting "
                 "either"
             )
-    return out
+    return out, (worst_norm, len(out))
 
 
 def match_captures(
@@ -374,7 +422,7 @@ def match_captures(
     captures: Dict[str, Tuple],
     audio: np.ndarray,
     audio_fs: float,
-    mode: str = "audio",
+    mode: str = "auto",
     deviation_hz: float = 25_000.0,
     decim: int = 8,
     lo_span_hz: float = 200.0,
@@ -388,13 +436,16 @@ def match_captures(
     2. the recording becomes a predicted RF template on the capture
        clock (:func:`template_iq`);
     3. each station's TGT block is matched against the template
-       (``mode="audio"`` or ``"rf"``);
+       (``mode="audio"``, ``"rf"``, or ``"auto"`` — audio with
+       validation-driven escalation to rf);
     4. TOA differences − clock offsets → corrected TDOAs → fix.
     """
     from tdoa_tpu.solve.multilateration import solve_fix
 
-    if mode not in ("audio", "rf"):
-        raise ValueError(f"mode must be 'audio' or 'rf', got {mode!r}")
+    if mode not in ("audio", "rf", "auto"):
+        raise ValueError(
+            f"mode must be 'audio', 'rf' or 'auto', got {mode!r}"
+        )
     cfg = processor.config
     pairwise = processor.process_captures(captures)
     names = pairwise.station_names
@@ -419,25 +470,29 @@ def match_captures(
         sample_rate=cfg.sample_rate, deviation_hz=deviation_hz,
     )
 
-    warnings: List[str] = []
+    base_warnings: List[str] = []
     if covered < 0.5:
-        warnings.append(
+        base_warnings.append(
             f"audio recording spans only {covered:.0%} of the target "
             "window — matched-filter SNR is reduced accordingly"
         )
-    if mode == "audio":
-        m = match_template_audio(
-            tgt, tpl, sample_rate=cfg.sample_rate, decim=decim,
-            max_lag=cfg.max_lag, seg_len=cfg.seg_len,
-        )
-    else:
+    fs = cfg.sample_rate
+    lla = processor.stations.lla_array(names)
+
+    def run_domain(domain: str) -> Tuple[TemplateMatch, List[str]]:
+        if domain == "audio":
+            return match_template_audio(
+                tgt, tpl, sample_rate=fs, decim=decim,
+                max_lag=cfg.max_lag, seg_len=cfg.seg_len,
+            ), []
         m = match_template_rf(
-            tgt, tpl, sample_rate=cfg.sample_rate, max_lag=cfg.max_lag,
+            tgt, tpl, sample_rate=fs, max_lag=cfg.max_lag,
             lo_span_hz=lo_span_hz, n_doppler=n_doppler,
         )
+        extra: List[str] = []
         if (m.lo_span_eff_hz is not None
                 and m.lo_span_eff_hz < 0.99 * lo_span_hz):
-            warnings.append(
+            extra.append(
                 f"rf-mode LO search span clipped to "
                 f"±{m.lo_span_eff_hz:.1f} Hz (requested "
                 f"±{lo_span_hz:.1f}): max_lag {cfg.max_lag} forces a "
@@ -446,64 +501,99 @@ def match_captures(
                 f"lower --max-lag if clocks permit, or use "
                 f"--match-mode audio (LO-immune)"
             )
+        return m, extra
 
-    toa = np.asarray(m.toa_samples, np.float64)
-    toa_std = np.asarray(m.toa_std, np.float64)
-    q = np.asarray(m.quality, np.float64)
-    fs = cfg.sample_rate
+    def assemble(
+        domain: str, m: TemplateMatch, extra: List[str]
+    ) -> Tuple[AudioMatchResult, Tuple[float, int], bool]:
+        toa = np.asarray(m.toa_samples, np.float64)
+        toa_std = np.asarray(m.toa_std, np.float64)
+        q = np.asarray(m.quality, np.float64)
+        warnings = list(base_warnings) + list(extra)
 
-    low_q = [names[i] for i in range(len(names)) if q[i] < 3.0]
-    if low_q:
-        warnings.append(
-            "weak template match (peak-to-sidelobe < 3) at: "
-            + ", ".join(low_q)
-            + " — check the recording covers the capture window and the "
-            "station actually received the target"
+        low_q = [names[i] for i in range(len(names)) if q[i] < 3.0]
+        if low_q:
+            warnings.append(
+                "weak template match (peak-to-sidelobe < 3) at: "
+                + ", ".join(low_q)
+                + " — check the recording covers the capture window and "
+                "the station actually received the target"
+            )
+
+        raw = toa[pairs[:, 1]] - toa[pairs[:, 0]]
+        clock = np.asarray(pairwise.clock_offset_samples, np.float64)
+        corrected = raw - clock
+        # Matched-filter σ per pair; the dual-REF clock correction adds
+        # the same REF variance term as the pairwise path — it isn't
+        # stored separately, so propagate the template σs and let the
+        # solver's residual scale absorb the shared clock term.
+        sigma = np.sqrt(
+            toa_std[pairs[:, 0]] ** 2 + toa_std[pairs[:, 1]] ** 2
         )
+        # Pair weight: limited by its weaker station, quadratic like
+        # the pairwise solve's quality weighting.
+        pq = np.minimum(q[pairs[:, 0]], q[pairs[:, 1]])
+        wmax = max(pq.max(), 1e-9)
+        weights = (pq / wmax) ** 2
 
-    raw = toa[pairs[:, 1]] - toa[pairs[:, 0]]
-    clock = np.asarray(pairwise.clock_offset_samples, np.float64)
-    corrected = raw - clock
-    # Matched-filter σ per pair; the dual-REF clock correction adds the
-    # same REF variance term as the pairwise path — recover it from the
-    # pairwise composite (corrected² − tgt²) isn't stored, so propagate
-    # the template σs and let the solver's residual scale absorb the
-    # shared clock term.
-    sigma = np.sqrt(toa_std[pairs[:, 0]] ** 2 + toa_std[pairs[:, 1]] ** 2)
-    # Pair weight: limited by its weaker station, quadratic like the
-    # pairwise solve's quality weighting.
-    pq = np.minimum(q[pairs[:, 0]], q[pairs[:, 1]])
-    wmax = max(pq.max(), 1e-9)
-    weights = (pq / wmax) ** 2
-
-    lla = processor.stations.lla_array(names)
-    fix = solve_fix(
-        lla, corrected / fs, weights=weights, pair_idx=pairs,
-        solve_z=cfg.solve_z, tdoa_sigma_s=sigma / fs,
-    )
-
-    warnings.extend(
-        cross_validation_warnings(
+        fix = solve_fix(
+            lla, corrected / fs, weights=weights, pair_idx=pairs,
+            solve_z=cfg.solve_z, tdoa_sigma_s=sigma / fs,
+        )
+        val_warns, score = _cross_validation(
             corrected, sigma, pairwise, fix, names, pairs, fs
         )
-    )
+        warnings.extend(val_warns)
+        # Escalation trigger (auto mode): a validation rung fired, or
+        # any station's match is shaky. PSR < 6 marks the shaky zone:
+        # the measured FM-threshold wrong-peaks scored 2.8-4.3 while
+        # healthy matches score 8+ (Monte Carlo seeds 31108/32208).
+        trouble = score[1] > 0 or bool((q < 6.0).any())
+        res = AudioMatchResult(
+            station_names=names,
+            pair_idx=pairs,
+            toa_samples=toa,
+            toa_std_samples=toa_std,
+            station_quality=q,
+            template_tdoa_samples=raw,
+            corrected_tdoa_samples=corrected,
+            tdoa_seconds=corrected / fs,
+            tdoa_std_s=sigma / fs,
+            fix=fix,
+            pairwise=pairwise,
+            covered_fraction=covered,
+            lo_offset_hz=(
+                None if m.lo_offset_hz is None
+                else np.asarray(m.lo_offset_hz, np.float64)
+            ),
+            warnings=warnings,
+            mode_used=domain,
+        )
+        return res, score, trouble
 
-    return AudioMatchResult(
-        station_names=names,
-        pair_idx=pairs,
-        toa_samples=toa,
-        toa_std_samples=toa_std,
-        station_quality=q,
-        template_tdoa_samples=raw,
-        corrected_tdoa_samples=corrected,
-        tdoa_seconds=corrected / fs,
-        tdoa_std_s=sigma / fs,
-        fix=fix,
-        pairwise=pairwise,
-        covered_fraction=covered,
-        lo_offset_hz=(
-            None if m.lo_offset_hz is None
-            else np.asarray(m.lo_offset_hz, np.float64)
-        ),
-        warnings=warnings,
+    if mode in ("audio", "rf"):
+        m, extra = run_domain(mode)
+        return assemble(mode, m, extra)[0]
+
+    # mode="auto": audio first (LO-immune, cheap); escalate on trouble.
+    m_a, ex_a = run_domain("audio")
+    res_a, score_a, trouble = assemble("audio", m_a, ex_a)
+    if not trouble:
+        return res_a
+    m_r, ex_r = run_domain("rf")
+    res_r, score_r, _ = assemble("rf", m_r, ex_r)
+    use_rf = score_r <= score_a
+    chosen = res_r if use_rf else res_a
+
+    def _desc(s: Tuple[float, int]) -> str:
+        return f"{s[1]} validation rung(s), worst {s[0]:.2f}x gate"
+
+    chosen.warnings.insert(
+        0,
+        "auto mode: the audio-domain match looked unreliable "
+        f"({_desc(score_a)}; min station PSR "
+        f"{float(res_a.station_quality.min()):.1f}) — escalated to the "
+        f"rf-domain matched filter ({_desc(score_r)}) and kept the "
+        f"{'rf' if use_rf else 'audio'} result",
     )
+    return chosen

@@ -317,6 +317,114 @@ def test_audio_match_cli_json(omaha_stations, station_csv, tmp_path):
     assert out["covered_fraction"] > 0.99
 
 
+@pytest.mark.slow
+def test_audio_match_auto_escalates_under_fm_threshold_noise(
+    omaha_stations, station_csv
+):
+    """mode="auto" under FM-threshold channel noise: the audio-domain
+    match collapses (click noise replaces the program — its peak sits
+    ~15 samples off here), the validation rungs catch it, and auto
+    escalates to the LINEAR rf-domain matched filter, whose result it
+    keeps. The escalation is named in a warning."""
+    from tdoa_tpu.pipeline import TDOAProcessor
+    from tdoa_tpu.sim import NoiseProfile, simulate_scene
+
+    scene, audio44 = _known_audio_scene(
+        omaha_stations,
+        seed=7,
+        tgt_profile=NoiseProfile(
+            signal_amplitude=1.0, noise_amplitude=0.6
+        ),
+        clock_offsets_s=np.array([12e-6, -31e-6, 48e-6]),
+    )
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=None, max_lag=1024,
+    )
+    caps = {n: captures[n] for n in scene.station_names}
+
+    res_audio = match_captures(
+        proc, caps, audio44, 44100.0, mode="audio", deviation_hz=50e3
+    )
+    res_auto = match_captures(
+        proc, caps, audio44, 44100.0, mode="auto", deviation_hz=50e3
+    )
+
+    by = {n: k for k, n in enumerate(scene.station_names)}
+    tau = truth.station_delays_samples[:, 1]
+
+    def err(res):
+        order = [by[n] for n in res.station_names]
+        want = np.array(
+            [tau[order[j]] - tau[order[i]] for i, j in res.pair_idx]
+        )
+        return np.abs(
+            np.asarray(res.corrected_tdoa_samples) - want
+        ).max()
+
+    assert err(res_audio) > 4.0  # the audio domain really collapsed
+    assert res_auto.mode_used == "rf"
+    assert any("escalated" in w for w in res_auto.warnings)
+    assert err(res_auto) < 4.0
+    assert res_auto.lo_offset_hz is not None  # rf by-product rode along
+
+
+@pytest.mark.slow
+def test_audio_match_auto_stays_audio_on_healthy_scene(
+    omaha_stations, station_csv
+):
+    """mode="auto" on a healthy capture: no escalation — the result IS
+    the audio-domain result (no rf pass, no escalation warning). Noise
+    must be LOW here: the fixture geometry's far station (kx0u) rides
+    the 1/r amplitude law, so even moderate channel noise pushes it
+    under the FM threshold and escalation correctly fires (measured:
+    noise 0.1 already collapses kx0u's audio match to ~445 samples
+    off at PSR 3.2 — the escalation test covers that side)."""
+    from tdoa_tpu.pipeline import TDOAProcessor
+    from tdoa_tpu.sim import NoiseProfile, simulate_scene
+
+    scene, audio44 = _known_audio_scene(
+        omaha_stations,
+        seed=7,
+        tgt_profile=NoiseProfile(
+            signal_amplitude=1.0, noise_amplitude=0.05
+        ),
+        clock_offsets_s=np.array([12e-6, -31e-6, 48e-6]),
+    )
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=None, max_lag=1024,
+    )
+    caps = {n: captures[n] for n in scene.station_names}
+    res = match_captures(
+        proc, caps, audio44, 44100.0, mode="auto", deviation_hz=50e3
+    )
+    assert res.mode_used == "audio"
+    assert not any("escalated" in w for w in res.warnings)
+    assert res.lo_offset_hz is None
+    by = {n: k for k, n in enumerate(scene.station_names)}
+    order = [by[n] for n in res.station_names]
+    tau = truth.station_delays_samples[:, 1]
+    want = np.array(
+        [tau[order[j]] - tau[order[i]] for i, j in res.pair_idx]
+    )
+    assert np.abs(
+        np.asarray(res.corrected_tdoa_samples) - want
+    ).max() < 4.0
+
+
+def test_match_captures_rejects_unknown_mode(omaha_stations, station_csv):
+    from tdoa_tpu.pipeline import TDOAProcessor
+
+    proc = TDOAProcessor.from_csv(
+        162.4e6, 101.9e6, station_csv, seg_len=None, max_lag=1024
+    )
+    with pytest.raises(ValueError, match="mode must be"):
+        match_captures(proc, {}, np.zeros(10), 44100.0, mode="banana")
+
+
 # ------------------------------------------- cross-validation gates
 
 
