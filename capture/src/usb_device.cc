@@ -558,10 +558,12 @@ class E4kTuner final : public TunerChip {
     return best;
   }
 
-  // e4k_init (tuner_e4k.c:922-1002): reset + POR clear, clock config,
-  // the documented "magic" analog block, AGC thresholds, serial LNA
-  // AGC mode, manual mixer gain, moderate IF gains, narrowest IF
-  // filters, time-variant DC correction off.
+  // e4k_init (tuner_e4k.c:922-1002), same op order as the reference:
+  // reset + POR clear, clock config, the documented "magic" analog
+  // block, AGC thresholds, mode plumbing (serial LNA / manual mixer —
+  // immediately superseded by the auto-gain default below, exactly as
+  // e4k_init itself does at :961-976), moderate IF gains, narrowest
+  // IF filters, time-variant DC correction off.
   bool init() override {
     uint8_t scratch;
     read(0x00, &scratch, 1);  // dummy access, not ACKed on silicon
@@ -857,6 +859,12 @@ class RtlUsbDevice final : public Device {
       apply_tuner_datapath();
       io_.demod_write(0, 0x06, 0x80, 1);
       direct_sampling_ = 0;
+      // tuner_->init() reset the IF filters to their narrowest; with
+      // offset tuning active the wanted band sits offs_freq away from
+      // the LO and would be filtered out — re-apply the full offset
+      // configuration (DDC + widened filters + retune), like
+      // set_sample_rate does.
+      if (offs_freq_) return set_offset_tuning(true);
     }
     if (freq_) return set_center_freq(freq_);
     return true;

@@ -408,6 +408,27 @@ static void test_e4k_offset_tuning() {
   std::puts("e4k_offset_tuning OK");
 }
 
+// Offset tuning must survive a direct-sampling round trip: leaving
+// direct mode re-runs tuner init (which resets the IF filters to
+// narrowest), so the driver must re-apply the full offset
+// configuration — DDC shift back in place, LO back below the target.
+static void test_e4k_offset_tuning_survives_direct_sampling() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kE4000;
+  Rig r = make_rig(opts);
+  CHECK(r.dev->set_sample_rate(2'400'000));
+  CHECK(r.dev->set_center_freq(100'000'000));
+  CHECK(r.dev->set_offset_tuning(true));
+  const uint32_t offs = (r.dev->sample_rate() / 2) * 170 / 100;
+  const int32_t want_if = -(int32_t)(((uint64_t)offs << 22) / 28'800'000ull);
+  CHECK(r.dev->set_direct_sampling(1));
+  CHECK(r.dev->set_direct_sampling(0));
+  CHECK(std::abs(r.state->if_freq_reg.load() - want_if) <= 1);
+  const double lo = (double)r.state->tuner_lo_hz.load();
+  CHECK(std::fabs(lo - (100'000'000.0 - (double)offs)) < 500.0);
+  std::puts("e4k_offset_direct_roundtrip OK");
+}
+
 // The full 2-frequency capture engine must run unchanged on the
 // zero-IF chip: exactly 3*n bytes, both retunes landed on the PLL.
 static void test_e4k_two_freq_capture() {
@@ -483,6 +504,7 @@ int main() {
   test_e4k_pll_roundtrip();
   test_e4k_gain_ladder();
   test_e4k_offset_tuning();
+  test_e4k_offset_tuning_survives_direct_sampling();
   test_e4k_two_freq_capture();
   test_libusb_factory_graceful();
   std::puts("ALL USB TESTS PASSED");

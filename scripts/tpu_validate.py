@@ -535,7 +535,7 @@ def main():
     tau_a = dict(
         zip(scene_a.station_names, truth_a.station_delays_samples[:, 1])
     )
-    for am_mode in ("audio", "rf"):
+    for am_mode in ("audio", "rf", "auto"):
         res_a = match_captures(
             proc_a, {n: caps_a[n] for n in scene_a.station_names},
             audio44, 44100.0, mode=am_mode, deviation_hz=50e3,
@@ -550,11 +550,18 @@ def main():
         ).max()
         est_a = np.array([res_a.fix.lat, res_a.fix.lon, omaha["tgt_tx"][2]])
         fixe_a = np.linalg.norm(lla_to_enu(est_a, omaha["tgt_tx"])[:2])
+        # On this clean scene auto must stay in the audio domain with
+        # no escalation — a PSR-trigger misfire would show up here.
+        mode_ok = (am_mode != "auto") or (
+            res_a.mode_used == "audio"
+            and not any("escalated" in w for w in res_a.warnings)
+        )
         check(f"audio-match ({am_mode}) on chip",
-              err_a < 4.0 and fixe_a < 4000.0,
+              err_a < 4.0 and fixe_a < 4000.0 and mode_ok,
               f"tdoa err {err_a:.2f} smp, fix err {fixe_a:.0f} m, "
-              f"covered {res_a.covered_fraction:.2f}, "
-              f"{time.time()-t0:.0f}s")
+              f"covered {res_a.covered_fraction:.2f}"
+              + (f", used {res_a.mode_used}" if am_mode == "auto" else "")
+              + f", {time.time()-t0:.0f}s")
         t0 = time.time()
 
     print()

@@ -14,7 +14,7 @@ and each station gets an absolute time-of-arrival of the audio content.
 
 Two matching domains:
 
-- ``mode="audio"`` (robust default): FM-demodulate the station blocks
+- ``mode="audio"``: FM-demodulate the station blocks
   and correlate the audio. The template rides through the SAME
   demodulation chain (modulate → stack as an extra channel → demod all
   together), so every filter group delay is common and cancels.
@@ -350,7 +350,7 @@ def _cross_validation(
     names: Sequence[str],
     pairs: np.ndarray,
     fs: float,
-) -> Tuple[List[str], Tuple[int, float]]:
+) -> Tuple[List[str], Tuple[float, int]]:
     """Cross-validation warnings plus a comparable badness score
     ``(worst_normalized_disagreement, rungs_fired)`` — mode="auto"
     ranks the audio- and rf-domain candidates by it (smaller wins,
@@ -358,7 +358,6 @@ def _cross_validation(
     worst pair sits 60x over the gate must lose to one 1.2x over it
     even if the latter trips a rung on more pairs."""
     out: List[str] = []
-    worst_norm = 0.0
     pw = np.asarray(pairwise.corrected_tdoa_samples, np.float64)
     pw_sig = (
         np.asarray(pairwise.tdoa_std_s, np.float64) * fs
