@@ -101,10 +101,18 @@ std::unique_ptr<Device> MakeUsbDeviceByIndex(uint32_t index);
 // Mock transport (tests / CI — this environment has no SDR hardware).
 
 // Which tuner chip the mock dongle carries. The probe order and
-// per-chip protocol differ (librtlsdr.c:1500-1546): R82xx answers
+// per-chip protocol differ (librtlsdr.c:1500-1551): R82xx answers
 // 0x69 at reg 0 with bit-reversed reads; the E4000 answers 0x40 at
-// reg 2 with plain pointer reads.
-enum class MockTunerModel : uint8_t { kR828d, kE4000 };
+// reg 2 with plain pointer reads; the Fitipower FC0013/FC0012 share
+// I2C address 0xc6 and answer 0xa3/0xa1 at reg 0; the FCI FC2580
+// answers 0x56 (masked 0x7f) at reg 1 after a GPIO5 reset pulse.
+enum class MockTunerModel : uint8_t {
+  kR828d,
+  kE4000,
+  kFc0012,
+  kFc0013,
+  kFc2580,
+};
 
 struct MockUsbOptions {
   uint64_t seed = 1;
@@ -138,6 +146,11 @@ struct MockRtlState {
   std::atomic<uint32_t> mixer_index{0};
   std::atomic<bool> tuner_manual_gain{false};
   std::atomic<uint64_t> eeprom_reads{0};
+  // GPIO state decoded from SYS-block writes (GPO 0x3001 / GPOE
+  // 0x3003, librtlsdr.c:558-578): FC2580 probing pulses GPIO5, the
+  // FC0012 driver steers its VHF/UHF antenna switch on GPIO6.
+  std::atomic<uint32_t> gpio_out{0};
+  std::atomic<uint32_t> gpio_oe{0};
 };
 
 // The state object outlives the transport (shared with the test).

@@ -36,9 +36,12 @@ namespace {
 
 constexpr uint8_t kR828dI2cAddr = 0x74;
 constexpr uint8_t kE4kI2cAddr = 0xc8;
+constexpr uint8_t kFcI2cAddr = 0xc6;      // FC0012 + FC0013
+constexpr uint8_t kFc2580I2cAddr = 0xac;
 constexpr uint8_t kEepromAddr = 0xa0;
 constexpr uint32_t kR828dXtalHz = 16'000'000;
-constexpr uint32_t kRtlXtalHz = 28'800'000;  // E4000 runs off this
+constexpr uint32_t kRtlXtalHz = 28'800'000;  // E4000 + FC001x run off this
+constexpr uint32_t kFc2580XtalKhz = 16'384;  // its own crystal
 
 uint8_t bitrev(uint8_t b) {
   b = (uint8_t)(((b & 0xf0) >> 4) | ((b & 0x0f) << 4));
@@ -71,6 +74,14 @@ class MockUsbTransport final : public UsbTransport {
     // read-modify only bits 1-2, so the lock indication persists.
     e4k_regs_[0x02] = 0x40;
     e4k_regs_[0x07] = 0x01;
+    // FC0012/FC0013: chip id at reg 0 (tuner_fc001x.h CHECK_VAL).
+    fc_regs_[0x00] = (opts_.tuner == MockTunerModel::kFc0012)
+                         ? 0xa1
+                         : 0xa3;
+    // FC2580: id 0x56 at reg 1 (wire may set bit 7, hence the 0x7f
+    // mask in the probe); CSF cal_mon (reg 0x2f) reports calibrated.
+    fc2580_regs_[0x01] = 0xd6;
+    fc2580_regs_[0x2f] = 0xc0;
   }
 
   int control_transfer(bool in, uint16_t value, uint16_t index,
@@ -186,6 +197,9 @@ class MockUsbTransport final : public UsbTransport {
       // SYS DEMOD_CTL power-on (librtlsdr.c:630).
       if (block == 2 && addr == 0x3000)
         state_->baseband_on.store(data[0] == 0xe8);
+      // GPIO output / direction (librtlsdr.c:558-578).
+      if (block == 2 && addr == 0x3001) state_->gpio_out.store(data[0]);
+      if (block == 2 && addr == 0x3003) state_->gpio_oe.store(data[0]);
     }
     return len;
   }
@@ -236,15 +250,26 @@ class MockUsbTransport final : public UsbTransport {
         data[i] = eeprom_[(eeprom_ptr_++) & 0xff];
       return len;
     }
-    if (opts_.tuner == MockTunerModel::kE4000) {
-      if (i2c_addr == kE4kI2cAddr) return e4k_xfer(in, data, len);
-      // R82xx addresses float: their probes must miss.
-      if (in) std::memset(data, 0, len);
-      return len;
+    // Route to the one chip this dongle carries; every other address
+    // floats (reads 0, writes vanish) — how the real bus answers the
+    // probes for absent tuners.
+    switch (opts_.tuner) {
+      case MockTunerModel::kE4000:
+        if (i2c_addr == kE4kI2cAddr) return e4k_xfer(in, data, len);
+        break;
+      case MockTunerModel::kFc0012:
+      case MockTunerModel::kFc0013:
+        if (i2c_addr == kFcI2cAddr) return fc_xfer(in, data, len);
+        break;
+      case MockTunerModel::kFc2580:
+        if (i2c_addr == kFc2580I2cAddr)
+          return fc2580_xfer(in, data, len);
+        break;
+      case MockTunerModel::kR828d:
+        break;
     }
-    if (i2c_addr != kR828dI2cAddr) {
-      // No chip at this address: reads float to 0, writes vanish —
-      // how the real bus answers the R820T/E4000/FC001x probes.
+    if (i2c_addr != kR828dI2cAddr ||
+        opts_.tuner != MockTunerModel::kR828d) {
       if (in) std::memset(data, 0, len);
       return len;
     }
@@ -318,6 +343,108 @@ class MockUsbTransport final : public UsbTransport {
     state_->tuner_manual_gain.store((e4k_regs_[0x1a] & 0x0f) == 0x00);
   }
 
+  // FC0012/FC0013 I2C semantics (tuner_fc0012.c:30-55): writes are
+  // plain [reg, val] pairs, reads are pointer-then-read, no
+  // auto-increment games and no bit reversal.
+  int fc_xfer(bool in, uint8_t* data, uint16_t len) {
+    if (!state_->repeater_on.load())
+      state_->repeater_violations.fetch_add(1);
+    if (!in) {
+      if (len >= 1) fc_ptr_ = data[0];
+      if (len >= 2) {
+        fc_regs_[fc_ptr_] = data[1];
+        decode_fc(fc_ptr_, data[1]);
+      }
+      return len;
+    }
+    for (int i = 0; i < len; ++i) {
+      // The VCO control voltage (reg 0x0e) reads back mid-range so
+      // the driver's re-calibration branch (tuner_fc0012.c:256-280)
+      // stays quiet — a rail reading would flip the VCO-speed bit.
+      data[i] = (fc_ptr_ == 0x0e) ? 0x20 : fc_regs_[fc_ptr_];
+      ++fc_ptr_;
+    }
+    return len;
+  }
+
+  // Invert the shared Fitipower synth (tuner_fc0012.c:148-280) back to
+  // the LO: XDIV = AM + 8*PM (the pm>31 overflow fold preserves the
+  // sum), XIN is a SIGNED 16-bit fraction of xtal/2 relative to the
+  // rounded XDIV, and the band multiplier comes from the RF mux codes
+  // in regs 5/6 — which differ between the two chips.
+  void decode_fc(uint8_t reg, uint8_t val) {
+    if (reg == 0x13 && opts_.tuner == MockTunerModel::kFc0012) {
+      state_->lna_index.store(val & 0x1f);
+      state_->tuner_manual_gain.store(true);
+      return;
+    }
+    if (opts_.tuner == MockTunerModel::kFc0013) {
+      if (reg == 0x14) state_->lna_index.store(val & 0x1f);
+      if (reg == 0x0d) state_->tuner_manual_gain.store((val & 0x08) != 0);
+      if (reg == 0x14 || reg == 0x0d) return;
+    }
+    if (reg != 0x06) return;  // regs 1..6 are written in order
+    const uint8_t mux = fc_regs_[0x05] & 0xf8;
+    const uint8_t r6 = (uint8_t)(val & 0x02);
+    uint32_t multi = 0;
+    if (opts_.tuner == MockTunerModel::kFc0012) {
+      if (mux == 0x80) multi = r6 ? 64 : 96;
+      else if (mux == 0x40) multi = r6 ? 32 : 48;
+      else if (mux == 0x20) multi = r6 ? 16 : 24;
+      else if (mux == 0x10) multi = r6 ? 8 : 12;
+      else if (mux == 0x08) multi = r6 ? 4 : 6;
+    } else {
+      if (mux == 0x80) multi = r6 ? 32 : 96;
+      else if (mux == 0x00) multi = r6 ? 64 : 0;
+      else if (mux == 0x40) multi = r6 ? 16 : 48;
+      else if (mux == 0x20) multi = r6 ? 8 : 24;
+      else if (mux == 0x10) multi = r6 ? 4 : 12;
+      else if (mux == 0x08) multi = r6 ? 2 : 6;
+    }
+    if (multi == 0) return;
+    const double xtal_2 = kRtlXtalHz / 2.0;
+    const uint32_t xdiv =
+        (uint32_t)fc_regs_[0x01] + 8u * fc_regs_[0x02];
+    const uint16_t raw = (uint16_t)((fc_regs_[0x03] << 8) | fc_regs_[0x04]);
+    const double frac = (int16_t)raw * (xtal_2 / 1000.0) * 1000.0 / 32768.0;
+    const double f_vco = xdiv * xtal_2 + frac;
+    state_->tuner_lo_hz.store((uint32_t)(f_vco / multi + 0.5));
+  }
+
+  // FC2580: same plain [reg, val] / pointer-read protocol.
+  int fc2580_xfer(bool in, uint8_t* data, uint16_t len) {
+    if (!state_->repeater_on.load())
+      state_->repeater_violations.fetch_add(1);
+    if (!in) {
+      if (len >= 1) fc2580_ptr_ = data[0];
+      if (len >= 2) {
+        fc2580_regs_[fc2580_ptr_] = data[1];
+        if (fc2580_ptr_ == 0x1c) decode_fc2580();
+      }
+      return len;
+    }
+    for (int i = 0; i < len; ++i) data[i] = fc2580_regs_[fc2580_ptr_++];
+    return len;
+  }
+
+  // Invert the FC2580 fractional-N program (tuner_fc2580.c:195-355):
+  // f_vco = 2*(xtal/R)*(N + K/2^20), band multiplier from the reg 0x02
+  // band field (VHF x12 / UHF x4 / L x2), all in kHz like the driver.
+  void decode_fc2580() {
+    const uint8_t band = fc2580_regs_[0x02] & 0xc0;
+    const uint32_t mult = (band == 0x80) ? 12 : (band == 0x40) ? 2 : 4;
+    const uint8_t r18 = fc2580_regs_[0x18];
+    const uint32_t r_val =
+        ((r18 & 0x30) == 0x00) ? 1 : ((r18 & 0x30) == 0x10) ? 2 : 4;
+    const uint32_t k = ((uint32_t)(r18 & 0x0f) << 16) |
+                       ((uint32_t)fc2580_regs_[0x1a] << 8) |
+                       fc2580_regs_[0x1b];
+    const double f_comp = (double)kFc2580XtalKhz / r_val;
+    const double f_vco_khz =
+        2.0 * f_comp * ((double)fc2580_regs_[0x1c] + k / 1048576.0);
+    state_->tuner_lo_hz.store((uint32_t)(f_vco_khz / mult * 1000.0 + 0.5));
+  }
+
   // Invert the R82xx PLL programming (tuner_r82xx.c:417-527) back into
   // the LO the silicon would synthesize.
   void decode_tuner() {
@@ -372,6 +499,10 @@ class MockUsbTransport final : public UsbTransport {
   uint8_t tuner_status_[5] = {};
   uint8_t e4k_regs_[256] = {};
   uint8_t e4k_ptr_ = 0;
+  uint8_t fc_regs_[256] = {};      // FC0012/FC0013 (I2C 0xc6)
+  uint8_t fc_ptr_ = 0;
+  uint8_t fc2580_regs_[256] = {};  // FC2580 (I2C 0xac)
+  uint8_t fc2580_ptr_ = 0;
   std::deque<Pending> pending_;
   std::deque<Pending> reaped_;  // cancelled, awaiting delivery
   uint64_t byte_counter_ = 0;

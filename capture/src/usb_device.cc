@@ -7,10 +7,13 @@
 // (librtlsdr.c:686-714, 1062-1126), tuner probe + R82xx-specific demod
 // config (librtlsdr.c:1407-1580), graceful async cancel and
 // device-lost tracking (librtlsdr.c:1655-1914). Tuner programming is
-// capability-level for the chips deployments actually carry: R82xx
-// (tuner_r82xx.c — the R820T/R828D the project deploys, README.md:37)
-// and the Elonics E4000 (tuner_e4k.c — zero-IF, the one chip with
-// offset tuning, librtlsdr.c:1222). All code is a fresh C++ design:
+// capability-level for all five reference chips: R82xx
+// (tuner_r82xx.c — the R820T/R828D the project deploys, README.md:37),
+// the Elonics E4000 (tuner_e4k.c — zero-IF, offset tuning,
+// librtlsdr.c:1222), the Fitipower FC0012/FC0013 (tuner_fc0012.c /
+// tuner_fc0013.c — shared sigma-delta PLL, GPIO6 antenna switch), and
+// the FCI FC2580 (tuner_fc2580.c — own crystal, banded fractional-N
+// synth, no gain control). All code is a fresh C++ design:
 // class-based, shadow state, OrderedTransferQueue engine; no C
 // translation.
 #include "sdrcap/usb.h"
@@ -144,6 +147,28 @@ class RepeaterScope {
  private:
   RegIo& io_;
 };
+
+// RTL2832U GPIO pins (SYS block GPO/GPOE/GPD, librtlsdr.c:558-578):
+// the FC2580 probe pulses GPIO5 as a tuner reset, the FC0012 driver
+// steers a VHF/UHF antenna switch on GPIO6.
+constexpr uint16_t kSysGpo = 0x3001;
+constexpr uint16_t kSysGpoe = 0x3003;
+constexpr uint16_t kSysGpd = 0x3004;
+
+void SetGpioBit(RegIo& io, uint8_t pin, bool val) {
+  const uint8_t mask = (uint8_t)(1u << pin);
+  uint16_t r = io.read_reg(kSys, kSysGpo, 1);
+  r = val ? (uint16_t)(r | mask) : (uint16_t)(r & ~mask);
+  io.write_reg(kSys, kSysGpo, r, 1);
+}
+
+void SetGpioOutput(RegIo& io, uint8_t pin) {
+  const uint8_t mask = (uint8_t)(1u << pin);
+  uint16_t r = io.read_reg(kSys, kSysGpd, 1);
+  io.write_reg(kSys, kSysGpo, (uint16_t)(r & ~mask), 1);
+  r = io.read_reg(kSys, kSysGpoe, 1);
+  io.write_reg(kSys, kSysGpoe, (uint16_t)(r | mask), 1);
+}
 
 // --- tuner abstraction ------------------------------------------------
 // The reference dispatches tuner ops through a function table
@@ -719,6 +744,468 @@ class E4kTuner final : public TunerChip {
   uint32_t fosc_;
 };
 
+// --- Fitipower FC0012 / FC0013 (tuner_fc0012.c / tuner_fc0013.c) ------
+// Both chips share one I2C address (0xc6), the plain [reg, val] write /
+// pointer-read protocol (tuner_fc0012.c:30-55), and the same
+// integer+sigma-delta PLL: a band table picks the VCO multiplier and
+// output divider, XDIV = round(f_vco / (xtal/2)) splits into count-to-8
+// and count-to-9 cycles (AM/PM), and XIN is a signed 16-bit fractional
+// correction (tuner_fc0012.c:148-280, tuner_fc0013.c:193-424). Both are
+// zero-IF on the RTL2832U (the default init_baseband datapath stays —
+// librtlsdr.c:1556-1580 only special-cases the R82xx).
+
+constexpr uint8_t kFcI2cAddr = 0xc6;      // FC0012/FC0013_I2C_ADDR
+constexpr uint8_t kFc0012CheckVal = 0xa1;  // chip id at reg 0
+constexpr uint8_t kFc0013CheckVal = 0xa3;
+
+struct FcPllBand {
+  uint32_t below_hz;
+  uint8_t multi, reg5, reg6;
+};
+
+// tuner_fc0012.c:160-200: divider ladder ends at multi 4 (≲1 GHz).
+constexpr FcPllBand kFc0012Bands[] = {
+    {37'084'000, 96, 0x82, 0x00}, {55'625'000, 64, 0x82, 0x02},
+    {74'167'000, 48, 0x42, 0x00}, {111'250'000, 32, 0x42, 0x02},
+    {148'334'000, 24, 0x22, 0x00}, {222'500'000, 16, 0x22, 0x02},
+    {296'667'000, 12, 0x12, 0x00}, {445'000'000, 8, 0x12, 0x02},
+    {593'334'000, 6, 0x0a, 0x00},  {0xffffffff, 4, 0x0a, 0x02}};
+
+// tuner_fc0013.c:260-305: same ladder shape, different mux codes, and
+// two extra rungs (multi 4 to 950 MHz, multi 2 above — L-band GPS).
+constexpr FcPllBand kFc0013Bands[] = {
+    {37'084'000, 96, 0x82, 0x00}, {55'625'000, 64, 0x02, 0x02},
+    {74'167'000, 48, 0x42, 0x00}, {111'250'000, 32, 0x82, 0x02},
+    {148'334'000, 24, 0x22, 0x00}, {222'500'000, 16, 0x42, 0x02},
+    {296'667'000, 12, 0x12, 0x00}, {445'000'000, 8, 0x22, 0x02},
+    {593'334'000, 6, 0x0a, 0x00},  {950'000'000, 4, 0x12, 0x02},
+    {0xffffffff, 2, 0x0a, 0x02}};
+
+class FcTunerBase : public TunerChip {
+ public:
+  explicit FcTunerBase(RegIo& io, uint32_t xtal_hz)
+      : io_(io), xtal_hz_(xtal_hz) {}
+
+  uint32_t if_freq_hz() const override { return 0; }  // zero-IF
+  void set_xtal(uint32_t hz) override { xtal_hz_ = hz; }
+  // fc0012_exit/fc0013_exit are no-ops (librtlsdr.c:202,213).
+  bool standby() override { return true; }
+  // Offset tuning is allowed on every non-R82xx chip
+  // (librtlsdr.c:1222-1232); the FC001x set_bw hooks are no-ops
+  // (librtlsdr.c:208,217), so the IF filters stay put.
+  bool supports_offset_tuning() const override { return true; }
+
+ protected:
+  int write_reg(uint8_t reg, uint8_t val) {
+    uint8_t buf[2] = {reg, val};
+    return io_.i2c_write(kFcI2cAddr, buf, 2) == 2 ? 0 : -1;
+  }
+  int read_reg(uint8_t reg, uint8_t* out) {
+    if (io_.i2c_write(kFcI2cAddr, &reg, 1) < 1) return -1;
+    return io_.i2c_read(kFcI2cAddr, out, 1) == 1 ? 0 : -1;
+  }
+  int modify_reg(uint8_t reg, uint8_t clear_mask, uint8_t set_bits) {
+    uint8_t cur = 0;
+    if (read_reg(reg, &cur) < 0) return -1;
+    return write_reg(reg, (uint8_t)((cur & clear_mask) | set_bits));
+  }
+
+  // Hook between the PLL register writes and the VCO calibration —
+  // FC0013 flips reg 0x11 bit 2 for the multi-64 band there
+  // (tuner_fc0013.c:375-383).
+  virtual bool pre_vco_cal(uint8_t multi) {
+    (void)multi;
+    return true;
+  }
+
+  // The shared synthesizer program (tuner_fc0012.c:148-280 ==
+  // tuner_fc0013.c:255-424 modulo the band table). Bandwidth fixed at
+  // 6 MHz, as the librtlsdr wrappers do (librtlsdr.c:203-215).
+  bool set_pll(uint32_t freq_hz, const FcPllBand* bands, size_t n_bands) {
+    const FcPllBand* band = &bands[n_bands - 1];
+    for (size_t i = 0; i < n_bands; ++i) {
+      if (freq_hz < bands[i].below_hz) {
+        band = &bands[i];
+        break;
+      }
+    }
+    const uint32_t xtal_2 = xtal_hz_ / 2;
+    const uint64_t f_vco = (uint64_t)freq_hz * band->multi;
+    uint8_t reg6 = band->reg6;
+    bool vco_select = false;
+    if (f_vco >= 3'060'000'000ull) {
+      reg6 |= 0x08;  // high VCO range
+      vco_select = true;
+    }
+    uint32_t xdiv = (uint32_t)(f_vco / xtal_2);
+    if (f_vco - (uint64_t)xdiv * xtal_2 >= xtal_2 / 2) ++xdiv;
+    int pm = (int)(xdiv / 8), am = (int)(xdiv - 8 * pm);
+    if (am < 2) {
+      am += 8;
+      --pm;
+    }
+    uint8_t reg1, reg2;
+    if (pm > 31) {
+      reg1 = (uint8_t)(am + 8 * (pm - 31));
+      reg2 = 31;
+    } else {
+      reg1 = (uint8_t)am;
+      reg2 = (uint8_t)pm;
+    }
+    if (reg1 > 15 || reg2 < 0x0b) return false;  // no valid combination
+    reg6 |= 0x20;  // fix clock out
+    // Signed 16-bit fractional part: bit 15 set marks "one below the
+    // rounded-up XDIV" (tuner_fc0012.c:235-241).
+    uint32_t xin =
+        (uint32_t)((f_vco - (f_vco / xtal_2) * xtal_2) / 1000);
+    xin = (xin << 15) / (xtal_2 / 1000);
+    if (xin >= 16384) xin += 32768;
+    reg6 = (uint8_t)((reg6 & 0x3f) | 0x80);  // bandwidth 6 MHz
+    const uint8_t reg5 = (uint8_t)(band->reg5 | 0x07);  // Realtek demod
+    if (write_reg(0x01, reg1) < 0) return false;
+    if (write_reg(0x02, reg2) < 0) return false;
+    if (write_reg(0x03, (uint8_t)(xin >> 8)) < 0) return false;
+    if (write_reg(0x04, (uint8_t)(xin & 0xff)) < 0) return false;
+    if (write_reg(0x05, reg5) < 0) return false;
+    if (write_reg(0x06, reg6) < 0) return false;
+    if (!pre_vco_cal(band->multi)) return false;
+    // VCO calibration pulse + re-calibration when the control voltage
+    // pins at a rail (tuner_fc0012.c:256-280).
+    if (write_reg(0x0e, 0x80) < 0) return false;
+    if (write_reg(0x0e, 0x00) < 0) return false;
+    if (write_reg(0x0e, 0x00) < 0) return false;
+    uint8_t v = 0;
+    if (read_reg(0x0e, &v) < 0) return false;
+    v &= 0x3f;
+    if (vco_select ? (v > 0x3c) : (v < 0x02)) {
+      reg6 ^= 0x08;
+      if (write_reg(0x06, reg6) < 0) return false;
+      if (write_reg(0x0e, 0x80) < 0) return false;
+      if (write_reg(0x0e, 0x00) < 0) return false;
+    }
+    return true;
+  }
+
+  RegIo& io_;
+  uint32_t xtal_hz_;
+};
+
+class Fc0012Tuner final : public FcTunerBase {
+ public:
+  using FcTunerBase::FcTunerBase;
+
+  // tuner_fc0012.c:91-146 register program (28.8 MHz xtal: reg 0x07
+  // bit 5; dual-master: reg 0x0c bit 1).
+  bool init() override {
+    static constexpr uint8_t kRegs[] = {
+        0x05, 0x10, 0x00, 0x00, 0x0f, 0x00, 0x20, 0xff, 0x6e, 0xb8,
+        0x82, 0xfe, 0x02, 0x00, 0x00, 0x00, 0x00, 0x1f, 0x08, 0x00,
+        0x04};
+    for (size_t i = 0; i < sizeof(kRegs); ++i)
+      if (write_reg((uint8_t)(i + 1), kRegs[i]) < 0) return false;
+    return true;
+  }
+
+  // librtlsdr.c:203-206: GPIO6 steers the VHF/UHF antenna switch, then
+  // the synth programs at 6 MHz bandwidth.
+  bool set_freq(uint32_t freq_hz) override {
+    SetGpioBit(io_, 6, freq_hz > 300'000'000);
+    return set_pll(freq_hz, kFc0012Bands,
+                   sizeof(kFc0012Bands) / sizeof(kFc0012Bands[0]));
+  }
+
+  // Discrete LNA codes on reg 0x13 (tuner_fc0012.c:314-345); the
+  // published ladder is librtlsdr.c:965.
+  double nearest_gain_db(double requested_db) const override {
+    static constexpr int kTenths[] = {-99, -40, 71, 179, 192};
+    double best = kTenths[0] / 10.0, err = 1e18;
+    for (int g : kTenths) {
+      const double e = std::abs(requested_db - g / 10.0);
+      if (e < err) {
+        err = e;
+        best = g / 10.0;
+      }
+    }
+    return best;
+  }
+
+  bool set_gain_manual(int tenth_db) override {
+    uint8_t code = 0x10;  // 19.2 dB, the reference's default case
+    if (tenth_db <= -99) code = 0x02;
+    else if (tenth_db <= -40) code = 0x00;
+    else if (tenth_db <= 71) code = 0x08;
+    else if (tenth_db <= 179) code = 0x17;
+    return modify_reg(0x13, 0xe0, code) >= 0;
+  }
+};
+
+class Fc0013Tuner final : public FcTunerBase {
+ public:
+  using FcTunerBase::FcTunerBase;
+
+  // tuner_fc0013.c:61-113 (28.8 MHz xtal + dual-master bits applied,
+  // as the reference's commented-out switch resolves to).
+  bool init() override {
+    static constexpr uint8_t kRegs[] = {
+        0x09, 0x16, 0x00, 0x00, 0x17, 0x02, 0x2a, 0xff, 0x6e, 0xb8,
+        0x82, 0xfe, 0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x50,
+        0x01};
+    for (size_t i = 0; i < sizeof(kRegs); ++i)
+      if (write_reg((uint8_t)(i + 1), kRegs[i]) < 0) return false;
+    return true;
+  }
+
+  // tuner_fc0013.c:193-253: VHF tracking-filter step, then the
+  // VHF/UHF/GPS RF path switches, then the shared synth.
+  bool set_freq(uint32_t freq_hz) override {
+    uint8_t track = 0x1c;  // <=177.5 MHz and the UHF/GPS default
+    if (freq_hz > 300'000'000) track = 0x1c;
+    else if (freq_hz > 219'500'000) track = 0x04;
+    else if (freq_hz > 205'500'000) track = 0x08;
+    else if (freq_hz > 198'500'000) track = 0x0c;
+    else if (freq_hz > 191'500'000) track = 0x10;
+    else if (freq_hz > 184'500'000) track = 0x14;
+    else if (freq_hz > 177'500'000) track = 0x18;
+    if (modify_reg(0x1d, 0xe3, track) < 0) return false;
+    if (freq_hz < 300'000'000) {
+      // VHF filter on, UHF + GPS paths off.
+      if (modify_reg(0x07, 0xff, 0x10) < 0) return false;
+      if (modify_reg(0x14, 0x1f, 0x00) < 0) return false;
+    } else if (freq_hz <= 862'000'000) {
+      if (modify_reg(0x07, 0xef, 0x00) < 0) return false;
+      if (modify_reg(0x14, 0x1f, 0x40) < 0) return false;
+    } else {
+      if (modify_reg(0x07, 0xef, 0x00) < 0) return false;
+      if (modify_reg(0x14, 0x1f, 0x20) < 0) return false;  // GPS
+    }
+    return set_pll(freq_hz, kFc0013Bands,
+                   sizeof(kFc0013Bands) / sizeof(kFc0013Bands[0]));
+  }
+
+  double nearest_gain_db(double requested_db) const override {
+    double best = kLnaSteps13[0].tenth_db / 10.0, err = 1e18;
+    for (const auto& s : kLnaSteps13) {
+      const double e = std::abs(requested_db - s.tenth_db / 10.0);
+      if (e < err) {
+        err = e;
+        best = s.tenth_db / 10.0;
+      }
+    }
+    return best;
+  }
+
+  // tuner_fc0013.c:429-500: manual mode bit + fixed IF gain, then the
+  // first LNA ladder entry at or above the request.
+  bool set_gain_manual(int tenth_db) override {
+    if (modify_reg(0x0d, 0xff, 0x08) < 0) return false;
+    if (write_reg(0x13, 0x0a) < 0) return false;
+    uint8_t code = kLnaSteps13[kLnaCount13 - 1].code;
+    for (size_t i = 0; i < kLnaCount13; ++i) {
+      if (kLnaSteps13[i].tenth_db >= tenth_db) {
+        code = kLnaSteps13[i].code;
+        break;
+      }
+    }
+    return modify_reg(0x14, 0xe0, code) >= 0;
+  }
+
+ private:
+  struct LnaStep {
+    int tenth_db;
+    uint8_t code;
+  };
+  // tuner_fc0013.c:449-474 (the duplicate -63 dB row collapses to its
+  // first-match code 0x04, which is what the reference's linear scan
+  // selects).
+  static constexpr LnaStep kLnaSteps13[] = {
+      {-99, 0x02}, {-73, 0x03}, {-65, 0x05}, {-63, 0x04}, {-60, 0x07},
+      {-58, 0x01}, {-54, 0x06}, {58, 0x0f},  {61, 0x0e},  {63, 0x0d},
+      {65, 0x0c},  {67, 0x0b},  {68, 0x0a},  {70, 0x09},  {71, 0x08},
+      {179, 0x17}, {181, 0x16}, {182, 0x15}, {184, 0x14}, {186, 0x13},
+      {188, 0x12}, {191, 0x11}, {197, 0x10}};
+  static constexpr size_t kLnaCount13 =
+      sizeof(kLnaSteps13) / sizeof(kLnaSteps13[0]);
+};
+
+// --- FCI FC2580 (tuner_fc2580.c) --------------------------------------
+// Zero-IF, own 16.384 MHz crystal (tuner_fc2580.c:15 — the reference
+// never routes the RTL ppm correction into it), three RF bands
+// (VHF ≤400 MHz ×12, UHF ≤1 GHz ×4, L-band ×2), a 20-bit fractional-N
+// synth, and NO gain control (librtlsdr.c:226,969: the gain table is
+// empty and set_gain is a stub). All math runs in kHz like the
+// reference (fc2580_set_freq, tuner_fc2580.c:195-355).
+
+constexpr uint8_t kFc2580I2cAddr = 0xac;
+constexpr uint8_t kFc2580CheckVal = 0x56;  // reg 1, masked 0x7f
+constexpr uint32_t kFc2580XtalKhz = 16'384;
+
+class Fc2580Tuner final : public TunerChip {
+ public:
+  explicit Fc2580Tuner(RegIo& io) : io_(io) {}
+
+  uint32_t if_freq_hz() const override { return 0; }  // zero-IF
+  // The chip runs off its own crystal; the reference's ppm path only
+  // updates the E4K/R82xx structs (librtlsdr.c:930-934).
+  void set_xtal(uint32_t) override {}
+  double nearest_gain_db(double) const override { return 0.0; }
+  // fc2580_set_gain is a stub (librtlsdr.c:226) — AGC owns the chain.
+  bool set_gain_manual(int) override { return true; }
+  bool standby() override { return true; }  // fc2580_exit is a no-op
+  bool supports_offset_tuning() const override { return true; }
+
+  // fc2580_set_init (tuner_fc2580.c:146-177), external-AGC mode (the
+  // resolved value of the reference's AgcMode, tuner_fc2580.c:53-59),
+  // then the widest channel filter.
+  bool init() override {
+    static constexpr uint8_t kInit[][2] = {
+        {0x00, 0x00}, {0x12, 0x86}, {0x14, 0x5c}, {0x16, 0x3c},
+        {0x1f, 0xd2}, {0x09, 0xd7}, {0x0b, 0xd5}, {0x0c, 0x32},
+        {0x0e, 0x43}, {0x21, 0x0a}, {0x22, 0x82}, {0x45, 0x20},
+        {0x4c, 0x02}, {0x3f, 0x88}, {0x02, 0x0e}, {0x58, 0x14}};
+    for (const auto& rv : kInit)
+      if (write_reg(rv[0], rv[1]) < 0) return false;
+    return set_filter(8);
+  }
+
+  // fc2580_set_freq (tuner_fc2580.c:195-355): band mux registers, VCO
+  // band select at 2.6 GHz, R divider, integer N + 20-bit K.
+  bool set_freq(uint32_t freq_hz) override {
+    const uint32_t f_lo = (freq_hz + 500) / 1000;  // kHz
+    const int band = (f_lo > 1'000'000) ? 2 : (f_lo > 400'000) ? 1 : 0;
+    const uint32_t f_vco =
+        (band == 1) ? f_lo * 4 : (band == 2) ? f_lo * 2 : f_lo * 12;
+    const uint32_t r_val = (f_vco >= 2u * 76 * kFc2580XtalKhz) ? 1
+                           : (f_vco >= 76 * kFc2580XtalKhz)    ? 2
+                                                               : 4;
+    const uint32_t f_comp = kFc2580XtalKhz / r_val;
+    const uint32_t n_val = (f_vco / 2) / f_comp;
+    const uint32_t f_diff = f_vco - 2 * f_comp * n_val;
+    const uint32_t f_diff_shifted = f_diff << 16;  // 20 - pre_shift(4)
+    uint32_t k_val = f_diff_shifted / ((2 * f_comp) >> 4);
+    if (f_diff_shifted - k_val * ((2 * f_comp) >> 4) >= (f_comp >> 4))
+      ++k_val;
+    uint8_t data02 = 0x0e;  // USE_EXT_CLK = 0
+    if (f_vco >= 2'600'000) data02 |= 0x08;  // BORDER_FREQ: high VCO
+    bool ok = true;
+    if (band == 1) {  // UHF
+      data02 &= 0x3f;
+      ok &= write_reg(0x25, 0xf0) == 0 && write_reg(0x27, 0x77) == 0 &&
+            write_reg(0x28, 0x53) == 0 && write_reg(0x29, 0x60) == 0 &&
+            write_reg(0x30, 0x09) == 0 && write_reg(0x50, 0x8c) == 0 &&
+            write_reg(0x53, 0x50) == 0;
+      ok &= write_reg(0x5f, f_lo < 538'000 ? 0x13 : 0x15) == 0;
+      if (f_lo < 538'000) {
+        static constexpr uint8_t kT[][2] = {{0x61, 0x07}, {0x62, 0x06},
+                                            {0x67, 0x06}, {0x68, 0x08},
+                                            {0x69, 0x10}, {0x6a, 0x12}};
+        for (const auto& rv : kT) ok &= write_reg(rv[0], rv[1]) == 0;
+      } else if (f_lo < 794'000) {
+        static constexpr uint8_t kT[][2] = {{0x61, 0x03}, {0x62, 0x03},
+                                            {0x67, 0x03}, {0x68, 0x05},
+                                            {0x69, 0x0c}, {0x6a, 0x0e}};
+        for (const auto& rv : kT) ok &= write_reg(rv[0], rv[1]) == 0;
+      } else {
+        static constexpr uint8_t kT[][2] = {{0x61, 0x07}, {0x62, 0x06},
+                                            {0x67, 0x07}, {0x68, 0x09},
+                                            {0x69, 0x10}, {0x6a, 0x12}};
+        for (const auto& rv : kT) ok &= write_reg(rv[0], rv[1]) == 0;
+      }
+      static constexpr uint8_t kTail[][2] = {{0x63, 0x15}, {0x6b, 0x0b},
+                                             {0x6c, 0x0c}, {0x6d, 0x78},
+                                             {0x6e, 0x32}, {0x6f, 0x14}};
+      for (const auto& rv : kTail) ok &= write_reg(rv[0], rv[1]) == 0;
+      ok &= set_filter(8);
+    } else if (band == 0) {  // VHF
+      data02 = (uint8_t)((data02 & 0x3f) | 0x80);
+      static constexpr uint8_t kT[][2] = {
+          {0x27, 0x77}, {0x28, 0x33}, {0x29, 0x40}, {0x30, 0x09},
+          {0x50, 0x8c}, {0x53, 0x50}, {0x5f, 0x0f}, {0x61, 0x07},
+          {0x62, 0x00}, {0x63, 0x15}, {0x67, 0x03}, {0x68, 0x05},
+          {0x69, 0x10}, {0x6a, 0x12}, {0x6b, 0x08}, {0x6c, 0x0a},
+          {0x6d, 0x78}, {0x6e, 0x32}, {0x6f, 0x54}};
+      for (const auto& rv : kT) ok &= write_reg(rv[0], rv[1]) == 0;
+      ok &= set_filter(7);
+    } else {  // L-band
+      data02 = (uint8_t)((data02 & 0x3f) | 0x40);
+      static constexpr uint8_t kT[][2] = {
+          {0x2b, 0x70}, {0x2c, 0x37}, {0x2d, 0xe7}, {0x30, 0x09},
+          {0x44, 0x20}, {0x50, 0x8c}, {0x53, 0x50}, {0x5f, 0x0f},
+          {0x61, 0x0f}, {0x62, 0x00}, {0x63, 0x13}, {0x67, 0x00},
+          {0x68, 0x02}, {0x69, 0x0c}, {0x6a, 0x0e}, {0x6b, 0x08},
+          {0x6c, 0x0a}, {0x6d, 0xa0}, {0x6e, 0x50}, {0x6f, 0x14}};
+      for (const auto& rv : kT) ok &= write_reg(rv[0], rv[1]) == 0;
+      ok &= set_filter(1);
+    }
+    // (xtal 16.384 MHz < 28 MHz, so the AGC-clock pre-divide write at
+    // tuner_fc2580.c:336-337 is skipped.)
+    ok &= write_reg(0x02, data02) == 0;
+    const uint8_t r_code =
+        (r_val == 1) ? 0x00 : (r_val == 2) ? 0x10 : 0x20;
+    ok &= write_reg(0x18, (uint8_t)(r_code + (k_val >> 16))) == 0;
+    ok &= write_reg(0x1a, (uint8_t)(k_val >> 8)) == 0;
+    ok &= write_reg(0x1b, (uint8_t)k_val) == 0;
+    ok &= write_reg(0x1c, (uint8_t)n_val) == 0;
+    if (band == 1)
+      ok &= write_reg(0x2d, f_lo <= 794'000 ? 0x9f : 0x8f) == 0;
+    return ok;
+  }
+
+  // The reference's rtlsdr set_bw hook pins mode 1 (1.53 MHz) whatever
+  // the rate (librtlsdr.c:225); here the closest of the chip's four
+  // calibrated modes is selected instead — offset tuning needs the
+  // filter to actually follow the shifted band.
+  bool set_bandwidth(uint32_t bw_hz) override {
+    const uint8_t mode = (bw_hz <= 2'000'000)   ? 1
+                         : (bw_hz <= 6'200'000) ? 6
+                         : (bw_hz <= 7'200'000) ? 7
+                                                : 8;
+    return set_filter(mode);
+  }
+
+ private:
+  int write_reg(uint8_t reg, uint8_t val) {
+    uint8_t buf[2] = {reg, val};
+    return io_.i2c_write(kFc2580I2cAddr, buf, 2) == 2 ? 0 : -1;
+  }
+  int read_reg(uint8_t reg, uint8_t* out) {
+    if (io_.i2c_write(kFc2580I2cAddr, &reg, 1) < 1) return -1;
+    return io_.i2c_read(kFc2580I2cAddr, out, 1) == 1 ? 0 : -1;
+  }
+
+  // fc2580_set_filter (tuner_fc2580.c:370-430): per-mode CSF
+  // coefficients scaled by the crystal, then the calibration monitor
+  // loop re-pulsing 0x2E until cal_mon reports done.
+  bool set_filter(uint8_t mode) {
+    uint8_t r36 = 0x18, r39 = 0x80;
+    uint32_t coef = 3300;
+    if (mode == 1) {
+      r36 = 0x1c;
+      coef = 4151;
+      r39 = 0x00;
+    } else if (mode == 6) {
+      coef = 4400;
+      r39 = 0x00;
+    } else if (mode == 7) {
+      coef = 3910;
+    }
+    bool ok = write_reg(0x36, r36) == 0;
+    ok &= write_reg(0x37, (uint8_t)(coef * kFc2580XtalKhz / 1'000'000)) == 0;
+    ok &= write_reg(0x39, r39) == 0;
+    ok &= write_reg(0x2e, 0x09) == 0;
+    for (int i = 0; i < 5; ++i) {
+      uint8_t cal = 0;
+      if (read_reg(0x2f, &cal) < 0) return false;
+      if ((cal & 0xc0) == 0xc0) break;
+      ok &= write_reg(0x2e, 0x01) == 0;
+      ok &= write_reg(0x2e, 0x09) == 0;
+    }
+    ok &= write_reg(0x2e, 0x01) == 0;
+    return ok;
+  }
+
+  RegIo& io_;
+};
+
 // --- the Device implementation ---------------------------------------
 
 class RtlUsbDevice final : public Device {
@@ -746,10 +1233,16 @@ class RtlUsbDevice final : public Device {
     init_baseband();
 
     {
+      // Probe order mirrors librtlsdr.c:1500-1551: E4000, FC0013,
+      // R820T, R828D, then (after a GPIO5 tuner-reset pulse) FC2580,
+      // and FC0012 last. All five reference chips are supported.
       RepeaterScope rep(io_);
       if (io_.i2c_read_reg(kE4kI2cAddr, kE4kCheckReg) == kE4kCheckVal) {
         tuner_xtal_ = kRtlXtalHz;  // E4000 runs off the RTL crystal
         tuner_.reset(new E4kTuner(io_, tuner_xtal_));
+      } else if (io_.i2c_read_reg(kFcI2cAddr, 0x00) == kFc0013CheckVal) {
+        tuner_xtal_ = kRtlXtalHz;
+        tuner_.reset(new Fc0013Tuner(io_, tuner_xtal_));
       } else if (io_.i2c_read_reg(kR820tI2cAddr, 0x00) == kR82xxCheckVal) {
         tuner_xtal_ = kRtlXtalHz;
         tuner_.reset(
@@ -759,11 +1252,25 @@ class RtlUsbDevice final : public Device {
         tuner_.reset(
             new R82xxTuner(io_, kR828dI2cAddr, tuner_xtal_, true));
       } else {
-        // Capability scope: the deployed hardware is R820T/R828D
-        // (README.md:37) and E4000 is the common alternative; the
-        // FC001x/FC2580 chips fail the open cleanly.
-        std::fprintf(stderr, "sdrcap-usb: no supported tuner found\n");
-        return false;
+        // Reset the remaining candidates via GPIO5 before probing
+        // (librtlsdr.c:1532-1537).
+        SetGpioOutput(io_, 5);
+        SetGpioBit(io_, 5, true);
+        SetGpioBit(io_, 5, false);
+        if ((io_.i2c_read_reg(kFc2580I2cAddr, 0x01) & 0x7f) ==
+            kFc2580CheckVal) {
+          tuner_.reset(new Fc2580Tuner(io_));  // own 16.384 MHz xtal
+        } else if (io_.i2c_read_reg(kFcI2cAddr, 0x00) ==
+                   kFc0012CheckVal) {
+          tuner_xtal_ = kRtlXtalHz;
+          // The FC0012's antenna switch rides GPIO6
+          // (librtlsdr.c:1547-1549, 203-206).
+          SetGpioOutput(io_, 6);
+          tuner_.reset(new Fc0012Tuner(io_, tuner_xtal_));
+        } else {
+          std::fprintf(stderr, "sdrcap-usb: no supported tuner found\n");
+          return false;
+        }
       }
       apply_tuner_datapath();
       if (!tuner_->init()) return false;

@@ -470,6 +470,154 @@ static void test_e4k_two_freq_capture() {
   std::puts("e4k_two_freq_capture OK");
 }
 
+// --- Fitipower FC0013 (zero-IF, Fitipower sigma-delta PLL) ------------
+// The probe must find the FC0013 at 0xc6 (chip id 0xa3 at reg 0,
+// librtlsdr.c:1511-1515) and keep the default zero-IF datapath. The
+// PLL registers must decode back to the target frequency within the
+// synth's own quantization (XIN LSB = xtal/2/32768 ≈ 439 Hz in the VCO
+// domain, shrunk by the band divider, plus the driver's kHz rounding).
+static void test_fc0013_probe_and_pll() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kFc0013;
+  Rig r = make_rig(opts);
+  CHECK(r.state->baseband_on.load());
+  CHECK(r.state->if_freq_reg.load() == 0);  // zero-IF
+  // One frequency per divider rung: multi 96 / 24 / 16 / 8 / 4 / 2.
+  for (uint32_t freq : {28'000'000u, 120'000'000u, 162'400'000u,
+                        433'920'000u, 860'000'000u, 1'575'420'000u}) {
+    CHECK(r.dev->set_center_freq(freq));
+    const double lo = (double)r.state->tuner_lo_hz.load();
+    CHECK(std::fabs(lo - (double)freq) < 2000.0);
+  }
+  // Above the synth's reach no AM/PM split exists
+  // (tuner_fc0013.c:335-340) — the tune must fail, not lie.
+  CHECK(!r.dev->set_center_freq(1'900'000'000u));
+  CHECK(r.state->repeater_violations.load() == 0);
+  std::puts("fc0013_probe_pll OK");
+}
+
+// LNA ladder programming (tuner_fc0013.c:449-500): manual-mode bit on
+// reg 0x0d, and the first table entry at or above the snapped gain.
+static void test_fc0013_lna_gain() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kFc0013;
+  Rig r = make_rig(opts);
+  struct Case {
+    double db;
+    uint32_t code;
+  };
+  // 19.7 dB is the ladder top (code 0x10); 7.1 dB mid (0x08);
+  // -6.3 dB low (0x04); 30 dB snaps down to 19.7.
+  for (const Case& c : {Case{19.7, 0x10}, Case{7.1, 0x08},
+                        Case{-6.3, 0x04}, Case{30.0, 0x10}}) {
+    CHECK(r.dev->set_tuner_gain_db(c.db));
+    CHECK(r.state->tuner_manual_gain.load());
+    CHECK(r.state->lna_index.load() == c.code);
+  }
+  CHECK(r.state->repeater_violations.load() == 0);
+  std::puts("fc0013_lna_gain OK");
+}
+
+// --- Fitipower FC0012 --------------------------------------------------
+// Probed LAST (librtlsdr.c:1546-1551) — the FC0013 check at the same
+// I2C address must miss first (different chip id). GPIO6 must be
+// configured as an output and steer the VHF/UHF antenna switch at
+// 300 MHz (librtlsdr.c:203-206).
+static void test_fc0012_probe_pll_and_gpio6() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kFc0012;
+  Rig r = make_rig(opts);
+  CHECK(r.state->if_freq_reg.load() == 0);
+  CHECK((r.state->gpio_oe.load() & (1u << 6)) != 0);
+  CHECK(r.dev->set_center_freq(162'400'000));
+  CHECK((r.state->gpio_out.load() & (1u << 6)) == 0);  // VHF side
+  CHECK(std::fabs((double)r.state->tuner_lo_hz.load() - 162'400'000.0) <
+        2000.0);
+  CHECK(r.dev->set_center_freq(433'920'000));
+  CHECK((r.state->gpio_out.load() & (1u << 6)) != 0);  // UHF side
+  CHECK(std::fabs((double)r.state->tuner_lo_hz.load() - 433'920'000.0) <
+        2000.0);
+  // The FC0012 ladder ends at multi 4 (tuner_fc0012.c:190-196): the
+  // GPS band the FC0013 reaches is out of range here.
+  CHECK(!r.dev->set_center_freq(1'575'420'000u));
+  // Gain codes on reg 0x13 (tuner_fc0012.c:314-345).
+  CHECK(r.dev->set_tuner_gain_db(19.2));
+  CHECK(r.state->lna_index.load() == 0x10);
+  CHECK(r.dev->set_tuner_gain_db(-4.0));
+  CHECK(r.state->lna_index.load() == 0x00);
+  CHECK(r.dev->set_tuner_gain_db(7.1));
+  CHECK(r.state->lna_index.load() == 0x08);
+  CHECK(r.state->repeater_violations.load() == 0);
+  std::puts("fc0012_probe_pll_gpio6 OK");
+}
+
+// --- FCI FC2580 ---------------------------------------------------------
+// Found only after the GPIO5 tuner-reset pulse (librtlsdr.c:1532-1543,
+// chip id masked 0x7f). Runs off its OWN 16.384 MHz crystal; the
+// 20-bit fractional-N synth must round-trip in all three bands within
+// its quantization (2*f_comp/2^20 ≈ 31 Hz) plus the driver's kHz
+// rounding.
+static void test_fc2580_probe_and_pll() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kFc2580;
+  Rig r = make_rig(opts);
+  CHECK(r.state->if_freq_reg.load() == 0);
+  CHECK((r.state->gpio_oe.load() & (1u << 5)) != 0);  // reset pin driven
+  CHECK((r.state->gpio_out.load() & (1u << 5)) == 0);  // and released
+  for (uint32_t freq : {162'400'000u,    // VHF (x12)
+                        500'000'000u,    // UHF (x4)
+                        1'575'420'000u}) {  // L-band (x2)
+    CHECK(r.dev->set_center_freq(freq));
+    const double lo = (double)r.state->tuner_lo_hz.load();
+    CHECK(std::fabs(lo - (double)freq) < 1500.0);
+  }
+  // No gain control exists on this chip (librtlsdr.c:226,969): the
+  // call must succeed as a no-op rather than fail the capture setup.
+  CHECK(r.dev->set_tuner_gain_db(30.0));
+  CHECK(r.state->repeater_violations.load() == 0);
+  std::puts("fc2580_probe_pll OK");
+}
+
+// The 2-frequency capture engine must run unchanged on a Fitipower
+// chip: exactly 3*n bytes, in order, with both retunes landed.
+static void test_fc0013_two_freq_capture() {
+  MockUsbOptions opts;
+  opts.tuner = MockTunerModel::kFc0013;
+  Rig r = make_rig(opts);
+  CaptureConfig cfg;
+  cfg.freq1_hz = 162'400'000;
+  cfg.freq2_hz = 101'900'000;
+  cfg.gain1_db = 19.7;
+  cfg.gain2_db = 7.1;
+  cfg.samples_per_freq = 50'000;
+  cfg.buf_len = 16'384;
+  cfg.num_buffers = 4;
+  std::vector<uint8_t> out;
+  CaptureStats st = RunTwoFreqCapture(
+      *r.dev, cfg, [&](const uint8_t* d, size_t n) {
+        out.insert(out.end(), d, d + n);
+        return true;
+      });
+  CHECK(st.completed);
+  CHECK(st.retunes == 2);
+  CHECK(out.size() == 3 * 2 * cfg.samples_per_freq);
+  auto tags = [&](uint32_t freq, double gain) {
+    r.dev->set_tuner_gain_db(gain);
+    r.dev->set_center_freq(freq);
+    uint32_t ft = r.state->tuner_lo_hz.load() / 1000u;
+    uint32_t gt = r.state->lna_index.load() * 16u +
+                  r.state->mixer_index.load();
+    return std::make_pair(ft, gt);
+  };
+  auto [f1t, g1t] = tags(cfg.freq1_hz, cfg.gain1_db);
+  auto [f2t, g2t] = tags(cfg.freq2_hz, cfg.gain2_db);
+  const size_t bs = 2 * cfg.samples_per_freq;
+  CHECK(out[bs / 2] == mock_byte(bs / 2, f1t, g1t, 1));
+  CHECK(out[bs + bs / 2] == mock_byte(bs + bs / 2, f2t, g2t, 1));
+  CHECK(out[2 * bs + bs / 2] == mock_byte(2 * bs + bs / 2, f1t, g1t, 1));
+  std::puts("fc0013_two_freq_capture OK");
+}
+
 // The libusb factory must never crash: with no dongle (CI) it returns
 // nullptr cleanly; on a station with real hardware attached it may
 // legitimately open the device — don't assert either way, and don't
@@ -506,6 +654,11 @@ int main() {
   test_e4k_offset_tuning();
   test_e4k_offset_tuning_survives_direct_sampling();
   test_e4k_two_freq_capture();
+  test_fc0013_probe_and_pll();
+  test_fc0013_lna_gain();
+  test_fc0012_probe_pll_and_gpio6();
+  test_fc2580_probe_and_pll();
+  test_fc0013_two_freq_capture();
   test_libusb_factory_graceful();
   std::puts("ALL USB TESTS PASSED");
   return 0;
