@@ -54,6 +54,10 @@ class Device {
   virtual uint32_t center_freq() const = 0;
   virtual uint32_t sample_rate() const = 0;
 
+  // Human-readable tuner chip name, for operator diagnostics (the
+  // reference announces the probed chip at open, librtlsdr.c:1505-1548).
+  virtual const char* tuner_name() const { return "unknown"; }
+
   // Synchronous read of exactly `len` bytes (rtlsdr_read_sync parity).
   virtual bool read_sync(uint8_t* out, size_t len) = 0;
 

@@ -79,6 +79,7 @@ class SimDevice final : public Device {
   uint32_t sample_rate() const override {
     return sample_rate_.load(std::memory_order_relaxed);
   }
+  const char* tuner_name() const override { return "R820T (simulated)"; }
 
   bool read_sync(uint8_t* out, size_t len) override {
     generate(out, len);

@@ -180,6 +180,7 @@ void SetGpioOutput(RegIo& io, uint8_t pin) {
 class TunerChip {
  public:
   virtual ~TunerChip() = default;
+  virtual const char* name() const = 0;
   virtual bool init() = 0;
   virtual bool set_freq(uint32_t freq_hz) = 0;
   virtual bool set_gain_manual(int tenth_db) = 0;
@@ -234,6 +235,10 @@ class R82xxTuner final : public TunerChip {
  public:
   R82xxTuner(RegIo& io, uint8_t i2c_addr, uint32_t xtal_hz, bool is_828d)
       : io_(io), i2c_addr_(i2c_addr), xtal_hz_(xtal_hz), is_828d_(is_828d) {}
+
+  const char* name() const override {
+    return is_828d_ ? "Rafael Micro R828D" : "Rafael Micro R820T";
+  }
 
   uint32_t if_freq_hz() const override { return kR82xxIfHz; }
   void set_xtal(uint32_t hz) override { xtal_hz_ = hz; }
@@ -567,6 +572,8 @@ class E4kTuner final : public TunerChip {
  public:
   E4kTuner(RegIo& io, uint32_t xtal_hz) : io_(io), fosc_(xtal_hz) {}
 
+  const char* name() const override { return "Elonics E4000"; }
+
   uint32_t if_freq_hz() const override { return 0; }  // zero-IF
   void set_xtal(uint32_t hz) override { fosc_ = hz; }
   bool supports_offset_tuning() const override { return true; }
@@ -894,6 +901,8 @@ class Fc0012Tuner final : public FcTunerBase {
  public:
   using FcTunerBase::FcTunerBase;
 
+  const char* name() const override { return "Fitipower FC0012"; }
+
   // tuner_fc0012.c:91-146 register program (28.8 MHz xtal: reg 0x07
   // bit 5; dual-master: reg 0x0c bit 1).
   bool init() override {
@@ -942,6 +951,8 @@ class Fc0012Tuner final : public FcTunerBase {
 class Fc0013Tuner final : public FcTunerBase {
  public:
   using FcTunerBase::FcTunerBase;
+
+  const char* name() const override { return "Fitipower FC0013"; }
 
   // tuner_fc0013.c:61-113 (28.8 MHz xtal + dual-master bits applied,
   // as the reference's commented-out switch resolves to).
@@ -1042,6 +1053,8 @@ constexpr uint32_t kFc2580XtalKhz = 16'384;
 class Fc2580Tuner final : public TunerChip {
  public:
   explicit Fc2580Tuner(RegIo& io) : io_(io) {}
+
+  const char* name() const override { return "FCI FC2580"; }
 
   uint32_t if_freq_hz() const override { return 0; }  // zero-IF
   // The chip runs off its own crystal; the reference's ppm path only
@@ -1272,6 +1285,8 @@ class RtlUsbDevice final : public Device {
           return false;
         }
       }
+      std::fprintf(stderr, "sdrcap-usb: found %s tuner\n",
+                   tuner_->name());
       apply_tuner_datapath();
       if (!tuner_->init()) return false;
     }
@@ -1397,6 +1412,7 @@ class RtlUsbDevice final : public Device {
 
   uint32_t center_freq() const override { return freq_; }
   uint32_t sample_rate() const override { return rate_; }
+  const char* tuner_name() const override { return tuner_->name(); }
 
   // librtlsdr.c:1040-1060: set the read pointer, then byte reads.
   int read_eeprom(uint8_t* data, uint8_t offset, uint16_t len) override {

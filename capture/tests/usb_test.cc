@@ -57,6 +57,7 @@ uint8_t mock_byte(uint64_t n, uint32_t freq_tag, uint32_t gain_tag,
 static void test_open_initializes_baseband_and_tuner() {
   Rig r = make_rig();
   CHECK(r.state->baseband_on.load());
+  CHECK(std::strcmp(r.dev->tuner_name(), "Rafael Micro R828D") == 0);
   CHECK(r.state->fir_writes.load() >= 20);
   CHECK(r.state->repeater_violations.load() == 0);
   CHECK(!r.state->repeater_on.load());  // repeater released after init
@@ -337,6 +338,7 @@ static void test_e4k_probe_and_zero_if() {
   opts.tuner = MockTunerModel::kE4000;
   Rig r = make_rig(opts);
   CHECK(r.state->baseband_on.load());
+  CHECK(std::strcmp(r.dev->tuner_name(), "Elonics E4000") == 0);
   CHECK(r.state->repeater_violations.load() == 0);
   CHECK(r.state->if_freq_reg.load() == 0);  // zero-IF
   std::puts("e4k_probe OK");
@@ -482,6 +484,7 @@ static void test_fc0013_probe_and_pll() {
   Rig r = make_rig(opts);
   CHECK(r.state->baseband_on.load());
   CHECK(r.state->if_freq_reg.load() == 0);  // zero-IF
+  CHECK(std::strcmp(r.dev->tuner_name(), "Fitipower FC0013") == 0);
   // One frequency per divider rung: multi 96 / 24 / 16 / 8 / 4 / 2.
   for (uint32_t freq : {28'000'000u, 120'000'000u, 162'400'000u,
                         433'920'000u, 860'000'000u, 1'575'420'000u}) {
@@ -528,6 +531,7 @@ static void test_fc0012_probe_pll_and_gpio6() {
   opts.tuner = MockTunerModel::kFc0012;
   Rig r = make_rig(opts);
   CHECK(r.state->if_freq_reg.load() == 0);
+  CHECK(std::strcmp(r.dev->tuner_name(), "Fitipower FC0012") == 0);
   CHECK((r.state->gpio_oe.load() & (1u << 6)) != 0);
   CHECK(r.dev->set_center_freq(162'400'000));
   CHECK((r.state->gpio_out.load() & (1u << 6)) == 0);  // VHF side
@@ -562,6 +566,7 @@ static void test_fc2580_probe_and_pll() {
   opts.tuner = MockTunerModel::kFc2580;
   Rig r = make_rig(opts);
   CHECK(r.state->if_freq_reg.load() == 0);
+  CHECK(std::strcmp(r.dev->tuner_name(), "FCI FC2580") == 0);
   CHECK((r.state->gpio_oe.load() & (1u << 5)) != 0);  // reset pin driven
   CHECK((r.state->gpio_out.load() & (1u << 5)) == 0);  // and released
   for (uint32_t freq : {162'400'000u,    // VHF (x12)
