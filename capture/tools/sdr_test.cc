@@ -1,9 +1,13 @@
 // Throughput / continuity benchmark — rtl_test.c capability: stream for
 // N seconds, report delivered sample rate, byte-order continuity, and
 // (for the ordered engine) that no buffer was dropped or reordered.
+// -p adds rtl_test's PPM benchmark (rtl_test.c:162-214): measure the
+// device sample clock against the host monotonic clock, reporting the
+// current and cumulative error in parts-per-million.
 //
-//   sdr_test [-s rate] [-t seconds]
+//   sdr_test [-s rate] [-t seconds] [-p [report_interval_s]]
 #include <chrono>
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -11,9 +15,68 @@
 #include "sdrcap/backend.h"
 #include "sdrcap/device.h"
 
+namespace {
+
+// rtl_test.c:162-214 semantics: throw away the first PPM_DUMP_TIME
+// seconds (a dongle's clock is typically off by >2x its settled value
+// right after power-up), then compare accumulated sample count against
+// CLOCK_MONOTONIC once per report interval.
+class PpmBench {
+ public:
+  PpmBench(uint32_t rate, double interval_s, double dump_s)
+      : rate_(rate), interval_s_(interval_s), dump_s_(dump_s) {}
+
+  void on_samples(uint64_t n) {
+    const auto now = std::chrono::steady_clock::now();
+    if (!started_) {
+      started_ = true;
+      start_ = now;
+      window_start_ = now;
+      return;
+    }
+    if (dumping_) {
+      if (std::chrono::duration<double>(now - start_).count() < dump_s_)
+        return;
+      dumping_ = false;
+      window_start_ = now;
+      return;
+    }
+    nsamples_ += n;
+    const double el =
+        std::chrono::duration<double>(now - window_start_).count();
+    if (el < interval_s_) return;
+    total_samples_ += nsamples_;
+    total_s_ += el;
+    const double real_rate = nsamples_ / el;
+    std::printf(
+        "real sample rate: %d current PPM: %d cumulative PPM: %d\n",
+        (int)real_rate, ppm(nsamples_, el),
+        ppm(total_samples_, total_s_));
+    window_start_ = now;
+    nsamples_ = 0;
+  }
+
+ private:
+  int ppm(uint64_t n, double s) const {
+    return (int)std::lround(1e6 * ((n / s) / (double)rate_ - 1.0));
+  }
+
+  uint32_t rate_;
+  double interval_s_, dump_s_;
+  bool started_ = false, dumping_ = true;
+  uint64_t nsamples_ = 0, total_samples_ = 0;
+  double total_s_ = 0.0;
+  std::chrono::steady_clock::time_point start_, window_start_;
+};
+
+}  // namespace
+
 int main(int argc, char** argv) {
   uint32_t rate = 2'048'000;
   double seconds = 2.0;
+  bool ppm_mode = false;
+  double ppm_interval = 10.0;  // PPM_DURATION default (rtl_test.c:55)
+  double ppm_dump = 5.0;       // PPM_DUMP_TIME (rtl_test.c:54)
   sdrcap::BackendOptions backend;
   backend.sim_seed = 42;
   for (int i = 1; i < argc; ++i) {
@@ -21,24 +84,39 @@ int main(int argc, char** argv) {
     auto nextc = sdrcap::MakeNext(argc, argv, &i);
     if (a == "-s" && i + 1 < argc) rate = std::strtoul(argv[++i], nullptr, 10);
     else if (a == "-t" && i + 1 < argc) seconds = std::atof(argv[++i]);
-    else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}
+    else if (a == "-p") {
+      ppm_mode = true;
+      // Optional value, like rtl_test's -p[seconds].
+      if (i + 1 < argc && std::atof(argv[i + 1]) > 0.0)
+        ppm_interval = std::atof(argv[++i]);
+    } else if (a == "--ppm-dump" && i + 1 < argc) {
+      ppm_dump = std::atof(argv[++i]);  // test hook: shrink the settle
+    } else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}
     else if (a == "--help") {
-      std::fprintf(stderr, "Usage: sdr_test [-s rate] [-t seconds]\n%s",
+      std::fprintf(stderr,
+                   "Usage: sdr_test [-s rate] [-t seconds] "
+                   "[-p [report_interval_s]]\n%s",
                    sdrcap::BackendUsage());
       return 0;
     }
   }
+  // The PPM benchmark measures the device clock against wall time, so
+  // the sim backend must pace generation at the configured rate — an
+  // unpaced sim would read as a huge bogus clock error.
+  if (ppm_mode) backend.sim_realtime = true;
   auto dev = sdrcap::OpenBackend(backend);
   if (!dev) return 1;
   dev->set_sample_rate(rate);
   dev->set_center_freq(100'000'000);
 
+  PpmBench bench(dev->sample_rate(), ppm_interval, ppm_dump);
   uint64_t bytes = 0, callbacks = 0;
   auto t0 = std::chrono::steady_clock::now();
   dev->read_async(
       [&](const uint8_t*, size_t len) {
         bytes += len;
         ++callbacks;
+        if (ppm_mode) bench.on_samples(len / 2);
         const double el = std::chrono::duration<double>(
                               std::chrono::steady_clock::now() - t0)
                               .count();
