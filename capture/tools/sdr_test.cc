@@ -4,8 +4,11 @@
 // -p adds rtl_test's PPM benchmark (rtl_test.c:162-214): measure the
 // device sample clock against the host monotonic clock, reporting the
 // current and cumulative error in parts-per-million.
+// -e adds rtl_test's E4000 PLL benchmark (rtl_test.c:224-267, the
+// reference's -t flag — taken here by the duration): probe the tuner's
+// lock range and L-band gap by scanning set_center_freq.
 //
-//   sdr_test [-s rate] [-t seconds] [-p [report_interval_s]]
+//   sdr_test [-s rate] [-t seconds] [-p [report_interval_s]] [-e]
 #include <chrono>
 #include <cmath>
 #include <cstdio>
@@ -69,12 +72,63 @@ class PpmBench {
   std::chrono::steady_clock::time_point start_, window_start_;
 };
 
+// rtl_test.c:224-267 at the Device seam: a failed set_center_freq IS
+// the PLL refusing to lock, so the same four scans find the range ends
+// and the L-band gap.
+int e4k_pll_benchmark(sdrcap::Device& dev) {
+  if (std::strcmp(dev.tuner_name(), "Elonics E4000") != 0) {
+    std::fprintf(stderr, "-e needs an E4000 tuner (found: %s)\n",
+                 dev.tuner_name());
+    return 1;
+  }
+  constexpr uint32_t kMhz = 1'000'000;
+  std::fprintf(stderr, "Benchmarking E4000 PLL...\n");
+  uint32_t range_start = 0, range_end = 0, gap_start = 0, gap_end = 0;
+  for (uint32_t f = 70 * kMhz; f > 1 * kMhz; f -= kMhz)
+    if (!dev.set_center_freq(f)) {
+      range_start = f;
+      break;
+    }
+  for (uint32_t f = 2000 * kMhz; f < 2300 * kMhz; f += kMhz)
+    if (!dev.set_center_freq(f)) {
+      range_end = f;
+      break;
+    }
+  // The reference's 2 GHz start sits beyond the synth table; walk down
+  // for the true end when 2000 MHz itself already fails.
+  if (range_end == 2000 * kMhz)
+    for (uint32_t f = 2000 * kMhz; f > 1000 * kMhz; f -= kMhz)
+      if (dev.set_center_freq(f)) {
+        range_end = f + kMhz;
+        break;
+      }
+  for (uint32_t f = 1000 * kMhz; f < 1300 * kMhz; f += kMhz)
+    if (!dev.set_center_freq(f)) {
+      gap_start = f;
+      break;
+    }
+  for (uint32_t f = 1300 * kMhz; f > 1000 * kMhz; f -= kMhz)
+    if (!dev.set_center_freq(f)) {
+      gap_end = f;
+      break;
+    }
+  std::fprintf(stderr, "E4K range: %u to %u MHz\n",
+               range_start / kMhz + 1, range_end / kMhz - 1);
+  if (gap_start && gap_end)
+    std::fprintf(stderr, "E4K L-band gap: %u to %u MHz\n",
+                 gap_start / kMhz, gap_end / kMhz);
+  else
+    std::fprintf(stderr, "E4K L-band gap: none found\n");
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   uint32_t rate = 2'048'000;
   double seconds = 2.0;
   bool ppm_mode = false;
+  bool e4k_bench = false;
   double ppm_interval = 10.0;  // PPM_DURATION default (rtl_test.c:55)
   double ppm_dump = 5.0;       // PPM_DUMP_TIME (rtl_test.c:54)
   sdrcap::BackendOptions backend;
@@ -91,11 +145,13 @@ int main(int argc, char** argv) {
         ppm_interval = std::atof(argv[++i]);
     } else if (a == "--ppm-dump" && i + 1 < argc) {
       ppm_dump = std::atof(argv[++i]);  // test hook: shrink the settle
+    } else if (a == "-e") {
+      e4k_bench = true;
     } else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}
     else if (a == "--help") {
       std::fprintf(stderr,
                    "Usage: sdr_test [-s rate] [-t seconds] "
-                   "[-p [report_interval_s]]\n%s",
+                   "[-p [report_interval_s]] [-e]\n%s",
                    sdrcap::BackendUsage());
       return 0;
     }
@@ -107,6 +163,7 @@ int main(int argc, char** argv) {
   auto dev = sdrcap::OpenBackend(backend);
   if (!dev) return 1;
   dev->set_sample_rate(rate);
+  if (e4k_bench) return e4k_pll_benchmark(*dev);
   dev->set_center_freq(100'000'000);
 
   PpmBench bench(dev->sample_rate(), ppm_interval, ppm_dump);
