@@ -9,11 +9,13 @@
 // lock range and L-band gap by scanning set_center_freq.
 //
 //   sdr_test [-s rate] [-t seconds] [-p [report_interval_s]] [-e]
+//            [-b buf_bytes] [-S]
 #include <chrono>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 #include "sdrcap/backend.h"
 #include "sdrcap/device.h"
@@ -129,6 +131,8 @@ int main(int argc, char** argv) {
   double seconds = 2.0;
   bool ppm_mode = false;
   bool e4k_bench = false;
+  bool sync_mode = false;           // rtl_test -S: blocking reads
+  size_t buf_len = 262144;          // rtl_test -b (DEFAULT_BUF_LENGTH)
   double ppm_interval = 10.0;  // PPM_DURATION default (rtl_test.c:55)
   double ppm_dump = 5.0;       // PPM_DUMP_TIME (rtl_test.c:54)
   sdrcap::BackendOptions backend;
@@ -147,11 +151,15 @@ int main(int argc, char** argv) {
       ppm_dump = std::atof(argv[++i]);  // test hook: shrink the settle
     } else if (a == "-e") {
       e4k_bench = true;
+    } else if (a == "-b" && i + 1 < argc) {
+      buf_len = std::strtoul(argv[++i], nullptr, 10);
+    } else if (a == "-S") {
+      sync_mode = true;
     } else if (sdrcap::ParseBackendFlag(a, nextc, &backend)) {}
     else if (a == "--help") {
       std::fprintf(stderr,
                    "Usage: sdr_test [-s rate] [-t seconds] "
-                   "[-p [report_interval_s]] [-e]\n%s",
+                   "[-p [report_interval_s]] [-e] [-b buf_bytes] [-S]\n%s",
                    sdrcap::BackendUsage());
       return 0;
     }
@@ -169,17 +177,27 @@ int main(int argc, char** argv) {
   PpmBench bench(dev->sample_rate(), ppm_interval, ppm_dump);
   uint64_t bytes = 0, callbacks = 0;
   auto t0 = std::chrono::steady_clock::now();
-  dev->read_async(
-      [&](const uint8_t*, size_t len) {
-        bytes += len;
-        ++callbacks;
-        if (ppm_mode) bench.on_samples(len / 2);
-        const double el = std::chrono::duration<double>(
-                              std::chrono::steady_clock::now() - t0)
-                              .count();
-        if (el >= seconds) dev->cancel_async();
-      },
-      262144, 15);
+  auto on_buf = [&](const uint8_t*, size_t len) {
+    bytes += len;
+    ++callbacks;
+    if (ppm_mode) bench.on_samples(len / 2);
+    const double el = std::chrono::duration<double>(
+                          std::chrono::steady_clock::now() - t0)
+                          .count();
+    return el < seconds;
+  };
+  if (sync_mode) {
+    // rtl_test -S: blocking reads through the same transport.
+    std::vector<uint8_t> buf(buf_len);
+    while (dev->read_sync(buf.data(), buf.size()))
+      if (!on_buf(buf.data(), buf.size())) break;
+  } else {
+    dev->read_async(
+        [&](const uint8_t* d, size_t len) {
+          if (!on_buf(d, len)) dev->cancel_async();
+        },
+        buf_len, 15);
+  }
   const double el =
       std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
           .count();
