@@ -64,6 +64,9 @@ def main(argv=None) -> int:
     p.add_argument("--usb", action="store_true",
                    help="capture from a directly-attached RTL2832U "
                         "dongle over libusb (native backend)")
+    p.add_argument("--ppm", type=int, default=0, metavar="PPM",
+                   help="frequency-correction ppm forwarded to the native "
+                        "capture tool (-p); measure with sdr_test -p")
     p.add_argument("--device", type=int, default=0, metavar="N",
                    help="USB dongle index for --usb (default 0)")
     p.add_argument("--csv", default="lat-lon-table.csv",
@@ -161,6 +164,8 @@ def _capture_window(args, backend, epoch, g1, g2) -> int:
             "-2", f"{g2:.1f}",
             "-n", str(samples_per_freq),
         ]
+        if args.ppm:
+            cmd += ["-p", str(args.ppm)]
         if args.usb:
             cmd += ["--usb", "-d", str(args.device)]
         elif args.tcp:
