@@ -151,6 +151,13 @@ struct MockRtlState {
   // FC0012 driver steers its VHF/UHF antenna switch on GPIO6.
   std::atomic<uint32_t> gpio_out{0};
   std::atomic<uint32_t> gpio_oe{0};
+  // FC0013 low-band VCO-divider discipline: at each VCO calibration
+  // pulse, reg 0x11 bit 2 must be set iff the programmed band
+  // multiplier is 64 (tuner_fc0013.c:375-383) — a mismatch means the
+  // VCO would fail to lock on real silicon.
+  std::atomic<uint64_t> vco_divider_violations{0};
+  // FC0013 VHF tracking-filter code (reg 0x1d bits 4:2).
+  std::atomic<uint32_t> fc_track_code{0};
 };
 
 // The state object outlives the transport (shared with the test).

@@ -353,6 +353,14 @@ class MockUsbTransport final : public UsbTransport {
       if (len >= 1) fc_ptr_ = data[0];
       if (len >= 2) {
         fc_regs_[fc_ptr_] = data[1];
+        // Silicon discipline: the FC0013's low-band VCO divider
+        // (reg 0x11 bit 2) must be set for the multi-64 band and
+        // cleared otherwise BY the calibration pulse
+        // (tuner_fc0013.c:375-383) — check at the pulse itself.
+        if (opts_.tuner == MockTunerModel::kFc0013 && fc_ptr_ == 0x0e &&
+            data[1] == 0x80 && fc_multi_ != 0 &&
+            ((fc_multi_ == 64) != ((fc_regs_[0x11] & 0x04) != 0)))
+          state_->vco_divider_violations.fetch_add(1);
         decode_fc(fc_ptr_, data[1]);
       }
       return len;
@@ -381,7 +389,10 @@ class MockUsbTransport final : public UsbTransport {
     if (opts_.tuner == MockTunerModel::kFc0013) {
       if (reg == 0x14) state_->lna_index.store(val & 0x1f);
       if (reg == 0x0d) state_->tuner_manual_gain.store((val & 0x08) != 0);
-      if (reg == 0x14 || reg == 0x0d) return;
+      // VHF tracking-filter code (reg 0x1d bits 4:2) — exposed so the
+      // 300 MHz track/RF-path boundary agreement is testable.
+      if (reg == 0x1d) state_->fc_track_code.store(val & 0x1c);
+      if (reg == 0x14 || reg == 0x0d || reg == 0x1d) return;
     }
     if (reg != 0x06) return;  // regs 1..6 are written in order
     const uint8_t mux = fc_regs_[0x05] & 0xf8;
@@ -402,6 +413,7 @@ class MockUsbTransport final : public UsbTransport {
       else if (mux == 0x08) multi = r6 ? 2 : 6;
     }
     if (multi == 0) return;
+    fc_multi_ = multi;  // remembered for the VCO-cal divider check
     const double xtal_2 = kRtlXtalHz / 2.0;
     const uint32_t xdiv =
         (uint32_t)fc_regs_[0x01] + 8u * fc_regs_[0x02];
@@ -501,6 +513,7 @@ class MockUsbTransport final : public UsbTransport {
   uint8_t e4k_ptr_ = 0;
   uint8_t fc_regs_[256] = {};      // FC0012/FC0013 (I2C 0xc6)
   uint8_t fc_ptr_ = 0;
+  uint32_t fc_multi_ = 0;          // last decoded band multiplier
   uint8_t fc2580_regs_[256] = {};  // FC2580 (I2C 0xac)
   uint8_t fc2580_ptr_ = 0;
   std::deque<Pending> pending_;

@@ -13,9 +13,19 @@
 // librtlsdr.c:1222), the Fitipower FC0012/FC0013 (tuner_fc0012.c /
 // tuner_fc0013.c — shared sigma-delta PLL, GPIO6 antenna switch), and
 // the FCI FC2580 (tuner_fc2580.c — own crystal, banded fractional-N
-// synth, no gain control). All code is a fresh C++ design:
-// class-based, shadow state, OrderedTransferQueue engine; no C
-// translation.
+// synth, no gain control).
+//
+// Provenance: the engine/transport/class architecture (Device backend
+// seam, TunerChip abstraction, shadow register state,
+// OrderedTransferQueue) is an original C++ design. The tuner DRIVERS
+// are hardware-dictated derivations: their register init tables, band
+// tables, and gain ladders are the chips' silicon calibration
+// constants (identical to tuner_r82xx.c:41-223, tuner_e4k.c:151-370,
+// tuner_fc*.c — the only way to program the parts), and the
+// programming SEQUENCES (PLL/synth math, VCO calibration, band
+// switching) follow the reference drivers' register-write order
+// because fixed silicon admits exactly one correct sequence. Each such
+// function cites its reference source.
 #include "sdrcap/usb.h"
 
 #include <algorithm>
@@ -966,11 +976,20 @@ class Fc0013Tuner final : public FcTunerBase {
     return true;
   }
 
+  // tuner_fc0013.c:375-383: reg 0x11 bit 2 selects the low-band VCO
+  // divider before calibration — set for the multi-64 band
+  // (37.084–55.625 MHz), cleared everywhere else.
+  bool pre_vco_cal(uint8_t multi) override {
+    return modify_reg(0x11, 0xfb, multi == 64 ? 0x04 : 0x00) >= 0;
+  }
+
   // tuner_fc0013.c:193-253: VHF tracking-filter step, then the
   // VHF/UHF/GPS RF path switches, then the shared synth.
   bool set_freq(uint32_t freq_hz) override {
     uint8_t track = 0x1c;  // <=177.5 MHz and the UHF/GPS default
-    if (freq_hz > 300'000'000) track = 0x1c;
+    // >= so the track boundary matches the RF-path boundary below
+    // (fc0013_set_vhf_track: freq < 300 MHz selects the VHF chain).
+    if (freq_hz >= 300'000'000) track = 0x1c;
     else if (freq_hz > 219'500'000) track = 0x04;
     else if (freq_hz > 205'500'000) track = 0x08;
     else if (freq_hz > 198'500'000) track = 0x0c;

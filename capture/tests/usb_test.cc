@@ -485,9 +485,15 @@ static void test_fc0013_probe_and_pll() {
   CHECK(r.state->baseband_on.load());
   CHECK(r.state->if_freq_reg.load() == 0);  // zero-IF
   CHECK(std::strcmp(r.dev->tuner_name(), "Fitipower FC0013") == 0);
-  // One frequency per divider rung: multi 96 / 24 / 16 / 8 / 4 / 2.
-  for (uint32_t freq : {28'000'000u, 120'000'000u, 162'400'000u,
-                        433'920'000u, 860'000'000u, 1'575'420'000u}) {
+  // One frequency per divider rung: multi 96 / 64 / 24 / 16 / 8 / 4
+  // / 2. 45 MHz exercises the multi-64 band whose VCO divider bit
+  // (reg 0x11 bit 2) must be set before calibration
+  // (tuner_fc0013.c:375-383); the mock counts a divider violation if
+  // the calibration pulse fires with the bit wrong in EITHER
+  // direction, so the later rungs also prove the bit gets cleared.
+  for (uint32_t freq : {28'000'000u, 45'000'000u, 120'000'000u,
+                        162'400'000u, 433'920'000u, 860'000'000u,
+                        1'575'420'000u}) {
     CHECK(r.dev->set_center_freq(freq));
     const double lo = (double)r.state->tuner_lo_hz.load();
     CHECK(std::fabs(lo - (double)freq) < 2000.0);
@@ -496,6 +502,15 @@ static void test_fc0013_probe_and_pll() {
   // (tuner_fc0013.c:335-340) — the tune must fail, not lie.
   CHECK(!r.dev->set_center_freq(1'900'000'000u));
   CHECK(r.state->repeater_violations.load() == 0);
+  CHECK(r.state->vco_divider_violations.load() == 0);
+  // The 300 MHz boundary: the track chain and the RF-path switch must
+  // agree — at exactly 300 MHz both take the UHF side, so the track
+  // code is the UHF/GPS default 0x1c (fc0013_set_vhf_track uses
+  // freq < 300 MHz for the VHF chain), not the top VHF rung 0x04.
+  CHECK(r.dev->set_center_freq(300'000'000u));
+  CHECK(r.state->fc_track_code.load() == 0x1c);
+  CHECK(r.dev->set_center_freq(250'000'000u));  // VHF top rung
+  CHECK(r.state->fc_track_code.load() == 0x04);
   std::puts("fc0013_probe_pll OK");
 }
 

@@ -114,8 +114,25 @@ int e4k_pll_benchmark(sdrcap::Device& dev) {
       gap_end = f;
       break;
     }
-  std::fprintf(stderr, "E4K range: %u to %u MHz\n",
-               range_start / kMhz + 1, range_end / kMhz - 1);
+  // Report edges only where a scan actually found a failing tune —
+  // otherwise range_start/range_end are 0 and the unsigned arithmetic
+  // below would underflow into a 4-billion-MHz "edge".
+  if (range_start && range_end)
+    std::fprintf(stderr, "E4K range: %u to %u MHz\n",
+                 range_start / kMhz + 1, range_end / kMhz - 1);
+  else if (range_start)
+    std::fprintf(stderr,
+                 "E4K range: starts at %u MHz; upper edge not found "
+                 "within the scanned range\n",
+                 range_start / kMhz + 1);
+  else if (range_end)
+    std::fprintf(stderr,
+                 "E4K range: lower edge not found within the scanned "
+                 "range; ends at %u MHz\n",
+                 range_end / kMhz - 1);
+  else
+    std::fprintf(stderr,
+                 "E4K range: no edges found within the scanned range\n");
   if (gap_start && gap_end)
     std::fprintf(stderr, "E4K L-band gap: %u to %u MHz\n",
                  gap_start / kMhz, gap_end / kMhz);
