@@ -1,0 +1,213 @@
+"""In-peak multipath mitigation (dsp/multipath.py): unit tests on
+synthetic composite lobes + the end-to-end planted-echo round trip.
+
+The unit lobes are built exactly as the physics says the GCC window is
+built — one PSF, shifted coherent copies with arbitrary carrier
+phases — so the tests pin the estimator's contract: recover the
+STRONGEST component's delay (the true TDOA), not the earliest, under
+constructive AND destructive overlap.
+"""
+
+import numpy as np
+import pytest
+
+from tdoa_tpu.dsp.multipath import (
+    decompose_lobe,
+    extract_template,
+    lobe_centroid_drift,
+    mitigate_flagged_pairs,
+)
+
+W = 801  # window length (lags -400..400)
+
+
+def _psf(bw: float = 0.08) -> np.ndarray:
+    """A realistic GCC lobe: ifft of a flat band of width ``bw`` cycles/
+    sample — sinc-like main lobe with decaying sidelobes, complex."""
+    n = 4096
+    f = np.fft.fftfreq(n)
+    band = (np.abs(f) < bw / 2).astype(float)
+    lobe = np.fft.ifft(band)
+    lobe = np.fft.fftshift(lobe)
+    c = n // 2
+    return lobe[c - W // 2 : c + W // 2 + 1] / np.abs(lobe[c])
+
+
+def _place(psf: np.ndarray, t: float, amp: complex) -> np.ndarray:
+    """PSF (peak at n//2) moved to window position t (fractional ok):
+    circular FFT shift by t − n//2."""
+    n = psf.size
+    f = np.fft.fftfreq(n)
+    return amp * np.fft.ifft(
+        np.fft.fft(psf) * np.exp(-2j * np.pi * f * (t - n // 2))
+    )
+
+
+def _window(components):
+    y = np.zeros(W, complex)
+    for t, a in components:
+        y += _place(_psf(), t, a)
+    return y
+
+
+def test_template_roundtrip():
+    win = _window([(400.3, np.exp(0.7j))])
+    tpl = extract_template(win)
+    assert tpl is not None
+    # Peak centered, unit, zero phase.
+    p = int(np.argmax(np.abs(tpl)))
+    assert p == tpl.size // 2
+    assert abs(tpl[p] - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("phase", [0.0, 1.3, 2.6, -2.0])
+@pytest.mark.parametrize("sep", [4.0, 8.0, 15.0])
+def test_two_path_recovers_strongest(phase, sep):
+    """direct at 400.4, echo `sep` later at 0.5 amplitude with an
+    arbitrary carrier phase: the decomposition must return the DIRECT
+    component within 0.35 samples even when the overlap is
+    destructive (the magnitude argmax is off by 1-3 samples there)."""
+    t0 = 400.4
+    win = _window([(t0, 1.0), (t0 + sep, 0.5 * np.exp(1j * phase))])
+    tpl = extract_template(_window([(400.0, 1.0)]))
+    fit = decompose_lobe(win, tpl)
+    assert fit is not None
+    assert fit.decisive, (fit.resid_1path, fit.resid_2path,
+                          fit.separation, fit.echo_ratio)
+    # The merged argmax these parameters produce is 1-2.5 samples off;
+    # the decomposition must land within half a sample of truth.
+    assert abs(fit.direct_delay - t0) < 0.5
+    assert abs(fit.separation - sep) < 1.0
+
+
+def test_leading_cross_term_not_selected():
+    """A direct_j x echo_i cross term lands EARLIER than the truth with
+    lower amplitude — first-arrival logic would pick it; the strongest-
+    component rule must not."""
+    t0 = 400.0
+    win = _window([(t0, 1.0), (t0 - 11.0, 0.45 * np.exp(0.9j)),
+                   (t0 + 9.0, 0.4 * np.exp(-1.2j))])
+    tpl = extract_template(_window([(400.0, 1.0)]))
+    fit = decompose_lobe(win, tpl)
+    assert fit is not None
+    # Dense 3-component composites are near-degenerate (a uniform
+    # ~1-sample shift of all components with adjusted amplitudes fits
+    # within 15% of the true-position residual — measured); ~1 sample
+    # is the identifiability limit, still well under the un-mitigated
+    # multi-sample drag and on the DIRECT component, not a cross term
+    # 11 samples out.
+    assert abs(fit.direct_delay - t0) < 1.2
+
+
+def test_clean_lobe_is_not_decisive():
+    """A clean single-path lobe must NOT pass the adoption gate — a
+    second component explains nothing there."""
+    win = _window([(400.2, 1.0)])
+    # Mild noise so the 1-path residual is not literally zero.
+    rng = np.random.default_rng(0)
+    win = win + 0.003 * (rng.standard_normal(W) + 1j * rng.standard_normal(W))
+    tpl = extract_template(_window([(400.0, 1.0)]))
+    fit = decompose_lobe(win, tpl)
+    assert fit is not None
+    assert not fit.decisive
+
+
+def test_mitigate_uses_ref_fallback_when_all_flagged():
+    """When every TGT pair is flagged (echo at every station), the
+    same pair's clean REF lobe serves as the template."""
+    t0s = [390.0, 405.0, 412.0]
+    wins = np.stack([
+        _window([(t, 1.0), (t + 7.0, 0.5 * np.exp(0.8j))]) for t in t0s
+    ])
+    refs = np.stack([
+        np.stack([_window([(400.0, 1.0)]) for _ in t0s]),
+        np.stack([_window([(400.0, 1.0)]) for _ in t0s]),
+    ])
+    flagged = np.array([True, True, True])
+    q = np.array([50.0, 50.0, 50.0])
+    drift = np.array([2.0, 2.0, 2.0])
+    mit, adopted, fits = mitigate_flagged_pairs(
+        wins, flagged, q, drift, max_lag=W // 2, ref_win_c=refs
+    )
+    assert adopted.all()
+    np.testing.assert_allclose(mit + W // 2, t0s, atol=0.35)
+
+
+def test_detector_on_complex_windows():
+    """lobe_centroid_drift accepts complex windows (magnitude taken
+    internally): a composite lobe drifts more than a clean one. (The
+    absolute >1.0 firing threshold is calibrated on real GCC-HT lobes
+    in the Monte Carlo harness, not on this synthetic sinc PSF.)"""
+    clean = _window([(400.0, 1.0)])
+    dirty = _window([(400.0, 1.0), (410.0, 0.5)])
+    d = lobe_centroid_drift(np.stack([clean, dirty]))
+    assert d[0] < 1e-6
+    assert d[1] > 10 * max(d[0], 1e-9)
+
+
+def test_e2e_planted_echo_covered_and_diagnosed(omaha_stations,
+                                                station_csv, tmp_path):
+    """The Monte Carlo multipath regime's physics end-to-end: every
+    station's TGT reception carries a specular echo (0.5 amplitude,
+    25-sample in-peak excess delay). Mitigation = honest accounting
+    (dsp/multipath.py evidence table: delay re-estimation measured
+    WORSE than the plain GCC-HT read), so the contract is:
+    the calibrated echo-bias σ must appear in the error budget, the
+    inflated 3σ bars must COVER the residual TDOA bias against truth,
+    and a decisive two-path diagnosis must measure the planted echo's
+    separation."""
+    from tdoa_tpu.sim import NoiseProfile, SimScene, simulate_scene
+
+    scene = SimScene(
+        station_names=omaha_stations["names"],
+        station_lla=omaha_stations["station_lla"],
+        ref_tx_lla=omaha_stations["ref_tx_lla"],
+        tgt_tx_lla=omaha_stations["tgt_tx_lla"],
+        ref_freq=omaha_stations["ref_freq"],
+        tgt_freq=omaha_stations["tgt_freq"],
+        block_len=1 << 17,
+        clock_offsets_s=np.array([5e-6, -8e-6, 11e-6]),
+        tgt_profile=NoiseProfile(
+            signal_amplitude=1.0,
+            noise_amplitude=0.05,
+            multipath_amplitude=0.5,
+            multipath_delay_samples=25.0,
+        ),
+        seed=42,
+    )
+    captures, truth = simulate_scene(scene)
+    proc = TDOAProcessor = None  # placate linters; real import below
+    from tdoa_tpu.pipeline import TDOAProcessor
+
+    proc = TDOAProcessor.from_csv(
+        scene.ref_freq, scene.tgt_freq, station_csv,
+        seg_len=1 << 14, max_lag=512,
+    )
+    res = proc.process_captures(
+        {n: captures[n] for n in scene.station_names}
+    )
+    err = np.abs(res.corrected_tdoa_samples - truth.tgt_tdoa_samples)
+    if res.multipath_sigma_samples is None:
+        # The detector may legitimately stay quiet only when the echo
+        # resolved cleanly and the TDOAs are already accurate.
+        assert err.max() < 1.0
+        return
+    # σ inflation fired: the addend must be real and folded into
+    # tdoa_std_s. The calibration targets 95-96% per-pair 3σ coverage
+    # (dsp/multipath.py table), so a single fixed-seed scene may carry
+    # one tail pair — require a 3σ majority and a hard 6σ ceiling
+    # (the UN-inflated σ leaves multi-sample biases at 10-30σ).
+    assert np.any(res.multipath_sigma_samples > 0)
+    sigma_samples = res.tdoa_std_s * scene.sample_rate
+    z = err / np.maximum(sigma_samples, 1e-12)
+    assert np.count_nonzero(z <= 3.0) >= 2, (err, sigma_samples)
+    assert np.all(z <= 6.0), (err, sigma_samples)
+    if res.multipath_flagged is not None:
+        assert any("multipath" in w and "echo-bias" in w
+                   for w in res.warnings)
+        # Decisive diagnoses must measure the planted 25-sample echo.
+        if res.multipath_echo_separation_samples is not None:
+            seps = res.multipath_echo_separation_samples
+            good = np.isfinite(seps)
+            assert np.any(good)
+            assert np.all(np.abs(seps[good] - 25.0) < 4.0), seps
