@@ -90,6 +90,13 @@ def main(argv=None) -> int:
                         "geojson.io")
     p.add_argument("--truncate-s", type=float, default=None,
                    help="use only the first N seconds of each block")
+    p.add_argument("--overlap-ingest", action="store_true",
+                   help="stream the captures host->device in chunks, "
+                        "overlapping the transfer with the on-device "
+                        "correlation (capture->fix ~ max(transfer, "
+                        "compute) instead of their sum; files are "
+                        "mmap'ed, peak host memory O(chunk)). Standard "
+                        "IQ path only")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings (device-synced) to stderr")
     p.add_argument("--trace", metavar="DIR", default=None,
@@ -142,7 +149,9 @@ def main(argv=None) -> int:
     tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
     try:
         with tracer:
-            res = proc.process_files(args.dat_files)
+            res = (proc.process_files_overlapped(args.dat_files)
+                   if args.overlap_ingest
+                   else proc.process_files(args.dat_files))
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

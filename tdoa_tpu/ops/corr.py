@@ -61,6 +61,13 @@ class CorrResult(NamedTuple):
     corr: jax.Array  # [m, 2*max_lag+1] normalized |correlation| window
     delay_std: jax.Array  # [m] 1σ delay standard error (samples); 0 when
     #                         the phase-slope refinement didn't run
+    # The COMPLEX correlation window (same normalization as ``corr`` =
+    # its magnitude): multipath decomposition needs the components'
+    # relative carrier phases — echoes add coherently, and magnitude
+    # alone cannot separate constructive from destructive overlap
+    # (dsp/multipath.py).
+    corr_re: jax.Array = None
+    corr_im: jax.Array = None
 
 
 def _accumulate_cross_spectra(
@@ -323,8 +330,13 @@ def _finish_correlation(
     if weighting == "none":
         # Normalize to a correlation coefficient: perfect self-match → 1
         # (ifft(A·conj(A))[0] = Σ|a|² by Parseval, so divide by √(E_a·E_b)).
-        norm = jnp.sqrt(energy[pair_idx[:, 0]] * energy[pair_idx[:, 1]])
-        win = win / jnp.maximum(norm, 1e-30)[:, None]
+        norm = jnp.maximum(
+            jnp.sqrt(energy[pair_idx[:, 0]] * energy[pair_idx[:, 1]]),
+            1e-30,
+        )[:, None]
+        win = win / norm
+        wr = wr / norm
+        wi = wi / norm
     # PHAT-family spectra are unit-magnitude, so ifft peaks are already ≤ 1
     # with equality at perfect coherence.
 
@@ -372,7 +384,7 @@ def _finish_correlation(
         )
     return CorrResult(
         delay=delay, peak_value=val, quality=quality, corr=win,
-        delay_std=delay_std,
+        delay_std=delay_std, corr_re=wr, corr_im=wi,
     )
 
 
@@ -477,9 +489,12 @@ def _combine_splits(
     (only excess beyond the deramp's ±1-sample correction range
     survives) keeps clean signals untouched."""
     K = len(accs)
-    cr = sum(a[0].re for a in accs)
-    ci = sum(a[0].im for a in accs)
-    psd = sum(a[1] for a in accs)
+    cr_g = jnp.stack([a[0].re for a in accs])  # [K, m, F]
+    ci_g = jnp.stack([a[0].im for a in accs])
+    psd_g = jnp.stack([a[1] for a in accs])  # [K, n_st, F]
+    cr = jnp.sum(cr_g, axis=0)
+    ci = jnp.sum(ci_g, axis=0)
+    psd = jnp.sum(psd_g, axis=0)
     energy = sum(a[2] for a in accs)
     res = _finish_correlation(
         C(cr, ci), psd, energy, pair_idx,
@@ -488,17 +503,36 @@ def _combine_splits(
     )
     coarse = jnp.round(res.delay)
     q, r = divmod(n_seg_total, K)
-    probes = []
-    for k, a in enumerate(accs):
-        s_k = _weight_factor(
-            C(cr - a[0].re, ci - a[0].im), psd - a[1], pair_idx,
-            weighting, eps, n_seg_total - (q + (1 if k < r else 0)),
-        )
-        probes.append(
-            _zoom_corr_delay(C(a[0].re * s_k, a[0].im * s_k), coarse,
-                             fft_len, max_lag)
-        )
-    ds = jnp.stack(probes)  # [K, m]
+    # All K probes in ONE batched pass: groups stack along the pair
+    # axis ([K·m, F]) with per-group station offsets in the pair list,
+    # so the LOO weighting and the zoom DFT each run as a single op
+    # (K small matmuls → one; measured part of the round-2 headline
+    # regression). n_seg for the LOO debias is per-row ([K·m, 1]
+    # broadcasts inside _weight_factor).
+    m, n_st = pair_idx.shape[0], psd.shape[0]
+    loo_cross = C(
+        (cr[None] - cr_g).reshape(K * m, -1),
+        (ci[None] - ci_g).reshape(K * m, -1),
+    )
+    loo_psd = (psd[None] - psd_g).reshape(K * n_st, -1)
+    pair_big = (
+        jnp.tile(pair_idx, (K, 1))
+        + (jnp.arange(K, dtype=pair_idx.dtype)
+           .repeat(m)[:, None] * n_st)
+    )
+    n_seg_loo = jnp.asarray(
+        np.repeat(
+            n_seg_total
+            - (q + (np.arange(K) < r).astype(np.int64)), m
+        ).astype(np.float32)
+    )[:, None]
+    s_k = _weight_factor(
+        loo_cross, loo_psd, pair_big, weighting, eps, n_seg_loo,
+    )
+    ds = _zoom_corr_delay(
+        C(cr_g.reshape(K * m, -1) * s_k, ci_g.reshape(K * m, -1) * s_k),
+        jnp.tile(coarse, K), fft_len, max_lag,
+    ).reshape(K, m)
     var = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / (K - 1)
     sigma_emp = jnp.float32(_SPLIT_STD_SCALE[K]) * jnp.sqrt(var / K)
     return res._replace(
@@ -725,37 +759,35 @@ def correlate_pairs_fused(
             max_lag, weighting, eps, FFT_LEN, refine, n_seg=n_seg_total,
         )
     # Split empirical error bar — same scheme as the XLA path (see
-    # correlate_pairs_planar): the kernel runs once per slice, the full
-    # accumulators are the slices' sum, total segment work is
-    # unchanged. prescale=False: per-slice unit-RMS scaling would break
+    # correlate_pairs_planar), in ONE grouped kernel invocation
+    # (n_splits=K accumulates the K contiguous slices into separate
+    # banks; the full accumulators are the banks' sum, total segment
+    # work is unchanged — K separate invocations cost ~11 ms extra per
+    # 100 s block, the round-2 headline regression).
+    # prescale=False: per-slice unit-RMS scaling would break
     # the slices-sum-to-full invariant under nonstationary power (a
     # noise-only slice amplified to unit RMS outvotes the signal);
     # instead scale every slice by the FULL capture's per-station RMS,
     # exactly like the XLA path's single pre-split normalization.
     end = n_seg_total * SEG_LEN
     bounds = _split_bounds(n_seg_total, K, SEG_LEN)
-    accs = [
-        accumulate_cross_spectra_pallas(
-            C(x.re[:, bounds[k]:bounds[k + 1]],
-              x.im[:, bounds[k]:bounds[k + 1]]), pairs,
-            precision=precision, remove_dc=remove_dc, prescale=False,
-        )
-        for k in range(K)
-    ]
-    energy_tot = sum(a[2] for a in accs)
+    cross_g, psd_g, energy_g = accumulate_cross_spectra_pallas(
+        C(x.re[:, :end], x.im[:, :end]), pairs,
+        precision=precision, remove_dc=remove_dc, prescale=False,
+        n_splits=K,
+    )
+    energy_tot = jnp.sum(energy_g, axis=0)  # [n_st]
     sc = 1.0 / jnp.sqrt(jnp.maximum(energy_tot / float(end), 1e-30))
     s_pair = (sc[pair_arr[:, 0]] * sc[pair_arr[:, 1]])[:, None]
     sc2 = (sc * sc)[:, None]
-
-    def scaled(acc, k):
-        c, p, _ = acc
-        return (C(c.re * s_pair, c.im * s_pair), p * sc2,
-                jnp.full_like(energy_tot,
-                              float(bounds[k + 1] - bounds[k])))
-
+    accs = [
+        (C(cross_g.re[k] * s_pair, cross_g.im[k] * s_pair),
+         psd_g[k] * sc2,
+         jnp.full_like(energy_tot, float(bounds[k + 1] - bounds[k])))
+        for k in range(K)
+    ]
     return _combine_splits(
-        [scaled(a, k) for k, a in enumerate(accs)],
-        pair_arr, max_lag, weighting, eps, FFT_LEN, n_seg_total,
+        accs, pair_arr, max_lag, weighting, eps, FFT_LEN, n_seg_total,
     )
 
 

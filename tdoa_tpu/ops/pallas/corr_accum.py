@@ -92,7 +92,8 @@ def _kernel(xr_ref, xi_ref,
             wcr_ref, wci_ref, wr_ref, wi_ref, tr_ref, ti_ref,
             *out_refs,
             n_st: int, pairs: Tuple[Tuple[int, int], ...],
-            segs_per_step: int, track_sums: bool):
+            segs_per_step: int, track_sums: bool,
+            group_q: int, group_r: int):
     if track_sums:
         cr_ref, ci_ref, psd_ref, sr_ref, si_ref, tsr, tsi = out_refs
     else:
@@ -100,7 +101,19 @@ def _kernel(xr_ref, xi_ref,
         sr_ref = si_ref = None
     s = pl.program_id(0)
 
-    @pl.when(s == 0)
+    # Grouped split accumulation (n_splits > 1): the output BlockSpec
+    # maps grid step s to its group's accumulator bank, so Pallas keeps
+    # one bank resident and flushes it exactly when the group changes.
+    # Re-zero at each group's first step (the freshly fetched bank
+    # holds garbage). Groups are contiguous runs of group_q (+1 for the
+    # first group_r) steps — mirroring ops.corr._split_bounds.
+    lim = group_r * (group_q + 1)
+    first = jnp.where(
+        s < lim, s % (group_q + 1) == 0,
+        (s - lim) % jnp.maximum(group_q, 1) == 0,
+    )
+
+    @pl.when(first)
     def _init():
         cr_ref[...] = jnp.zeros_like(cr_ref)
         ci_ref[...] = jnp.zeros_like(ci_ref)
@@ -146,18 +159,18 @@ def _kernel(xr_ref, xi_ref,
                    + jnp.dot(t_i, wr, preferred_element_type=f32))
             brs.append(b_r)
             bis.append(b_i)
-            psd_ref[st] += b_r * b_r + b_i * b_i
+            psd_ref[0, st] += b_r * b_r + b_i * b_i
             if track_sums:
                 # Spectral sums: the DC-removal algebra's ΣX term (and
                 # the block mean, via the DC bin) — only paid for when
                 # remove_dc needs them.
-                sr_ref[st] += b_r
-                si_ref[st] += b_i
+                sr_ref[0, st] += b_r
+                si_ref[0, st] += b_i
 
         for m, (i, j) in enumerate(pairs):
             # X_j · conj(X_i)
-            cr_ref[m] += brs[j] * brs[i] + bis[j] * bis[i]
-            ci_ref[m] += bis[j] * brs[i] - brs[j] * bis[i]
+            cr_ref[0, m] += brs[j] * brs[i] + bis[j] * bis[i]
+            ci_ref[0, m] += bis[j] * brs[i] - brs[j] * bis[i]
 
 
 # The fused path is chip-validated up to a 4-way pair tiling; past
@@ -220,7 +233,7 @@ def fused_capacity_ok(n_st: int, n_pairs: int,
     jax.jit,
     static_argnames=(
         "pairs", "precision", "interpret", "segs_per_step", "remove_dc",
-        "prescale", "vma", "_force_max_pairs",
+        "prescale", "vma", "n_splits", "_force_max_pairs",
     ),
 )
 def accumulate_cross_spectra_pallas(
@@ -232,6 +245,7 @@ def accumulate_cross_spectra_pallas(
     remove_dc: bool = False,
     prescale: bool = False,
     vma: Optional[frozenset] = None,
+    n_splits: int = 1,
     _force_max_pairs: Optional[int] = None,  # tests: force pair tiling
 ):
     """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
@@ -250,10 +264,30 @@ def accumulate_cross_spectra_pallas(
     on the kernel's accumulators (see module notes) — the signal is
     read exactly once either way. ``vma`` declares the outputs' varying
     mesh axes when called inside shard_map (jax check_vma typing).
+
+    ``n_splits=K > 1`` accumulates the capture's K contiguous slices
+    into SEPARATE banks (first ``n_seg % K`` groups one segment larger,
+    matching ops.corr._split_bounds) and returns a leading group axis:
+    (cross C[K, m, F], psd [K, n_st, F], energy [K, n_st]). This is the
+    split-σ layout in ONE kernel invocation — the output BlockSpec maps
+    each grid step to its group's bank, so per-step VMEM residency is
+    unchanged and the banks flush exactly K times. Measured ~11 ms per
+    100 s block cheaper than K separate invocations (the per-invocation
+    pipeline fill/drain and finalize were the round-2 headline
+    regression). DC removal/prescale are per-group algebra on the same
+    outputs; the full-capture accumulators are the groups' sum.
     """
     if interpret is None:
         interpret = default_interpret_mode()
     n_st, n = x.re.shape
+    if n_splits > 1 and segs_per_step != 1:
+        raise ValueError("n_splits > 1 requires segs_per_step == 1 "
+                         "(group bounds are defined in segments)")
+    if n_splits > 1 and prescale:
+        raise ValueError("prescale with n_splits > 1 is ill-defined "
+                         "(per-group unit RMS breaks the groups-sum-to-"
+                         "full invariant); scale the groups by the full "
+                         "capture's RMS in the caller")
     # Pair tiling: when the pair list exceeds one invocation's VMEM
     # budget, run the kernel over near-equal pair chunks and stitch the
     # cross-spectra back in order. The per-station outputs (psd,
@@ -278,12 +312,13 @@ def accumulate_cross_spectra_pallas(
                 x, tuple(pairs[lo:hi]), precision=precision,
                 interpret=interpret, segs_per_step=segs_per_step,
                 remove_dc=remove_dc, prescale=prescale, vma=vma,
-                _force_max_pairs=_force_max_pairs,
+                n_splits=n_splits, _force_max_pairs=_force_max_pairs,
             ))
             lo = hi
+        pair_axis = 0 if n_splits == 1 else 1
         cross = C(
-            jnp.concatenate([o[0].re for o in outs], axis=0),
-            jnp.concatenate([o[0].im for o in outs], axis=0),
+            jnp.concatenate([o[0].re for o in outs], axis=pair_axis),
+            jnp.concatenate([o[0].im for o in outs], axis=pair_axis),
         )
         return cross, outs[0][1], outs[0][2]
     n_seg = n // SEG_LEN
@@ -291,6 +326,10 @@ def accumulate_cross_spectra_pallas(
         raise ValueError(
             f"capture length {n} is shorter than one kernel segment "
             f"(SEG_LEN={SEG_LEN}); use the XLA path for short signals"
+        )
+    if n_splits > n_seg:
+        raise ValueError(
+            f"n_splits {n_splits} exceeds the segment count {n_seg}"
         )
     while segs_per_step > 1 and n_seg % segs_per_step:
         segs_per_step -= 1
@@ -317,19 +356,33 @@ def accumulate_cross_spectra_pallas(
     )
 
     step_rows = segs_per_step * SEG_ROWS
-    big = pl.BlockSpec((m, R, R), lambda s: (0, 0, 0),
+    # Group geometry (n_splits=1 ⇒ one group spanning the whole grid;
+    # the index map is then constant and the bank stays resident for
+    # the entire grid, exactly the pre-split behavior).
+    G = n_splits
+    g_q, g_r = divmod(n_steps, G)
+    g_lim = g_r * (g_q + 1)
+
+    def g_of(s):
+        if G == 1:
+            return 0
+        return jnp.where(s < g_lim, s // (g_q + 1),
+                         g_r + (s - g_lim) // max(g_q, 1))
+
+    big = pl.BlockSpec((1, m, R, R), lambda s: (g_of(s), 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    big_st = pl.BlockSpec((n_st, R, R), lambda s: (0, 0, 0),
+    big_st = pl.BlockSpec((1, n_st, R, R), lambda s: (g_of(s), 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    shape_m = jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma)
-    shape_st = jax.ShapeDtypeStruct((n_st, R, R), jnp.float32, vma=vma)
+    shape_m = jax.ShapeDtypeStruct((G, m, R, R), jnp.float32, vma=vma)
+    shape_st = jax.ShapeDtypeStruct((G, n_st, R, R), jnp.float32, vma=vma)
     # The spectral-sum accumulators exist only for the DC-removal
     # algebra; without remove_dc they would be dead VMEM and writeback.
     n_out = 5 if remove_dc else 3
     # Mosaic's default scoped-VMEM budget (16 MB) caps the resident
     # accumulators at ~6 stations; request what this call actually
     # needs so larger networks (8 stations = 28 pairs ≈ 20 MB of f32
-    # accumulators) compile. v5e has 128 MB of VMEM.
+    # accumulators) compile. v5e has 128 MB of VMEM. (Per-step
+    # residency is ONE group's banks regardless of n_splits.)
     mm_bytes = 2 if mm_dtype == jnp.bfloat16 else 4
     need = _vmem_need(n_st, m, mm_bytes, step_rows, remove_dc)
     # Never request less than Mosaic's 16 MB default (a tighter bound
@@ -339,6 +392,7 @@ def accumulate_cross_spectra_pallas(
         functools.partial(
             _kernel, n_st=n_st, pairs=pairs, segs_per_step=segs_per_step,
             track_sums=remove_dc,
+            group_q=g_q if G > 1 else n_steps, group_r=g_r if G > 1 else 0,
         ),
         grid=(n_steps,),
         in_specs=[
@@ -366,48 +420,61 @@ def accumulate_cross_spectra_pallas(
     def unperm(a):
         return jnp.swapaxes(a, -1, -2).reshape(*a.shape[:-2], FFT_LEN)
 
-    cr, ci, psd = unperm(cr), unperm(ci), unperm(psd)
+    cr, ci, psd = unperm(cr), unperm(ci), unperm(psd)  # [G, ., F]
     pair_arr = np.asarray(pairs, np.int32)
+    # Per-group segment counts / sample counts (in segments: groups are
+    # contiguous, first g_r groups one step larger; segs_per_step == 1
+    # whenever G > 1).
+    seg_g = np.full(G, g_q * segs_per_step, np.float32)
+    seg_g[:g_r] += segs_per_step
+    use_g = jnp.asarray(seg_g * SEG_LEN)  # [G]
+    n_seg_g = jnp.asarray(seg_g)  # [G]
 
     if remove_dc:
-        s_r, s_i = unperm(s_r), unperm(s_i)
-        # Block mean from the spectral sum's DC bin: Σ_seg X(0) = Σ xₙ.
-        mean_r = s_r[:, 0] / use  # [n_st]
-        mean_i = s_i[:, 0] / use
+        s_r, s_i = unperm(s_r), unperm(s_i)  # [G, n_st, F]
+        # Group mean from the spectral sum's DC bin: Σ_seg X(0) = Σ xₙ.
+        mean_r = s_r[:, :, 0] / use_g[:, None]  # [G, n_st]
+        mean_i = s_i[:, :, 0] / use_g[:, None]
         dr, di = (jnp.asarray(a) for a in _dc_window())
-        # A_st = m_st · D  (per-station DC spectrum), [n_st, F] planar.
-        a_r = mean_r[:, None] * dr[None, :] - mean_i[:, None] * di[None, :]
-        a_i = mean_r[:, None] * di[None, :] + mean_i[:, None] * dr[None, :]
+        # A_st = m_st · D  (per-station DC spectrum), [G, n_st, F] planar.
+        a_r = mean_r[..., None] * dr - mean_i[..., None] * di
+        a_i = mean_r[..., None] * di + mean_i[..., None] * dr
         # Σ(Xⱼ−Aⱼ)(Xᵢ−Aᵢ)* = cross − Aⱼ∘S̄ᵢ − Āᵢ∘Sⱼ + n_seg·Aⱼ∘Āᵢ
         i_idx, j_idx = pair_arr[:, 0], pair_arr[:, 1]
-        ajr, aji = a_r[j_idx], a_i[j_idx]
-        air, aii = a_r[i_idx], a_i[i_idx]
-        sir, sii = s_r[i_idx], s_i[i_idx]
-        sjr, sji = s_r[j_idx], s_i[j_idx]
+        ajr, aji = a_r[:, j_idx], a_i[:, j_idx]
+        air, aii = a_r[:, i_idx], a_i[:, i_idx]
+        sir, sii = s_r[:, i_idx], s_i[:, i_idx]
+        sjr, sji = s_r[:, j_idx], s_i[:, j_idx]
+        ns = n_seg_g[:, None, None]
         cr = (cr - (ajr * sir + aji * sii) - (air * sjr + aii * sji)
-              + n_seg * (ajr * air + aji * aii))
+              + ns * (ajr * air + aji * aii))
         ci = (ci - (aji * sir - ajr * sii) - (air * sji - aii * sjr)
-              + n_seg * (aji * air - ajr * aii))
+              + ns * (aji * air - ajr * aii))
         # Σ|X−A|² = psd − 2Re(Ā∘S) + n_seg|A|². The cancellation of
         # large near-equal terms (the DC bin: |X(0)|≈|A(0)|, magnitudes
         # ~(mean·SEG_LEN)²) can round slightly NEGATIVE in f32; clamp —
         # a negative power under HT's sqrt turns the whole spectrum NaN.
         psd = jnp.maximum(
             psd - 2.0 * (a_r * s_r + a_i * s_i)
-            + n_seg * (a_r * a_r + a_i * a_i),
+            + ns * (a_r * a_r + a_i * a_i),
             0.0,
         )
     # Demeaned per-station power via Parseval: Σₙ|x−m|² = (1/F)Σₖ psd'.
-    power_dm = jnp.maximum(jnp.sum(psd, axis=-1) / FFT_LEN / use, 1e-30)
+    power_dm = jnp.maximum(
+        jnp.sum(psd, axis=-1) / FFT_LEN / use_g[:, None], 1e-30
+    )  # [G, n_st]
 
     if prescale:
-        # Deferred unit-RMS normalization: per-station scalars.
-        sc = 1.0 / jnp.sqrt(power_dm)
-        s_pair = sc[pair_arr[:, 0]] * sc[pair_arr[:, 1]]
-        cr = cr * s_pair[:, None]
-        ci = ci * s_pair[:, None]
-        psd = psd * (sc * sc)[:, None]
-        energy = jnp.full((n_st,), float(use), f32) + 0.0 * power_dm
+        # Deferred unit-RMS normalization: per-station scalars
+        # (n_splits == 1 here — see the guard above).
+        sc = 1.0 / jnp.sqrt(power_dm)  # [1, n_st]
+        s_pair = sc[:, pair_arr[:, 0]] * sc[:, pair_arr[:, 1]]
+        cr = cr * s_pair[..., None]
+        ci = ci * s_pair[..., None]
+        psd = psd * (sc * sc)[..., None]
+        energy = use_g[:, None] + 0.0 * power_dm
     else:
-        energy = power_dm * use
+        energy = power_dm * use_g[:, None]
+    if n_splits == 1:
+        return C(cr[0], ci[0]), psd[0], energy[0]
     return C(cr, ci), psd, energy

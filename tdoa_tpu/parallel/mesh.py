@@ -135,7 +135,7 @@ def _sharded_program(mesh, axis, accumulator, pairs_static, seg_len_r,
         shard_map,
         mesh=mesh,
         in_specs=(C(P(None, axis), P(None, axis)), P(None)),
-        out_specs=CorrResult(P(), P(), P(), P(), P()),
+        out_specs=CorrResult(P(), P(), P(), P(), P(), P(), P()),
         check_vma=(accumulator != "pallas"),
     )
     def run(xl: C, pairs):
@@ -220,8 +220,9 @@ def process_blocks_sharded(
 ):
     """The full multi-chip processing step: all 3 blocks × all pairs,
     sequence-parallel, with clock correction. Mirrors
-    pipeline.process_blocks but sharded; returns the same 9-tuple
-    (..., corrected_std, tgt_correlation_window, tgt_std).
+    pipeline.process_blocks but sharded; returns the same 10-tuple
+    (..., corrected_std, tgt_correlation_window, tgt_std,
+    block_windows_complex).
 
     ``accumulator="pallas"`` runs the fused segment kernel on every
     chip's local chunk — the max-performance multi-chip configuration
@@ -266,5 +267,9 @@ def process_blocks_sharded(
         corrected = tgt_delay
         corrected_std = stds[1]
     tgt_window = res.corr.reshape(3, m, -1)[1]
+    win_c_blocks = jnp.stack([
+        res.corr_re.reshape(3, m, -1),
+        res.corr_im.reshape(3, m, -1),
+    ])
     return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-            corrected_std, tgt_window, stds[1])
+            corrected_std, tgt_window, stds[1], win_c_blocks)

@@ -1,0 +1,222 @@
+"""Overlapped capture ingest: host→device transfer pipelined with the
+streaming accumulator, so capture→fix costs ≈ max(transfer, compute).
+
+The batch path (cli/processor.py → process_captures) is
+transfer-THEN-compute: the whole 1.2 GB capture crosses the link before
+the first segment is correlated, so the full path costs
+transfer + compute. This module streams the capture in chunks through a
+two-deep software pipeline:
+
+    dispatch decode+accumulate(chunk k)      (async — returns at once)
+    device_put(chunk k+1)                    (the link streams while
+                                              the chip works on k)
+
+The accumulate dispatch is non-blocking, so the device correlates chunk
+k while the host pushes chunk k+1's bytes; nothing synchronizes until
+the finalize. On any link — this environment's ~35 MB/s tunnel or
+deployment PCIe — the wall time converges to max(total transfer, total
+compute) + one chunk + finalize, instead of their sum.
+
+Built on the checkpointable streaming accumulator
+(pipeline/streaming.py): each chunk updates three logical blocks at
+once by stacking [REF1|TGT|REF2] slices of every station into one
+[3·n_st, chunk] signal with per-block pair offsets — one fused-kernel
+dispatch per chunk, exactly the batch pipeline's layout
+(pipeline/processor.py process_blocks). DC removal is per chunk (the
+streaming equivalent of the batch per-block mean subtraction). The
+finalize reuses the accumulator's estimator ladder and applies the same
+dual-REF clock correction as process_blocks.
+
+Replaces nothing in the reference — its processor loads whole files
+into RAM and has no overlap anywhere (processor.go:166-205).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tdoa_tpu.io.datfile import u16_to_iq_planar
+from tdoa_tpu.ops.cplx import C
+from tdoa_tpu.ops.corr import resolve_seg
+from tdoa_tpu.pipeline.streaming import (
+    AccState,
+    acc_finalize,
+    acc_init,
+    acc_update,
+)
+from tdoa_tpu.utils.constants import DEFAULT_MAX_LAG
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _decode_chunk(packed: jax.Array, dtype=jnp.bfloat16) -> C:
+    """u16-packed I/Q words → planar complex, on device."""
+    return u16_to_iq_planar(packed, dtype=dtype)
+
+
+def plan_chunks(
+    block_len: int, seg_len: int, chunk_samples: Optional[int] = None
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """Chunk layout for one block axis: (chunk, [(start, length), ...]).
+
+    Every chunk length is a multiple of ``seg_len`` (the accumulator's
+    contract); the ragged tail past the last whole segment is dropped,
+    exactly like the batch correlator's segmentation. A smaller final
+    chunk keeps every whole segment in play.
+    """
+    if chunk_samples is None:
+        # ~16 segments per chunk: large enough that per-chunk dispatch
+        # cost amortizes, small enough that the pipeline's storage and
+        # ramp-in stay a tiny fraction of the capture.
+        chunk_samples = 16 * seg_len
+    chunk = max(chunk_samples // seg_len, 1) * seg_len
+    usable = (block_len // seg_len) * seg_len
+    spans = []
+    pos = 0
+    while pos < usable:
+        n = min(chunk, usable - pos)
+        n = (n // seg_len) * seg_len
+        if n == 0:
+            break
+        spans.append((pos, n))
+        pos += n
+    return chunk, spans
+
+
+def ingest_overlapped(
+    host_u16: Sequence[np.ndarray],  # per station: [3·block_len] packed u16
+    pair_idx: np.ndarray,  # [m, 2] station pairs
+    ref_geo_tdoa: np.ndarray,  # [m] REF-tx geometric TDOA, samples
+    *,
+    block_len: int,
+    block_lens: Optional[Sequence[int]] = None,
+    max_lag: int = DEFAULT_MAX_LAG,
+    seg_len: Optional[int] = None,
+    weighting: str = "ht",
+    clock_correction: bool = True,
+    chunk_samples: Optional[int] = None,
+    precision: str = "bf16",
+    pairs_static: Optional[Tuple[Tuple[int, int], ...]] = None,
+):
+    """Stream a 3-block capture from host memory to corrected TDOAs with
+    transfer/compute overlap. Returns the same 10-tuple as
+    ``process_blocks`` (corrected, tgt_delay, ref_delays[m,2], clock,
+    quality[3,m], peaks[3,m], corrected_std, tgt_corr_window, tgt_std,
+    block_corr_windows_complex[2,3,m,W]).
+
+    ``host_u16`` is each station's packed-u16 view of its capture bytes
+    (io.datfile.iq_bytes_as_u16 — zero-copy from the raw .dat mmap).
+    ``block_len`` is the ANALYZED per-block sample count (common across
+    stations); ``block_lens`` gives each station's own capture block
+    length when files differ in size (its blocks sit at multiples of
+    its own length), defaulting to ``block_len`` everywhere.
+    """
+    n_st = len(host_u16)
+    if block_lens is None:
+        block_lens = [block_len] * n_st
+    if min(block_lens) < block_len:
+        raise ValueError("block_lens must each be >= the analyzed "
+                         "block_len")
+    m = int(np.asarray(pair_idx).shape[0])
+    pair_np = np.asarray(pair_idx, np.int32)
+
+    # Geometry: fused kernel on TPU when eligible, XLA segments else.
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        FFT_LEN as P_FFT,
+        SEG_LEN as P_SEG,
+        fused_capacity_ok,
+    )
+    from tdoa_tpu.utils.platform import on_tpu
+
+    if pairs_static is None:
+        pairs_static = tuple(map(tuple, pair_np.tolist()))
+    all_pairs_static = tuple(
+        (int(i) + b * n_st, int(j) + b * n_st)
+        for b in range(3)
+        for (i, j) in pairs_static
+    )
+    use_fused = (
+        on_tpu()
+        and fused_capacity_ok(3 * n_st, 3 * m, remove_dc=True)
+        and max_lag <= P_FFT - P_SEG
+        and block_len >= P_SEG
+    )
+    if use_fused:
+        seg_r, fft_len = P_SEG, P_FFT
+    else:
+        want = seg_len if seg_len is not None else 1 << 16
+        seg_r, fft_len = resolve_seg(block_len, max_lag, want, None)
+        precision = "f32"
+
+    # Stacked pair list over the 3 logical blocks.
+    offsets = np.arange(3, dtype=np.int32)[:, None, None] * n_st
+    all_pairs = jnp.asarray(
+        (pair_np[None, :, :] + offsets).reshape(3 * m, 2)
+    )
+
+    chunk, spans = plan_chunks(block_len, seg_r, chunk_samples)
+    if not spans:
+        raise ValueError(
+            f"block length {block_len} holds no whole segment "
+            f"(seg_len={seg_r})"
+        )
+
+    def host_chunk(start: int, length: int) -> np.ndarray:
+        """[3·n_st, length] u16: every station's three block slices at
+        the same within-block offset (one host gather per chunk)."""
+        rows = []
+        for b in range(3):
+            for s in range(n_st):
+                o = b * block_lens[s] + start
+                rows.append(host_u16[s][o : o + length])
+        return np.stack(rows)
+
+    state = acc_init(3 * n_st, 3 * m, fft_len)
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    # Two-deep pipeline: the accumulate dispatch for the buffered chunk
+    # is issued BEFORE the next device_put, so the (blocking) host→
+    # device stream of chunk k+1 overlaps the device's work on chunk k.
+    buf = jax.device_put(host_chunk(*spans[0]))
+    for k in range(len(spans)):
+        state = acc_update(
+            state, _decode_chunk(buf, dtype=dtype), all_pairs,
+            seg_r, fft_len,
+            pairs_static=all_pairs_static, precision=precision,
+            remove_dc=True,
+        )
+        if k + 1 < len(spans):
+            buf = jax.device_put(host_chunk(*spans[k + 1]))
+
+    res = acc_finalize(state, all_pairs, max_lag, weighting=weighting,
+                       fft_len=fft_len)
+
+    delays = res.delay.reshape(3, m)
+    stds = res.delay_std.reshape(3, m)
+    quality = res.quality.reshape(3, m)
+    peaks = res.peak_value.reshape(3, m)
+    ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)
+    tgt_delay = delays[1]
+    ref_geo = jnp.asarray(np.asarray(ref_geo_tdoa), jnp.float32)
+    if clock_correction:
+        ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
+        clock = ref_mid - ref_geo
+        corrected = tgt_delay - clock
+        corrected_std = jnp.sqrt(
+            stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
+        )
+    else:
+        clock = jnp.zeros_like(tgt_delay)
+        corrected = tgt_delay
+        corrected_std = stds[1]
+    tgt_window = res.corr.reshape(3, m, -1)[1]
+    win_c_blocks = jnp.stack([
+        res.corr_re.reshape(3, m, -1),
+        res.corr_im.reshape(3, m, -1),
+    ])
+    return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
+            corrected_std, tgt_window, stds[1], win_c_blocks)

@@ -124,6 +124,13 @@ class ProcessorConfig:
     # power ranking); zero or multiple in-prior candidates are reported
     # and the fix is left alone.
     prior: Optional[Tuple[float, float, float]] = None
+    # In-peak multipath mitigation (dsp/multipath.py): calibrated
+    # echo-bias σ inflation (the ellipse covers the residual echo bias
+    # it used to ignore) + two-path echo diagnosis in the warning. The
+    # TDOAs themselves are never replaced — every replacement estimator
+    # measured worse than the plain GCC-HT read (module docstring).
+    # Off = detector warns only (the round-2 behavior).
+    multipath_mitigation: bool = True
     # Leave-stations-out outlier rejection: when the solved TDOA set
     # is internally inconsistent and the network has >= 5 stations,
     # re-solve with each station's pairs removed; if EXACTLY ONE
@@ -176,6 +183,45 @@ class TDOAResult:
     # station's pairs zeroed. Downstream re-solves (the stream
     # tracker) must use these, not the raw TDOA vector.
     solve_weights: Optional[np.ndarray] = None
+    # In-peak multipath handling (dsp/multipath.py). The TDOAs are NOT
+    # re-estimated — every replacement estimator measured WORSE than
+    # the plain GCC-HT peak read (see the module docstring's evidence
+    # table); mitigation is honest accounting instead: tdoa_std_s
+    # carries the calibrated echo-bias inflation, and these fields
+    # report the detector verdicts and the echo's measured geometry.
+    multipath_flagged: Optional[np.ndarray] = None  # [m] bool; None if
+    #                                                 the detector never ran
+    # Per-pair σ addend (samples) from the echo-bias accounting —
+    # already folded into tdoa_std_s; reported so callers can see how
+    # much of the budget is echo bias vs noise.
+    multipath_sigma_samples: Optional[np.ndarray] = None  # [m]
+    # Decisive two-path diagnoses: the echo's excess delay (samples,
+    # NaN where undiagnosed) and relative amplitude. Excess path
+    # length in meters = separation / sample_rate * c.
+    multipath_echo_separation_samples: Optional[np.ndarray] = None  # [m]
+    multipath_echo_ratio: Optional[np.ndarray] = None  # [m]
+
+
+@dataclasses.dataclass
+class HostCapture:
+    """Host-resident capture handle for the overlapped-ingest path
+    (pipeline/ingest.py): the station's packed-u16 view of its .dat
+    bytes (io.datfile.iq_bytes_as_u16 over a read-only mmap — nothing
+    is decoded or transferred until the chunk pipeline streams it) plus
+    its per-block sample count."""
+
+    u16: np.ndarray  # [3·block_len] packed I/Q words
+    block_len: int
+
+    def subsample_planar(self, block: int, limit: int = 1 << 20) -> C:
+        """Strided decode of one block (0=REF1, 1=TGT, 2=REF2) to a
+        small planar signal — for the eager analyses (received-power
+        ghost ranking) that only need mean |x|², not the waveform."""
+        from tdoa_tpu.io.datfile import u16_to_iq_planar
+
+        step = max(1, self.block_len // limit)
+        sl = self.u16[block * self.block_len:(block + 1) * self.block_len:step]
+        return u16_to_iq_planar(jnp.asarray(np.ascontiguousarray(sl)))
 
 
 @dataclasses.dataclass
@@ -227,7 +273,8 @@ def process_blocks(
     """The fused device program: 3 blocks × all pairs → corrected TDOAs.
 
     Returns (corrected_tdoa, tgt_delay, ref_delays [m,2], clock, quality,
-    peak, corrected_std, tgt_corr_window, tgt_std), all delays/σs in IQ
+    peak, corrected_std, tgt_corr_window, tgt_std,
+    block_corr_windows_complex [2,3,m,W]), all delays/σs in IQ
     samples; ``tgt_std`` is the TGT block's own σ, before the REF
     clock-correction variance folds into ``corrected_std``. All three blocks correlate in one batched
     call; DC removal happens on-device (the standard preprocessing of
@@ -281,8 +328,12 @@ def process_blocks(
             clock = jnp.zeros_like(tgt_delay)
             corrected = tgt_delay
             corrected_std = stds[1]
+        win_c_blocks = jnp.stack([
+            jnp.stack([o.corr_re for o in outs]),
+            jnp.stack([o.corr_im for o in outs]),
+        ])  # [2 (re/im), 3 (block), m, W]
         return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-                corrected_std, outs[1].corr, stds[1])
+                corrected_std, outs[1].corr, stds[1], win_c_blocks)
 
     # Blocks may arrive bf16 (the fused path's native storage); the XLA
     # path computes in f32.
@@ -381,49 +432,20 @@ def process_blocks(
         corrected = tgt_delay
         corrected_std = stds[1]
     tgt_window = res.corr.reshape(3, m, -1)[1]  # [m, 2*max_lag_c+1]
+    win_c_blocks = jnp.stack([
+        res.corr_re.reshape(3, m, -1),
+        res.corr_im.reshape(3, m, -1),
+    ])  # [2 (re/im), 3 (block), m, 2*max_lag_c+1] planar complex
     # stds[1] (TGT-only σ) rides along so callers that re-measure the
     # TGT block (the deramp path) can swap it out of the composite and
     # keep the REF clock-correction variance.
     return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-            corrected_std, tgt_window, stds[1])
+            corrected_std, tgt_window, stds[1], win_c_blocks)
 
 
-def _lobe_centroid_drift(win: np.ndarray, l_narrow: int = 20,
-                         l_wide: int = 60) -> np.ndarray:
-    """Per-pair main-lobe shape-drift statistic: |power-centroid offset
-    at ±l_wide − offset at ±l_narrow| around each correlation peak
-    (lags). A clean GCC lobe is symmetric at every width, so the
-    centroid barely moves as the window widens; a direct-path + in-peak
-    echo composite keeps dragging it toward the echo. Calibrated on the
-    Monte Carlo regimes: clean/noisy stay < 0.5, planted 15-60-sample
-    echoes at 0.3-0.6 amplitude exceed 1.0 (review hardening kept the
-    separation: floor-subtraction removes the noise-floor centroid pull
-    at low peak-to-sidelobe, and a peak too close to the window edge
-    returns 0 — a clamped one-sided wide window fakes drift ~1.4 on
-    clean lobes)."""
-    out = []
-    for w in np.abs(win.astype(np.float64)):
-        p = int(np.argmax(w))
-        if min(p, len(w) - 1 - p) < l_wide:
-            # Both centroids must see symmetric windows; a clamped
-            # side drags the wide centroid one way on a CLEAN lobe.
-            out.append(0.0)
-            continue
-        # Sidelobe-floor subtraction: the window is mostly floor, so
-        # its median estimates the floor robustly (the lobe occupies
-        # a few % of ±max_lag). Without it the floor's asymmetric
-        # noise realization pulls the wide centroid ~1.3 samples on
-        # healthy peaks barely past the quality gate.
-        v = np.maximum(w - np.median(w), 0.0)
-
-        def centroid(L):
-            seg = v[p - L:p + L + 1] ** 2
-            lags = np.arange(-L, L + 1)
-            return float(np.sum(lags * seg)
-                         / np.maximum(np.sum(seg), 1e-30))
-
-        out.append(abs(centroid(l_wide) - centroid(l_narrow)))
-    return np.asarray(out)
+# Lobe-shape drift detector: moved to dsp/multipath.py (the detector
+# and the mitigation share calibration); re-exported here for callers.
+from tdoa_tpu.dsp.multipath import lobe_centroid_drift as _lobe_centroid_drift  # noqa: E402
 
 
 def _horiz_m(a_lat, a_lon, b_lat, b_lon, elev) -> float:
@@ -973,14 +995,44 @@ class TDOAProcessor:
             raise ValueError("need at least 3 stations for a 2D fix")
         pairs = station_pairs(len(names))
 
+        # Overlapped-ingest mode: every station arrives as a
+        # host-resident HostCapture and the correlation step streams it
+        # chunk-by-chunk with transfer/compute overlap
+        # (pipeline/ingest.py) instead of staging whole blocks on
+        # device. Everything downstream of the correlate step — gates,
+        # warnings, solve, consistency/ghost/outlier analysis — runs
+        # UNCHANGED. The analyses that sample the waveform eagerly
+        # (received-power ghost ranking) read strided host subsamples.
+        host_mode = all(
+            isinstance(captures[n], HostCapture) for n in names
+        )
+        if host_mode:
+            unsupported = [
+                opt for opt, on in (
+                    ("mode='fm'", cfg.mode != "iq"),
+                    ("lo_compensation", cfg.lo_compensation == "auto"),
+                    ("solve_velocity", cfg.solve_velocity),
+                    ("multi_emitter", cfg.multi_emitter > 1),
+                ) if on
+            ]
+            if unsupported:
+                raise ValueError(
+                    "overlapped ingest supports the standard IQ path; "
+                    f"{', '.join(unsupported)} need the whole blocks on "
+                    "device — use process_files/process_captures"
+                )
+
         # Capture-time geometry: REF1/REF2 correlation-window midpoints
         # are two *original* block lengths apart even when the analysis
         # window is truncated — the drift time base must use this, not
         # the truncated length.
-        orig_block_len = min(
-            int((b if isinstance(b, C) else from_complex(b)).re.shape[-1])
-            for b in (captures[n][0] for n in names)
-        )
+        if host_mode:
+            orig_block_len = min(captures[n].block_len for n in names)
+        else:
+            orig_block_len = min(
+                int((b if isinstance(b, C) else from_complex(b)).re.shape[-1])
+                for b in (captures[n][0] for n in names)
+            )
 
         def prep(b) -> C:
             if not isinstance(b, C):
@@ -996,7 +1048,19 @@ class TDOAProcessor:
                 jnp.stack([b.im for b in blocks]),
             )
 
-        ref1, tgt, ref2 = stack(0), stack(1), stack(2)
+        if host_mode:
+            # Small strided subsamples stand in for the waveform in the
+            # eager power analyses (_station_mean_power re-subsamples).
+            def stack_sub(idx: int) -> C:
+                subs = [captures[n].subsample_planar(idx) for n in names]
+                return C(
+                    jnp.stack([s.re for s in subs]),
+                    jnp.stack([s.im for s in subs]),
+                )
+
+            ref1, tgt, ref2 = stack_sub(0), stack_sub(1), stack_sub(2)
+        else:
+            ref1, tgt, ref2 = stack(0), stack(1), stack(2)
 
         if cfg.lo_compensation not in ("auto", "off"):
             raise ValueError(
@@ -1131,7 +1195,7 @@ class TDOAProcessor:
                         cfg.sample_rate)
 
         accumulator = cfg.accumulator
-        if accumulator == "auto":
+        if accumulator == "auto" and not host_mode:
             accumulator = (
                 "pallas"
                 if self._fused_eligible(len(names), int(ref1.re.shape[1]))
@@ -1144,27 +1208,48 @@ class TDOAProcessor:
             lambda name: contextlib.nullcontext())
 
         ref_geo = self._ref_geo_tdoa_samples(names, pairs)
-        with stage("correlate+clock"):
-            out = process_blocks(
-            ref1,
-            tgt,
-            ref2,
-            jnp.asarray(pairs),
-            jnp.asarray(ref_geo, jnp.float32),
-            max_lag=cfg.max_lag,
-            seg_len=cfg.seg_len,
-            weighting=cfg.weighting,
-            clock_correction=cfg.clock_correction,
-            mode=cfg.mode,
-            fm_decim=cfg.fm_decim,
-            sample_rate=cfg.sample_rate,
-            accumulator=accumulator,
-            pairs_static=tuple(map(tuple, pairs.tolist())),
-            )
-            if timer is not None:
-                timer.observe(out)
+        if host_mode:
+            from tdoa_tpu.pipeline.ingest import ingest_overlapped
+
+            bl = orig_block_len
+            if cfg.truncate_samples is not None:
+                bl = min(bl, cfg.truncate_samples)
+            with stage("ingest+correlate+clock"):
+                out = ingest_overlapped(
+                    [captures[n].u16 for n in names],
+                    pairs,
+                    ref_geo,
+                    block_len=bl,
+                    block_lens=[captures[n].block_len for n in names],
+                    max_lag=cfg.max_lag,
+                    seg_len=cfg.seg_len,
+                    weighting=cfg.weighting,
+                    clock_correction=cfg.clock_correction,
+                )
+                if timer is not None:
+                    timer.observe(out)
+        else:
+            with stage("correlate+clock"):
+                out = process_blocks(
+                    ref1,
+                    tgt,
+                    ref2,
+                    jnp.asarray(pairs),
+                    jnp.asarray(ref_geo, jnp.float32),
+                    max_lag=cfg.max_lag,
+                    seg_len=cfg.seg_len,
+                    weighting=cfg.weighting,
+                    clock_correction=cfg.clock_correction,
+                    mode=cfg.mode,
+                    fm_decim=cfg.fm_decim,
+                    sample_rate=cfg.sample_rate,
+                    accumulator=accumulator,
+                    pairs_static=tuple(map(tuple, pairs.tolist())),
+                )
+                if timer is not None:
+                    timer.observe(out)
         (corrected, tgt_d, ref_d, clock, quality, peaks, corr_std,
-         tgt_window, tgt_std) = out
+         tgt_window, tgt_std, win_c_blocks) = out
         corrected = np.asarray(corrected, np.float64)
         tdoa_s = corrected / cfg.sample_rate
         tdoa_std_s = np.asarray(corr_std, np.float64) / cfg.sample_rate
@@ -1429,19 +1514,94 @@ class TDOAProcessor:
         # a resolvable second source already set secondary_fired (in
         # any multi_emitter mode) — otherwise a drifting centroid is
         # the only trace an in-peak echo leaves.
+        multipath_flagged = None
+        multipath_sigma = None
+        echo_sep = None
+        echo_ratio = None
+        if (cfg.mode == "iq" and cfg.multipath_mitigation
+                and not motion_detected and not secondary_fired):
+            # Honest echo-bias accounting, CONTINUOUS (not gated on the
+            # warning threshold): the centroid-offset statistic maps
+            # each pair's lobe contamination to a calibrated σ addend,
+            # plus a scene floor once any pair confirms an echo
+            # environment (dsp/multipath.py echo_bias_sigma — the
+            # calibration table and the measured evidence that delay
+            # RE-ESTIMATION is worse than the plain GCC-HT read live
+            # there). Clean scenes stay untouched (offset < knee).
+            from tdoa_tpu.dsp.multipath import (
+                echo_bias_sigma,
+                lobe_centroid_offset,
+                mitigate_flagged_pairs,
+            )
+
+            mp_sigma = echo_bias_sigma(lobe_centroid_offset(win64))
+            if np.any(mp_sigma > 0):
+                multipath_sigma = mp_sigma
+                tdoa_std_s = np.sqrt(
+                    tdoa_std_s ** 2 + (mp_sigma / cfg.sample_rate) ** 2
+                )
+                with stage("re-solve (echo-bias σ)"):
+                    fix = solve_fix(
+                        lla, tdoa_s, weights=w, pair_idx=pairs,
+                        solve_z=cfg.solve_z, tdoa_sigma_s=tdoa_std_s,
+                    )
         if (not motion_detected and not secondary_fired
                 and np.max(lobe_drift) > 1.0):
             k_d = int(np.argmax(lobe_drift))
             i_d, j_d = pairs[k_d]
-            n_d = int(np.count_nonzero(lobe_drift > 1.0))
+            flagged = lobe_drift > 1.0
+            multipath_flagged = flagged.copy()
+            n_d = int(np.count_nonzero(flagged))
+            # Diagnose the flagged lobes: the two-path decomposition's
+            # SEPARATION and amplitude ratio are template-bias-free
+            # (differences), so they reliably measure the echo's
+            # geometry even though its absolute positions must not
+            # replace the TDOA (dsp/multipath.py evidence table).
+            fits = [None] * len(pairs)
+            if cfg.multipath_mitigation:
+                win_cx = np.asarray(win_c_blocks, np.float64)
+                cx = win_cx[0] + 1j * win_cx[1]  # [3 (block), m, W]
+                _, _, fits = mitigate_flagged_pairs(
+                    cx[1], flagged, q, lobe_drift, cfg.max_lag,
+                    ref_win_c=cx[[0, 2]],
+                )
+            detail = []
+            for k in np.flatnonzero(flagged):
+                fit = fits[k]
+                if fit is None or not fit.decisive:
+                    continue
+                if echo_sep is None:
+                    echo_sep = np.full(len(pairs), np.nan)
+                    echo_ratio = np.full(len(pairs), np.nan)
+                echo_sep[k] = fit.separation
+                echo_ratio[k] = fit.echo_ratio
+                excess_km = (fit.separation / cfg.sample_rate
+                             * SPEED_OF_LIGHT / 1000.0)
+                detail.append(
+                    f"{names[pairs[k][0]]}-{names[pairs[k][1]]}: echo "
+                    f"{fit.separation:.1f} samples (~{excess_km:.1f} km "
+                    f"excess path) at {fit.echo_ratio:.2f} relative "
+                    f"amplitude"
+                )
+            sigma_note = (
+                "the error budget carries the calibrated echo-bias σ "
+                "(multipath_sigma_samples) and the position was "
+                "re-solved with it"
+                if multipath_sigma is not None
+                else "enable multipath_mitigation to fold the "
+                     "calibrated echo-bias σ into the error budget"
+            )
+            diag_note = (
+                " — two-path diagnosis: " + "; ".join(detail)
+                if detail else ""
+            )
             warnings.append(
                 f"correlation main lobe is asymmetric on "
                 f"{n_d}/{len(pairs)} pairs (worst {names[i_d]}-"
                 f"{names[j_d]}, centroid drift "
-                f"{lobe_drift[k_d]:.1f} samples): suspect an in-peak "
-                f"multipath echo (or uncompensated emitter motion — "
-                f"rerun with --solve-velocity) — the TDOA may carry a "
-                f"bias of a few samples that no error bar covers"
+                f"{lobe_drift[k_d]:.1f} samples): in-peak multipath "
+                f"echo (or uncompensated emitter motion — rerun with "
+                f"--solve-velocity); {sigma_note}{diag_note}"
             )
         # The TDOA set is final now (plain or deramp-adopted): run the
         # consistency gate, outlier rejection, ghost/prior/power
@@ -1766,12 +1926,59 @@ class TDOAProcessor:
             fdoa_hz=fdoa_out,
             excluded_stations=excluded_stations or None,
             solve_weights=np.asarray(w, np.float64),
+            multipath_flagged=multipath_flagged,
+            multipath_sigma_samples=multipath_sigma,
+            multipath_echo_separation_samples=echo_sep,
+            multipath_echo_ratio=echo_ratio,
         )
 
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:
         """Load ``.dat`` files (station identity from filenames,
         processor.go:110-122) and process them."""
         return self.process_captures(self.load_files(dat_paths))
+
+    def process_files_overlapped(
+        self, dat_paths: Sequence[str]
+    ) -> TDOAResult:
+        """Like process_files, but the captures stay HOST-resident and
+        stream to the device chunk-by-chunk with transfer/compute
+        overlap (pipeline/ingest.py): capture→fix costs
+        ≈ max(transfer, compute) instead of their sum. Files are
+        mmap'ed read-only — peak host memory is O(chunk), not
+        O(capture). Standard IQ path only (fm/LO-compensation/velocity/
+        multi-emitter need whole blocks on device and raise)."""
+        import os
+
+        from tdoa_tpu.io.datfile import iq_bytes_as_u16
+
+        stage = self.timer.stage if self.timer is not None else (
+            lambda name: contextlib.nullcontext())
+        captures: Dict[str, HostCapture] = {}
+        known = self.stations.names
+        with stage("mmap"):
+            for path in dat_paths:
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"capture file not found: {path}")
+                st = station_from_filename(path, known)
+                if st is None:
+                    raise ValueError(
+                        f"cannot infer station from filename: {path} "
+                        f"(known stations: {', '.join(known)})"
+                    )
+                if st in captures:
+                    raise ValueError(
+                        f"two capture files resolve to station '{st}' "
+                        f"(second: {path}); pass one file per station"
+                    )
+                raw = np.memmap(path, dtype=np.uint8, mode="r")
+                if raw.size < 6:
+                    raise ValueError(f"capture too short: {path}")
+                captures[st] = HostCapture(
+                    u16=iq_bytes_as_u16(raw[: (raw.size // 2) * 2]),
+                    block_len=raw.size // 2 // 3,
+                )
+        return self.process_captures(captures)
 
     def load_files(
         self, dat_paths: Sequence[str]

@@ -100,7 +100,9 @@ def acc_init(n_st: int, n_pairs: int, fft_len: int) -> AccState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_len", "fft_len", "pairs_static", "precision"),
+    static_argnames=(
+        "seg_len", "fft_len", "pairs_static", "precision", "remove_dc",
+    ),
 )
 def acc_update(
     state: AccState,
@@ -110,6 +112,7 @@ def acc_update(
     fft_len: int,
     pairs_static: Optional[Tuple[Tuple[int, int], ...]] = None,
     precision: str = "bf16",
+    remove_dc: bool = False,
 ) -> AccState:
     """Integrate one capture chunk into the accumulator. The chunk
     length must be a multiple of ``seg_len`` (checked at trace time) —
@@ -144,13 +147,21 @@ def acc_update(
             # beyond one invocation's budget pair-tile inside the
             # kernel wrapper.
             and fused_capacity_ok(chunk.re.shape[0], len(pairs_static),
-                                  remove_dc=False)):
+                                  remove_dc=remove_dc)):
         cross, psd, energy = accumulate_cross_spectra_pallas(
-            chunk, pairs_static, precision=precision
+            chunk, pairs_static, precision=precision, remove_dc=remove_dc
         )
     else:
         chunk = C(chunk.re.astype(jnp.float32),
                   chunk.im.astype(jnp.float32))
+        if remove_dc:
+            # Per-chunk mean removal — the streaming equivalent of the
+            # batch path's per-block DC removal (and better: it tracks
+            # slow receiver DC drift chunk by chunk).
+            chunk = C(
+                chunk.re - jnp.mean(chunk.re, axis=-1, keepdims=True),
+                chunk.im - jnp.mean(chunk.im, axis=-1, keepdims=True),
+            )
         cross, psd, energy = _accumulate_cross_spectra(
             chunk, pair_idx, seg_len, fft_len
         )

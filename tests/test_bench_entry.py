@@ -41,7 +41,7 @@ import sys; sys.path.insert(0, %r)
 import __graft_entry__ as g
 fn, args = g.entry()
 out = jax.jit(fn)(*args)
-assert len(out) == 9
+assert len(out) == 10
 g.dryrun_multichip(8)
 g.dryrun_multichip(4)
 print("GRAFT OK")
