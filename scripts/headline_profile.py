@@ -1,0 +1,232 @@
+"""Per-stage decomposition of the headline bench's steady-state latency.
+
+The headline program (bench.py) is, per [REF|TGT|REF] block:
+``correlate_pairs_fused`` = K=4 split Pallas accumulation → summed
+finish (HT weight + MXU iFFT + phase-slope refine) → leave-one-out
+zoom-DFT σ probes — then the clock correction across blocks. This
+script times nested sub-programs on the real chip so every millisecond
+of the steady state is attributable:
+
+  dispatch   one tiny jit call + scalar sync (the tunnel's floor)
+  accum_k1   3 blocks × ONE full-block kernel invocation (no split)
+  accum_k4   3 blocks × 4 slice invocations (the real split layout)
+  finish_k1  accum_k1 + the finish stage (weight/iFFT/refine/quality)
+  full       the real process_blocks program (bench.py's run())
+  queued5    5 full calls queued, one sync — amortizes per-call tunnel
+             overhead; /5 ≈ true device time per call
+
+Stage attribution (medians):
+  split-accum overhead  = accum_k4 − accum_k1
+  finish cost           = finish_k1 − accum_k1
+  split-σ finalize cost = full − finish_k1 − (accum_k4 − accum_k1)
+  tunnel per call       ≈ full − queued5/5
+
+Writes one JSON line; run on the real chip (background, first jit is
+slow). BENCH_SECONDS scales the capture (default 100 — the driver's).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tdoa_tpu.ops.cplx import C
+
+
+def main() -> None:
+    seconds = float(os.environ.get("BENCH_SECONDS", "100"))
+    max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
+    reps = int(os.environ.get("PROFILE_REPS", "5"))
+    fs = 2e6
+    n_st = 3
+
+    from tdoa_tpu.ops.corr import (
+        _combine_splits,
+        _finish_correlation,
+        _split_bounds,
+        split_k,
+    )
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        FFT_LEN,
+        SEG_LEN,
+        accumulate_cross_spectra_pallas,
+    )
+
+    block_len = max(int(seconds * fs / 3) // SEG_LEN, 1) * SEG_LEN
+    total_samples = 3 * block_len * n_st
+    pairs = ((0, 1), (0, 2), (1, 2))
+    pair_arr = jnp.asarray(np.array(pairs, np.int32))
+
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def make_block(k):
+        kr, ki = jax.random.split(k)
+        return C(
+            jax.random.normal(kr, (n_st, block_len), jnp.float32).astype(
+                jnp.bfloat16),
+            jax.random.normal(ki, (n_st, block_len), jnp.float32).astype(
+                jnp.bfloat16),
+        )
+
+    blocks = [make_block(k) for k in jax.random.split(key, 3)]
+    for b in blocks:
+        float(b.re[0, 0].astype(jnp.float32))  # tunnel-safe sync
+
+    def consume(*arrays):
+        """Tiny scalar forcing every array's computation (anti-DCE)."""
+        s = jnp.float32(0)
+        for a in arrays:
+            s = s + jnp.sum(a.astype(jnp.float32) * 1e-9)
+        return s
+
+    # --- sub-programs --------------------------------------------------
+    @jax.jit
+    def dispatch_probe(x):
+        return x + 1.0
+
+    @jax.jit
+    def accum_k1(b0, b1, b2):
+        outs = []
+        for blk in (b0, b1, b2):
+            cross, psd, energy = accumulate_cross_spectra_pallas(
+                blk, pairs, precision="bf16", remove_dc=True, prescale=True,
+            )
+            outs.append(consume(cross.re, cross.im, psd, energy))
+        return outs[0] + outs[1] + outs[2]
+
+    n_seg_total = block_len // SEG_LEN
+    K = split_k(n_seg_total)
+    bounds = _split_bounds(n_seg_total, K, SEG_LEN)
+
+    @jax.jit
+    def accum_k4(b0, b1, b2):
+        """Legacy split layout: K separate kernel invocations/block."""
+        s = jnp.float32(0)
+        for blk in (b0, b1, b2):
+            for k in range(K):
+                cross, psd, energy = accumulate_cross_spectra_pallas(
+                    C(blk.re[:, bounds[k]:bounds[k + 1]],
+                      blk.im[:, bounds[k]:bounds[k + 1]]),
+                    pairs, precision="bf16", remove_dc=True, prescale=False,
+                )
+                s = s + consume(cross.re, cross.im, psd, energy)
+        return s
+
+    @jax.jit
+    def accum_grouped(b0, b1, b2):
+        """Shipped split layout: ONE invocation/block with K grouped
+        accumulator banks (n_splits=K)."""
+        s = jnp.float32(0)
+        for blk in (b0, b1, b2):
+            cross, psd, energy = accumulate_cross_spectra_pallas(
+                blk, pairs, precision="bf16", remove_dc=True,
+                prescale=False, n_splits=K,
+            )
+            s = s + consume(cross.re, cross.im, psd, energy)
+        return s
+
+    @jax.jit
+    def finish_k1(b0, b1, b2):
+        s = jnp.float32(0)
+        for blk in (b0, b1, b2):
+            cross, psd, energy = accumulate_cross_spectra_pallas(
+                blk, pairs, precision="bf16", remove_dc=True, prescale=True,
+            )
+            res = _finish_correlation(
+                cross, psd, energy, pair_arr, max_lag, "ht", 1e-3,
+                FFT_LEN, "phase", n_seg=n_seg_total,
+            )
+            s = s + consume(res.delay, res.delay_std, res.quality,
+                            res.peak_value, res.corr)
+        return s
+
+    from tdoa_tpu.pipeline.processor import process_blocks
+
+    ref_geo = jnp.zeros(3, jnp.float32)
+
+    def full_once():
+        out = process_blocks(
+            *blocks, pair_arr, ref_geo,
+            max_lag=max_lag, seg_len=1 << 16, weighting="ht",
+            accumulator="pallas", pairs_static=pairs,
+        )
+        return out
+
+    def timeit(run, sync, n=reps):
+        run_out = run()
+        sync(run_out)  # compile + warm
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            sync(run())
+            ts.append(time.time() - t0)
+        ts.sort()
+        return {"min": round(ts[0], 4), "med": round(ts[len(ts) // 2], 4),
+                "max": round(ts[-1], 4)}
+
+    sync_scalar = lambda o: float(o)
+    tiny = jnp.zeros((8,), jnp.float32)
+
+    t_dispatch = timeit(lambda: dispatch_probe(tiny),
+                        lambda o: float(o[0]), n=max(reps, 9))
+    t_accum1 = timeit(lambda: accum_k1(*blocks), sync_scalar)
+    t_accum4 = timeit(lambda: accum_k4(*blocks), sync_scalar)
+    t_grouped = timeit(lambda: accum_grouped(*blocks), sync_scalar)
+    t_finish1 = timeit(lambda: finish_k1(*blocks), sync_scalar)
+    t_full = timeit(lambda: full_once(), lambda o: float(o[0][0]))
+
+    # Queued x5: launch 5 dispatches, sync the last — per-call device
+    # time with the tunnel round-trip amortized.
+    def queued(n=5):
+        full_once()
+        float(full_once()[0][0])
+        t0 = time.time()
+        outs = [full_once() for _ in range(n)]
+        float(outs[-1][0][0])
+        return (time.time() - t0) / n
+
+    q = sorted(queued() for _ in range(3))[1]
+
+    med = lambda d: d["med"]
+    print(json.dumps({
+        "total_samples": total_samples,
+        "reps": reps,
+        "device": str(jax.devices()[0]),
+        "dispatch_s": t_dispatch,
+        "accum_k1_s": t_accum1,
+        "accum_k4_s": t_accum4,
+        "accum_grouped_s": t_grouped,
+        "finish_k1_s": t_finish1,
+        "full_s": t_full,
+        "queued5_per_call_s": round(q, 4),
+        "attribution": {
+            "tunnel_floor_s": med(t_dispatch),
+            "kernel_accum_s": round(med(t_accum1) - med(t_dispatch), 4),
+            "split_accum_overhead_s": round(
+                med(t_accum4) - med(t_accum1), 4),
+            "grouped_split_overhead_s": round(
+                med(t_grouped) - med(t_accum1), 4),
+            "finish_stage_s": round(med(t_finish1) - med(t_accum1), 4),
+            "split_sigma_finalize_s": round(
+                med(t_full) - med(t_finish1)
+                - (med(t_accum4) - med(t_accum1)), 4),
+            "per_call_amortized_s": round(q, 4),
+        },
+        "headline_equiv_gsps": {
+            "full": round(total_samples / med(t_full) / 1e9, 2),
+            "no_split_sigma": round(
+                total_samples / med(t_finish1) / 1e9, 2),
+            "queued5": round(total_samples / q / 1e9, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
