@@ -15,15 +15,32 @@
 // Negative -t exits on squelch instead (rtl_fm.c:1087-1093).
 // -M wbfm expands to "-s 170k -r 32k -l 0 -E deemp" (rtl_fm.c:1123-1137).
 //
+// Live input runs DECOUPLED, like the reference's 4-thread pipeline
+// (rtl_fm.c:806-841 dongle/demod/output threads): the USB dispatch
+// thread only measures squelch RMS, makes scan-hop decisions (device
+// control calls stay on the dispatch thread, the same serialization
+// the 2-freq capture engine relies on) and enqueues raw blocks; a
+// demod thread runs the discriminator/Hilbert math; a writer thread
+// owns the output file — so a stalling disk/pipe or an underpowered
+// host never blocks the USB engine. Queues are bounded: the audio
+// queue backpressures the demod thread, the IQ queue drops newest
+// blocks with an honest count (the reference's ring overwrites
+// silently, rtl_fm.c:832-838).
+//
 //   sdr_fm [-M fm|wbfm|am|usb|lsb|raw] [-s rate] [-r audio_rate]
 //          [-d deemph_us] [-l squelch] [-t squelch_delay] [-g gain_db]
 //          [-p ppm] [-E edge|dc|deemp|direct|offset]
 //          (-i in.iq | --live seconds) [-f freq_or_range]... out.raw
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "sdrcap/args.h"
@@ -155,6 +172,64 @@ struct Demod {
   }
 };
 
+// Bounded producer/consumer queue for the live pipeline. Two push
+// flavors: try_push (non-blocking — the USB dispatch thread must never
+// wait; a full queue means the consumer fell behind and the block is
+// dropped, counted) and push_wait (backpressure — the demod thread may
+// wait on the writer; the slack then surfaces upstream as IQ drops).
+template <typename T>
+class BoundedQueue {
+ public:
+  explicit BoundedQueue(size_t cap) : cap_(cap) {}
+  bool try_push(T v) {
+    std::lock_guard<std::mutex> l(mu_);
+    if (q_.size() >= cap_ || closed_) return false;
+    q_.push_back(std::move(v));
+    ready_.notify_one();
+    return true;
+  }
+  void push_wait(T v) {
+    std::unique_lock<std::mutex> l(mu_);
+    space_.wait(l, [&] { return q_.size() < cap_ || closed_; });
+    if (closed_) return;
+    q_.push_back(std::move(v));
+    ready_.notify_one();
+  }
+  // Blocks until an item or close; false = closed AND drained.
+  bool pop(T* out) {
+    std::unique_lock<std::mutex> l(mu_);
+    ready_.wait(l, [&] { return !q_.empty() || closed_; });
+    if (q_.empty()) return false;
+    *out = std::move(q_.front());
+    q_.pop_front();
+    space_.notify_one();
+    return true;
+  }
+  void close() {
+    std::lock_guard<std::mutex> l(mu_);
+    closed_ = true;
+    ready_.notify_all();
+    space_.notify_all();
+  }
+
+ private:
+  const size_t cap_;
+  std::mutex mu_;
+  std::condition_variable ready_, space_;
+  std::deque<T> q_;
+  bool closed_ = false;
+};
+
+// One squelch-sized block of raw u8 IQ headed for the demod thread,
+// with the squelch/settle verdict already made on the dispatch thread.
+struct IqBlock {
+  std::vector<uint8_t> bytes;
+  bool mute = false;
+  // Run Demod::reset() before this block: a scan hop happened on the
+  // dispatch thread, and the demod state is owned by the demod thread.
+  bool reset = false;
+};
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -274,63 +349,87 @@ int main(int argc, char** argv) {
   const size_t live_num_bufs = scanning ? 2 : 8;
   int settle_blocks = 0;  // blocks to mute + skip squelch after a hop
 
-  // Demodulate one block, writing real or (squelched) zeroed audio.
-  auto demod_block = [&](const uint8_t* data, size_t len, bool mute) {
+  // Demodulate one block into `outv` (real or squelch-zeroed audio).
+  // Called on the main thread (file input) or the demod thread (live).
+  auto demod_to = [&](const uint8_t* data, size_t len, bool mute,
+                      std::vector<int16_t>* outv) {
     int16_t s;
     for (size_t k = 0; k + 1 < len; k += 2) {
       const double re = (data[k] - 127.5) / 127.5;
       const double im = (data[k + 1] - 127.5) / 127.5;
       if (m == Mode::kRaw) {
-        const int16_t pair[2] = {(int16_t)(re * 32767), (int16_t)(im * 32767)};
-        std::fwrite(pair, sizeof(pair), 1, out);
-        ++audio_samples;
+        outv->push_back((int16_t)(re * 32767));
+        outv->push_back((int16_t)(im * 32767));
       } else if (dm.push(re, im, &s)) {
-        const int16_t v = mute ? 0 : s;
-        std::fwrite(&v, sizeof(v), 1, out);
-        ++audio_samples;
+        outv->push_back(mute ? 0 : s);
       }
     }
   };
 
+  // Per-squelch-block verdict on the RAW bytes — cheap enough for the
+  // USB dispatch thread. Returns 0 = play, 1 = mute, -1 = exit
+  // (negative -t), 2 = scan hop performed (drop the chunk remainder —
+  // it predates the hop). Device control calls stay on the calling
+  // (dispatch) thread, the same serialization the 2-freq capture
+  // engine's boundary retunes rely on; the demod-state reset the hop
+  // needs is signaled to the demod thread through the queue instead.
+  auto classify = [&](const uint8_t* data, size_t n) -> int {
+    if (settle_blocks > 0) {
+      --settle_blocks;
+      return 1;
+    }
+    if (squelch_level > 0.0 && m != Mode::kRaw) {
+      // RMS of the raw block in u8 counts (127.5-centered), the same
+      // scale rtl_fm's rms() sees (rtl_fm.c:589-611).
+      double acc = 0.0;
+      for (size_t k = 0; k < n; ++k) {
+        const double d = data[k] - 127.5;
+        acc += d * d;
+      }
+      const double rms = std::sqrt(acc / (double)n);
+      if (rms < squelch_level) {
+        ++squelch_hits;
+        if (squelch_delay < 0 && squelch_hits >= -squelch_delay)
+          return -1;  // rtl_fm.c:1087-1093 (-t negative)
+        if (scanning && live_dev && squelch_hits >= squelch_delay) {
+          freq_idx = (freq_idx + 1) % freqs.size();
+          live_dev->set_center_freq((uint32_t)(freqs[freq_idx] + edge_off));
+          std::fprintf(stderr, "scan: hopping to %.0f Hz\n",
+                       freqs[freq_idx]);
+          squelch_hits = 0;
+          settle_blocks = (int)live_num_bufs + 1;
+          return 2;
+        }
+        return 1;
+      }
+      squelch_hits = 0;
+    }
+    return 0;
+  };
+
+  // Synchronous path (file input): classify + demod + write in line.
   auto process = [&](const uint8_t* data, size_t len) {
+    std::vector<int16_t> v;
     for (size_t off = 0; off < len && !exit_requested;
          off += kSquelchBlock) {
       const size_t n = std::min(kSquelchBlock, len - off);
-      bool mute = false;
-      if (settle_blocks > 0) {
-        --settle_blocks;
-        demod_block(data + off, n, /*mute=*/true);
-        continue;
+      const int action = classify(data + off, n);
+      if (action == 2) {  // scan hop (live-only state; kept for parity)
+        dm.reset();
+        return;
       }
-      if (squelch_level > 0.0 && m != Mode::kRaw) {
-        // RMS of the raw block in u8 counts (127.5-centered), the same
-        // scale rtl_fm's rms() sees (rtl_fm.c:589-611).
-        double acc = 0.0;
-        for (size_t k = 0; k < n; ++k) {
-          const double d = data[off + k] - 127.5;
-          acc += d * d;
-        }
-        const double rms = std::sqrt(acc / (double)n);
-        if (rms < squelch_level) {
-          mute = true;
-          ++squelch_hits;
-          if (squelch_delay < 0 && squelch_hits >= -squelch_delay) {
-            exit_requested = true;  // rtl_fm.c:1087-1093 (-t negative)
-          } else if (scanning && live_dev && squelch_hits >= squelch_delay) {
-            freq_idx = (freq_idx + 1) % freqs.size();
-            live_dev->set_center_freq((uint32_t)(freqs[freq_idx] + edge_off));
-            std::fprintf(stderr, "scan: hopping to %.0f Hz\n",
-                         freqs[freq_idx]);
-            dm.reset();
-            squelch_hits = 0;
-            settle_blocks = (int)live_num_bufs + 1;
-            return;  // drop the rest of this chunk; it predates the hop
-          }
-        } else {
-          squelch_hits = 0;
-        }
+      v.clear();
+      // action == -1 (exit on squelch): the closing block still flows
+      // through muted — rtl_fm drains the buffer in flight on do_exit.
+      demod_to(data + off, n, action != 0, &v);
+      if (!v.empty()) {
+        std::fwrite(v.data(), sizeof(int16_t), v.size(), out);
+        audio_samples += (m == Mode::kRaw) ? v.size() / 2 : v.size();
       }
-      demod_block(data + off, n, mute);
+      if (action == -1) {
+        exit_requested = true;
+        break;
+      }
     }
   };
 
@@ -375,6 +474,37 @@ int main(int argc, char** argv) {
     if (ppm != 0) dev->set_freq_correction_ppm(ppm);
     if (opt_direct) dev->set_direct_sampling(2);
     if (opt_offset) dev->set_offset_tuning(true);
+    // Decoupled live pipeline (rtl_fm.c:806-841 parity): the dispatch
+    // thread classifies and enqueues; the demod thread computes; the
+    // writer thread owns the output file. The IQ queue holds ~4 MB
+    // (256 × 16 KB ≈ 1 s at 2 Msps); the audio queue backpressures the
+    // demod thread so a stalled output surfaces as counted IQ drops
+    // instead of unbounded memory.
+    BoundedQueue<IqBlock> q_iq(256);
+    BoundedQueue<std::vector<int16_t>> q_audio(64);
+    uint64_t dropped_blocks = 0;  // dispatch-thread only
+    bool pending_reset = false;   // dispatch-thread only
+
+    std::thread demod_thr([&] {
+      IqBlock b;
+      while (q_iq.pop(&b)) {
+        if (b.reset) dm.reset();
+        if (b.bytes.empty()) continue;
+        std::vector<int16_t> v;
+        v.reserve(b.bytes.size() / (size_t)(2 * dm.decim) + 2);
+        demod_to(b.bytes.data(), b.bytes.size(), b.mute, &v);
+        if (!v.empty()) q_audio.push_wait(std::move(v));
+      }
+      q_audio.close();
+    });
+    std::thread writer_thr([&] {
+      std::vector<int16_t> v;
+      while (q_audio.pop(&v)) {
+        std::fwrite(v.data(), sizeof(int16_t), v.size(), out);
+        audio_samples += (m == Mode::kRaw) ? v.size() / 2 : v.size();
+      }
+    });
+
     // Boxcar complex decimator (averages `bump` consecutive IQ pairs),
     // carrying partial groups across chunks.
     std::vector<uint8_t> dec_buf;
@@ -384,6 +514,8 @@ int main(int argc, char** argv) {
     uint64_t got = 0;
     dev->read_async(
         [&](const uint8_t* d, size_t len) {
+          const uint8_t* data = d;
+          size_t n = len;
           if (bump > 1) {
             dec_buf.clear();
             dec_buf.reserve(len / bump + 2);
@@ -397,15 +529,48 @@ int main(int argc, char** argv) {
                 carry_n = 0;
               }
             }
-            if (!dec_buf.empty()) process(dec_buf.data(), dec_buf.size());
-            got += dec_buf.size();
-          } else {
-            process(d, len);
-            got += len;
+            data = dec_buf.data();
+            n = dec_buf.size();
           }
+          for (size_t off = 0; off < n && !exit_requested;
+               off += kSquelchBlock) {
+            const size_t blk = std::min(kSquelchBlock, n - off);
+            const int action = classify(data + off, blk);
+            if (action == 2) {
+              // Hop performed: the demod thread must reset its stream
+              // state before the next post-hop block; the remainder of
+              // this chunk predates the hop and is dropped.
+              pending_reset = true;
+              break;
+            }
+            IqBlock b;
+            b.bytes.assign(data + off, data + off + blk);
+            // action == -1 (exit on squelch): the closing block still
+            // flows through muted — rtl_fm drains in flight on do_exit.
+            b.mute = action != 0;
+            b.reset = pending_reset;
+            if (q_iq.try_push(std::move(b)))
+              pending_reset = false;  // the reset marker is in the queue
+            else
+              ++dropped_blocks;  // consumer behind: drop, honestly
+            if (action == -1) {
+              exit_requested = true;
+              break;
+            }
+          }
+          got += n;
           if (got >= want_bytes || exit_requested) dev->cancel_async();
         },
         live_buf_len, live_num_bufs);
+    q_iq.close();
+    demod_thr.join();
+    writer_thr.join();
+    if (dropped_blocks)
+      std::fprintf(stderr,
+                   "dropped %llu IQ blocks (%.1f s): host demod/output "
+                   "fell behind the stream\n",
+                   (unsigned long long)dropped_blocks,
+                   (double)dropped_blocks * kSquelchBlock / 2.0 / rate);
     if (scanning)
       std::fprintf(stderr, "scan: final frequency %.0f Hz\n", freqs[freq_idx]);
   }
