@@ -181,12 +181,21 @@ MAX_PAIR_CHUNKS = 4
 
 
 def _vmem_need(n_st: int, n_pairs: int, mm_bytes: int, step_rows: int,
-               remove_dc: bool) -> int:
+               remove_dc: bool, n_banks: int = 1) -> int:
     """The kernel's computed VMEM request in bytes — the ONE copy of
     the footprint arithmetic, shared by the pallas_call budget below
     and the fused_max_pairs inversion (two diverging copies of this
-    formula was a review finding)."""
+    formula was a review finding).
+
+    ``n_banks > 1`` (the grouped split-σ layout): the output index map
+    is no longer constant, so Mosaic double-buffers the accumulator
+    windows (the outgoing bank flushes while the next group's loads) —
+    the accumulators cost 2x. Chip-measured: the single-bank formula
+    under-requested by 3.4 MB at 8 stations / 28 pairs / 2 banks
+    (scoped-vmem stack OOM in the round-3 hardware sweep)."""
     accum_bytes = (2 * n_pairs + n_st * (3 if remove_dc else 1)) * R * R * 4
+    if n_banks > 1:
+        accum_bytes *= 2
     input_bytes = 2 * 2 * n_st * step_rows * R * mm_bytes  # double-buffered
     const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * mm_bytes + 2 * R * R * 4
     scratch_bytes = 2 * R * R * mm_bytes
@@ -196,7 +205,8 @@ def _vmem_need(n_st: int, n_pairs: int, mm_bytes: int, step_rows: int,
 
 def fused_max_pairs(n_st: int, remove_dc: bool = True,
                     precision: str = "bf16",
-                    segs_per_step: int = 1) -> int:
+                    segs_per_step: int = 1,
+                    n_splits: int = 1) -> int:
     """Largest pair count ONE kernel invocation can hold in the v5e
     VMEM budget (inverse of _vmem_need; the calibration point is 16
     stations / 120 pairs ≈ 94 MB request, chip-validated in BENCHLOG
@@ -210,20 +220,24 @@ def fused_max_pairs(n_st: int, remove_dc: bool = True,
     kernel ~2x the XLA path. Returns 0 when even the per-station
     accumulators alone exceed the budget."""
     base = _vmem_need(n_st, 0, 2 if precision == "bf16" else 4,
-                      segs_per_step * SEG_ROWS, remove_dc)
+                      segs_per_step * SEG_ROWS, remove_dc,
+                      n_banks=n_splits)
     spare = (105 << 20) - base
-    # Each pair adds 1.25 · 2·R·R·4 bytes to the need.
-    return max(0, int(spare // int(1.25 * 2 * R * R * 4)))
+    # Each pair adds 1.25 · 2·R·R·4 bytes to the need (double-buffered
+    # when grouped — see _vmem_need's n_banks note).
+    per_pair = int(1.25 * 2 * R * R * 4) * (2 if n_splits > 1 else 1)
+    return max(0, int(spare // per_pair))
 
 
 def fused_capacity_ok(n_st: int, n_pairs: int,
                       remove_dc: bool = True,
-                      precision: str = "bf16") -> bool:
+                      precision: str = "bf16",
+                      n_splits: int = 1) -> bool:
     """True when the fused path should run this geometry — in one
     invocation, or pair-tiled across at most MAX_PAIR_CHUNKS (past
     that the per-chunk FFT/input redundancy makes the XLA fallback
     the better program; see fused_max_pairs)."""
-    cap = fused_max_pairs(n_st, remove_dc, precision)
+    cap = fused_max_pairs(n_st, remove_dc, precision, n_splits=n_splits)
     if n_pairs < 1 or cap < 1:
         return False
     return -(-n_pairs // cap) <= MAX_PAIR_CHUNKS
@@ -294,7 +308,8 @@ def accumulate_cross_spectra_pallas(
     # energy) are recomputed identically by every chunk — take the
     # first chunk's. This lifts the 16-station single-invocation cap
     # (fused_max_pairs) to arbitrary networks at fused-kernel speed.
-    cap = (fused_max_pairs(n_st, remove_dc, precision, segs_per_step)
+    cap = (fused_max_pairs(n_st, remove_dc, precision, segs_per_step,
+                           n_splits=n_splits)
            if _force_max_pairs is None else _force_max_pairs)
     if cap < 1:
         raise ValueError(
@@ -382,9 +397,11 @@ def accumulate_cross_spectra_pallas(
     # accumulators at ~6 stations; request what this call actually
     # needs so larger networks (8 stations = 28 pairs ≈ 20 MB of f32
     # accumulators) compile. v5e has 128 MB of VMEM. (Per-step
-    # residency is ONE group's banks regardless of n_splits.)
+    # residency is ONE group's banks, but with n_splits > 1 the
+    # changing output index map double-buffers them — see _vmem_need.)
     mm_bytes = 2 if mm_dtype == jnp.bfloat16 else 4
-    need = _vmem_need(n_st, m, mm_bytes, step_rows, remove_dc)
+    need = _vmem_need(n_st, m, mm_bytes, step_rows, remove_dc,
+                      n_banks=n_splits)
     # Never request less than Mosaic's 16 MB default (a tighter bound
     # buys nothing), never more than a safe fraction of v5e's 128 MB.
     vmem_budget = min(max(need, 16 << 20), 100 << 20)

@@ -583,8 +583,11 @@ class TDOAProcessor:
             # (120 pairs, chip-validated); larger networks pair-tile
             # across invocations (corr_accum.fused_max_pairs). Only a
             # station count whose PER-STATION accumulators alone bust
-            # the budget falls back to XLA.
-            and fused_capacity_ok(n_stations, n_pairs, remove_dc=True)
+            # the budget falls back to XLA. Gate with n_splits=4: the
+            # fused path runs the grouped split-σ layout (split_k ≤ 4),
+            # whose double-buffered banks are the real footprint.
+            and fused_capacity_ok(n_stations, n_pairs, remove_dc=True,
+                                  n_splits=4)
             # Alias-free correlation window of the fixed kernel geometry.
             and cfg.max_lag <= FFT_LEN - SEG_LEN
             and min_block_samples >= SEG_LEN
