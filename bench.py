@@ -45,6 +45,20 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    # Cold-start breakdown (round-2 verdict weak #6: 245 s → 871 s with
+    # no way to tell tunnel warmup from program compile). Time the
+    # backend bring-up and the first trivial dispatch BEFORE any real
+    # work: backend_init_s is plugin/tunnel attach, first_dispatch_s is
+    # the first tiny jit through the warm backend. Whatever remains of
+    # compile_plus_first_run_s below is then genuinely the headline
+    # program's trace+compile+run, falsifiably.
+    t0 = time.time()
+    jax.devices()
+    backend_init_s = time.time() - t0
+    t0 = time.time()
+    float(jax.jit(lambda v: v + 1.0)(jnp.zeros((8,), jnp.float32))[0])
+    first_dispatch_s = time.time() - t0
+
     seconds = float(os.environ.get("BENCH_SECONDS", "100"))
     seg_len = int(os.environ.get("BENCH_SEG", str(1 << 16)))
     max_lag = int(os.environ.get("BENCH_MAX_LAG", "20000"))
@@ -348,6 +362,12 @@ def main() -> None:
                     # sync, median of 7): subtract from steady_latency_s
                     # for the device-compute share.
                     "dispatch_baseline_s": round(dispatch_baseline_s, 4),
+                    # Cold-start breakdown: backend/tunnel attach, first
+                    # trivial dispatch (plugin warmup), then the real
+                    # program's trace+compile+first-run — separable, so
+                    # a cold-start regression is attributable.
+                    "backend_init_s": round(backend_init_s, 1),
+                    "first_dispatch_s": round(first_dispatch_s, 1),
                     "compile_plus_first_run_s": round(compile_s, 1),
                     # The fused kernel has fixed geometry and bf16
                     # operands; report what actually ran, not the
