@@ -174,6 +174,38 @@ def main() -> None:
     times.sort()
     steady_s = times[len(times) // 2]
 
+    # Sustained throughput: queue 5 program dispatches back-to-back and
+    # sync ONCE on the last output. The device executes enqueued
+    # programs in order, so the last program's readback implies all
+    # five completed; per-call tunnel round-trips (dispatch_baseline_s,
+    # ~30 ms ≈ half of steady_latency_s here) amortize away. This is
+    # the pipelined-deployment number — what the chip sustains when a
+    # capture stream keeps its queue non-empty — while steady_latency_s
+    # stays the single-shot latency (same definition as rounds 1-2).
+    if accumulator == "pallas":
+        def run_nosync():
+            return process_blocks(
+                ref1, tgt, ref2, pair_idx, ref_geo,
+                max_lag=max_lag, seg_len=seg_len, weighting="ht",
+                accumulator="pallas", pairs_static=base_pairs,
+            )
+    else:
+        def run_nosync():
+            return process_blocks(
+                ref1, tgt, ref2, pair_idx, ref_geo,
+                max_lag=max_lag, seg_len=seg_len, weighting="ht",
+                fft_precision=fft_precision, seg_batch=seg_batch,
+            )
+
+    sustained = []
+    for _ in range(3):
+        t0 = time.time()
+        outs = [run_nosync() for _ in range(5)]
+        float(outs[-1][0][0])
+        sustained.append((time.time() - t0) / 5)
+    sustained.sort()
+    sustained_s = sustained[len(sustained) // 2]
+
     throughput = total_samples / steady_s / 1e6  # Msamples/s/chip
     target = 600.0  # Msamples/s == 3x100s capture in 1 s
 
@@ -362,6 +394,14 @@ def main() -> None:
                     # sync, median of 7): subtract from steady_latency_s
                     # for the device-compute share.
                     "dispatch_baseline_s": round(dispatch_baseline_s, 4),
+                    # Queued-pipeline throughput (5 dispatches, one
+                    # sync): the per-call tunnel floor amortized away —
+                    # the sustained number a non-empty dispatch queue
+                    # achieves. steady_latency_s above keeps the
+                    # single-shot definition of rounds 1-2.
+                    "sustained_latency_s": round(sustained_s, 4),
+                    "sustained_msamples_per_s": round(
+                        total_samples / sustained_s / 1e6, 2),
                     # Cold-start breakdown: backend/tunnel attach, first
                     # trivial dispatch (plugin warmup), then the real
                     # program's trace+compile+first-run — separable, so

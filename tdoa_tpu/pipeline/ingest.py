@@ -52,10 +52,38 @@ from tdoa_tpu.pipeline.streaming import (
 from tdoa_tpu.utils.constants import DEFAULT_MAX_LAG
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def _decode_chunk(packed: jax.Array, dtype=jnp.bfloat16) -> C:
-    """u16-packed I/Q words → planar complex, on device."""
-    return u16_to_iq_planar(packed, dtype=dtype)
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "seg_len", "fft_len", "pairs_static", "precision", "remove_dc",
+        "dtype",
+    ),
+    donate_argnums=(0,),
+)
+def _decode_update(
+    state: AccState,
+    packed: jax.Array,  # [rows, L] u16-packed I/Q words
+    pair_idx: jax.Array,
+    seg_len: int,
+    fft_len: int,
+    pairs_static,
+    precision: str,
+    remove_dc: bool,
+    dtype,
+) -> AccState:
+    """u16 decode + accumulate fused into ONE dispatch per chunk.
+
+    Through the axon tunnel each jitted call costs ~30 ms of host-side
+    dispatch latency, so decode-then-update as two calls doubled the
+    per-chunk overhead that bounds how closely the overlapped path can
+    hug max(transfer, compute). The accumulator state is donated — the
+    ~10 [m, F] float32 banks update in place instead of reallocating
+    every chunk."""
+    return acc_update(
+        state, u16_to_iq_planar(packed, dtype=dtype), pair_idx,
+        seg_len, fft_len, pairs_static=pairs_static,
+        precision=precision, remove_dc=remove_dc,
+    )
 
 
 def plan_chunks(
@@ -69,10 +97,14 @@ def plan_chunks(
     chunk keeps every whole segment in play.
     """
     if chunk_samples is None:
-        # ~16 segments per chunk: large enough that per-chunk dispatch
-        # cost amortizes, small enough that the pipeline's storage and
-        # ramp-in stay a tiny fraction of the capture.
-        chunk_samples = 16 * seg_len
+        # ~48 segments per chunk: measured on the real chip (round-3
+        # chunk-size probe), 16-segment chunks left the overlapped path
+        # at 1.33× max(transfer, compute) from per-chunk dispatch cost,
+        # while 48-segment chunks reached 1.05×. Large enough that the
+        # per-chunk dispatch amortizes, small enough that the ramp-in
+        # chunk and the pipeline's storage stay a small fraction of the
+        # capture.
+        chunk_samples = 48 * seg_len
     chunk = max(chunk_samples // seg_len, 1) * seg_len
     usable = (block_len // seg_len) * seg_len
     spans = []
@@ -183,11 +215,9 @@ def ingest_overlapped(
     # device stream of chunk k+1 overlaps the device's work on chunk k.
     buf = jax.device_put(host_chunk(*spans[0]))
     for k in range(len(spans)):
-        state = acc_update(
-            state, _decode_chunk(buf, dtype=dtype), all_pairs,
-            seg_r, fft_len,
-            pairs_static=all_pairs_static, precision=precision,
-            remove_dc=True,
+        state = _decode_update(
+            state, buf, all_pairs, seg_r, fft_len,
+            all_pairs_static, precision, True, dtype,
         )
         if k + 1 < len(spans):
             buf = jax.device_put(host_chunk(*spans[k + 1]))
