@@ -16,9 +16,10 @@ of the steady state is attributable:
              overhead; /5 ≈ true device time per call
 
 Stage attribution (medians):
-  split-accum overhead  = accum_k4 − accum_k1
+  legacy split overhead = accum_k4 − accum_k1   (what round 2 paid)
+  grouped split overhead= accum_grouped − accum_k1   (what ships now)
   finish cost           = finish_k1 − accum_k1
-  split-σ finalize cost = full − finish_k1 − (accum_k4 − accum_k1)
+  split-σ finalize cost = full − finish_k1 − (accum_grouped − accum_k1)
   tunnel per call       ≈ full − queued5/5
 
 Writes one JSON line; run on the real chip (background, first jit is
@@ -214,9 +215,12 @@ def main() -> None:
             "grouped_split_overhead_s": round(
                 med(t_grouped) - med(t_accum1), 4),
             "finish_stage_s": round(med(t_finish1) - med(t_accum1), 4),
+            # The shipped program pays the GROUPED split layout, so the
+            # finalize share subtracts that (not the legacy K-invocation
+            # overhead, which only accum_k4_s keeps on record).
             "split_sigma_finalize_s": round(
                 med(t_full) - med(t_finish1)
-                - (med(t_accum4) - med(t_accum1)), 4),
+                - (med(t_grouped) - med(t_accum1)), 4),
             "per_call_amortized_s": round(q, 4),
         },
         "headline_equiv_gsps": {

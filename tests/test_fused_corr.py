@@ -314,3 +314,71 @@ def test_fused_pair_tiling_matches_single_invocation():
                                   np.asarray(one[0].im))
     np.testing.assert_array_equal(np.asarray(tiled[1]), np.asarray(one[1]))
     np.testing.assert_array_equal(np.asarray(tiled[2]), np.asarray(one[2]))
+
+
+def test_fused_grouped_splits_match_separate_invocations():
+    """The grouped split-sigma layout (n_splits=K, one invocation, K
+    accumulator banks — the round-3 headline-regression fix) must be
+    numerically identical to K separate kernel calls on the
+    _split_bounds slices, and the banks must sum to the full-capture
+    K=1 accumulators (linearity)."""
+    from tdoa_tpu.ops.corr import _split_bounds
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        accumulate_cross_spectra_pallas,
+    )
+
+    n_st, n_seg, K = 3, 5, 2
+    n = SEG_LEN * n_seg
+    key = jax.random.PRNGKey(7)
+    sig = jax.random.normal(key, (2, n_st, n), jnp.float32)
+    # A per-station DC offset so remove_dc has real work per group.
+    x = C(sig[0] + jnp.arange(n_st, dtype=jnp.float32)[:, None] * 0.1,
+          sig[1])
+    pairs = ((0, 1), (0, 2), (1, 2))
+
+    for remove_dc in (False, True):
+        grouped = accumulate_cross_spectra_pallas(
+            x, pairs, remove_dc=remove_dc, n_splits=K)
+        assert grouped[0].re.shape[0] == K
+        assert grouped[1].shape[0] == K and grouped[2].shape[0] == K
+
+        bounds = _split_bounds(n_seg, K, SEG_LEN)
+        for k in range(K):
+            sl = slice(bounds[k], bounds[k + 1])
+            single = accumulate_cross_spectra_pallas(
+                C(x.re[:, sl], x.im[:, sl]), pairs,
+                remove_dc=remove_dc)
+            np.testing.assert_allclose(
+                np.asarray(grouped[0].re[k]), np.asarray(single[0].re),
+                rtol=0, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(grouped[0].im[k]), np.asarray(single[0].im),
+                rtol=0, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(grouped[1][k]), np.asarray(single[1]),
+                rtol=0, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(grouped[2][k]), np.asarray(single[2]),
+                rtol=1e-6, atol=0)
+
+        if not remove_dc:
+            # Groups sum to the full-capture accumulation (the
+            # invariant the split-sigma finalize relies on) — up to f32
+            # reassociation: the full path accumulates every segment
+            # into ONE bank while the grouped path sums K separately
+            # accumulated banks, so entries of magnitude ~1e8 differ at
+            # the ~1e-7 relative level, not bitwise.
+            full = accumulate_cross_spectra_pallas(x, pairs)
+            scale = float(np.abs(np.asarray(full[0].re)).max())
+            np.testing.assert_allclose(
+                np.asarray(jnp.sum(grouped[0].re, axis=0)),
+                np.asarray(full[0].re), rtol=0, atol=1e-5 * scale)
+            np.testing.assert_allclose(
+                np.asarray(jnp.sum(grouped[0].im, axis=0)),
+                np.asarray(full[0].im), rtol=0, atol=1e-5 * scale)
+            np.testing.assert_allclose(
+                np.asarray(jnp.sum(grouped[1], axis=0)),
+                np.asarray(full[1]), rtol=1e-5, atol=1e-5 * scale)
+            np.testing.assert_allclose(
+                np.asarray(jnp.sum(grouped[2], axis=0)),
+                np.asarray(full[2]), rtol=1e-5, atol=0)
