@@ -48,7 +48,6 @@ def main() -> None:
     n_st = 3
 
     from tdoa_tpu.ops.corr import (
-        _combine_splits,
         _finish_correlation,
         _split_bounds,
         split_k,

@@ -79,28 +79,40 @@ def lobe_centroid_drift(win: np.ndarray, l_narrow: int = 20,
     clean lobes)."""
     out = []
     for row in win:
-        w = np.abs(row).astype(np.float64)  # real or complex windows
-        p = int(np.argmax(w))
-        if min(p, len(w) - 1 - p) < l_wide:
-            # Both centroids must see symmetric windows; a clamped
-            # side drags the wide centroid one way on a CLEAN lobe.
-            out.append(0.0)
-            continue
-        # Sidelobe-floor subtraction: the window is mostly floor, so
-        # its median estimates the floor robustly (the lobe occupies
-        # a few % of ±max_lag). Without it the floor's asymmetric
-        # noise realization pulls the wide centroid ~1.3 samples on
-        # healthy peaks barely past the quality gate.
-        v = np.maximum(w - np.median(w), 0.0)
-
-        def centroid(L):
-            seg = v[p - L:p + L + 1] ** 2
-            lags = np.arange(-L, L + 1)
-            return float(np.sum(lags * seg)
-                         / np.maximum(np.sum(seg), 1e-30))
-
-        out.append(abs(centroid(l_wide) - centroid(l_narrow)))
+        c = _floor_subtracted_centroids(row, (l_wide, l_narrow))
+        out.append(0.0 if c is None else abs(c[0] - c[1]))
     return np.asarray(out)
+
+
+def _floor_subtracted_centroids(
+    row: np.ndarray, widths: Tuple[int, ...]
+) -> Optional[Tuple[float, ...]]:
+    """Power-centroid offsets (lags from the argmax) of one correlation
+    window at each half-width in ``widths`` — the shared core of the
+    drift and absolute-offset statistics, so their calibration
+    hardenings can never desynchronize:
+
+    - sidelobe-floor subtraction: the window is mostly floor, so its
+      median estimates the floor robustly (the lobe occupies a few % of
+      ±max_lag). Without it the floor's asymmetric noise realization
+      pulls the wide centroid ~1.3 samples on healthy peaks barely past
+      the quality gate;
+    - edge guard: every width must see a symmetric window around the
+      peak (a clamped side drags the wide centroid one way on a CLEAN
+      lobe, faking drift ~1.4) — returns None when the widest cannot.
+    """
+    w = np.abs(row).astype(np.float64)  # real or complex windows
+    p = int(np.argmax(w))
+    if min(p, len(w) - 1 - p) < max(widths):
+        return None
+    v = np.maximum(w - np.median(w), 0.0)
+
+    def centroid(L):
+        seg = v[p - L:p + L + 1] ** 2
+        lags = np.arange(-L, L + 1)
+        return float(np.sum(lags * seg) / np.maximum(np.sum(seg), 1e-30))
+
+    return tuple(centroid(L) for L in widths)
 
 
 def lobe_centroid_offset(win: np.ndarray, l_wide: int = 60) -> np.ndarray:
@@ -116,16 +128,8 @@ def lobe_centroid_offset(win: np.ndarray, l_wide: int = 60) -> np.ndarray:
     the window edge return 0 (no symmetric window)."""
     out = []
     for row in win:
-        w = np.abs(row).astype(np.float64)
-        p = int(np.argmax(w))
-        if min(p, len(w) - 1 - p) < l_wide:
-            out.append(0.0)
-            continue
-        v = np.maximum(w - np.median(w), 0.0)
-        seg = v[p - l_wide : p + l_wide + 1] ** 2
-        lags = np.arange(-l_wide, l_wide + 1)
-        out.append(abs(float(np.sum(lags * seg)
-                             / np.maximum(np.sum(seg), 1e-30))))
+        c = _floor_subtracted_centroids(row, (l_wide,))
+        out.append(0.0 if c is None else abs(c[0]))
     return np.asarray(out)
 
 
@@ -261,13 +265,6 @@ def _component_basis(
         hi = min(n, i + half + 1)
         basis[k, lo:hi] = shifted[lo - (i - half) : hi - (i - half)]
     return basis
-
-
-def _lstsq_fit(basis: np.ndarray, y: np.ndarray):
-    """Complex LS amplitudes + rms residual for y ≈ ampsᵀ·basis."""
-    a, *_ = np.linalg.lstsq(basis.T, y, rcond=None)
-    r = y - basis.T @ a
-    return a, float(np.sqrt(np.mean(np.abs(r) ** 2)))
 
 
 def decompose_lobe(

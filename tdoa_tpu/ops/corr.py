@@ -825,3 +825,49 @@ def correlate_two(
         x, jnp.array([[0, 1]], jnp.int32), max_lag=max_lag, **kwargs
     )
     return CorrResult(*(v[0] for v in res))
+
+
+def clock_correct_blocks(delays, stds, quality, peaks, corr_mag, corr_re,
+                         corr_im, ref_geo_tdoa, clock_correction: bool = True):
+    """Shared 3-block → clock-corrected-TDOA finalize tail.
+
+    Every correlation front-end (the batch XLA path, the fused Pallas
+    path, the shard_map mesh path, and the overlapped-ingest
+    accumulator) produces the same per-block fields; this is the ONE
+    copy of the algebra that turns them into ``process_blocks``'s
+    result tuple, so the corrected-σ formula and the tuple layout can
+    never diverge between paths.
+
+    Inputs are per-block ``[3, m]`` arrays (block order REF₁, TGT,
+    REF₂) plus the ``[3, m, W]`` correlation windows (magnitude and
+    planar complex). REF blocks 1 and 3 bracket TGT; blocks are
+    contiguous and equal length, so the TGT midpoint sits exactly
+    between the REF midpoints — the per-pair clock offset there is the
+    plain average of the two REF reads, with the known REF-transmitter
+    propagation term (``ref_geo_tdoa``) removed (the correction
+    processor.go:853-858 left unwired). The corrected-TDOA 1σ composes
+    the TGT σ with the two REF estimates' variances at 1/4 each (they
+    average). ``stds[1]`` (TGT-only σ) rides along so callers that
+    re-measure the TGT block (the deramp path) can swap it out of the
+    composite and keep the REF clock-correction variance.
+
+    Returns ``(corrected, tgt_delay, ref_delays[m,2], clock,
+    quality[3,m], peaks[3,m], corrected_std, tgt_window, tgt_std,
+    win_c_blocks[2,3,m,W])``.
+    """
+    ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)  # [m, 2]
+    tgt_delay = delays[1]
+    if clock_correction:
+        ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
+        clock = ref_mid - ref_geo_tdoa
+        corrected = tgt_delay - clock
+        corrected_std = jnp.sqrt(
+            stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
+        )
+    else:
+        clock = jnp.zeros_like(tgt_delay)
+        corrected = tgt_delay
+        corrected_std = stds[1]
+    win_c_blocks = jnp.stack([corr_re, corr_im])  # [2 (re/im), 3, m, W]
+    return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
+            corrected_std, corr_mag[1], stds[1], win_c_blocks)

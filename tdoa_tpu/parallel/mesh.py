@@ -31,6 +31,7 @@ from tdoa_tpu.ops.corr import (
     _accumulate_cross_spectra,
     _combine_splits,
     _finish_correlation,
+    clock_correct_blocks,
     resolve_seg,
     split_k,
 )
@@ -249,27 +250,13 @@ def process_blocks_sharded(
         max_lag=max_lag, seg_len=seg_len, weighting=weighting, axis=axis,
         accumulator=accumulator, pairs_static=all_pairs_static,
     )
-    delays = res.delay.reshape(3, m)
-    quality = res.quality.reshape(3, m)
-    peaks = res.peak_value.reshape(3, m)
-    stds = res.delay_std.reshape(3, m)
-    ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)
-    tgt_delay = delays[1]
-    if clock_correction:
-        ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
-        clock = ref_mid - ref_geo_tdoa
-        corrected = tgt_delay - clock
-        corrected_std = jnp.sqrt(
-            stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
-        )
-    else:
-        clock = jnp.zeros_like(tgt_delay)
-        corrected = tgt_delay
-        corrected_std = stds[1]
-    tgt_window = res.corr.reshape(3, m, -1)[1]
-    win_c_blocks = jnp.stack([
+    return clock_correct_blocks(
+        res.delay.reshape(3, m),
+        res.delay_std.reshape(3, m),
+        res.quality.reshape(3, m),
+        res.peak_value.reshape(3, m),
+        res.corr.reshape(3, m, -1),
         res.corr_re.reshape(3, m, -1),
         res.corr_im.reshape(3, m, -1),
-    ])
-    return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-            corrected_std, tgt_window, stds[1], win_c_blocks)
+        ref_geo_tdoa, clock_correction,
+    )

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from tdoa_tpu.io.datfile import u16_to_iq_planar
 from tdoa_tpu.ops.cplx import C
-from tdoa_tpu.ops.corr import resolve_seg
+from tdoa_tpu.ops.corr import clock_correct_blocks, resolve_seg
 from tdoa_tpu.pipeline.streaming import (
     AccState,
     acc_finalize,
@@ -225,28 +225,14 @@ def ingest_overlapped(
     res = acc_finalize(state, all_pairs, max_lag, weighting=weighting,
                        fft_len=fft_len)
 
-    delays = res.delay.reshape(3, m)
-    stds = res.delay_std.reshape(3, m)
-    quality = res.quality.reshape(3, m)
-    peaks = res.peak_value.reshape(3, m)
-    ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)
-    tgt_delay = delays[1]
-    ref_geo = jnp.asarray(np.asarray(ref_geo_tdoa), jnp.float32)
-    if clock_correction:
-        ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
-        clock = ref_mid - ref_geo
-        corrected = tgt_delay - clock
-        corrected_std = jnp.sqrt(
-            stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
-        )
-    else:
-        clock = jnp.zeros_like(tgt_delay)
-        corrected = tgt_delay
-        corrected_std = stds[1]
-    tgt_window = res.corr.reshape(3, m, -1)[1]
-    win_c_blocks = jnp.stack([
+    return clock_correct_blocks(
+        res.delay.reshape(3, m),
+        res.delay_std.reshape(3, m),
+        res.quality.reshape(3, m),
+        res.peak_value.reshape(3, m),
+        res.corr.reshape(3, m, -1),
         res.corr_re.reshape(3, m, -1),
         res.corr_im.reshape(3, m, -1),
-    ])
-    return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-            corrected_std, tgt_window, stds[1], win_c_blocks)
+        jnp.asarray(np.asarray(ref_geo_tdoa), jnp.float32),
+        clock_correction,
+    )

@@ -33,7 +33,7 @@ from tdoa_tpu.geo import lla_to_ecef, lla_to_enu
 from tdoa_tpu.io.datfile import DatCapture, load_dat
 from tdoa_tpu.io.stations import StationTable, load_station_table, station_from_filename
 from tdoa_tpu.ops.cplx import C, from_complex
-from tdoa_tpu.ops.corr import correlate_pairs_planar
+from tdoa_tpu.ops.corr import clock_correct_blocks, correlate_pairs_planar
 from tdoa_tpu.solve.multilateration import (
     FixResult,
     rank_candidates_by_power,
@@ -311,29 +311,16 @@ def process_blocks(
             )
             for blk in (ref1, tgt, ref2)
         ]
-        delays = jnp.stack([o.delay for o in outs])
-        stds = jnp.stack([o.delay_std for o in outs])
-        quality = jnp.stack([o.quality for o in outs])
-        peaks = jnp.stack([o.peak_value for o in outs])
-        ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)
-        tgt_delay = delays[1]
-        if clock_correction:
-            ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
-            clock = ref_mid - ref_geo_tdoa
-            corrected = tgt_delay - clock
-            corrected_std = jnp.sqrt(
-                stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
-            )
-        else:
-            clock = jnp.zeros_like(tgt_delay)
-            corrected = tgt_delay
-            corrected_std = stds[1]
-        win_c_blocks = jnp.stack([
+        return clock_correct_blocks(
+            jnp.stack([o.delay for o in outs]),
+            jnp.stack([o.delay_std for o in outs]),
+            jnp.stack([o.quality for o in outs]),
+            jnp.stack([o.peak_value for o in outs]),
+            jnp.stack([o.corr for o in outs]),
             jnp.stack([o.corr_re for o in outs]),
             jnp.stack([o.corr_im for o in outs]),
-        ])  # [2 (re/im), 3 (block), m, W]
-        return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-                corrected_std, outs[1].corr, stds[1], win_c_blocks)
+            ref_geo_tdoa, clock_correction,
+        )
 
     # Blocks may arrive bf16 (the fused path's native storage); the XLA
     # path computes in f32.
@@ -409,38 +396,16 @@ def process_blocks(
         weighting=weighting, fft_precision=fft_precision,
         seg_batch=seg_batch,
     )
-    delays = res.delay.reshape(3, m) * jnp.float32(scale)
-    stds = res.delay_std.reshape(3, m) * jnp.float32(scale)
-    quality = res.quality.reshape(3, m)
-    peaks = res.peak_value.reshape(3, m)
-    ref_delays = jnp.stack([delays[0], delays[2]], axis=-1)  # [m, 2]
-    tgt_delay = delays[1]
-    if clock_correction:
-        # REF blocks 1 and 3 bracket TGT; blocks are contiguous and equal
-        # length, so the TGT midpoint sits exactly between the REF
-        # midpoints — the clock offset there is the plain average.
-        ref_mid = 0.5 * (ref_delays[:, 0] + ref_delays[:, 1])
-        clock = ref_mid - ref_geo_tdoa  # remove REF propagation term
-        corrected = tgt_delay - clock
-        # Corrected-TDOA 1σ: the two REF estimates average, so their
-        # variances enter at 1/4 each.
-        corrected_std = jnp.sqrt(
-            stds[1] ** 2 + 0.25 * (stds[0] ** 2 + stds[2] ** 2)
-        )
-    else:
-        clock = jnp.zeros_like(tgt_delay)
-        corrected = tgt_delay
-        corrected_std = stds[1]
-    tgt_window = res.corr.reshape(3, m, -1)[1]  # [m, 2*max_lag_c+1]
-    win_c_blocks = jnp.stack([
+    return clock_correct_blocks(
+        res.delay.reshape(3, m) * jnp.float32(scale),
+        res.delay_std.reshape(3, m) * jnp.float32(scale),
+        res.quality.reshape(3, m),
+        res.peak_value.reshape(3, m),
+        res.corr.reshape(3, m, -1),
         res.corr_re.reshape(3, m, -1),
         res.corr_im.reshape(3, m, -1),
-    ])  # [2 (re/im), 3 (block), m, 2*max_lag_c+1] planar complex
-    # stds[1] (TGT-only σ) rides along so callers that re-measure the
-    # TGT block (the deramp path) can swap it out of the composite and
-    # keep the REF clock-correction variance.
-    return (corrected, tgt_delay, ref_delays, clock, quality, peaks,
-            corrected_std, tgt_window, stds[1], win_c_blocks)
+        ref_geo_tdoa, clock_correction,
+    )
 
 
 # Lobe-shape drift detector: moved to dsp/multipath.py (the detector

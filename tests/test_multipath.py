@@ -176,7 +176,6 @@ def test_e2e_planted_echo_covered_and_diagnosed(omaha_stations,
         seed=42,
     )
     captures, truth = simulate_scene(scene)
-    proc = TDOAProcessor = None  # placate linters; real import below
     from tdoa_tpu.pipeline import TDOAProcessor
 
     proc = TDOAProcessor.from_csv(
