@@ -28,6 +28,13 @@ Environment knobs:
   BENCH_MAX_LAG     correlation window (default 20000 — the reference's).
   BENCH_FFT_PRECISION  f32 (default) | bf16 DFT-matmul operands.
   BENCH_FULL        0 skips the full-path measurement (default on).
+  BENCH_STATIONS    station count (default 3 — the reference's
+                    deployment size). All C(n,2) pairs correlate; the
+                    fused kernel pair-tiles past one invocation's VMEM
+                    budget (ops/pallas/corr_accum.py fused_max_pairs).
+                    The full-path (transfer+solve) measurement only
+                    runs at 3 stations — its solve geometry is the
+                    Omaha deployment.
 
 Prints ONE JSON line.
 """
@@ -71,7 +78,7 @@ def main() -> None:
         plat = jax.devices()[0].platform.lower()
         accumulator = "pallas" if ("tpu" in plat or plat == "axon") else "xla"
     fs = 2_000_000.0
-    n_st = 3
+    n_st = int(os.environ.get("BENCH_STATIONS", "3"))
 
     from tdoa_tpu.ops.cplx import C
     from tdoa_tpu.pipeline.processor import process_blocks
@@ -108,14 +115,16 @@ def main() -> None:
     ref1, tgt, ref2 = (make_block(k) for k in keys)
     jax.block_until_ready((ref1.re, tgt.re, ref2.re))
 
-    pair_idx = jnp.asarray(np.array([[0, 1], [0, 2], [1, 2]], np.int32))
-    ref_geo = jnp.zeros(3, jnp.float32)
+    base_pairs = tuple(
+        (i, j) for i in range(n_st) for j in range(i + 1, n_st)
+    )
+    pair_idx = jnp.asarray(np.array(base_pairs, np.int32))
+    ref_geo = jnp.zeros(len(base_pairs), jnp.float32)
 
     if accumulator == "pallas":
         # The real pipeline program: fused VMEM-resident kernel per block
-        # (independent 3-station groups), one dispatch, clock correction
+        # (independent station groups), one dispatch, clock correction
         # included.
-        base_pairs = ((0, 1), (0, 2), (1, 2))
 
         def run():
             out = process_blocks(
@@ -211,7 +220,7 @@ def main() -> None:
 
     # ---- full path: host u8 bytes -> decode -> correlate -> solve ----
     full_detail = None
-    if os.environ.get("BENCH_FULL", "1") != "0":
+    if os.environ.get("BENCH_FULL", "1") != "0" and n_st == 3:
         from tdoa_tpu.geo import lla_to_ecef  # noqa: F401 (warm import)
         from tdoa_tpu.io.datfile import u16_to_iq_planar
         from tdoa_tpu.solve.multilateration import solve_fix
@@ -384,6 +393,8 @@ def main() -> None:
                 "vs_baseline": round(throughput / target, 3),
                 "detail": {
                     "capture_seconds": seconds,
+                    "stations": n_st,
+                    "pairs": len(base_pairs),
                     "total_samples": total_samples,
                     "steady_latency_s": round(steady_s, 4),
                     "steady_latency_min_med_max_s": [

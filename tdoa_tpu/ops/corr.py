@@ -759,30 +759,56 @@ def correlate_pairs_fused(
             max_lag, weighting, eps, FFT_LEN, refine, n_seg=n_seg_total,
         )
     # Split empirical error bar — same scheme as the XLA path (see
-    # correlate_pairs_planar), in ONE grouped kernel invocation
-    # (n_splits=K accumulates the K contiguous slices into separate
-    # banks; the full accumulators are the banks' sum, total segment
-    # work is unchanged — K separate invocations cost ~11 ms extra per
-    # 100 s block, the round-2 headline regression).
+    # correlate_pairs_planar). Preferred layout: ONE grouped kernel
+    # invocation (n_splits=K accumulates the K contiguous slices into
+    # separate banks; the full accumulators are the banks' sum, total
+    # segment work is unchanged — K separate invocations cost ~11 ms
+    # extra per 100 s block, the round-2 headline regression). The
+    # grouped layout's rank-4 output windows are capped at the
+    # chip-validated size (GROUPED_PAIR_WINDOW_CAP); big networks whose
+    # pair list would grouped-tile past MAX_PAIR_CHUNKS instead run the
+    # round-2 per-slice scheme — K single-bank (rank-3, VMEM-bound)
+    # invocations — trading the grouped path's dispatch savings for the
+    # larger per-invocation pair budget. The 3-station headline always
+    # takes the grouped branch.
     # prescale=False: per-slice unit-RMS scaling would break
     # the slices-sum-to-full invariant under nonstationary power (a
     # noise-only slice amplified to unit RMS outvotes the signal);
     # instead scale every slice by the FULL capture's per-station RMS,
     # exactly like the XLA path's single pre-split normalization.
+    from tdoa_tpu.ops.pallas.corr_accum import fused_capacity_ok
+
     end = n_seg_total * SEG_LEN
     bounds = _split_bounds(n_seg_total, K, SEG_LEN)
-    cross_g, psd_g, energy_g = accumulate_cross_spectra_pallas(
-        C(x.re[:, :end], x.im[:, :end]), pairs,
-        precision=precision, remove_dc=remove_dc, prescale=False,
-        n_splits=K,
-    )
-    energy_tot = jnp.sum(energy_g, axis=0)  # [n_st]
+    n_st = x.re.shape[0]
+    if fused_capacity_ok(n_st, len(pairs), remove_dc=remove_dc,
+                         precision=precision, n_splits=K):
+        cross_g, psd_g, energy_g = accumulate_cross_spectra_pallas(
+            C(x.re[:, :end], x.im[:, :end]), pairs,
+            precision=precision, remove_dc=remove_dc, prescale=False,
+            n_splits=K,
+        )
+        energy_tot = jnp.sum(energy_g, axis=0)  # [n_st]
+        cross_k = [C(cross_g.re[k], cross_g.im[k]) for k in range(K)]
+        psd_k = [psd_g[k] for k in range(K)]
+    else:
+        slices = [
+            accumulate_cross_spectra_pallas(
+                C(x.re[:, bounds[k]:bounds[k + 1]],
+                  x.im[:, bounds[k]:bounds[k + 1]]), pairs,
+                precision=precision, remove_dc=remove_dc, prescale=False,
+            )
+            for k in range(K)
+        ]
+        energy_tot = sum(a[2] for a in slices)
+        cross_k = [a[0] for a in slices]
+        psd_k = [a[1] for a in slices]
     sc = 1.0 / jnp.sqrt(jnp.maximum(energy_tot / float(end), 1e-30))
     s_pair = (sc[pair_arr[:, 0]] * sc[pair_arr[:, 1]])[:, None]
     sc2 = (sc * sc)[:, None]
     accs = [
-        (C(cross_g.re[k] * s_pair, cross_g.im[k] * s_pair),
-         psd_g[k] * sc2,
+        (C(cross_k[k].re * s_pair, cross_k[k].im * s_pair),
+         psd_k[k] * sc2,
          jnp.full_like(energy_tot, float(bounds[k + 1] - bounds[k])))
         for k in range(K)
     ]

@@ -93,25 +93,38 @@ def _kernel(xr_ref, xi_ref,
             *out_refs,
             n_st: int, pairs: Tuple[Tuple[int, int], ...],
             segs_per_step: int, track_sums: bool,
-            group_q: int, group_r: int):
+            group_q: int, group_r: int, grouped: bool):
     if track_sums:
         cr_ref, ci_ref, psd_ref, sr_ref, si_ref, tsr, tsi = out_refs
     else:
         cr_ref, ci_ref, psd_ref, tsr, tsi = out_refs
         sr_ref = si_ref = None
     s = pl.program_id(0)
+    # ``grouped`` (n_splits > 1) adds a leading bank axis to the output
+    # windows; the single-bank layout keeps the chip-validated rank-3
+    # refs. Bisected on hardware (round 3): a rank-4 (1, 66, R, R)
+    # cross-spectrum window (12 stations, ~17 MB/window) FAULTS the TPU
+    # worker even with a constant index map, while the identical
+    # geometry through rank-3 full-array refs runs fine — and rank-4
+    # windows ≤ (1, 28, R, R) (~7 MB, 8 stations) also run fine. So
+    # rank-4 stays confined to the grouped layout, whose per-bank
+    # windows are small by construction.
+    bank = (0,) if grouped else ()
 
-    # Grouped split accumulation (n_splits > 1): the output BlockSpec
-    # maps grid step s to its group's accumulator bank, so Pallas keeps
-    # one bank resident and flushes it exactly when the group changes.
-    # Re-zero at each group's first step (the freshly fetched bank
-    # holds garbage). Groups are contiguous runs of group_q (+1 for the
-    # first group_r) steps — mirroring ops.corr._split_bounds.
-    lim = group_r * (group_q + 1)
-    first = jnp.where(
-        s < lim, s % (group_q + 1) == 0,
-        (s - lim) % jnp.maximum(group_q, 1) == 0,
-    )
+    if grouped:
+        # Grouped split accumulation: the output BlockSpec maps grid
+        # step s to its group's accumulator bank, so Pallas keeps one
+        # bank resident and flushes it exactly when the group changes.
+        # Re-zero at each group's first step (the freshly fetched bank
+        # holds garbage). Groups are contiguous runs of group_q (+1 for
+        # the first group_r) steps — mirroring ops.corr._split_bounds.
+        lim = group_r * (group_q + 1)
+        first = jnp.where(
+            s < lim, s % (group_q + 1) == 0,
+            (s - lim) % jnp.maximum(group_q, 1) == 0,
+        )
+    else:
+        first = s == 0
 
     @pl.when(first)
     def _init():
@@ -159,18 +172,18 @@ def _kernel(xr_ref, xi_ref,
                    + jnp.dot(t_i, wr, preferred_element_type=f32))
             brs.append(b_r)
             bis.append(b_i)
-            psd_ref[0, st] += b_r * b_r + b_i * b_i
+            psd_ref[bank + (st,)] += b_r * b_r + b_i * b_i
             if track_sums:
                 # Spectral sums: the DC-removal algebra's ΣX term (and
                 # the block mean, via the DC bin) — only paid for when
                 # remove_dc needs them.
-                sr_ref[0, st] += b_r
-                si_ref[0, st] += b_i
+                sr_ref[bank + (st,)] += b_r
+                si_ref[bank + (st,)] += b_i
 
         for m, (i, j) in enumerate(pairs):
             # X_j · conj(X_i)
-            cr_ref[0, m] += brs[j] * brs[i] + bis[j] * bis[i]
-            ci_ref[0, m] += bis[j] * brs[i] - brs[j] * bis[i]
+            cr_ref[bank + (m,)] += brs[j] * brs[i] + bis[j] * bis[i]
+            ci_ref[bank + (m,)] += bis[j] * brs[i] - brs[j] * bis[i]
 
 
 # The fused path is chip-validated up to a 4-way pair tiling; past
@@ -178,6 +191,13 @@ def _kernel(xr_ref, xi_ref,
 # advantage over the XLA path with no measurement to back it, so the
 # router falls back (conservative cost bound, not a VMEM limit).
 MAX_PAIR_CHUNKS = 4
+
+# Largest pair count per GROUPED invocation: rank-4 output windows
+# fault the TPU worker somewhere between (1, 28, R, R) (~7 MB,
+# chip-validated good) and (1, 66, R, R) (~17 MB, chip-bisected fault)
+# — see _kernel's bisect note. Grouped invocations stay at the
+# validated window size; larger grouped pair lists pair-tile.
+GROUPED_PAIR_WINDOW_CAP = 28
 
 
 def _vmem_need(n_st: int, n_pairs: int, mm_bytes: int, step_rows: int,
@@ -226,7 +246,12 @@ def fused_max_pairs(n_st: int, remove_dc: bool = True,
     # Each pair adds 1.25 · 2·R·R·4 bytes to the need (double-buffered
     # when grouped — see _vmem_need's n_banks note).
     per_pair = int(1.25 * 2 * R * R * 4) * (2 if n_splits > 1 else 1)
-    return max(0, int(spare // per_pair))
+    cap = max(0, int(spare // per_pair))
+    if n_splits > 1:
+        # Grouped output windows past the chip-validated size fault the
+        # worker (GROUPED_PAIR_WINDOW_CAP) — a harder limit than VMEM.
+        cap = min(cap, GROUPED_PAIR_WINDOW_CAP)
+    return cap
 
 
 def fused_capacity_ok(n_st: int, n_pairs: int,
@@ -384,12 +409,25 @@ def accumulate_cross_spectra_pallas(
         return jnp.where(s < g_lim, s // (g_q + 1),
                          g_r + (s - g_lim) // max(g_q, 1))
 
-    big = pl.BlockSpec((1, m, R, R), lambda s: (g_of(s), 0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    big_st = pl.BlockSpec((1, n_st, R, R), lambda s: (g_of(s), 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    shape_m = jax.ShapeDtypeStruct((G, m, R, R), jnp.float32, vma=vma)
-    shape_st = jax.ShapeDtypeStruct((G, n_st, R, R), jnp.float32, vma=vma)
+    if G > 1:
+        big = pl.BlockSpec((1, m, R, R), lambda s: (g_of(s), 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        big_st = pl.BlockSpec((1, n_st, R, R), lambda s: (g_of(s), 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        shape_m = jax.ShapeDtypeStruct((G, m, R, R), jnp.float32, vma=vma)
+        shape_st = jax.ShapeDtypeStruct((G, n_st, R, R), jnp.float32,
+                                        vma=vma)
+    else:
+        # Single bank: the chip-validated rank-3 layout (explicit
+        # whole-array windows with a constant index map — byte-for-byte
+        # the round-2 form). Large rank-4 windows fault the TPU
+        # worker — see the bisect note in _kernel.
+        big = pl.BlockSpec((m, R, R), lambda s: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        big_st = pl.BlockSpec((n_st, R, R), lambda s: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        shape_m = jax.ShapeDtypeStruct((m, R, R), jnp.float32, vma=vma)
+        shape_st = jax.ShapeDtypeStruct((n_st, R, R), jnp.float32, vma=vma)
     # The spectral-sum accumulators exist only for the DC-removal
     # algebra; without remove_dc they would be dead VMEM and writeback.
     n_out = 5 if remove_dc else 3
@@ -408,7 +446,7 @@ def accumulate_cross_spectra_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _kernel, n_st=n_st, pairs=pairs, segs_per_step=segs_per_step,
-            track_sums=remove_dc,
+            track_sums=remove_dc, grouped=G > 1,
             group_q=g_q if G > 1 else n_steps, group_r=g_r if G > 1 else 0,
         ),
         grid=(n_steps,),
@@ -432,6 +470,13 @@ def accumulate_cross_spectra_pallas(
         cr, ci, psd, s_r, s_i = outs
     else:
         cr, ci, psd = outs
+        s_r = s_i = None
+    if G == 1:
+        # Re-introduce the unit group axis so the finalize algebra below
+        # is rank-uniform (it strips it again at the return).
+        cr, ci, psd = cr[None], ci[None], psd[None]
+        if remove_dc:
+            s_r, s_i = s_r[None], s_i[None]
 
     # Un-permute once: true index = 256·k2 + k1 ⇒ transpose (k1,k2).
     def unperm(a):

@@ -548,11 +548,14 @@ class TDOAProcessor:
             # (120 pairs, chip-validated); larger networks pair-tile
             # across invocations (corr_accum.fused_max_pairs). Only a
             # station count whose PER-STATION accumulators alone bust
-            # the budget falls back to XLA. Gate with n_splits=4: the
-            # fused path runs the grouped split-σ layout (split_k ≤ 4),
-            # whose double-buffered banks are the real footprint.
-            and fused_capacity_ok(n_stations, n_pairs, remove_dc=True,
-                                  n_splits=4)
+            # the budget falls back to XLA. Gate with n_splits=1
+            # (single-bank): correlate_pairs_fused prefers the grouped
+            # split-σ layout but itself falls back to K per-slice
+            # single-bank invocations when the grouped rank-4 window
+            # cap (GROUPED_PAIR_WINDOW_CAP) would over-tile the pair
+            # list — so single-bank capacity is the true eligibility
+            # bound.
+            and fused_capacity_ok(n_stations, n_pairs, remove_dc=True)
             # Alias-free correlation window of the fixed kernel geometry.
             and cfg.max_lag <= FFT_LEN - SEG_LEN
             and min_block_samples >= SEG_LEN

@@ -143,12 +143,10 @@ def acc_update(
     if (pairs_static is not None and on_tpu() and fft_len == _P_FFT
             and seg_len == _P_SEG and chunk.re.shape[-1] >= _P_SEG
             # Same VMEM-capacity gate as the batch pipeline's
-            # _fused_eligible, evaluated for THIS path's layout:
-            # streaming always accumulates single-bank (n_splits=1 —
-            # split-σ groups are a batch-finalize concept), so the
-            # batch gate's n_splits=4 double-buffering surcharge does
-            # not apply here. Pair lists beyond one invocation's
-            # budget pair-tile inside the kernel wrapper.
+            # _fused_eligible: single-bank (n_splits=1) capacity —
+            # streaming always accumulates single-bank (split-σ groups
+            # are a batch-finalize concept). Pair lists beyond one
+            # invocation's budget pair-tile inside the kernel wrapper.
             and fused_capacity_ok(chunk.re.shape[0], len(pairs_static),
                                   remove_dc=remove_dc)):
         cross, psd, energy = accumulate_cross_spectra_pallas(

@@ -227,6 +227,18 @@ def test_fused_capacity_gate():
     # f32 operands double the input footprint: the cap must shrink.
     assert (fused_max_pairs(20, precision="f32")
             < fused_max_pairs(20, precision="bf16"))
+    # Grouped (split-σ) invocations are additionally capped at the
+    # chip-validated rank-4 output window size: rank-4 windows past
+    # (1, 28, R, R) fault the TPU worker (GROUPED_PAIR_WINDOW_CAP,
+    # chip-bisected round 3) — a harder limit than VMEM.
+    from tdoa_tpu.ops.pallas.corr_accum import GROUPED_PAIR_WINDOW_CAP
+
+    for n_st in (12, 16, 20):
+        assert (fused_max_pairs(n_st, remove_dc=True, n_splits=4)
+                <= GROUPED_PAIR_WINDOW_CAP), n_st
+    # The cap only binds grouped layouts; single-bank (rank-3 refs)
+    # keeps the pure VMEM bound.
+    assert fused_max_pairs(12, remove_dc=True) > GROUPED_PAIR_WINDOW_CAP
 
 
 def test_fused_twelve_stations_interpret():
@@ -382,3 +394,47 @@ def test_fused_grouped_splits_match_separate_invocations():
             np.testing.assert_allclose(
                 np.asarray(jnp.sum(grouped[2], axis=0)),
                 np.asarray(full[2]), rtol=1e-5, atol=0)
+
+
+def test_fused_split_per_slice_fallback_matches_grouped(monkeypatch):
+    """Big networks whose pair list would grouped-tile past
+    MAX_PAIR_CHUNKS take the round-2 per-slice scheme (K single-bank
+    invocations) instead of the grouped layout; both must produce the
+    same CorrResult. Forced here by denying grouped capacity, so the
+    3-station geometry exercises the fallback branch cheaply."""
+    import tdoa_tpu.ops.pallas.corr_accum as ca
+
+    n_st, n_seg = 3, 8  # split_k -> K=4
+    n = SEG_LEN * n_seg
+    key = jax.random.PRNGKey(11)
+    sig = jax.random.normal(key, (2, n_st, n), jnp.float32)
+    base = fm_source(key, n, 2e6)
+    br = jnp.real(base).astype(jnp.float32)
+    bi = jnp.imag(base).astype(jnp.float32)
+    x = C(sig[0] * 0.05 + jnp.stack([br] * n_st),
+          sig[1] * 0.05 + jnp.stack([bi] * n_st))
+    pairs = ((0, 1), (0, 2), (1, 2))
+
+    grouped = correlate_pairs_fused(x, pairs, max_lag=512, remove_dc=True)
+
+    real_ok = ca.fused_capacity_ok
+
+    def deny_grouped(n_st_, n_pairs_, remove_dc=True, precision="bf16",
+                     n_splits=1):
+        if n_splits > 1:
+            return False
+        return real_ok(n_st_, n_pairs_, remove_dc=remove_dc,
+                       precision=precision, n_splits=n_splits)
+
+    monkeypatch.setattr(ca, "fused_capacity_ok", deny_grouped)
+    per_slice = correlate_pairs_fused(x, pairs, max_lag=512,
+                                      remove_dc=True)
+
+    np.testing.assert_allclose(np.asarray(per_slice.delay),
+                               np.asarray(grouped.delay), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(per_slice.delay_std),
+                               np.asarray(grouped.delay_std),
+                               rtol=0.05, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(per_slice.corr),
+                               np.asarray(grouped.corr),
+                               rtol=0, atol=1e-4)
