@@ -35,12 +35,25 @@ Environment knobs:
                     The full-path (transfer+solve) measurement only
                     runs at 3 stations — its solve geometry is the
                     Omaha deployment.
+  BENCH_WARM        1 (default): before the main measurement, run a
+                    COLD-PROBE subprocess that compiles the headline
+                    program once against the persistent compilation
+                    cache, then exits. The parent process then measures
+                    the cache-warm numbers — answering "how long to the
+                    first fix after a reboot?" with a measured
+                    compile_plus_first_run_warm_s. 0 skips the probe
+                    (the parent's own compile is then whatever the
+                    cache state makes it).
+  BENCH_WARM_TIMEOUT  cold-probe wall bound, seconds (default 1500 —
+                    the tunnel warmup alone has been observed at 769 s).
+  BENCH_ARTIFACT    also write the JSON line to this path.
 
 Prints ONE JSON line.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -51,7 +64,82 @@ import jax
 import jax.numpy as jnp
 
 
+def _cache_dir() -> str:
+    where = os.environ.get("TDOA_TPU_CACHE_DIR", "")
+    if where.lower() in ("off", "0", "none"):
+        return ""
+    if not where:
+        where = os.path.join(
+            os.path.expanduser("~"), ".cache", "tdoa_tpu", "jax"
+        )
+    return where
+
+
+def _setup_cache(platform: str) -> dict:
+    """Enable the persistent compilation cache (TPU runs only — same
+    policy as tdoa_tpu.cli.setup_compilation_cache) and report its
+    state so the artifact's compile numbers are attributable to a
+    cold or warm cache."""
+    info = {"dir": None, "entries": 0}
+    if "tpu" not in platform and platform != "axon":
+        return info
+    where = _cache_dir()
+    if not where:
+        return info
+    try:
+        os.makedirs(where, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", where)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        info["dir"] = where
+        info["entries"] = len(os.listdir(where))
+    except Exception:
+        pass
+    return info
+
+
+def _run_cold_probe() -> dict:
+    """Spawn a fresh process (BENCH_COLD_PROBE=1) that compiles and runs
+    the headline program once, populating the persistent cache, and
+    report its cold-start numbers. Runs BEFORE this process touches the
+    chip (the TPU grant is single-tenant), so the parent's own
+    compile_plus_first_run_s is then the cache-WARM second-process
+    number — the deployment cold-start question."""
+    env = dict(os.environ)
+    env["BENCH_COLD_PROBE"] = "1"
+    env["BENCH_FULL"] = "0"
+    timeout_s = float(os.environ.get("BENCH_WARM_TIMEOUT", "1500"))
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"cold probe exceeded {timeout_s:.0f}s"}
+    except Exception as e:  # pragma: no cover - spawn failure
+        return {"error": str(e)[:200]}
+    wall = time.time() - t0
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if "cold_probe" in d:
+            d["cold_probe"]["probe_wall_s"] = round(wall, 1)
+            return d["cold_probe"]
+    return {
+        "error": f"cold probe rc={proc.returncode}: "
+                 f"{proc.stderr.strip()[-200:]}",
+        "probe_wall_s": round(wall, 1),
+    }
+
+
 def main() -> None:
+    cold_probe_mode = os.environ.get("BENCH_COLD_PROBE") == "1"
+    cold_info = None
+    if not cold_probe_mode and os.environ.get("BENCH_WARM", "1") == "1":
+        cold_info = _run_cold_probe()
     # Cold-start breakdown (round-2 verdict weak #6: 245 s → 871 s with
     # no way to tell tunnel warmup from program compile). Time the
     # backend bring-up and the first trivial dispatch BEFORE any real
@@ -62,6 +150,7 @@ def main() -> None:
     t0 = time.time()
     jax.devices()
     backend_init_s = time.time() - t0
+    cache_info = _setup_cache(jax.devices()[0].platform.lower())
     t0 = time.time()
     float(jax.jit(lambda v: v + 1.0)(jnp.zeros((8,), jnp.float32))[0])
     first_dispatch_s = time.time() - t0
@@ -151,6 +240,19 @@ def main() -> None:
     run()  # compile + first run
     compile_s = time.time() - t0
 
+    if cold_probe_mode:
+        # Cold-probe child: the headline program is now compiled AND
+        # persisted to the cache; report the cold numbers and release
+        # the chip for the parent.
+        print(json.dumps({"cold_probe": {
+            "backend_init_s": round(backend_init_s, 1),
+            "first_dispatch_s": round(first_dispatch_s, 1),
+            "compile_plus_first_run_s": round(compile_s, 1),
+            "cache_dir": cache_info["dir"],
+            "cache_entries_before": cache_info["entries"],
+        }}))
+        return
+
     # Dispatch-only baseline: a trivial jit call + the same scalar-sync
     # pattern. On this environment's remote tunnel it measures the
     # per-call round-trip floor (~30-35 ms) that is part of EVERY
@@ -217,6 +319,48 @@ def main() -> None:
 
     throughput = total_samples / steady_s / 1e6  # Msamples/s/chip
     target = 600.0  # Msamples/s == 3x100s capture in 1 s
+
+    # ---- MFU accounting (round-3 verdict item 4) ----
+    # The fused kernel's geometry is static, so achieved TFLOP/s is the
+    # exact FLOP model over the measured device time — not an estimate.
+    # Device time = steady latency minus the measured per-call dispatch
+    # floor (single-shot), and the sustained latency (queued pipeline,
+    # dispatch amortized) as the deployment number. The model covers
+    # the accumulation kernels only (finish/zoom stages excluded), so
+    # both TFLOP/s numbers are lower bounds on what the chip ran.
+    flop_detail = None
+    if accumulator == "pallas":
+        from tdoa_tpu.ops.corr import split_k
+        from tdoa_tpu.ops.pallas.corr_accum import (
+            SEG_LEN as _SEG_F,
+            fused_flop_model,
+        )
+
+        n_seg_block = block_len // _SEG_F
+        fm = fused_flop_model(
+            n_st, len(base_pairs), n_seg_block, remove_dc=True,
+            n_splits=max(split_k(n_seg_block), 1),
+        )
+        total_flops = 3 * (fm["mxu_flops"] + fm["vpu_flops"])  # 3 blocks
+        device_s = max(steady_s - dispatch_baseline_s, 1e-9)
+        v5e_bf16_peak = 197e12  # TPU v5e: 197 bf16 TFLOP/s per chip
+        flop_detail = {
+            "mxu_flops_total": 3 * fm["mxu_flops"],
+            "vpu_flops_total": 3 * fm["vpu_flops"],
+            "fft_chunks": fm["fft_chunks"],
+            "device_time_s": round(device_s, 4),
+            "device_tflops": round(total_flops / device_s / 1e12, 1),
+            "device_tflops_sustained": round(
+                total_flops / sustained_s / 1e12, 1),
+            "mfu_vs_bf16_peak": round(
+                total_flops / device_s / v5e_bf16_peak, 3),
+            "mfu_vs_bf16_peak_sustained": round(
+                total_flops / sustained_s / v5e_bf16_peak, 3),
+            "peak_bf16_tflops_assumed": 197.0,
+            "model": "2x(4 matmuls 256x176x256 + 4 matmuls 256x256x256)"
+                     "/station-seg MXU + 12/bin/station-seg + 8/bin/"
+                     "pair-seg VPU; finish stage excluded (lower bound)",
+        }
 
     # ---- full path: host u8 bytes -> decode -> correlate -> solve ----
     full_detail = None
@@ -318,6 +462,36 @@ def main() -> None:
         del devbufs
         host_bytes = sum(h.nbytes for h in host_u16)
 
+        # Chunked transfer-only probe: the SAME chunk geometry and host
+        # gather the overlapped ingest uses, but no compute dispatches —
+        # the honest overlap denominator (round-3 advisor finding: the
+        # monolithic device_put baseline measures a different transfer
+        # strategy, so overlap ratios against it conflate pipelining
+        # with chunking; on this link the chunked stream is sometimes
+        # FASTER than one monolithic put).
+        from tdoa_tpu.pipeline.ingest import plan_chunks
+
+        _, spans_t = plan_chunks(block_len, 45056 if accumulator ==
+                                 "pallas" else seg_len)
+
+        def chunk_rows(start, length):
+            return np.stack([
+                host_u16[s][b * block_len + start:
+                            b * block_len + start + length]
+                for b in range(3) for s in range(n_st)
+            ])
+
+        buf0 = jax.device_put(chunk_rows(*spans_t[0]))  # warm the shape
+        float(buf0[0, 0])
+        del buf0
+        t0 = time.time()
+        last = None
+        for sp in spans_t:
+            last = jax.device_put(chunk_rows(*sp))
+        float(last[0, 0])
+        transfer_chunked_s = time.time() - t0
+        del last
+
         # ---- overlapped ingest: transfer pipelined with compute ----
         # The chunked double-buffered path (pipeline/ingest.py): chunk
         # k+1 streams over the link while the chip correlates chunk k.
@@ -360,12 +534,23 @@ def main() -> None:
             "host_bytes": host_bytes,
             "transfer_only_s": round(transfer_s, 4),
             "link_mb_per_s": round(host_bytes / transfer_s / 1e6, 1),
+            # Transfer-only with the ingest's OWN chunk geometry + host
+            # gather — the apples-to-apples overlap denominator.
+            "transfer_only_chunked_s": round(transfer_chunked_s, 4),
+            "link_chunked_mb_per_s": round(
+                host_bytes / transfer_chunked_s / 1e6, 1),
             # Chunked double-buffered ingest (pipeline/ingest.py):
             # capture->fix with the host->device stream overlapping the
             # on-device correlation — should track
-            # max(transfer_only_s, device_path_s), not their sum.
+            # max(transfer, device compute), not their sum. Ratio is
+            # against the CHUNKED transfer-only probe (same transfer
+            # strategy, no compute); the monolithic-baseline ratio is
+            # kept for continuity with BENCH_r01-r03.
             "overlap_path_s": round(overlap_s, 4),
             "overlap_vs_max_transfer_compute": round(
+                overlap_s / max(transfer_chunked_s, device_path_s), 3
+            ),
+            "overlap_vs_max_monolithic_transfer_compute": round(
                 overlap_s / max(transfer_s, device_path_s), 3
             ),
             "full_path_msamples_per_s": round(
@@ -384,9 +569,14 @@ def main() -> None:
             ),
         }
 
-    print(
-        json.dumps(
-            {
+    # Cache/cold-start accountability: when the cold probe ran and the
+    # persistent cache held entries, this process's own
+    # compile_plus_first_run_s IS the warm second-process number.
+    warm_valid = bool(
+        cold_info and "error" not in cold_info and cache_info["dir"]
+        and cache_info["entries"] > 0
+    )
+    payload = {
                 "metric": "corr_throughput",
                 "value": round(throughput, 2),
                 "unit": "Msamples/s/chip",
@@ -420,6 +610,20 @@ def main() -> None:
                     "backend_init_s": round(backend_init_s, 1),
                     "first_dispatch_s": round(first_dispatch_s, 1),
                     "compile_plus_first_run_s": round(compile_s, 1),
+                    # Warm second-process cold start (round-3 verdict
+                    # item 5): the cold probe populated the persistent
+                    # cache, so this process's compile above measured
+                    # the cache-warm path. None when the probe was
+                    # skipped/failed (compile_plus_first_run_s is then
+                    # whatever the pre-existing cache state made it).
+                    "compile_plus_first_run_warm_s": (
+                        round(compile_s, 1) if warm_valid else None),
+                    "cold_probe": cold_info,
+                    "compilation_cache": {
+                        "dir": cache_info["dir"],
+                        "entries_at_start": cache_info["entries"],
+                    },
+                    "flop_accounting": flop_detail,
                     # The fused kernel has fixed geometry and bf16
                     # operands; report what actually ran, not the
                     # XLA-path knobs it ignores.
@@ -433,9 +637,13 @@ def main() -> None:
                     "device": str(jax.devices()[0]),
                     "full_path": full_detail,
                 },
-            }
-        )
-    )
+    }
+    line = json.dumps(payload)
+    print(line)
+    artifact = os.environ.get("BENCH_ARTIFACT", "")
+    if artifact:
+        with open(artifact, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

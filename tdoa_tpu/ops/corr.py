@@ -763,26 +763,33 @@ def correlate_pairs_fused(
     # invocation (n_splits=K accumulates the K contiguous slices into
     # separate banks; the full accumulators are the banks' sum, total
     # segment work is unchanged — K separate invocations cost ~11 ms
-    # extra per 100 s block, the round-2 headline regression). The
-    # grouped layout's rank-4 output windows are capped at the
-    # chip-validated size (GROUPED_PAIR_WINDOW_CAP); big networks whose
-    # pair list would grouped-tile past MAX_PAIR_CHUNKS instead run the
-    # round-2 per-slice scheme — K single-bank (rank-3, VMEM-bound)
-    # invocations — trading the grouped path's dispatch savings for the
-    # larger per-invocation pair budget. The 3-station headline always
-    # takes the grouped branch.
+    # extra per 100 s block, the round-2 headline regression). Grouped
+    # is taken ONLY when one invocation holds the whole pair list
+    # (fused_max_pairs with n_splits=K — VMEM double-buffering plus the
+    # chip-validated GROUPED_PAIR_WINDOW_CAP): a grouped invocation
+    # that pair-TILES re-runs every per-station FFT once per chunk,
+    # and the chip decomposition (scripts/pair_axis_profile.py, round
+    # 4) measured the kernel ~95% FFT-bound — at 12 stations the
+    # 3-chunk grouped layout tripled the dominant cost while the
+    # per-pair VPU work it amortizes is ~0.07 ms/pair/443-seg-block.
+    # Larger pair lists run the round-2 per-slice scheme instead: K
+    # single-bank (rank-3) invocations with the full ~128-pair budget —
+    # each FFT runs once, costing only K−1 extra pipeline fills
+    # (measured ~8 ms per 443-seg block at 8 stations, vs ~26 ms of
+    # redundant FFT the tiled grouped path would pay at 12). The
+    # 3-station headline always takes the grouped branch.
     # prescale=False: per-slice unit-RMS scaling would break
     # the slices-sum-to-full invariant under nonstationary power (a
     # noise-only slice amplified to unit RMS outvotes the signal);
     # instead scale every slice by the FULL capture's per-station RMS,
     # exactly like the XLA path's single pre-split normalization.
-    from tdoa_tpu.ops.pallas.corr_accum import fused_capacity_ok
+    from tdoa_tpu.ops.pallas.corr_accum import fused_max_pairs
 
     end = n_seg_total * SEG_LEN
     bounds = _split_bounds(n_seg_total, K, SEG_LEN)
     n_st = x.re.shape[0]
-    if fused_capacity_ok(n_st, len(pairs), remove_dc=remove_dc,
-                         precision=precision, n_splits=K):
+    if len(pairs) <= fused_max_pairs(n_st, remove_dc=remove_dc,
+                                     precision=precision, n_splits=K):
         cross_g, psd_g, energy_g = accumulate_cross_spectra_pallas(
             C(x.re[:, :end], x.im[:, :end]), pairs,
             precision=precision, remove_dc=remove_dc, prescale=False,

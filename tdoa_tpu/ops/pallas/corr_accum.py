@@ -254,6 +254,47 @@ def fused_max_pairs(n_st: int, remove_dc: bool = True,
     return cap
 
 
+def fused_flop_model(n_st: int, n_pairs: int, n_seg: int,
+                     remove_dc: bool = True, precision: str = "bf16",
+                     n_splits: int = 1) -> dict:
+    """Static FLOP count for one fused accumulation pass over ``n_seg``
+    segments (the round-3 verdict's MFU accountability item). The
+    kernel's geometry is fixed, so the count is exact arithmetic, not
+    an estimate:
+
+    Per station-segment, on the MXU (1 MAC = 2 FLOPs):
+      stage 1:  4 real matmuls [R, SEG_ROWS] @ [SEG_ROWS, R]
+      stage 2:  4 real matmuls [R, R] @ [R, R]
+    Per station-segment, on the VPU (per FFT bin):
+      twiddle rotation 6, PSD accumulate 4, spectral sums 2 (remove_dc)
+    Per pair-segment, on the VPU: cross-spectrum accumulate 8 per bin.
+
+    FFT/PSD work multiplies by the pair-tiling chunk count (every chunk
+    re-runs the per-station transforms); the pair work does not (pairs
+    split across chunks). Mirrors correlate_pairs_fused's routing:
+    grouped (n_splits=K) only ever runs untiled; a pair list past the
+    grouped budget runs K single-bank invocations whose chunk count
+    comes from the single-bank cap. Finalize (un-permute transpose, DC
+    algebra, finish stage) is excluded — derived MFU numbers are lower
+    bounds."""
+    cap1 = fused_max_pairs(n_st, remove_dc, precision, n_splits=1)
+    if n_splits > 1:
+        cap_g = fused_max_pairs(n_st, remove_dc, precision,
+                                n_splits=n_splits)
+        chunks = 1 if n_pairs <= cap_g else -(-n_pairs // cap1)
+    else:
+        chunks = -(-n_pairs // max(cap1, 1))
+    mxu_per_st_seg = 8 * R * SEG_ROWS * R + 8 * R * R * R
+    vpu_per_st_seg = (6 + 4 + (2 if remove_dc else 0)) * FFT_LEN
+    vpu_per_pair_seg = 8 * FFT_LEN
+    return {
+        "mxu_flops": chunks * n_st * n_seg * mxu_per_st_seg,
+        "vpu_flops": (chunks * n_st * n_seg * vpu_per_st_seg
+                      + n_pairs * n_seg * vpu_per_pair_seg),
+        "fft_chunks": chunks,
+    }
+
+
 def fused_capacity_ok(n_st: int, n_pairs: int,
                       remove_dc: bool = True,
                       precision: str = "bf16",

@@ -397,11 +397,14 @@ def test_fused_grouped_splits_match_separate_invocations():
 
 
 def test_fused_split_per_slice_fallback_matches_grouped(monkeypatch):
-    """Big networks whose pair list would grouped-tile past
-    MAX_PAIR_CHUNKS take the round-2 per-slice scheme (K single-bank
-    invocations) instead of the grouped layout; both must produce the
-    same CorrResult. Forced here by denying grouped capacity, so the
-    3-station geometry exercises the fallback branch cheaply."""
+    """Big networks whose pair list exceeds ONE grouped invocation's
+    budget (fused_max_pairs with n_splits=K) take the round-2 per-slice
+    scheme (K single-bank invocations) instead of the grouped layout —
+    a pair-TILED grouped invocation would re-run every per-station FFT
+    per chunk (the round-4 12-station plateau). Both layouts must
+    produce the same CorrResult. Forced here by denying grouped
+    capacity, so the 3-station geometry exercises the fallback branch
+    cheaply."""
     import tdoa_tpu.ops.pallas.corr_accum as ca
 
     n_st, n_seg = 3, 8  # split_k -> K=4
@@ -417,16 +420,16 @@ def test_fused_split_per_slice_fallback_matches_grouped(monkeypatch):
 
     grouped = correlate_pairs_fused(x, pairs, max_lag=512, remove_dc=True)
 
-    real_ok = ca.fused_capacity_ok
+    real_cap = ca.fused_max_pairs
 
-    def deny_grouped(n_st_, n_pairs_, remove_dc=True, precision="bf16",
-                     n_splits=1):
+    def deny_grouped(n_st_, remove_dc=True, precision="bf16",
+                     segs_per_step=1, n_splits=1):
         if n_splits > 1:
-            return False
-        return real_ok(n_st_, n_pairs_, remove_dc=remove_dc,
-                       precision=precision, n_splits=n_splits)
+            return 0
+        return real_cap(n_st_, remove_dc, precision, segs_per_step,
+                        n_splits=n_splits)
 
-    monkeypatch.setattr(ca, "fused_capacity_ok", deny_grouped)
+    monkeypatch.setattr(ca, "fused_max_pairs", deny_grouped)
     per_slice = correlate_pairs_fused(x, pairs, max_lag=512,
                                       remove_dc=True)
 
