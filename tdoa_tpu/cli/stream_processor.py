@@ -15,6 +15,13 @@ polling the directory and processes each new epoch window as its
 captures land (the deployment loop — collectors scp files in, fixes
 stream out), stopping only on Ctrl-C or ``--idle-exit`` seconds with
 nothing new.
+
+``--overlap-ingest CAPTURE_SECS`` adds tail-ingest: capture files are
+consumed WHILE the collectors write them (pipeline/ingest.TailIngest),
+chunk by chunk each poll, so at window close only the final chunks and
+the finalize remain between the last byte and the fix — instead of the
+whole transfer+compute the batch path pays. The reference's workflow
+is strictly capture → scp → process (docs/usage.md:139-150).
 """
 
 from __future__ import annotations
@@ -47,6 +54,21 @@ def main(argv=None) -> int:
     p.add_argument("--settle", type=float, default=1.0,
                    help="seconds a window's newest file must be old "
                         "before processing (writers may still be going)")
+    p.add_argument("--overlap-ingest", type=float, default=None,
+                   metavar="CAPTURE_SECS",
+                   help="tail-ingest GROWING capture files: give the "
+                        "collection duration per window (the "
+                        "collector's --duration) and each poll streams "
+                        "newly-written chunks to the device while the "
+                        "writers append, so the fix lands ~immediately "
+                        "at window close instead of paying "
+                        "transfer+compute after it. A window whose "
+                        "final file sizes disagree with the expected "
+                        "duration falls back to the batch path. "
+                        "Without --watch, complete files stream via "
+                        "the one-shot overlapped path instead. "
+                        "(Standard IQ pipeline only: incompatible "
+                        "with --solve-velocity and --multi-emitter>1)")
     p.add_argument("--multi-emitter", type=int, default=1, metavar="N",
                    help="separate up to N co-channel emitters per window "
                         "and track each as its own target; tracks are "
@@ -110,6 +132,18 @@ def main(argv=None) -> int:
         rewrite_prior_argv(sys.argv[1:] if argv is None else argv)
     )
     prior = None if args.prior is None else parse_prior(args.prior, p.error)
+    if args.overlap_ingest is not None:
+        if args.overlap_ingest <= 0:
+            p.error("--overlap-ingest needs a positive capture duration")
+        # Same restrictions as the processor's host-resident mode
+        # (process_captures raises too, but fail at startup, not on the
+        # first window).
+        if args.solve_velocity:
+            p.error("--overlap-ingest is incompatible with "
+                    "--solve-velocity (needs whole blocks on device)")
+        if args.multi_emitter > 1:
+            p.error("--overlap-ingest is incompatible with "
+                    "--multi-emitter > 1 (needs whole blocks on device)")
 
     from tdoa_tpu.io.stations import (
         load_station_table,
@@ -155,6 +189,64 @@ def main(argv=None) -> int:
         prior=prior,
         outlier_rejection=not args.no_outlier_rejection,
     )
+    # Tail-ingest sessions (--overlap-ingest): one per unprocessed
+    # epoch window, created when the window first reaches
+    # --min-stations files, fed every poll with whatever bytes the
+    # writers have appended since. ep -> (TailIngest, {station: path}).
+    sessions: dict = {}
+    overlap_block = None
+    if args.overlap_ingest is not None:
+        # The collector's own sample math (cli/collector.py:147):
+        # samples_per_freq = duration * sample_rate // 3.
+        overlap_block = (
+            int(round(args.overlap_ingest * proc.config.sample_rate)) // 3
+        )
+
+    def open_views(files_map, names):
+        """Current packed-u16 views of (possibly growing) captures —
+        re-mmapped each call so the view length tracks the writer."""
+        from tdoa_tpu.io.datfile import iq_bytes_as_u16
+
+        views = []
+        for n in names:
+            raw = np.memmap(files_map[n], dtype=np.uint8, mode="r")
+            views.append(iq_bytes_as_u16(raw[: (raw.size // 2) * 2]))
+        return views
+
+    def ensure_sessions(done) -> None:
+        if overlap_block is None or args.watch is None:
+            return
+        for ep, files in windows.items():
+            if ep in done or ep in sessions:
+                continue
+            if len(files) < args.min_stations:
+                continue
+            sessions[ep] = (
+                proc.tail_session(sorted(files), overlap_block),
+                dict(files),
+            )
+
+    def feed_sessions(done) -> None:
+        nonlocal last_new
+        for ep in list(sessions):
+            if ep in done or ep not in windows:
+                del sessions[ep]
+                continue
+            sess, files_map = sessions[ep]
+            try:
+                views = open_views(files_map, sess.names)
+            except (OSError, ValueError):
+                continue  # a file vanished or is still empty; next poll
+            if sess.feed(views):
+                # Streaming a live capture is service activity — the
+                # --idle-exit clock must not expire mid-window.
+                last_new = time.time()
+                print(
+                    f"epoch {ep}: tail-ingest "
+                    f"{sess.chunks_dispatched}/{sess.total_chunks} chunks",
+                    file=sys.stderr,
+                )
+
     # Tracker over the station set actually present in each window;
     # rebuilt when the set changes (tracks carry over only while the
     # geometry is stable — a different set means a different pair basis).
@@ -376,7 +468,39 @@ def main(argv=None) -> int:
 
     def process_window(ep, files) -> None:
         nonlocal tracker, tracker_order
-        res = proc.process_files(sorted(files.values()))
+        res = None
+        entry = sessions.pop(ep, None)
+        if entry is not None:
+            sess, files_map = entry
+            if set(files) != set(sess.names):
+                print(
+                    f"epoch {ep}: station set changed after tail-ingest "
+                    f"started ({sorted(sess.names)} -> {sorted(files)}); "
+                    f"using the batch path",
+                    file=sys.stderr,
+                )
+            else:
+                from tdoa_tpu.pipeline.processor import HostCapture
+
+                try:
+                    views = open_views(files_map, sess.names)
+                    caps = {
+                        n: HostCapture(u16=v, block_len=v.shape[0] // 3)
+                        for n, v in zip(sess.names, views)
+                    }
+                    res = proc.process_captures(caps, tail=sess)
+                except (ValueError, OSError) as e:
+                    print(
+                        f"epoch {ep}: tail-ingest fell back to the "
+                        f"batch path ({e})",
+                        file=sys.stderr,
+                    )
+        if res is None:
+            res = (
+                proc.process_files_overlapped(sorted(files.values()))
+                if overlap_block is not None
+                else proc.process_files(sorted(files.values()))
+            )
         if tracker is None or tracker_order != res.station_names:
             if tracker is not None:
                 print(
@@ -557,6 +681,8 @@ def main(argv=None) -> int:
     skipped_thin = set()
     last_new = time.time()
     while True:
+        ensure_sessions(processed)
+        feed_sessions(processed)
         for ep in sorted(windows):
             if ep in processed:
                 continue

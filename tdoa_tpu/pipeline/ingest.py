@@ -119,6 +119,214 @@ def plan_chunks(
     return chunk, spans
 
 
+class TailIngest:
+    """Incremental overlapped ingest of a GROWING capture window — the
+    stream service's counterpart of ``ingest_overlapped``.
+
+    A collection takes 10–100 s to write its ``.dat`` files;
+    ``ingest_overlapped`` (and the batch path) only start after the
+    last byte lands, so the fix trails window close by transfer +
+    compute. This session consumes the files WHILE they grow: each
+    ``feed`` call streams every newly-available chunk to the device,
+    so by the time the writers close, only the final chunks and the
+    finalize remain — the fix lands ~immediately at window close.
+
+    Differences from ``ingest_overlapped``'s layout, chosen for
+    tail-following: three per-block accumulators instead of one
+    stacked [REF1|TGT|REF2] state. A stacked chunk needs the same
+    within-block offset in all three blocks — available only once the
+    file is 2/3 written — while per-block states stream block 1 during
+    its own capture. Per block the accumulated math is identical
+    (same spans, same per-chunk slot rotation, same per-chunk DC
+    removal), so the finalize reproduces ``ingest_overlapped`` /
+    ``process_blocks`` numerics to the usual streaming tolerance
+    (pinned by tests/test_ingest.py).
+
+    The reference's workflow is capture → scp → process
+    (docs/usage.md:139-150); it has no streaming anywhere.
+
+    Chunk readiness: chunk ``(b, start, len)`` needs bytes up to
+    ``b·block_len_s + start + len`` in EVERY station's file (stations
+    capture in lockstep, so availability tracks the slowest writer).
+    ``block_len`` — the final per-block sample count — must be known
+    up front (the service knows the collection duration); a station
+    whose finished file disagrees invalidates the session
+    (``mismatch``), and the caller falls back to the batch path.
+    """
+
+    def __init__(
+        self,
+        station_names: Sequence[str],
+        pair_idx: np.ndarray,  # [m, 2]
+        ref_geo_tdoa: np.ndarray,  # [m] samples
+        *,
+        block_len: int,
+        capture_block_len: Optional[int] = None,
+        max_lag: int = DEFAULT_MAX_LAG,
+        seg_len: Optional[int] = None,
+        weighting: str = "ht",
+        clock_correction: bool = True,
+        chunk_samples: Optional[int] = None,
+        precision: str = "bf16",
+    ):
+        self.names = list(station_names)
+        n_st = len(self.names)
+        self.block_len = int(block_len)
+        # Files' actual per-block length (>= the ANALYZED block_len,
+        # e.g. under truncate_samples): block b of every station sits
+        # at b·capture_block_len regardless of how much is analyzed.
+        self.capture_block_len = int(
+            capture_block_len if capture_block_len is not None
+            else block_len
+        )
+        if self.capture_block_len < self.block_len:
+            raise ValueError(
+                "capture_block_len must be >= the analyzed block_len"
+            )
+        self.max_lag = max_lag
+        self.weighting = weighting
+        self.clock_correction = clock_correction
+        self._pair_np = np.asarray(pair_idx, np.int32)
+        self._m = int(self._pair_np.shape[0])
+        self._ref_geo = np.asarray(ref_geo_tdoa)
+        self._pairs_static = tuple(map(tuple, self._pair_np.tolist()))
+
+        from tdoa_tpu.ops.pallas.corr_accum import (
+            FFT_LEN as P_FFT,
+            SEG_LEN as P_SEG,
+            fused_capacity_ok,
+        )
+        from tdoa_tpu.utils.platform import on_tpu
+
+        # Per-block geometry: the fused-kernel gate sees (n_st, m), not
+        # the stacked (3n_st, 3m) — strictly more permissive.
+        use_fused = (
+            on_tpu()
+            and fused_capacity_ok(n_st, self._m, remove_dc=True)
+            and max_lag <= P_FFT - P_SEG
+            and self.block_len >= P_SEG
+        )
+        if use_fused:
+            self._seg, self._fft_len = P_SEG, P_FFT
+            self._precision = precision
+        else:
+            want = seg_len if seg_len is not None else 1 << 16
+            self._seg, self._fft_len = resolve_seg(
+                self.block_len, max_lag, want, None
+            )
+            self._precision = "f32"
+        self._dtype = (
+            jnp.bfloat16 if self._precision == "bf16" else jnp.float32
+        )
+        _, self._spans = plan_chunks(
+            self.block_len, self._seg, chunk_samples
+        )
+        if not self._spans:
+            raise ValueError(
+                f"block length {self.block_len} holds no whole segment "
+                f"(seg_len={self._seg})"
+            )
+        self._pair_dev = jnp.asarray(self._pair_np)
+        self._states = [
+            acc_init(n_st, self._m, self._fft_len) for _ in range(3)
+        ]
+        self._next = 0  # cursor over 3·len(spans) chunks, capture order
+        self.mismatch: Optional[str] = None
+
+    @property
+    def total_chunks(self) -> int:
+        return 3 * len(self._spans)
+
+    @property
+    def chunks_dispatched(self) -> int:
+        return self._next
+
+    @property
+    def complete(self) -> bool:
+        return self._next >= self.total_chunks
+
+    def _chunk(self, c: int):
+        b, k = divmod(c, len(self._spans))
+        return b, self._spans[k]
+
+    def feed(self, host_u16: Sequence[np.ndarray]) -> int:
+        """Stream every chunk whose bytes all stations already have.
+
+        ``host_u16`` are the stations' CURRENT packed-u16 views (in
+        ``station_names`` order) — re-mmap growing files before each
+        call; short views simply mean fewer ready chunks. Returns the
+        number of chunks dispatched by this call. Dispatches are
+        async (device work overlaps the host's next poll/read)."""
+        avail = [int(v.shape[0]) for v in host_u16]
+        done = 0
+        while self._next < self.total_chunks:
+            b, (start, length) = self._chunk(self._next)
+            off = b * self.capture_block_len + start
+            if min(avail) < off + length:
+                break
+            rows = np.stack([v[off:off + length] for v in host_u16])
+            self._states[b] = _decode_update(
+                self._states[b], jax.device_put(rows), self._pair_dev,
+                self._seg, self._fft_len, self._pairs_static,
+                self._precision, True, self._dtype,
+            )
+            self._next += 1
+            done += 1
+        return done
+
+    def check_final_sizes(self, final_u16: Sequence[int]) -> bool:
+        """Validate the finished files against the session's assumed
+        block length: each station's ACTUAL per-block sample count
+        (``final // 3``, the .dat contract's 3 equal blocks) must equal
+        the session's — a shorter file means block-1/2 chunks were
+        never readable, and a LONGER file means its real block
+        boundaries sit past the assumed ones, so every block-1/2 chunk
+        the session streamed mixed two blocks. Sets ``mismatch`` and
+        returns False on violation — the caller must discard the
+        session and batch-process the window instead."""
+        for name, n in zip(self.names, final_u16):
+            if int(n) // 3 != self.capture_block_len:
+                self.mismatch = (
+                    f"{name}: final capture holds {int(n) // 3} samples"
+                    f"/block, session assumed {self.capture_block_len}"
+                )
+                return False
+        return True
+
+    def finalize(self, host_u16: Sequence[np.ndarray]):
+        """Drain any remaining chunks from the (now complete) views and
+        produce the ``process_blocks`` 10-tuple."""
+        self.feed(host_u16)
+        if not self.complete:
+            raise ValueError(
+                f"capture incomplete: {self._next}/{self.total_chunks} "
+                f"chunks available (the last chunk needs "
+                f"{2 * self.capture_block_len + sum(self._spans[-1])} "
+                f"samples per station)"
+            )
+        m = self._m
+        res = [
+            acc_finalize(self._states[b], self._pair_dev, self.max_lag,
+                         weighting=self.weighting, fft_len=self._fft_len)
+            for b in range(3)
+        ]
+
+        def stk(field):
+            return jnp.stack([getattr(r, field) for r in res])
+
+        return clock_correct_blocks(
+            stk("delay").reshape(3, m),
+            stk("delay_std").reshape(3, m),
+            stk("quality").reshape(3, m),
+            stk("peak_value").reshape(3, m),
+            stk("corr").reshape(3, m, -1),
+            stk("corr_re").reshape(3, m, -1),
+            stk("corr_im").reshape(3, m, -1),
+            jnp.asarray(self._ref_geo, jnp.float32),
+            self.clock_correction,
+        )
+
+
 def ingest_overlapped(
     host_u16: Sequence[np.ndarray],  # per station: [3·block_len] packed u16
     pair_idx: np.ndarray,  # [m, 2] station pairs

@@ -954,12 +954,21 @@ class TDOAProcessor:
         return fix, w, excluded
 
     def process_captures(
-        self, captures: Dict[str, Tuple]
+        self, captures: Dict[str, Tuple], *,
+        tail: Optional["TailIngest"] = None,
     ) -> TDOAResult:
         """Run the pipeline on in-memory blocks {station: (ref1, tgt, ref2)}.
 
         Blocks may be complex arrays (CPU/simulator path) or planar C
-        pairs (the TPU `.dat` ingest path)."""
+        pairs (the TPU `.dat` ingest path).
+
+        ``tail``: a ``pipeline.ingest.TailIngest`` session that already
+        streamed (part of) this window while its files were growing —
+        the correlate step then drains and finalizes the session
+        instead of re-streaming from byte 0, and everything downstream
+        (gates, warnings, solve, ghost/outlier analysis) runs
+        unchanged. Requires every capture to be a ``HostCapture`` in
+        the session's exact station order."""
         cfg = self.config
         names = [n for n in captures.keys()]
         if len(names) < 3:
@@ -977,6 +986,23 @@ class TDOAProcessor:
         host_mode = all(
             isinstance(captures[n], HostCapture) for n in names
         )
+        if tail is not None:
+            if not host_mode:
+                raise ValueError(
+                    "tail sessions need HostCapture captures"
+                )
+            if tail.names != names:
+                raise ValueError(
+                    f"tail session stations {tail.names} != window "
+                    f"stations {names}"
+                )
+            if not tail.check_final_sizes(
+                [captures[n].u16.shape[0] for n in names]
+            ):
+                raise ValueError(
+                    f"tail session block-length mismatch — "
+                    f"{tail.mismatch}; reprocess via the batch path"
+                )
         if host_mode:
             unsupported = [
                 opt for opt, on in (
@@ -1179,7 +1205,12 @@ class TDOAProcessor:
             lambda name: contextlib.nullcontext())
 
         ref_geo = self._ref_geo_tdoa_samples(names, pairs)
-        if host_mode:
+        if host_mode and tail is not None:
+            with stage("tail-finalize+clock"):
+                out = tail.finalize([captures[n].u16 for n in names])
+                if timer is not None:
+                    timer.observe(out)
+        elif host_mode:
             from tdoa_tpu.pipeline.ingest import ingest_overlapped
 
             bl = orig_block_len
@@ -1907,6 +1938,39 @@ class TDOAProcessor:
         """Load ``.dat`` files (station identity from filenames,
         processor.go:110-122) and process them."""
         return self.process_captures(self.load_files(dat_paths))
+
+    def tail_session(
+        self, station_names: Sequence[str], block_len: int,
+        chunk_samples: Optional[int] = None,
+    ):
+        """Create a ``pipeline.ingest.TailIngest`` session for a
+        growing capture window over these stations — pair basis,
+        REF-transmitter geometry, and correlator settings all taken
+        from this processor, so ``process_captures(..., tail=session)``
+        is numerically the processor's own host-mode path. The station
+        order is normalized (sorted) to match the stream service's
+        window grouping; build the captures dict in ``session.names``
+        order at finalize time."""
+        from tdoa_tpu.pipeline.ingest import TailIngest
+
+        cfg = self.config
+        names = sorted(station_names)
+        pairs = station_pairs(len(names))
+        bl = int(block_len)
+        if cfg.truncate_samples is not None:
+            bl = min(bl, cfg.truncate_samples)
+        return TailIngest(
+            names,
+            pairs,
+            self._ref_geo_tdoa_samples(names, pairs),
+            block_len=bl,
+            capture_block_len=int(block_len),
+            max_lag=cfg.max_lag,
+            seg_len=cfg.seg_len,
+            weighting=cfg.weighting,
+            clock_correction=cfg.clock_correction,
+            chunk_samples=chunk_samples,
+        )
 
     def process_files_overlapped(
         self, dat_paths: Sequence[str]
