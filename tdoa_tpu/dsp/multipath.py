@@ -165,6 +165,49 @@ def echo_bias_sigma(centroid_offset: np.ndarray) -> np.ndarray:
     return add
 
 
+def station_bias_apportion(
+    pair_idx: np.ndarray,  # [m, 2]
+    n_st: int,
+    pair_sigma: np.ndarray,  # [m] per-pair echo-bias σ (samples)
+) -> np.ndarray:
+    """Per-STATION echo-bias σ from the per-pair addends (samples).
+
+    ``echo_bias_sigma`` calibrates each PAIR's residual echo bias, but
+    the bias physically lives at stations: pair (i, j)'s lobe drag is
+    b_j − b_i for latent per-station biases b, so pairs sharing a
+    station are correlated — the reason per-pair 3σ coverage (95-96%)
+    did not transfer to the fix level (72.7%) under the independent
+    2×2 covariance. This solves the variance-apportioning model
+
+        σ_pair² ≈ τ_i² + τ_j²
+
+    by nonnegative least squares (clipped active-set — n_st unknowns,
+    C(n_st, 2) equations; exactly determined at 3 stations) and
+    returns τ [n_st]. Feed it to
+    ``solve.fix_covariance_enu_correlated`` together with the
+    PRE-inflation per-pair noise σ."""
+    s2 = np.asarray(pair_sigma, np.float64) ** 2
+    pair_idx = np.asarray(pair_idx)
+    m = pair_idx.shape[0]
+    M = np.zeros((m, n_st))
+    M[np.arange(m), pair_idx[:, 0]] = 1.0
+    M[np.arange(m), pair_idx[:, 1]] = 1.0
+    t2 = np.zeros(n_st)
+    clipped = np.zeros(n_st, bool)
+    for _ in range(n_st + 1):
+        free = ~clipped
+        if not free.any():
+            break
+        sol, *_ = np.linalg.lstsq(M[:, free], s2, rcond=None)
+        t2 = np.zeros(n_st)
+        t2[free] = sol
+        neg = t2 < 0.0
+        if not neg.any():
+            break
+        clipped |= neg  # persistent active set — no oscillation
+    return np.sqrt(np.maximum(t2, 0.0))
+
+
 @dataclasses.dataclass
 class PathComponent:
     delay: float  # window position, lag samples (same axis as win)

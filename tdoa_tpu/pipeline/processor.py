@@ -1539,6 +1539,11 @@ class TDOAProcessor:
             mp_sigma = echo_bias_sigma(lobe_centroid_offset(win64))
             if np.any(mp_sigma > 0):
                 multipath_sigma = mp_sigma
+                # Pre-inflation noise σ: the independent part of the
+                # station-correlated covariance rebuilt after
+                # _analyze_fix (the echo part enters through the
+                # per-station bias model there, not this diagonal).
+                tdoa_noise_s = tdoa_std_s.copy()
                 tdoa_std_s = np.sqrt(
                     tdoa_std_s ** 2 + (mp_sigma / cfg.sample_rate) ** 2
                 )
@@ -1619,6 +1624,36 @@ class TDOAProcessor:
             # be noise-driven.
             fdoa_hz=nu_emitter if motion_detected else None,
         )
+
+        if multipath_sigma is not None and fix.cov_en is not None:
+            # Fix-level echo covariance (round-4): echo biases live at
+            # STATIONS, so pairs sharing one are correlated — the
+            # independent per-pair model's multipath fix coverage sat
+            # at 72.7% 3σ while per-pair coverage was 95-96%.
+            # Apportion the calibrated per-pair σ addends to
+            # per-station biases (σ_pair² ≈ τ_i² + τ_j²) and rebuild
+            # the FINAL fix's covariance (post ghost swaps/exclusions,
+            # final weights) with the sandwich model; every internal
+            # re-solve keeps the cheap independent model — only the
+            # reported ellipse changes.
+            from tdoa_tpu.dsp.multipath import station_bias_apportion
+            from tdoa_tpu.solve.multilateration import (
+                error_ellipse,
+                fix_covariance_enu_correlated,
+            )
+
+            tau_m = (
+                station_bias_apportion(pairs, len(names), multipath_sigma)
+                / cfg.sample_rate * SPEED_OF_LIGHT
+            )
+            cov_mp = fix_covariance_enu_correlated(
+                lla_to_enu(lla, fix.origin_lla), pairs, fix.enu,
+                tdoa_noise_s * SPEED_OF_LIGHT, tau_m, weights=w,
+            )
+            if np.all(np.isfinite(cov_mp)):
+                fix = dataclasses.replace(
+                    fix, cov_en=cov_mp, ellipse=error_ellipse(cov_mp),
+                )
 
         if cfg.solve_velocity:
             with stage("velocity"):

@@ -109,6 +109,94 @@ def test_covariance_geometry():
     assert az < 40 or az > 140
 
 
+def test_correlated_covariance_reduces_to_independent():
+    """With zero station bias the sandwich covariance IS the
+    independent model (the W = 1/diag(Σ) weights make
+    JᵀWΣWJ = JᵀWJ exactly when Σ is diagonal)."""
+    from tdoa_tpu.solve.multilateration import (
+        fix_covariance_enu_correlated,
+    )
+
+    st = np.array([[0.0, 0.0, 0.0], [12000.0, 2000.0, 0.0],
+                   [4000.0, 11000.0, 0.0]])
+    pairs = np.array([(0, 1), (0, 2), (1, 2)])
+    pos = np.array([5000.0, 4000.0, 0.0])
+    sig = np.array([25.0, 40.0, 30.0])
+    cov_i = fix_covariance_enu(st, pairs, pos, sig)
+    cov_c = fix_covariance_enu_correlated(
+        st, pairs, pos, sig, np.zeros(3)
+    )
+    np.testing.assert_allclose(cov_c, cov_i, rtol=1e-9)
+
+
+def test_correlated_covariance_inflates_with_station_bias():
+    """A shared-station echo bias drags correlated pairs together —
+    the sandwich covariance must be LARGER than the independent model
+    fed the same per-pair totals (σ_n² + τ_i² + τ_j²), because the
+    independent model averages down exactly the error component that
+    does not average."""
+    from tdoa_tpu.solve.multilateration import (
+        fix_covariance_enu_correlated,
+    )
+
+    st = np.array([[0.0, 0.0, 0.0], [12000.0, 2000.0, 0.0],
+                   [4000.0, 11000.0, 0.0]])
+    pairs = np.array([(0, 1), (0, 2), (1, 2)])
+    pos = np.array([5000.0, 4000.0, 0.0])
+    sig_n = np.array([20.0, 20.0, 20.0])
+    tau = np.array([100.0, 100.0, 100.0])
+    totals = np.sqrt(sig_n**2 + tau[pairs[:, 0]]**2 + tau[pairs[:, 1]]**2)
+    cov_i = fix_covariance_enu(st, pairs, pos, totals)
+    cov_c = fix_covariance_enu_correlated(st, pairs, pos, sig_n, tau)
+    # Same diagonal measurement totals, but the correlated model keeps
+    # the common-mode bias: strictly more uncertainty in trace.
+    assert np.trace(cov_c) > np.trace(cov_i)
+    # Monte Carlo ground truth: simulate the actual error model and
+    # check the sandwich predicts the fix-error scatter it implies.
+    rng = np.random.default_rng(3)
+    si, sj = st[pairs[:, 0]], st[pairs[:, 1]]
+    ui = (pos - si) / np.linalg.norm(pos - si, axis=-1, keepdims=True)
+    uj = (pos - sj) / np.linalg.norm(pos - sj, axis=-1, keepdims=True)
+    jac = (uj - ui)[:, :2]
+    w = 1.0 / totals**2
+    solve_mat = np.linalg.inv(jac.T @ (jac * w[:, None])) @ (
+        jac * w[:, None]
+    ).T
+    errs = []
+    for _ in range(4000):
+        b = rng.normal(0.0, tau)
+        e = rng.normal(0.0, sig_n) + b[pairs[:, 1]] - b[pairs[:, 0]]
+        errs.append(solve_mat @ e)
+    emp = np.cov(np.asarray(errs).T)
+    np.testing.assert_allclose(cov_c, emp, rtol=0.15, atol=1.0)
+
+
+def test_station_bias_apportion():
+    """σ_pair² ≈ τ_i² + τ_j² recovery: exact at 3 stations, clipped
+    nonnegative when one station is clean."""
+    from tdoa_tpu.dsp.multipath import station_bias_apportion
+
+    pairs = np.array([(0, 1), (0, 2), (1, 2)])
+    tau_true = np.array([0.9, 0.0, 1.4])
+    sig = np.sqrt(tau_true[pairs[:, 0]]**2 + tau_true[pairs[:, 1]]**2)
+    tau = station_bias_apportion(pairs, 3, sig)
+    np.testing.assert_allclose(tau, tau_true, atol=1e-9)
+    # Environment floor (every pair at the same σ) splits evenly.
+    tau_f = station_bias_apportion(pairs, 3, np.full(3, 0.7))
+    np.testing.assert_allclose(tau_f, np.full(3, 0.7 / np.sqrt(2)),
+                               atol=1e-9)
+    # Overdetermined (5 stations) with a negative-LS station: stays
+    # nonnegative and reproduces the pair budget where it matters.
+    pairs5 = np.array([(i, j) for i in range(5) for j in range(i + 1, 5)])
+    tau5_true = np.array([1.2, 0.0, 0.6, 0.0, 0.9])
+    sig5 = np.sqrt(
+        tau5_true[pairs5[:, 0]]**2 + tau5_true[pairs5[:, 1]]**2
+    )
+    tau5 = station_bias_apportion(pairs5, 5, sig5)
+    assert np.all(tau5 >= 0.0)
+    np.testing.assert_allclose(tau5, tau5_true, atol=1e-6)
+
+
 def test_split_bounds_round_robin():
     """The K-group split distributes a non-divisible segment count
     round-robin (group sizes q or q+1): dumping the remainder into one
