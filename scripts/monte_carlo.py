@@ -501,12 +501,14 @@ def run_trial(regime: str, seed: int) -> dict:
     # if the uncertainty model is calibrated, maha² ~ chi²(2 dof)
     # (39.3% of trials within 1σ, 86.5% within 2σ, 98.9% within 3σ).
     maha = None
+    err_en = None
     if res.fix.cov_en is not None and np.all(np.isfinite(res.fix.cov_en)):
         e_en = (
             lla_to_enu(
                 np.array([res.fix.lat, res.fix.lon, tgt[2]]), tgt
             )[:2] - mid_off
         )
+        err_en = e_en.tolist()  # for calibration tooling (fixcov diag)
         try:
             maha = float(np.sqrt(
                 e_en @ np.linalg.solve(res.fix.cov_en, e_en)
@@ -582,6 +584,13 @@ def run_trial(regime: str, seed: int) -> dict:
         "warnings": len(warnings),
         "excluded_right": excluded_right,
         "maha": maha,
+        "err_en": err_en,
+        # Calibration tooling (ghost_calibration.py, fixcov diag):
+        # the full result object and the scene truth. In-process use
+        # only — never serialized by main().
+        "_res": res,
+        "_tgt": tgt,
+        "_mid_off": mid_off,
         # Ghost-flagged trials have a bimodal error (two timing-exact
         # intersections) that no covariance models; the ellipse
         # calibration study excludes them (the ambiguity warning is

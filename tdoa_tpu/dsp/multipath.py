@@ -145,22 +145,49 @@ _BIAS_SIGMA_SCALE = 0.4  # samples of σ per sample of excess offset
 _ECHO_ENV_THRESHOLD = 1.0  # scene max offset ⇒ echo environment
 _ECHO_ENV_FLOOR = 0.7  # σ floor (samples) for every pair in one
 
+# FIX-level station-bias inflation γ: the sandwich covariance
+# (solve.fix_covariance_enu_correlated) takes per-STATION echo-bias σ
+# apportioned from the per-pair addends above. The per-pair table is
+# calibrated against PER-PAIR 3σ coverage; at the fix level the same
+# magnitudes under-cover because an echo's drag is a deterministic
+# bias within the scene, not a fresh Gaussian draw per pair — the
+# quadratic forms need γ·τ to cover the realized drag directions.
+# Measured (scripts/multipath_fixcov_diag.py, 26-scene seed-9000 base,
+# maha coverage at 1σ/2σ/3σ over the 25 detectable-echo scenes):
+#   γ=1.0: 32/68/92   γ=1.5: 52/88/92   γ=2.0: 60/92/92 (chosen)
+#   γ=2.5: 72/92/92 (p50 0.63 — over-suppressed; 2.0 keeps p50 0.77
+#   against the χ(2) median 1.18, conservative but not dishonest)
+# The residual 3σ tail is 3 of 26 scenes whose echoes are invisible to
+# BOTH lobe statistics (max offset 0.29-0.52, drift < 1.0, secondary
+# fraction inside the clean-scene range — measured against clean/noisy
+# controls): no detector fires, so no model can inflate for them.
+STATION_BIAS_FIX_INFLATION = 2.0
 
-def echo_bias_sigma(centroid_offset: np.ndarray) -> np.ndarray:
+
+def echo_bias_sigma(centroid_offset: np.ndarray,
+                    env_confirmed: bool = False) -> np.ndarray:
     """Per-pair σ addend (IQ samples) that makes in-peak echo bias
     visible in the error budget — added in quadrature to the
     phase-slope σ.
 
     Two calibrated terms: a per-pair ramp on the centroid offset, and a
-    scene-level floor once ANY pair's offset crosses the environment
-    threshold. The floor is what closes the tail: an echo environment
-    biases every pair (common reflectors), but on some pairs the lobe
-    statistic stays low while the 1-2-sample bias remains (measured: 15
-    of 120 multipath pairs) — those are only covered by inferring the
+    scene-level floor once the echo ENVIRONMENT is confirmed — by any
+    pair's offset crossing the environment threshold, or by the caller
+    (``env_confirmed``) when the independent drift statistic crossed
+    its own calibrated 1.0 threshold (`lobe_centroid_drift` — more
+    sensitive to in-peak composites, where the echo drags the absolute
+    centroid only ≈ α²·sep/(1+α²) and can stay under this function's
+    threshold while the WIDENING drag keeps growing; round-4
+    calibration base: 3 of 26 multipath scenes carried 1-2-sample
+    biases at max offsets 0.3-0.95, and 2 of the 3 had drift > 1.0).
+    The floor is what closes the tail: an echo environment biases every
+    pair (common reflectors), but on some pairs the lobe statistic
+    stays low while the 1-2-sample bias remains (measured: 15 of 120
+    multipath pairs) — those are only covered by inferring the
     environment from their neighbors."""
     off = np.asarray(centroid_offset, np.float64)
     add = _BIAS_SIGMA_SCALE * np.maximum(off - _BIAS_SIGMA_KNEE, 0.0)
-    if off.size and float(off.max()) > _ECHO_ENV_THRESHOLD:
+    if env_confirmed or (off.size and float(off.max()) > _ECHO_ENV_THRESHOLD):
         add = np.maximum(add, _ECHO_ENV_FLOOR)
     return add
 

@@ -210,3 +210,26 @@ def test_e2e_planted_echo_covered_and_diagnosed(omaha_stations,
             good = np.isfinite(seps)
             assert np.any(good)
             assert np.all(np.abs(seps[good] - 25.0) < 4.0), seps
+
+
+def test_echo_env_floor_fires_on_confirmation():
+    """The scene σ floor fires when the caller confirms the echo
+    environment (drift statistic crossing) even though no OFFSET
+    crosses the env threshold — the round-4 calibration found 2 of 26
+    echo scenes where the drag biased the fix 1-2 samples while the
+    absolute centroid offsets stayed at 0.3-0.95 and only the widening
+    drift crossed 1.0. Clean (below-knee) offsets never inflate without
+    the confirmation."""
+    from tdoa_tpu.dsp.multipath import echo_bias_sigma
+
+    off = np.array([0.25, 0.5, 0.9])  # max below the 1.0 env threshold
+    plain = echo_bias_sigma(off)
+    assert plain[0] == 0.0  # below the knee
+    assert 0.0 < plain[2] < 0.7  # ramp only, no floor
+    confirmed = echo_bias_sigma(off, env_confirmed=True)
+    assert np.all(confirmed >= 0.7)  # floor for every pair
+    # The ramp still dominates above the floor.
+    big = echo_bias_sigma(np.array([0.2, 3.0]), env_confirmed=True)
+    assert big[1] > 0.7
+    # Clean scene, no confirmation: untouched.
+    assert np.all(echo_bias_sigma(np.array([0.1, 0.2])) == 0.0)
