@@ -213,6 +213,7 @@ def main(argv=None) -> int:
                 for k, (c, r) in enumerate(
                     zip(fix.candidates_lla, fix.candidates_rms))
             ],
+            "ghost": None if res.ghost is None else res.ghost.to_json(),
             "velocity_enu_mps": None if res.velocity_enu is None else
             list(res.velocity_enu),
             "velocity_sigma_mps": None if res.velocity_sigma_enu is None

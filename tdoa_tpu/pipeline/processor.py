@@ -118,6 +118,13 @@ class ProcessorConfig:
     # gates the velocity solve itself). 700 m/s covers every aircraft
     # including military jets at dash speed.
     max_emitter_speed_mps: float = 700.0
+    # Decision threshold (nats of posterior odds) for the unified
+    # ghost posterior (solve/ghost.py): the fix moves to the leading
+    # candidate only when its margin over the runner-up clears this,
+    # else the processor abstains (warning + candidate list). Default
+    # from solve.ghost.DECISION_THRESHOLD_NATS, calibrated on the
+    # Monte Carlo ghost population (scripts/ghost_calibration.py).
+    ghost_threshold_nats: float = 2.5
     # Coverage prior (lat°, lon°, radius m): operator knowledge of the
     # surveillance area. On an ambiguous fix, a UNIQUE candidate inside
     # the prior is selected outright (hard knowledge beats the advisory
@@ -200,6 +207,11 @@ class TDOAResult:
     # length in meters = separation / sample_rate * c.
     multipath_echo_separation_samples: Optional[np.ndarray] = None  # [m]
     multipath_echo_ratio: Optional[np.ndarray] = None  # [m]
+    # Unified ghost posterior (solve/ghost.py GhostVerdict) when the
+    # fix was ambiguous: per-candidate log-odds (aligned with
+    # fix.candidates_lla), per-signal components, and whether the
+    # calibrated threshold decided the swap. None when unambiguous.
+    ghost: Optional["GhostVerdict"] = None
 
 
 @dataclasses.dataclass
@@ -411,6 +423,7 @@ def process_blocks(
 # Lobe-shape drift detector: moved to dsp/multipath.py (the detector
 # and the mitigation share calibration); re-exported here for callers.
 from tdoa_tpu.dsp.multipath import lobe_centroid_drift as _lobe_centroid_drift  # noqa: E402
+from tdoa_tpu.solve.ghost import GhostVerdict  # noqa: E402
 
 
 def _horiz_m(a_lat, a_lon, b_lat, b_lon, elev) -> float:
@@ -430,6 +443,60 @@ def _station_mean_power(x: C) -> np.ndarray:
     re = x.re[:, ::step]
     im = x.im[:, ::step]
     return np.asarray(jnp.mean(re * re + im * im, axis=1), np.float64)
+
+
+def _station_signal_power(x: C, chunk: int = 1 << 18) -> np.ndarray:
+    """Per-station SIGNAL power: Welch PSD, median noise floor, and an
+    UNCLIPPED floor-subtracted sum over the emitter's common signal
+    band (identified on the highest-SNR station).
+
+    The 1/r ghost ranking needs the signal AMPLITUDE profile across
+    stations, but mean |x|² measures signal+noise — and at low SNR the
+    noise flattens the profile, which systematically favors the
+    DISTANT ghost (far away, every dᵢ is similar, so a flat amplitude
+    profile looks "consistent" with 1/r from there). Measured on the
+    round-4 ghost calibration base: all five noisy-regime ghosts had
+    the raw-power ranking prefer the 10-60 km ghost by 3.8-11.7 nats.
+
+    Two estimator subtleties, both measured on that base:
+    - The floor must be subtracted UNCLIPPED. A per-bin
+      max(psd−floor, 0) sum keeps the positive noise fluctuations and
+      floors a weak station's estimate at ~5-10% of its noise power —
+      seed 42640's 1.15 km-vs-12 km profile (true contrast 116×) read
+      only 10× through that residue and still preferred the ghost by
+      11 nats. Unclipped subtraction is unbiased; its noise is ~N/√(S·B)
+      per station — an order below the profile contrasts that matter.
+    - The sum runs over the COMMON signal band only (bins where the
+      best station clears the floor by 5 estimator σ, i.e. the same
+      emitter's occupancy at every station), so a weak station's
+      out-of-band noise never enters its estimate at all.
+
+    Estimates are floored at their own 1σ measurement noise (an
+    honest "≤ detection limit" for a station whose signal is genuinely
+    unmeasurable in the capture) and fall back to mean power when no
+    station shows a detectable band (the ranking then degrades to the
+    raw behavior instead of inventing structure)."""
+    n = int(x.re.shape[1])
+    seg = 4096
+    take = min(n, chunk)
+    off = (n - take) // 2
+    nseg = max(1, take // seg)
+    re = np.asarray(x.re[:, off:off + nseg * seg], np.float64)
+    im = np.asarray(x.im[:, off:off + nseg * seg], np.float64)
+    z = (re + 1j * im).reshape(re.shape[0], nseg, seg)
+    psd = np.mean(np.abs(np.fft.fft(z, axis=-1)) ** 2, axis=1) / seg
+    floor = np.median(psd, axis=-1, keepdims=True)  # [n_st, 1]
+    # Detection z-score per bin: Welch averaging over nseg segments
+    # puts the noise-bin std at ~floor/√nseg.
+    zscore = (psd - floor) / np.maximum(floor / np.sqrt(nseg), 1e-30)
+    band = (zscore > 5.0).any(axis=0)  # [seg] union over stations
+    if not band.any():
+        return _station_mean_power(x)
+    nb = int(np.count_nonzero(band))
+    sig = np.sum(psd[:, band] - floor, axis=-1) / seg
+    # 1σ noise of each station's band-sum estimate (detection limit).
+    lim = floor[:, 0] * np.sqrt(nb / nseg) / seg
+    return np.maximum(sig, lim)
 
 
 def _derotate(
@@ -664,16 +731,16 @@ class TDOAProcessor:
         warnings: List[str],
         deramp_note: str = "",
         fdoa_hz: Optional[np.ndarray] = None,
-    ) -> Tuple[FixResult, np.ndarray, List[str]]:
+    ) -> Tuple[FixResult, np.ndarray, List[str], Optional[GhostVerdict]]:
         """Post-solve analysis of the FINAL TDOA set: consistency gate,
-        outlier rejection, ghost-ambiguity detection (coverage prior +
-        FDOA consistency + power ranking), and the out-of-prior
-        warning. Must run after any step that can replace the
-        fix/weights wholesale (the Doppler deramp re-solve).
+        outlier rejection, ghost-ambiguity detection (the unified
+        prior + FDOA + power posterior, solve/ghost.py), and the
+        out-of-prior warning. Must run after any step that can replace
+        the fix/weights wholesale (the Doppler deramp re-solve).
         ``fdoa_hz``: the CAF's per-pair differential Dopplers (emitter
         motion only, drift-corrected), when solve_velocity measured
         them. Returns the possibly-updated
-        (fix, weights, excluded_station_names)."""
+        (fix, weights, excluded_station_names, ghost_verdict)."""
         cfg = self.config
         # Mutually inconsistent TDOAs leave residuals the per-pair
         # quality gate cannot see: a co-channel interferer or strong
@@ -732,7 +799,14 @@ class TDOAProcessor:
         # residual cannot choose (Monte Carlo found a silent 548 m miss
         # whose runner-up candidate sat 8 m from truth). When a distant
         # second solution fits within the measurement noise of the best,
-        # the fix is genuinely ambiguous and must say so.
+        # the fix is genuinely ambiguous and must say so. Three physical
+        # signals can still choose — operator prior, differential-
+        # Doppler consistency, received-power consistency — combined
+        # into ONE posterior-odds score (solve/ghost.py) whose
+        # calibrated nats threshold drives the single swap decision
+        # (round 3 ran them as a cascade of separately-thresholded
+        # rules, each blind to the others' evidence).
+        ghost_verdict = None
         if (fix.candidates_lla is not None
                 and len(fix.candidates_lla) > 1
                 and fix.candidates_rms is not None):
@@ -742,81 +816,62 @@ class TDOAProcessor:
                 2.0 * fix.rms_residual_m, 3.0 * sigma_m, 5.0
             )
             if close_fit and sep > max(100.0, 3.0 * ell_a):
-                # Timing cannot choose between the intersections, but
-                # 1/r path loss can lean: the true location's distances
-                # must match the received amplitude profile (the REF
-                # block calibrates per-station gain differences away —
-                # possible only when the REF transmitter position is
-                # known).
+                from tdoa_tpu.solve.ghost import ghost_posterior
+
+                k_cand = len(fix.candidates_lla)
+                n_active = int(np.count_nonzero(
+                    np.asarray(w, np.float64) > 0))
+                # ---- evidence, all on the CURRENT candidate order ----
+                # Received power: timing cannot choose between the
+                # intersections, but 1/r path loss can lean — the true
+                # location's distances must match the received
+                # amplitude profile (the REF block calibrates
+                # per-station gain differences away, possible only when
+                # the REF transmitter position is known).
                 ref_tx = self.stations.reference_tx
                 fix.candidates_power_score = rank_candidates_by_power(
                     fix.candidates_lla,
                     lla,
-                    _station_mean_power(tgt),
+                    _station_signal_power(tgt),
                     ref_power=(
                         None if ref_tx is None
-                        else _station_mean_power(ref1)
+                        else _station_signal_power(ref1)
                     ),
                     ref_tx_lla=(
                         None if ref_tx is None else ref_tx.lla()
                     ),
                 )
-                # Coverage prior first: operator knowledge of the
-                # surveillance area is authoritative where the advisory
-                # power ranking only leans. A unique in-prior candidate
-                # wins outright.
-                prior_txt = ""
-                prior_decided = False
+                # Coverage prior: operator knowledge of the
+                # surveillance area. Fed to the posterior only when it
+                # can actually discriminate (≥1 candidate inside) — a
+                # prior excluding ALL candidates is evidence of a prior
+                # mismatch, not of either candidate.
+                prior_dist = prior_radius = None
+                n_inside = None
                 if cfg.prior is not None:
                     p_lat, p_lon, p_rad = cfg.prior
-                    d_prior = np.array([
+                    prior_dist = np.array([
                         _horiz_m(c[0], c[1], p_lat, p_lon, fix.elev)
                         for c in fix.candidates_lla
                     ])
-                    inside = np.flatnonzero(d_prior <= p_rad)
-                    if len(inside) == 1:
-                        k_in = int(inside[0])
-                        if k_in != 0:
-                            fix = refit_to_candidate(
-                                fix, k_in, lla, pairs,
-                                weights=w, tdoa_sigma_s=tdoa_std_s,
-                            )
-                            second, rms2, sep = runnerup(fix)
-                        prior_txt = (
-                            f"; coverage prior ({p_rad / 1000.0:.0f} km "
-                            f"around {p_lat:.4f},{p_lon:.4f}) selects "
-                            f"the only in-prior solution"
-                            + (" — fix moved there" if k_in != 0 else "")
-                        )
-                        prior_decided = True
-                    elif len(inside) == 0:
-                        prior_txt = (
-                            "; coverage prior excludes ALL candidates — "
-                            "suspect geometry or a prior mismatch"
-                        )
-                    else:
-                        prior_txt = (
-                            f"; coverage prior keeps {len(inside)} "
-                            f"candidates — inconclusive"
-                        )
-                # FDOA consistency second (physics, weaker only than
-                # operator knowledge): both intersections satisfy the
-                # TDOAs, but the measured pairwise Dopplers fit a
-                # single emitter velocity only where the emitter→
-                # station geometry is the true one. Runs only on
-                # CAF-significant Doppler (the caller's gate) with at
-                # least a determined velocity fit.
-                fdoa_txt = ""
-                fdoa_decided = False
+                    prior_radius = float(p_rad)
+                    n_inside = int(
+                        np.count_nonzero(prior_dist <= prior_radius)
+                    )
+                # FDOA: both intersections satisfy the TDOAs, but the
+                # measured pairwise Dopplers fit a single emitter
+                # velocity only where the emitter→station geometry is
+                # the true one — and a ghost often "fits" only via an
+                # unphysical speed (the distant intersection's
+                # unit-vector differences shrink, inflating |v|). Runs
+                # only on CAF-significant Doppler (the caller's gate);
+                # the speed barrier works even on an exactly-determined
+                # fit, so only >= n_dim_v active pairs are required.
+                fdoa_res = speeds = None
+                fdoa_dof = 0
                 n_dim_v = 3 if cfg.solve_z else 2
-                # (the caller already gated fdoa_hz on the CAF's own
-                # significance test — > 2 Doppler grid bins; the speed
-                # rung works even on an exactly-determined velocity
-                # fit, so only >= n_dim_v active pairs are required)
                 if (fdoa_hz is not None and cfg.fdoa_disambiguation
-                        and not prior_decided
-                        and np.count_nonzero(
-                            np.asarray(w, np.float64) > 0) >= n_dim_v):
+                        and n_active >= n_dim_v):
                     from tdoa_tpu.solve.fdoa import solve_velocity_enu
 
                     nu_g = np.asarray(fdoa_hz, np.float64)
@@ -831,99 +886,150 @@ class TDOAProcessor:
                         )
                         for c in fix.candidates_lla
                     ]
-                    resids = np.array([s.residual_hz for s in sols])
+                    fdoa_res = np.array([s.residual_hz for s in sols])
                     speeds = np.array([s.speed for s in sols])
-                    k_f = int(np.argmin(resids))
-                    r_f = float(resids[k_f])
-                    r_2 = float(np.delete(resids, k_f).min())
-                    # Residual test: 0.5 Hz floor ≈ CAF sub-bin
-                    # interpolation noise; decisive needs a 3x margin —
-                    # with >0 dof (the residual carries information)
-                    # AND a physical fitted speed at the winner (a
-                    # residual win must never install a candidate the
-                    # speed rung would reject). When the residual
-                    # cannot choose (both intersections "fit"), speed
-                    # plausibility can: exactly one candidate within
-                    # the ceiling wins.
-                    plaus = np.flatnonzero(
-                        speeds <= cfg.max_emitter_speed_mps
+                    fdoa_dof = max(0, n_active - n_dim_v)
+
+                # ---- one posterior from everything ----
+                def posterior(with_power: bool):
+                    return ghost_posterior(
+                        k_cand,
+                        rms_m=np.asarray(fix.candidates_rms, np.float64),
+                        sigma_m=sigma_m,
+                        n_pairs_active=n_active,
+                        power_scores=(
+                            fix.candidates_power_score if with_power
+                            else None
+                        ),
+                        n_stations=len(names),
+                        fdoa_resid_hz=fdoa_res,
+                        fdoa_dof=fdoa_dof,
+                        speeds_mps=speeds,
+                        max_speed_mps=cfg.max_emitter_speed_mps,
+                        prior_dist_m=(
+                            prior_dist if n_inside else None
+                        ),
+                        prior_radius_m=prior_radius,
+                        threshold_nats=cfg.ghost_threshold_nats,
                     )
-                    n_active = int(np.count_nonzero(
-                        np.asarray(w, np.float64) > 0))
-                    if (n_active > n_dim_v
-                            and r_2 >= 3.0 * (r_f + 0.5)
-                            and speeds[k_f] <= cfg.max_emitter_speed_mps):
-                        how = (f"FDOA fit residual {r_f:.2f} Hz vs "
-                               f"{r_2:.2f} Hz")
-                    elif len(plaus) == 1:
-                        k_f = int(plaus[0])
-                        how = (
-                            f"only its fitted velocity is physical "
-                            f"({speeds[k_f]:.0f} m/s; the other "
-                            f"candidate needs "
-                            f"{np.delete(speeds, k_f).min():.0f} m/s "
-                            f"to explain the measured Doppler)"
+
+                verdict = posterior(with_power=True)
+                # Power evidence may MOVE the fix only with the opt-in
+                # flag (power_disambiguation — it rests on free-space
+                # propagation assumptions the other signals don't
+                # need): without it, a decision must stand on the
+                # prior/FDOA/timing evidence alone, though power stays
+                # in the REPORTED posterior either way.
+                actionable = (
+                    verdict if cfg.power_disambiguation
+                    else posterior(with_power=False)
+                )
+                swap_to = (
+                    actionable.best
+                    if (actionable.decided
+                        and actionable.best == verdict.best)
+                    else 0
+                )
+                power_moved = bool(
+                    swap_to != 0 and cfg.power_disambiguation
+                    and "power" in verdict.components
+                )
+                if swap_to != 0:
+                    perm = np.asarray(
+                        [swap_to] + [i for i in range(k_cand)
+                                     if i != swap_to]
+                    )
+                    fix = refit_to_candidate(
+                        fix, swap_to, lla, pairs,
+                        weights=w, tdoa_sigma_s=tdoa_std_s,
+                    )
+                    # Keep every evidence array aligned with the
+                    # reported candidate order (refit_to_candidate
+                    # already reorders the fix's own arrays).
+                    verdict = dataclasses.replace(
+                        verdict,
+                        log_odds=verdict.log_odds[perm],
+                        best=0,
+                        components={k2: v[perm] for k2, v
+                                    in verdict.components.items()},
+                    )
+                    if prior_dist is not None:
+                        prior_dist = prior_dist[perm]
+                    if fdoa_res is not None:
+                        fdoa_res = fdoa_res[perm]
+                        speeds = speeds[perm]
+                    second, rms2, sep = runnerup(fix)
+                ghost_verdict = verdict
+
+                # ---- per-signal notes (evidence the posterior saw,
+                # in the reported candidate order) ----
+                prior_txt = ""
+                if prior_dist is not None:
+                    if n_inside == 1:
+                        prior_txt = (
+                            f"; coverage prior "
+                            f"({prior_radius / 1000.0:.0f} km around "
+                            f"{cfg.prior[0]:.4f},{cfg.prior[1]:.4f}) "
+                            f"selects the only in-prior solution"
+                        )
+                    elif n_inside == 0:
+                        prior_txt = (
+                            "; coverage prior excludes ALL candidates "
+                            "— suspect geometry or a prior mismatch"
                         )
                     else:
-                        how = ""
-                    if how:
-                        if k_f != 0:
-                            fix = refit_to_candidate(
-                                fix, k_f, lla, pairs,
-                                weights=w, tdoa_sigma_s=tdoa_std_s,
-                            )
-                            second, rms2, sep = runnerup(fix)
-                        fdoa_decided = True
-                        pref_f = ("the primary" if k_f == 0
-                                  else f"candidate #{k_f + 1}")
+                        prior_txt = (
+                            f"; coverage prior keeps {n_inside} "
+                            f"candidates — inconclusive"
+                        )
+                fdoa_txt = ""
+                if fdoa_res is not None:
+                    ll_f = verdict.components.get("fdoa")
+                    k_f = int(np.argmax(ll_f))
+                    m_f = float(ll_f[k_f] - np.delete(ll_f, k_f).max())
+                    pref_f = ("the primary" if k_f == 0
+                              else f"candidate #{k_f + 1}")
+                    if m_f >= cfg.ghost_threshold_nats:
                         fdoa_txt = (
                             f"; differential-Doppler consistency "
-                            f"selects {pref_f} solution ({how})"
-                            + (" — fix moved there" if k_f != 0 else "")
+                            f"selects {pref_f} solution (fit residuals "
+                            f"{'/'.join(f'{r:.2f}' for r in fdoa_res)}"
+                            f" Hz, fitted speeds "
+                            f"{'/'.join(f'{s:.0f}' for s in speeds)}"
+                            f" m/s)"
                         )
                     else:
                         fdoa_txt = (
                             f"; differential-Doppler consistency is "
-                            f"inconclusive ({r_f:.2f} vs {r_2:.2f} Hz, "
-                            f"speeds {'/'.join(f'{s:.0f}' for s in speeds)}"
+                            f"inconclusive (residuals "
+                            f"{'/'.join(f'{r:.2f}' for r in fdoa_res)}"
+                            f" Hz, speeds "
+                            f"{'/'.join(f'{s:.0f}' for s in speeds)}"
                             f" m/s)"
                         )
-                # Power ranking (recomputed from the possibly-reordered
-                # candidate arrays — refit_to_candidate keeps the score
-                # array aligned).
-                scores = np.asarray(fix.candidates_power_score, np.float64)
-                best = int(np.argmin(scores))
-                margin = float(
-                    np.delete(scores, best).min() - scores[best]
+                scores = np.asarray(
+                    fix.candidates_power_score, np.float64
                 )
-                decisive = margin >= 0.1
-                if (cfg.power_disambiguation and decisive and best != 0
-                        and not prior_decided and not fdoa_decided):
-                    fix = refit_to_candidate(
-                        fix, best, lla, pairs,
-                        weights=w, tdoa_sigma_s=tdoa_std_s,
-                    )
-                    best = 0  # the preferred candidate now leads
-                    second, rms2, sep = runnerup(fix)
-                    swapped = True
-                else:
-                    swapped = False
+                best_p = int(np.argmin(scores))
+                margin_p = float(
+                    np.delete(scores, best_p).min() - scores[best_p]
+                )
                 cal_txt = (
                     "REF-gain-calibrated" if ref_tx is not None
                     else "UNcalibrated per-station gains"
                 )
-                if decisive:
+                if margin_p >= 0.1:
                     pref = (
-                        "primary" if best == 0
-                        else f"candidate #{best + 1}"
+                        "primary" if best_p == 0
+                        else f"candidate #{best_p + 1}"
                     )
                     power_txt = (
                         f"; received-power ranking (1/r path loss, "
                         f"{cal_txt}, advisory) prefers the {pref} "
                         f"solution (consistency {scores.min():.2f} vs "
-                        f"next {scores.min() + margin:.2f} log-σ)"
+                        f"next {scores.min() + margin_p:.2f} log-σ)"
                     )
-                    if swapped:
+                    if power_moved and best_p == 0:
                         power_txt += (
                             " — fix moved to the power-preferred "
                             "solution (power_disambiguation on)"
@@ -931,15 +1037,40 @@ class TDOAProcessor:
                 else:
                     power_txt = (
                         f"; received-power ranking ({cal_txt}) is "
-                        f"inconclusive (best margin {margin:.2f} log-σ)"
+                        f"inconclusive (best margin {margin_p:.2f} "
+                        f"log-σ)"
                     )
+                # ---- the unified verdict ----
+                runner = (
+                    int(np.argsort(verdict.log_odds)[-2])
+                    if k_cand > 1 else 0
+                )
+                contribs = ", ".join(
+                    f"{k2} {float(v[verdict.best] - v[runner]):+.1f}"
+                    for k2, v in verdict.components.items()
+                )
+                post_txt = (
+                    f"; unified posterior: "
+                    + ("the primary" if verdict.best == 0
+                       else f"candidate #{verdict.best + 1}")
+                    + f" leads by {verdict.margin_nats:.1f} nats "
+                    f"({contribs}) vs the "
+                    f"{cfg.ghost_threshold_nats:.1f}-nat decision "
+                    f"threshold"
+                    + (" — fix moved to the posterior-preferred "
+                       "solution" if swap_to != 0
+                       else (" — decided, already the primary"
+                             if actionable.decided
+                             and verdict.best == actionable.best == 0
+                             else " — abstaining, fix unmoved"))
+                )
                 warnings.append(
                     f"ambiguous fix (TDOA ghost): a second solution "
                     f"{sep:.0f} m away at {second[0]:.6f},{second[1]:.6f} "
                     f"fits equally well (rms {rms2:.1f} m vs "
                     f"{fix.rms_residual_m:.1f} m) — a fourth station or "
                     f"a coverage prior disambiguates"
-                    f"{prior_txt}{fdoa_txt}{power_txt}"
+                    f"{prior_txt}{fdoa_txt}{power_txt}{post_txt}"
                 )
 
         if cfg.prior is not None:
@@ -951,7 +1082,7 @@ class TDOAProcessor:
                     f"coverage prior ({p_rad / 1000.0:.0f} km around "
                     f"{p_lat:.4f},{p_lon:.4f})"
                 )
-        return fix, w, excluded
+        return fix, w, excluded, ghost_verdict
 
     def process_captures(
         self, captures: Dict[str, Tuple], *,
@@ -1350,6 +1481,11 @@ class TDOAProcessor:
             lobe_drift = _lobe_centroid_drift(win64)
         else:
             lobe_drift = np.zeros(len(pairs))
+        # Windows the echo-bias σ accounting reads: the REPORTED
+        # measurement's. A deramp adoption below swaps in the deramped
+        # windows (motion smear removed there — any residual centroid
+        # drag on them is echo, not motion).
+        echo_win = win64
 
         q = np.asarray(quality[1], np.float64)
         # Quadratic quality weighting with a hard gate: a pair whose
@@ -1501,6 +1637,7 @@ class TDOAProcessor:
                         q = q2
                         w = w2
                         tdoa_std_s = std2
+                        echo_win = np.asarray(r2.corr, np.float64)
                         deramp_note = " even after Doppler deramp"
                         warnings.append(
                             "significant differential Doppler (up to "
@@ -1520,8 +1657,7 @@ class TDOAProcessor:
         multipath_sigma = None
         echo_sep = None
         echo_ratio = None
-        if (cfg.mode == "iq" and cfg.multipath_mitigation
-                and not motion_detected and not secondary_fired):
+        if cfg.mode == "iq" and cfg.multipath_mitigation:
             # Honest echo-bias accounting, CONTINUOUS (not gated on the
             # warning threshold): the centroid-offset statistic maps
             # each pair's lobe contamination to a calibrated σ addend,
@@ -1530,13 +1666,43 @@ class TDOAProcessor:
             # calibration table and the measured evidence that delay
             # RE-ESTIMATION is worse than the plain GCC-HT read live
             # there). Clean scenes stay untouched (offset < knee).
+            # Runs UNCONDITIONALLY on ``echo_win`` — the reported
+            # measurement's windows — because the statistic is
+            # self-gating (clean lobes sit under the knee) while the
+            # old motion/secondary stand-down gates silenced it on
+            # exactly the scenes that needed it (round-4 calibration:
+            # 2 of 3 uncovered multipath tail trials were strong
+            # echoes whose 60%+ secondary peaks fired secondary_fired,
+            # which then suppressed the σ accounting on the reported
+            # single-emitter fix). An adopted deramp reads the
+            # DERAMPED windows, where a true mover's lobes are clean
+            # (offset ~0 ⇒ no inflation) and only genuine echo drag
+            # survives; a non-adopted deramp reports the plain set, so
+            # its plain-window drag — echo or residual motion smear —
+            # belongs in the reported error budget either way. A
+            # co-channel source OUTSIDE the lobe (distinct peak beyond
+            # ±60 lags) leaves the centroid alone; one inside it drags
+            # the reported fix exactly like an echo and is covered the
+            # same way.
             from tdoa_tpu.dsp.multipath import (
                 echo_bias_sigma,
                 lobe_centroid_offset,
                 mitigate_flagged_pairs,
             )
 
-            mp_sigma = echo_bias_sigma(lobe_centroid_offset(win64))
+            # Environment confirmation for the σ floor: the drift
+            # statistic on the SAME windows the offset reads (equal to
+            # lobe_drift unless a deramp adoption swapped the windows).
+            drift_echo = (
+                lobe_drift if echo_win is win64
+                else _lobe_centroid_drift(echo_win)
+            )
+            mp_sigma = echo_bias_sigma(
+                lobe_centroid_offset(echo_win),
+                env_confirmed=bool(
+                    drift_echo.size and float(drift_echo.max()) > 1.0
+                ),
+            )
             if np.any(mp_sigma > 0):
                 multipath_sigma = mp_sigma
                 # Pre-inflation noise σ: the independent part of the
@@ -1614,7 +1780,7 @@ class TDOAProcessor:
         # consistency gate, outlier rejection, ghost/prior/power
         # analysis, and the out-of-prior warning on what will actually
         # be reported.
-        fix, w, excluded_stations = self._analyze_fix(
+        fix, w, excluded_stations, ghost_verdict = self._analyze_fix(
             fix, w, tdoa_s, tdoa_std_s, names, pairs, lla, tgt, ref1,
             warnings, deramp_note=deramp_note,
             # Only Doppler the CAF deemed significant (> 2 grid bins —
@@ -1636,14 +1802,18 @@ class TDOAProcessor:
             # final weights) with the sandwich model; every internal
             # re-solve keeps the cheap independent model — only the
             # reported ellipse changes.
-            from tdoa_tpu.dsp.multipath import station_bias_apportion
+            from tdoa_tpu.dsp.multipath import (
+                STATION_BIAS_FIX_INFLATION,
+                station_bias_apportion,
+            )
             from tdoa_tpu.solve.multilateration import (
                 error_ellipse,
                 fix_covariance_enu_correlated,
             )
 
             tau_m = (
-                station_bias_apportion(pairs, len(names), multipath_sigma)
+                STATION_BIAS_FIX_INFLATION
+                * station_bias_apportion(pairs, len(names), multipath_sigma)
                 / cfg.sample_rate * SPEED_OF_LIGHT
             )
             cov_mp = fix_covariance_enu_correlated(
@@ -1967,6 +2137,7 @@ class TDOAProcessor:
             multipath_sigma_samples=multipath_sigma,
             multipath_echo_separation_samples=echo_sep,
             multipath_echo_ratio=echo_ratio,
+            ghost=ghost_verdict,
         )
 
     def process_files(self, dat_paths: Sequence[str]) -> TDOAResult:

@@ -1,3 +1,7 @@
+from tdoa_tpu.solve.ghost import (
+    GhostVerdict,
+    ghost_posterior,
+)
 from tdoa_tpu.solve.multilateration import (
     solve_tdoa_enu,
     solve_tdoa_enu_multistart,
@@ -9,6 +13,8 @@ from tdoa_tpu.solve.multilateration import (
 )
 
 __all__ = [
+    "GhostVerdict",
+    "ghost_posterior",
     "solve_tdoa_enu",
     "solve_tdoa_enu_multistart",
     "solve_fix",
