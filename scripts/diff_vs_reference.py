@@ -29,20 +29,36 @@ Three scenes:
    positives for the others (negative TDOAs are unrepresentable,
    processor.go:686).
 3. ``clock-offsets`` — same geometry plus realistic ±10 ms collector
-   start offsets; the rebuilt dual-REF clock correction removes them,
-   the reference has no wired clock correction at all
-   (processor.go:853-858 uses raw TGT delays) and filters every
-   measurement out against its baseline bound.
+   start offsets; the rebuilt dual-REF clock correction removes them.
+   The checked-in ELF (NEWER than processor.go — see below) does run
+   a REF-based sync, but it subtracts the WHOLE raw REF delay — clock
+   offset PLUS the REF transmitter's geometric TDOA (a constant
+   0/3/20-sample bias on this network) — where ours removes only the
+   clock term using the known REF position (processor.go:853-858 in
+   the SOURCE uses raw TGT delays with no correction at all).
+4. ``positive-lags`` — constructed (round 4) so every pair's TDOA is
+   positive in the ELF's convention and 14-37 samples small: the one
+   geometry class where its positive-only lag search measures ALL
+   pairs, which it does at correlation 0.999 with delays dead-on the
+   planted truth. This scene carries the per-pair delay parity score
+   (``pair_comparison``): the reference's correlator is genuinely
+   accurate here — and its solver still refuses the fix.
 
 Note: the checked-in ELF is NEWER than the checked-in processor.go —
 it prints range-difference validation ("FILTERING OUT: ... exceeds
-expected maximum", "insufficient valid measurements") that appears
-nowhere in the source. Observed across all three scenes (full-size,
-block_len 2^21): the binary produced no usable fix anywhere — either
-its validation rejected the whole measurement set (including the
-all-zero TDOAs it measured CORRECTLY at the circumcenter), or, when
-garbage delays slipped past the gates, the fix landed ~9 km off. The
-rebuild's fix error is 0.4-1.1 m in every scene, clock offsets
+expected maximum", "Validating range differences against baseline
+distances", a 20400 m pass-1 limit) that appears nowhere in the
+source. Behaviorally probed across five scene classes (see the
+artifact's ``rejection_analysis``): pass-1 accepts everything probed,
+and a SECOND, silent in-solver filter then rejects every reachable
+measurement set — range differences are quantized to 149.9 m (integer
+delays at 2 MS/s × c), zero is rejected as a failed-correlation
+sentinel, and every probed nonzero |rd| from 149.9 m to 5.5 km is
+rejected too, so the acceptance interval is empty and no physically
+realizable scene produces a fix from this binary. Parity is therefore
+scored on the per-pair DELAYS the ELF itself trusts (correlation ≥
+0.5), where ours agree within integer quantization (±0.5 sample). The
+rebuild's fix error is 0.4-1.4 m in every scene, clock offsets
 included.
 
 Usage: python scripts/diff_vs_reference.py [--block-len N] [--out PATH]
@@ -145,6 +161,17 @@ def run_reference(binary: str, csv: str, dats) -> dict:
     res["ref_pairs"] = [
         {"a": a, "b": b, "delay_samples": int(d)} for a, b, d in ref
     ]
+    # The ELF's own downstream trace: REF-sync'd time differences, the
+    # pass-1 range-difference validation verdicts, and the in-solver
+    # outcome — the evidence base for the rejection analysis.
+    res["validation_trace"] = [
+        l.strip() for l in out.splitlines()
+        if any(k in l for k in (
+            "Time differences", "Range differences", "Validating",
+            "VALID", "FILTERING", "Using ", "remain", "insufficient",
+            "unreliable", "triangle",
+        ))
+    ][-12:]
     m_lat = re.search(r"Latitude:\s+([-\d.]+)", out)
     m_lon = re.search(r"Longitude:\s+([-\d.]+)", out)
     if m_lat and m_lon:
@@ -191,6 +218,17 @@ def main() -> None:
             tgt_tx_lla=KEVO_LLA,
             clock_offsets_s=np.array([4.1e-3, -7.3e-3, 9.9e-3]),
         ),
+        # Constructed so every pair's TDOA is POSITIVE in the
+        # reference's alphabetical (a, b) = τ_b − τ_a convention
+        # (τ_kf0mtl < τ_kx0u < τ_n3pay, spreads 14-37 samples): the one
+        # geometry class where the ELF's positive-only lag search can
+        # measure ALL pairs — and does, at correlation 0.999 (see
+        # pair_comparison). Its solver still rejects the perfect set
+        # (rejection_analysis below).
+        "positive-lags": dict(
+            tgt_tx_lla=np.array([41.31260751, -95.90109979, 356.0]),
+            clock_offsets_s=None,
+        ),
     }
 
     report = {
@@ -205,6 +243,55 @@ def main() -> None:
             "difference validation the source lacks, and rejected the "
             "fix in every scene (see failure_tail per scene)."
         ),
+        # Round-4 rejection analysis: WHY the checked-in ELF produces
+        # no fix on any scene, established behaviorally (the binary is
+        # newer than the checked-in processor.go — the predicate below
+        # appears nowhere in the source, so the source cannot answer).
+        "rejection_analysis": {
+            "observed_pipeline": [
+                "raw REF + TGT pair correlations (positive-only lag "
+                "window; negative-truth pairs read garbage at "
+                "correlation ~0.002)",
+                "REF-based collector sync: subtracts the WHOLE raw "
+                "REF delay per pair — clock offset PLUS the REF "
+                "transmitter's geometric TDOA (constant 0/3/20 "
+                "samples here), a bias our dual-REF correction "
+                "removes with the known REF position",
+                "pass-1 validation: |range difference| <= 20400 m "
+                "('Maximum expected delay: 56.7 us for 17 km "
+                "baseline' x1.2) -- every probed scene PASSED 3 of 3",
+                "in-solver validation (silent, no per-measurement "
+                "output): rejected EVERY probed measurement set with "
+                "'no valid range difference measurements remain'",
+            ],
+            "probes": {
+                "equidistant": "rds (0, 0, 0) m -> rejected (zero "
+                               "treated as failed-correlation "
+                               "sentinel)",
+                "near-circumcenter": "rds (149.9, -149.9, -2848) m, "
+                                     "all three TGT correlations "
+                                     "0.999 -> rejected",
+                "positive-lags": "rds (3447.6, 5096.5, -899.4) m, all "
+                                 "three TGT correlations 0.999, "
+                                 "delays dead-on truth -> rejected",
+                "KEVO": "rds (5396, 5546, 750) m -> rejected",
+            },
+            "conclusion": (
+                "the in-solver acceptance interval is empty on the "
+                "reachable measurement lattice: raw delays are "
+                "integer samples at 2 MS/s, so range differences are "
+                "quantized to 149.9 m multiples; 0 is rejected as a "
+                "sentinel and every probed |rd| >= 149.9 m is "
+                "rejected, so NO physically-realizable scene can "
+                "produce a fix from this binary. Consistent with (but "
+                "not proof of) a units bug comparing meters against "
+                "the 56.7 us max-delay figure. 'Reference parity' on "
+                "fixes is therefore unmeasurable against the ELF; "
+                "parity is scored on its per-pair DELAYS instead "
+                "(pair_comparison per scene), where its correlator is "
+                "demonstrably accurate on positive-lag pairs."
+            ),
+        },
         "scenes": {},
     }
 
@@ -261,10 +348,70 @@ def main() -> None:
                 )
                 if ref_delays else None
             )
+            # Per-pair RAW-delay parity table: both correlators' raw
+            # TGT delays in the same (a, b) = τ_b − τ_a convention
+            # (verified on the KEVO and positive-lags scenes: the
+            # ELF's one/three high-confidence pairs match the signed
+            # truth under it). Raw (not clock-corrected) because the
+            # two processors' clock corrections differ — the ELF's
+            # newer REF sync subtracts the WHOLE REF delay including
+            # the REF transmitter's geometric TDOA (observed constant
+            # 0/3/20-sample REF delays entering its time differences),
+            # while ours removes only the clock term. Raw delays are
+            # the last stage where the two measure the same quantity.
+            sp_idx = station_pairs(len(STATION_NAMES))
+            meas = np.asarray(truth.measured_tgt_delay, float)
+            raw_truth = {}
+            for (i, j), m_d in zip(np.asarray(sp_idx), meas):
+                a_n, b_n = STATION_NAMES[int(i)], STATION_NAMES[int(j)]
+                raw_truth[(a_n, b_n)] = float(m_d)
+                raw_truth[(b_n, a_n)] = -float(m_d)
+            ours_raw = {}
+            if "pairs" in ours:
+                for (a_n, b_n), d_s in zip(ours["pairs"],
+                                           ours["raw_delay_samples"]):
+                    ours_raw[(a_n, b_n)] = float(d_s)
+                    ours_raw[(b_n, a_n)] = -float(d_s)
+            pair_cmp = []
+            for p in ref["tgt_pairs"]:
+                key = (p["a"], p["b"])
+                t_raw = raw_truth.get(key)
+                o_raw = ours_raw.get(key)
+                trusted = p["correlation"] >= 0.5
+                pair_cmp.append({
+                    "a": p["a"], "b": p["b"],
+                    "ref_delay_samples": p["delay_samples"],
+                    "ref_correlation": p["correlation"],
+                    "ref_trusted": trusted,
+                    "truth_raw_samples": (
+                        round(t_raw, 3) if t_raw is not None else None),
+                    "ours_raw_samples": (
+                        round(o_raw, 3) if o_raw is not None else None),
+                    "ref_err_samples": (
+                        round(abs(p["delay_samples"] - t_raw), 3)
+                        if t_raw is not None else None),
+                    "ours_err_samples": (
+                        round(abs(o_raw - t_raw), 3)
+                        if o_raw is not None and t_raw is not None
+                        else None),
+                    "ours_minus_ref_samples": (
+                        round(o_raw - p["delay_samples"], 3)
+                        if o_raw is not None else None),
+                })
+            trusted_deltas = [
+                abs(c["ours_minus_ref_samples"]) for c in pair_cmp
+                if c["ref_trusted"]
+                and c["ours_minus_ref_samples"] is not None
+            ]
             scene_rep = {
                 "truth_tdoa_samples": (
                     [round(w, 3) for w in want] if want else None),
                 "truth_fix_lla": [round(float(v), 6) for v in tgt_lla],
+                "pair_comparison": pair_cmp,
+                "n_ref_trusted_pairs": len(trusted_deltas),
+                "max_ours_minus_ref_trusted_samples": (
+                    round(max(trusted_deltas), 3)
+                    if trusted_deltas else None),
                 "ours": {
                     "tdoa_samples": (
                         [round(t, 3) for t in ours_tdoa]
@@ -288,6 +435,7 @@ def main() -> None:
                     "fix_error_m": round(
                         fix_error_m(ref.get("fix"), tgt_lla), 1),
                     "failure_tail": ref.get("failure_tail"),
+                    "validation_trace": ref.get("validation_trace"),
                 },
             }
             report["scenes"][name] = scene_rep

@@ -36,7 +36,7 @@ def test_differential_vs_reference_binary(tmp_path):
     rep = json.load(open(out))
     scenes = rep["scenes"]
     assert set(scenes) == {"equidistant", "offset-geometry",
-                           "clock-offsets"}
+                           "clock-offsets", "positive-lags"}
     for name, sc in scenes.items():
         ours = sc["ours"]
         # The rebuild recovers every planted TDOA to sub-sample
@@ -50,11 +50,28 @@ def test_differential_vs_reference_binary(tmp_path):
     ref_off = scenes["offset-geometry"]["reference"]
     assert (ref_off["max_tdoa_error_samples"] is None
             or ref_off["max_tdoa_error_samples"] > 0.5)
-    # ...and in no scene did it produce a USABLE fix: its validation
-    # usually rejects the whole measurement set; when the garbage
-    # delays happen to pass the gates the fix lands kilometers off
-    # (full-size artifact: 9.1 km in the clock-offsets scene).
+    # ...and in no scene did it produce a USABLE fix: its in-solver
+    # validation rejects every reachable measurement set (see
+    # DIFFERENTIAL.json rejection_analysis — the acceptance interval
+    # is empty on the 149.9 m-quantized lattice); when garbage delays
+    # pass the pass-1 gates the fix lands kilometers off.
     for name, sc in scenes.items():
         ref = sc["reference"]
         assert ref["fix"] is None or ref["fix_error_m"] > 1000.0, (
             name, ref)
+    # Per-pair DELAY parity on the scene constructed so the ELF's
+    # positive-only correlator measures every pair at high confidence:
+    # the north-star "±0.5 sample of the reference" scored against the
+    # delays the reference actually trusts (correlation ≥ 0.5).
+    pos = scenes["positive-lags"]
+    assert pos["n_ref_trusted_pairs"] == 3, pos["pair_comparison"]
+    assert pos["max_ours_minus_ref_trusted_samples"] <= 0.5, (
+        pos["pair_comparison"])
+    # Every ELF-trusted pair, in any scene, must agree with ours to
+    # ±0.5 sample — integer quantization (its correlator) plus our
+    # sub-sample estimate.
+    for name, sc in scenes.items():
+        for c in sc["pair_comparison"]:
+            if c["ref_trusted"] and c["ours_minus_ref_samples"] is not None:
+                assert abs(c["ours_minus_ref_samples"]) <= 0.5 + 1e-9, (
+                    name, c)
