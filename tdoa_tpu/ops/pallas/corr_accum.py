@@ -309,11 +309,86 @@ def fused_capacity_ok(n_st: int, n_pairs: int,
     return -(-n_pairs // cap) <= MAX_PAIR_CHUNKS
 
 
+def _finalize_banks(cr, ci, psd, s_r, s_i, pair_arr, seg_g,
+                    remove_dc: bool, prescale: bool):
+    """Accumulator banks → finalized spectra: un-permute once, fold in
+    the DC-removal algebra and (optionally) the deferred unit-RMS
+    prescale. Batched over the leading group axis G — this is the ONE
+    copy of the finalize math, shared by the in-call path below and the
+    k-invocation split layout in ops/corr.py (which stacks K RAW
+    invocations and finalizes them here in one fused XLA region; the
+    per-invocation finalize was measured at ~8 ms of the 12-station
+    split overhead, scripts/split_overhead_probe.py).
+
+    Inputs are PERMUTED [G, ., R, R] accumulators (true frequency index
+    = 256·k2 + k1); ``seg_g`` is the per-group segment count (numpy).
+    Returns (cross C[G, m, F], psd [G, n_st, F], energy [G, n_st]).
+    """
+    G = cr.shape[0]
+
+    # Un-permute once: true index = 256·k2 + k1 ⇒ transpose (k1,k2).
+    def unperm(a):
+        return jnp.swapaxes(a, -1, -2).reshape(*a.shape[:-2], FFT_LEN)
+
+    cr, ci, psd = unperm(cr), unperm(ci), unperm(psd)  # [G, ., F]
+    pair_arr = np.asarray(pair_arr, np.int32)
+    seg_g = np.asarray(seg_g, np.float32)
+    use_g = jnp.asarray(seg_g * SEG_LEN)  # [G]
+    n_seg_g = jnp.asarray(seg_g)  # [G]
+
+    if remove_dc:
+        s_r, s_i = unperm(s_r), unperm(s_i)  # [G, n_st, F]
+        # Group mean from the spectral sum's DC bin: Σ_seg X(0) = Σ xₙ.
+        mean_r = s_r[:, :, 0] / use_g[:, None]  # [G, n_st]
+        mean_i = s_i[:, :, 0] / use_g[:, None]
+        dr, di = (jnp.asarray(a) for a in _dc_window())
+        # A_st = m_st · D  (per-station DC spectrum), [G, n_st, F] planar.
+        a_r = mean_r[..., None] * dr - mean_i[..., None] * di
+        a_i = mean_r[..., None] * di + mean_i[..., None] * dr
+        # Σ(Xⱼ−Aⱼ)(Xᵢ−Aᵢ)* = cross − Aⱼ∘S̄ᵢ − Āᵢ∘Sⱼ + n_seg·Aⱼ∘Āᵢ
+        i_idx, j_idx = pair_arr[:, 0], pair_arr[:, 1]
+        ajr, aji = a_r[:, j_idx], a_i[:, j_idx]
+        air, aii = a_r[:, i_idx], a_i[:, i_idx]
+        sir, sii = s_r[:, i_idx], s_i[:, i_idx]
+        sjr, sji = s_r[:, j_idx], s_i[:, j_idx]
+        ns = n_seg_g[:, None, None]
+        cr = (cr - (ajr * sir + aji * sii) - (air * sjr + aii * sji)
+              + ns * (ajr * air + aji * aii))
+        ci = (ci - (aji * sir - ajr * sii) - (air * sji - aii * sjr)
+              + ns * (aji * air - ajr * aii))
+        # Σ|X−A|² = psd − 2Re(Ā∘S) + n_seg|A|². The cancellation of
+        # large near-equal terms (the DC bin: |X(0)|≈|A(0)|, magnitudes
+        # ~(mean·SEG_LEN)²) can round slightly NEGATIVE in f32; clamp —
+        # a negative power under HT's sqrt turns the whole spectrum NaN.
+        psd = jnp.maximum(
+            psd - 2.0 * (a_r * s_r + a_i * s_i)
+            + ns * (a_r * a_r + a_i * a_i),
+            0.0,
+        )
+    # Demeaned per-station power via Parseval: Σₙ|x−m|² = (1/F)Σₖ psd'.
+    power_dm = jnp.maximum(
+        jnp.sum(psd, axis=-1) / FFT_LEN / use_g[:, None], 1e-30
+    )  # [G, n_st]
+
+    if prescale:
+        # Deferred unit-RMS normalization: per-station scalars
+        # (n_splits == 1 here — see the guard in the caller).
+        sc = 1.0 / jnp.sqrt(power_dm)  # [1, n_st]
+        s_pair = sc[:, pair_arr[:, 0]] * sc[:, pair_arr[:, 1]]
+        cr = cr * s_pair[..., None]
+        ci = ci * s_pair[..., None]
+        psd = psd * (sc * sc)[..., None]
+        energy = use_g[:, None] + 0.0 * power_dm
+    else:
+        energy = power_dm * use_g[:, None]
+    return C(cr, ci), psd, energy
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "pairs", "precision", "interpret", "segs_per_step", "remove_dc",
-        "prescale", "vma", "n_splits", "_force_max_pairs",
+        "prescale", "vma", "n_splits", "_force_max_pairs", "finalize",
     ),
 )
 def accumulate_cross_spectra_pallas(
@@ -327,6 +402,7 @@ def accumulate_cross_spectra_pallas(
     vma: Optional[frozenset] = None,
     n_splits: int = 1,
     _force_max_pairs: Optional[int] = None,  # tests: force pair tiling
+    finalize: bool = True,
 ):
     """Fused accumulation. Returns (cross C[m, FFT_LEN], psd [n_st,
     FFT_LEN], energy [n_st]) in TRUE frequency order, matching
@@ -356,6 +432,14 @@ def accumulate_cross_spectra_pallas(
     pipeline fill/drain and finalize were the round-2 headline
     regression). DC removal/prescale are per-group algebra on the same
     outputs; the full-capture accumulators are the groups' sum.
+
+    ``finalize=False`` returns the RAW permuted accumulators
+    ``(cr, ci, psd[, s_r, s_i])`` (each [., R, R] — or [G, ., R, R]
+    when grouped — in the kernel's digit-permuted frequency layout)
+    instead of finalized spectra, so a caller running K separate slice
+    invocations can stack them and run ``_finalize_banks`` ONCE — one
+    fused XLA region instead of K (measured ~8 ms of the 12-station
+    split overhead). ``prescale`` requires ``finalize``.
     """
     if interpret is None:
         interpret = default_interpret_mode()
@@ -368,6 +452,9 @@ def accumulate_cross_spectra_pallas(
                          "(per-group unit RMS breaks the groups-sum-to-"
                          "full invariant); scale the groups by the full "
                          "capture's RMS in the caller")
+    if not finalize and prescale:
+        raise ValueError("prescale requires finalize (the deferred RMS "
+                         "scale is finalize-time algebra)")
     # Pair tiling: when the pair list exceeds one invocation's VMEM
     # budget, run the kernel over near-equal pair chunks and stitch the
     # cross-spectra back in order. The per-station outputs (psd,
@@ -394,9 +481,17 @@ def accumulate_cross_spectra_pallas(
                 interpret=interpret, segs_per_step=segs_per_step,
                 remove_dc=remove_dc, prescale=prescale, vma=vma,
                 n_splits=n_splits, _force_max_pairs=_force_max_pairs,
+                finalize=finalize,
             ))
             lo = hi
         pair_axis = 0 if n_splits == 1 else 1
+        if not finalize:
+            # Raw mode: (cr, ci, psd[, s_r, s_i]) tuples — stitch the
+            # pair-axis accumulators, keep the first chunk's per-station
+            # outputs (identical across chunks).
+            cr = jnp.concatenate([o[0] for o in outs], axis=pair_axis)
+            ci = jnp.concatenate([o[1] for o in outs], axis=pair_axis)
+            return (cr, ci) + tuple(outs[0][2:])
         cross = C(
             jnp.concatenate([o[0].re for o in outs], axis=pair_axis),
             jnp.concatenate([o[0].im for o in outs], axis=pair_axis),
@@ -512,72 +607,26 @@ def accumulate_cross_spectra_pallas(
     else:
         cr, ci, psd = outs
         s_r = s_i = None
+    if not finalize:
+        # Raw permuted accumulators, for callers that batch the
+        # finalize across several invocations (ops/corr.py's
+        # k-invocation split layout → _finalize_banks).
+        return outs
     if G == 1:
-        # Re-introduce the unit group axis so the finalize algebra below
-        # is rank-uniform (it strips it again at the return).
+        # Re-introduce the unit group axis so the finalize algebra is
+        # rank-uniform (it strips it again at the return).
         cr, ci, psd = cr[None], ci[None], psd[None]
         if remove_dc:
             s_r, s_i = s_r[None], s_i[None]
 
-    # Un-permute once: true index = 256·k2 + k1 ⇒ transpose (k1,k2).
-    def unperm(a):
-        return jnp.swapaxes(a, -1, -2).reshape(*a.shape[:-2], FFT_LEN)
-
-    cr, ci, psd = unperm(cr), unperm(ci), unperm(psd)  # [G, ., F]
-    pair_arr = np.asarray(pairs, np.int32)
-    # Per-group segment counts / sample counts (in segments: groups are
-    # contiguous, first g_r groups one step larger; segs_per_step == 1
-    # whenever G > 1).
+    # Per-group segment counts (groups are contiguous, first g_r groups
+    # one step larger; segs_per_step == 1 whenever G > 1).
     seg_g = np.full(G, g_q * segs_per_step, np.float32)
     seg_g[:g_r] += segs_per_step
-    use_g = jnp.asarray(seg_g * SEG_LEN)  # [G]
-    n_seg_g = jnp.asarray(seg_g)  # [G]
-
-    if remove_dc:
-        s_r, s_i = unperm(s_r), unperm(s_i)  # [G, n_st, F]
-        # Group mean from the spectral sum's DC bin: Σ_seg X(0) = Σ xₙ.
-        mean_r = s_r[:, :, 0] / use_g[:, None]  # [G, n_st]
-        mean_i = s_i[:, :, 0] / use_g[:, None]
-        dr, di = (jnp.asarray(a) for a in _dc_window())
-        # A_st = m_st · D  (per-station DC spectrum), [G, n_st, F] planar.
-        a_r = mean_r[..., None] * dr - mean_i[..., None] * di
-        a_i = mean_r[..., None] * di + mean_i[..., None] * dr
-        # Σ(Xⱼ−Aⱼ)(Xᵢ−Aᵢ)* = cross − Aⱼ∘S̄ᵢ − Āᵢ∘Sⱼ + n_seg·Aⱼ∘Āᵢ
-        i_idx, j_idx = pair_arr[:, 0], pair_arr[:, 1]
-        ajr, aji = a_r[:, j_idx], a_i[:, j_idx]
-        air, aii = a_r[:, i_idx], a_i[:, i_idx]
-        sir, sii = s_r[:, i_idx], s_i[:, i_idx]
-        sjr, sji = s_r[:, j_idx], s_i[:, j_idx]
-        ns = n_seg_g[:, None, None]
-        cr = (cr - (ajr * sir + aji * sii) - (air * sjr + aii * sji)
-              + ns * (ajr * air + aji * aii))
-        ci = (ci - (aji * sir - ajr * sii) - (air * sji - aii * sjr)
-              + ns * (aji * air - ajr * aii))
-        # Σ|X−A|² = psd − 2Re(Ā∘S) + n_seg|A|². The cancellation of
-        # large near-equal terms (the DC bin: |X(0)|≈|A(0)|, magnitudes
-        # ~(mean·SEG_LEN)²) can round slightly NEGATIVE in f32; clamp —
-        # a negative power under HT's sqrt turns the whole spectrum NaN.
-        psd = jnp.maximum(
-            psd - 2.0 * (a_r * s_r + a_i * s_i)
-            + ns * (a_r * a_r + a_i * a_i),
-            0.0,
-        )
-    # Demeaned per-station power via Parseval: Σₙ|x−m|² = (1/F)Σₖ psd'.
-    power_dm = jnp.maximum(
-        jnp.sum(psd, axis=-1) / FFT_LEN / use_g[:, None], 1e-30
-    )  # [G, n_st]
-
-    if prescale:
-        # Deferred unit-RMS normalization: per-station scalars
-        # (n_splits == 1 here — see the guard above).
-        sc = 1.0 / jnp.sqrt(power_dm)  # [1, n_st]
-        s_pair = sc[:, pair_arr[:, 0]] * sc[:, pair_arr[:, 1]]
-        cr = cr * s_pair[..., None]
-        ci = ci * s_pair[..., None]
-        psd = psd * (sc * sc)[..., None]
-        energy = use_g[:, None] + 0.0 * power_dm
-    else:
-        energy = power_dm * use_g[:, None]
+    cross, psd, energy = _finalize_banks(
+        cr, ci, psd, s_r, s_i, np.asarray(pairs, np.int32), seg_g,
+        remove_dc, prescale,
+    )
     if n_splits == 1:
-        return C(cr[0], ci[0]), psd[0], energy[0]
-    return C(cr, ci), psd, energy
+        return C(cross.re[0], cross.im[0]), psd[0], energy[0]
+    return cross, psd, energy
