@@ -427,6 +427,10 @@ def _zoom_corr_delay(
     return coarse + (pos - jnp.float32(half_width))
 
 
+# Test hook: force the fused split-σ probe kernel off-TPU (it runs in
+# interpret mode there) so its routing is exercised on CPU.
+_FORCE_PROBE_KERNEL = False
+
 # Consistency factor for the K-group split σ, CALIBRATED AGAINST TRUTH
 # (scripts/ellipse_calibration.py is the compliance test; the
 # fixed-geometry noisy experiment in BENCHLOG measured the numbers).
@@ -455,6 +459,7 @@ def split_k(n_seg_total: int) -> int:
 
 def _combine_splits(
     accs, pair_idx, max_lag, weighting, eps, fft_len, n_seg_total,
+    pairs_static=None,
 ):
     """Full-capture CorrResult from K sub-capture accumulators, with the
     split empirical error bar folded into ``delay_std``.
@@ -503,36 +508,56 @@ def _combine_splits(
     )
     coarse = jnp.round(res.delay)
     q, r = divmod(n_seg_total, K)
-    # All K probes in ONE batched pass: groups stack along the pair
-    # axis ([K·m, F]) with per-group station offsets in the pair list,
-    # so the LOO weighting and the zoom DFT each run as a single op
-    # (K small matmuls → one; measured part of the round-2 headline
-    # regression). n_seg for the LOO debias is per-row ([K·m, 1]
-    # broadcasts inside _weight_factor).
     m, n_st = pair_idx.shape[0], psd.shape[0]
-    loo_cross = C(
-        (cr[None] - cr_g).reshape(K * m, -1),
-        (ci[None] - ci_g).reshape(K * m, -1),
-    )
-    loo_psd = (psd[None] - psd_g).reshape(K * n_st, -1)
-    pair_big = (
-        jnp.tile(pair_idx, (K, 1))
-        + (jnp.arange(K, dtype=pair_idx.dtype)
-           .repeat(m)[:, None] * n_st)
-    )
-    n_seg_loo = jnp.asarray(
-        np.repeat(
-            n_seg_total
-            - (q + (np.arange(K) < r).astype(np.int64)), m
-        ).astype(np.float32)
-    )[:, None]
-    s_k = _weight_factor(
-        loo_cross, loo_psd, pair_big, weighting, eps, n_seg_loo,
-    )
-    ds = _zoom_corr_delay(
-        C(cr_g.reshape(K * m, -1) * s_k, ci_g.reshape(K * m, -1) * s_k),
-        jnp.tile(coarse, K), fft_len, max_lag,
-    ).reshape(K, m)
+    n_seg_loo_np = np.repeat(
+        n_seg_total - (q + (np.arange(K) < r).astype(np.int64)), m
+    ).astype(np.float32)
+
+    from tdoa_tpu.ops.pallas.zoom_probe import zoom_probe_supported
+    from tdoa_tpu.utils.platform import on_tpu
+
+    if (pairs_static is not None
+            and (on_tpu() or _FORCE_PROBE_KERNEL)
+            and zoom_probe_supported(fft_len, max_lag, weighting)):
+        # Fused probe kernel (ops/pallas/zoom_probe.py): LOO weighting
+        # + deramp + zoom DFT in one two-pass Pallas program. The XLA
+        # form below materializes ~a dozen [K·m, F] HBM tensors —
+        # measured ~20 ms of the 12-station device time — against
+        # ~0.5 ms of unavoidable accumulator reads. Requires static
+        # pairs (the LOO selector matmuls are trace-time constants);
+        # the planar path passes None and keeps the XLA form.
+        from tdoa_tpu.ops.pallas.zoom_probe import loo_zoom_delays_pallas
+
+        ds = loo_zoom_delays_pallas(
+            C(cr_g, ci_g), psd_g, pairs_static, coarse,
+            jnp.asarray(n_seg_loo_np), fft_len, eps,
+        )
+    else:
+        # All K probes in ONE batched pass: groups stack along the pair
+        # axis ([K·m, F]) with per-group station offsets in the pair
+        # list, so the LOO weighting and the zoom DFT each run as a
+        # single op (K small matmuls → one; measured part of the
+        # round-2 headline regression). n_seg for the LOO debias is
+        # per-row ([K·m, 1] broadcasts inside _weight_factor).
+        loo_cross = C(
+            (cr[None] - cr_g).reshape(K * m, -1),
+            (ci[None] - ci_g).reshape(K * m, -1),
+        )
+        loo_psd = (psd[None] - psd_g).reshape(K * n_st, -1)
+        pair_big = (
+            jnp.tile(pair_idx, (K, 1))
+            + (jnp.arange(K, dtype=pair_idx.dtype)
+               .repeat(m)[:, None] * n_st)
+        )
+        n_seg_loo = jnp.asarray(n_seg_loo_np)[:, None]
+        s_k = _weight_factor(
+            loo_cross, loo_psd, pair_big, weighting, eps, n_seg_loo,
+        )
+        ds = _zoom_corr_delay(
+            C(cr_g.reshape(K * m, -1) * s_k,
+              ci_g.reshape(K * m, -1) * s_k),
+            jnp.tile(coarse, K), fft_len, max_lag,
+        ).reshape(K, m)
     var = jnp.sum((ds - jnp.mean(ds, axis=0)) ** 2, axis=0) / (K - 1)
     sigma_emp = jnp.float32(_SPLIT_STD_SCALE[K]) * jnp.sqrt(var / K)
     return res._replace(
@@ -842,6 +867,7 @@ def correlate_pairs_fused(
     ]
     return _combine_splits(
         accs, pair_arr, max_lag, weighting, eps, FFT_LEN, n_seg_total,
+        pairs_static=pairs,
     )
 
 
