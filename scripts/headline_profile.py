@@ -179,6 +179,38 @@ def main() -> None:
                             res.peak_value, res.corr)
         return s
 
+    @jax.jit
+    def accum_k4r(b0, b1, b2):
+        """The SHIPPED large-network accumulation: K raw single-bank
+        invocations + ONE batched finalize (_finalize_banks) per block.
+        accum_k4 − accum_k4r = what the raw/batched refactor saves."""
+        from tdoa_tpu.ops.pallas.corr_accum import _finalize_banks
+
+        s = jnp.float32(0)
+        seg_g = np.asarray(
+            [(bounds[k + 1] - bounds[k]) // SEG_LEN for k in range(K)],
+            np.float32,
+        )
+        for blk in (b0, b1, b2):
+            raws = [
+                accumulate_cross_spectra_pallas(
+                    C(blk.re[:, bounds[k]:bounds[k + 1]],
+                      blk.im[:, bounds[k]:bounds[k + 1]]),
+                    pairs, precision="bf16", remove_dc=True,
+                    prescale=False, finalize=False,
+                )
+                for k in range(K)
+            ]
+            stacked = [jnp.stack([r[i] for r in raws])
+                       for i in range(len(raws[0]))]
+            cross_g, psd_g, energy_g = _finalize_banks(
+                stacked[0], stacked[1], stacked[2], stacked[3],
+                stacked[4], np.asarray(pairs, np.int32), seg_g,
+                True, False,
+            )
+            s = s + consume(cross_g.re, cross_g.im, psd_g, energy_g)
+        return s
+
     from tdoa_tpu.pipeline.processor import process_blocks
 
     ref_geo = jnp.zeros(len(pairs), jnp.float32)
@@ -226,7 +258,19 @@ def main() -> None:
     t_grouped = timeit(lambda: accum_grouped(*blocks), sync_scalar)
     t_finish1 = timeit(lambda: finish_k1(*blocks), sync_scalar)
     t_finish4 = timeit(lambda: finish_k4(*blocks), sync_scalar)
+    t_accum4r = timeit(lambda: accum_k4r(*blocks), sync_scalar)
     t_full = timeit(lambda: full_once(), lambda o: float(o[0][0]))
+
+    # A/B the split-σ probe kernel against the XLA probe path WITHIN
+    # this run (cross-run tunnel drift is ±5 ms — bigger than the
+    # effect). Trace-time flag + cache clear; measured LAST so the
+    # clear doesn't invalidate the other variants' executables.
+    import tdoa_tpu.ops.corr as corr_mod
+
+    corr_mod._FORCE_PROBE_XLA = True
+    jax.clear_caches()
+    t_full_xla = timeit(lambda: full_once(), lambda o: float(o[0][0]))
+    corr_mod._FORCE_PROBE_XLA = False
 
     med = lambda d: d["med"]
     q = lambda d: d["queued"]
@@ -242,7 +286,9 @@ def main() -> None:
         "accum_grouped_s": t_grouped,
         "finish_k1_s": t_finish1,
         "finish_k4_s": t_finish4,
+        "accum_k4r_s": t_accum4r,
         "full_s": t_full,
+        "full_xla_probe_s": t_full_xla,
         "queued5_per_call_s": q(t_full),
         "attribution": {
             "tunnel_floor_s": med(t_dispatch),
@@ -272,6 +318,10 @@ def main() -> None:
             "finish_over_k4_s": round(q(t_finish4) - q(t_accum4), 4),
             "split_sigma_over_finish_k4_s": round(
                 q(t_full) - q(t_finish4), 4),
+            "raw_batched_finalize_saves_s": round(
+                q(t_accum4) - q(t_accum4r), 4),
+            "probe_kernel_saves_s": round(
+                q(t_full_xla) - q(t_full), 4),
         },
         "headline_equiv_gsps": {
             "full": round(total_samples / med(t_full) / 1e9, 2),

@@ -430,6 +430,10 @@ def _zoom_corr_delay(
 # Test hook: force the fused split-σ probe kernel off-TPU (it runs in
 # interpret mode there) so its routing is exercised on CPU.
 _FORCE_PROBE_KERNEL = False
+# Measurement hook: force the XLA probe path ON-TPU (A/B the probe
+# kernel within one process — scripts/headline_profile.py). Trace-time:
+# flip + jax.clear_caches() before retracing.
+_FORCE_PROBE_XLA = False
 
 # Consistency factor for the K-group split σ, CALIBRATED AGAINST TRUTH
 # (scripts/ellipse_calibration.py is the compliance test; the
@@ -517,6 +521,7 @@ def _combine_splits(
     from tdoa_tpu.utils.platform import on_tpu
 
     if (pairs_static is not None
+            and not _FORCE_PROBE_XLA
             and (on_tpu() or _FORCE_PROBE_KERNEL)
             and zoom_probe_supported(fft_len, max_lag, weighting)):
         # Fused probe kernel (ops/pallas/zoom_probe.py): LOO weighting
@@ -824,38 +829,24 @@ def correlate_pairs_fused(
         cross_k = [C(cross_g.re[k], cross_g.im[k]) for k in range(K)]
         psd_k = [psd_g[k] for k in range(K)]
     else:
-        # K single-bank invocations return RAW permuted accumulators;
-        # the un-permute + DC algebra runs ONCE, batched over the K
-        # banks (_finalize_banks). The per-invocation finalize was ~8 ms
-        # of the 12-station split overhead (scripts/split_overhead_probe
-        # .py: 20.1 ms k4-vs-k1 with per-invocation finalize, 11.7 with
-        # it stripped) — same math, one fused XLA region.
-        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN as _SL
-        from tdoa_tpu.ops.pallas.corr_accum import _finalize_banks
-
-        raws = [
+        # K single-bank invocations, each finalized in place. A
+        # raw-accumulator variant that batched the K finalizes into one
+        # [K, m, F] _finalize_banks call was built and measured SLOWER
+        # (within-run A/B, scripts/headline_profile.py
+        # raw_batched_finalize_saves_s = −6.3 ms at 12 stations: the
+        # stack copies and the 4×-larger finalize live set cost more
+        # than the fusion it buys), so the per-slice form stays.
+        slices = [
             accumulate_cross_spectra_pallas(
                 C(x.re[:, bounds[k]:bounds[k + 1]],
                   x.im[:, bounds[k]:bounds[k + 1]]), pairs,
                 precision=precision, remove_dc=remove_dc, prescale=False,
-                finalize=False,
             )
             for k in range(K)
         ]
-        stacked = [jnp.stack([r[i] for r in raws]) for i in range(len(raws[0]))]
-        seg_g = np.asarray(
-            [(bounds[k + 1] - bounds[k]) // _SL for k in range(K)],
-            np.float32,
-        )
-        cross_g, psd_g, energy_g = _finalize_banks(
-            stacked[0], stacked[1], stacked[2],
-            stacked[3] if remove_dc else None,
-            stacked[4] if remove_dc else None,
-            np.asarray(pairs, np.int32), seg_g, remove_dc, False,
-        )
-        energy_tot = jnp.sum(energy_g, axis=0)
-        cross_k = [C(cross_g.re[k], cross_g.im[k]) for k in range(K)]
-        psd_k = [psd_g[k] for k in range(K)]
+        energy_tot = sum(a[2] for a in slices)
+        cross_k = [a[0] for a in slices]
+        psd_k = [a[1] for a in slices]
     sc = 1.0 / jnp.sqrt(jnp.maximum(energy_tot / float(end), 1e-30))
     s_pair = (sc[pair_arr[:, 0]] * sc[pair_arr[:, 1]])[:, None]
     sc2 = (sc * sc)[:, None]

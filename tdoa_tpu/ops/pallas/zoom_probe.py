@@ -23,8 +23,8 @@ This kernel computes the whole stage in one pass structure:
           zoom window as two [rows, T] @ [T, 33] matmuls per tile.
 
 Everything intermediate lives in VMEM; HBM traffic is the group
-accumulators twice plus the [F, 33] zoom basis — ~0.5 GB/s-class
-instead of ~10 tensor round-trips.
+accumulators twice (selectors and the zoom basis are generated
+in-kernel from iota) instead of ~10 tensor round-trips.
 
 One deliberate, measurement-invariant difference from the XLA path
 (`_weight_factor`): the per-row normalization ``snr_w / max_f(snr_w)``

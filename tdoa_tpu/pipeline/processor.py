@@ -316,6 +316,14 @@ def process_blocks(
         # indistinguishable from f32 on delays, ~2x end-to-end (BENCHLOG).
         from tdoa_tpu.ops.corr import correlate_pairs_fused
 
+        # remove_dc stays IN-KERNEL: a pre-demean pass (matching the
+        # XLA path below) was built and measured a within-noise
+        # regression at 12 stations (queued full 105.0 → 106.0 ms) —
+        # the isolated probe's 8.4 ms "per-invocation DC finalize
+        # share" did not survive the end-to-end A/B (XLA fuses the DC
+        # algebra into the finalize at near-zero marginal cost), and
+        # the in-kernel form reads the signal once without a second
+        # bf16 rounding.
         outs = [
             correlate_pairs_fused(
                 blk, pairs_static, max_lag=max_lag,

@@ -441,3 +441,42 @@ def test_fused_split_per_slice_fallback_matches_grouped(monkeypatch):
     np.testing.assert_allclose(np.asarray(per_slice.corr),
                                np.asarray(grouped.corr),
                                rtol=0, atol=1e-4)
+
+
+def test_raw_mode_matches_in_call_finalize():
+    """finalize=False + an external _finalize_banks call must equal the
+    in-call finalized output exactly (the A/B measurement harness in
+    scripts/headline_profile.py builds on this equivalence)."""
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        _finalize_banks,
+        accumulate_cross_spectra_pallas,
+    )
+
+    n = SEG_LEN * 2
+    base = fm_source(jax.random.PRNGKey(3), n, 2e6)
+    moved = fractional_delay(base, jnp.float32(7.5))
+    x = jnp.stack([base, moved])
+    xp = C(jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32))
+    pairs = ((0, 1),)
+    cross, psd, energy = accumulate_cross_spectra_pallas(
+        xp, pairs, remove_dc=True, prescale=False
+    )
+    raw = accumulate_cross_spectra_pallas(
+        xp, pairs, remove_dc=True, prescale=False, finalize=False
+    )
+    cross2, psd2, energy2 = _finalize_banks(
+        raw[0][None], raw[1][None], raw[2][None], raw[3][None],
+        raw[4][None], np.asarray(pairs, np.int32),
+        np.asarray([n // SEG_LEN], np.float32), True, False,
+    )
+    # Same math, different XLA fusion boundaries: equality holds to
+    # f32 rounding (measured max rel diff ~2e-6), not bit-exactly.
+    np.testing.assert_allclose(np.asarray(cross.re),
+                               np.asarray(cross2.re[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cross.im),
+                               np.asarray(cross2.im[0]), rtol=1e-5,
+                               atol=1e-3 * float(np.abs(cross.re).max()))
+    np.testing.assert_allclose(np.asarray(psd), np.asarray(psd2[0]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(energy),
+                               np.asarray(energy2[0]), rtol=1e-5)
