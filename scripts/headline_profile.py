@@ -181,9 +181,12 @@ def main() -> None:
 
     @jax.jit
     def accum_k4r(b0, b1, b2):
-        """The SHIPPED large-network accumulation: K raw single-bank
+        """The raw+batched-finalize CANDIDATE layout: K raw single-bank
         invocations + ONE batched finalize (_finalize_banks) per block.
-        accum_k4 − accum_k4r = what the raw/batched refactor saves."""
+        Measured 6.3 ms SLOWER than the per-slice finalize that ships
+        (accum_k4r − accum_k4 = the regression; BENCHLOG round 4) —
+        kept as the A/B variant that guards against re-introducing
+        it."""
         from tdoa_tpu.ops.pallas.corr_accum import _finalize_banks
 
         s = jnp.float32(0)

@@ -313,12 +313,14 @@ def _finalize_banks(cr, ci, psd, s_r, s_i, pair_arr, seg_g,
                     remove_dc: bool, prescale: bool):
     """Accumulator banks → finalized spectra: un-permute once, fold in
     the DC-removal algebra and (optionally) the deferred unit-RMS
-    prescale. Batched over the leading group axis G — this is the ONE
-    copy of the finalize math, shared by the in-call path below and the
-    k-invocation split layout in ops/corr.py (which stacks K RAW
-    invocations and finalizes them here in one fused XLA region; the
-    per-invocation finalize was measured at ~8 ms of the 12-station
-    split overhead, scripts/split_overhead_probe.py).
+    prescale. Batched over the leading group axis G — the ONE copy of
+    the finalize math. The hot path reaches it through the in-call
+    finalize below; callers of ``finalize=False`` raw mode (the A/B
+    measurement harness in scripts/headline_profile.py, and its
+    equivalence test) stack raw invocations and call it directly. A
+    production routing that batched the K split slices through here
+    was measured 6.3 ms SLOWER than per-slice finalize at 12 stations
+    and reverted (BENCHLOG round 4, measured negative #1).
 
     Inputs are PERMUTED [G, ., R, R] accumulators (true frequency index
     = 256·k2 + k1); ``seg_g`` is the per-group segment count (numpy).
@@ -436,10 +438,13 @@ def accumulate_cross_spectra_pallas(
     ``finalize=False`` returns the RAW permuted accumulators
     ``(cr, ci, psd[, s_r, s_i])`` (each [., R, R] — or [G, ., R, R]
     when grouped — in the kernel's digit-permuted frequency layout)
-    instead of finalized spectra, so a caller running K separate slice
-    invocations can stack them and run ``_finalize_banks`` ONCE — one
-    fused XLA region instead of K (measured ~8 ms of the 12-station
-    split overhead). ``prescale`` requires ``finalize``.
+    instead of finalized spectra; the caller runs ``_finalize_banks``
+    itself. NOT on the hot path: a production routing that stacked K
+    raw slice invocations into one batched finalize measured 6.3 ms
+    SLOWER than per-slice finalize and was reverted (BENCHLOG round 4);
+    the mode remains for the A/B measurement harness
+    (scripts/headline_profile.py) and its equivalence test.
+    ``prescale`` requires ``finalize``.
     """
     if interpret is None:
         interpret = default_interpret_mode()
@@ -608,9 +613,10 @@ def accumulate_cross_spectra_pallas(
         cr, ci, psd = outs
         s_r = s_i = None
     if not finalize:
-        # Raw permuted accumulators, for callers that batch the
-        # finalize across several invocations (ops/corr.py's
-        # k-invocation split layout → _finalize_banks).
+        # Raw permuted accumulators, for callers that run
+        # _finalize_banks themselves (measurement harness only — the
+        # batched production routing measured slower and was reverted;
+        # see the docstring).
         return outs
     if G == 1:
         # Re-introduce the unit group axis so the finalize algebra is

@@ -285,7 +285,12 @@ def zoom_probe_supported(fft_len: int, max_lag: int, weighting: str) -> bool:
     (k·d < 2³¹ — same bound as `_zoom_corr_delay`)."""
     return (
         weighting in ("ht", "ml")
-        and fft_len % TILE == 0
+        # Power of two: the kernel's deramp residue is
+        # bitwise_and(k·d, fft_len − 1), which is (k·d) mod fft_len
+        # ONLY for 2^n — a 3·TILE length would pass the divisibility
+        # gates and silently produce wrong probe delays.
         and fft_len >= TILE
+        and (fft_len & (fft_len - 1)) == 0
+        and fft_len % TILE == 0
         and fft_len * (max_lag + HALF_WIDTH + 1) < 2**31
     )

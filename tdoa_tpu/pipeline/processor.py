@@ -34,6 +34,7 @@ from tdoa_tpu.io.datfile import DatCapture, load_dat
 from tdoa_tpu.io.stations import StationTable, load_station_table, station_from_filename
 from tdoa_tpu.ops.cplx import C, from_complex
 from tdoa_tpu.ops.corr import clock_correct_blocks, correlate_pairs_planar
+from tdoa_tpu.solve.ghost import DECISION_THRESHOLD_NATS
 from tdoa_tpu.solve.multilateration import (
     FixResult,
     rank_candidates_by_power,
@@ -122,9 +123,11 @@ class ProcessorConfig:
     # ghost posterior (solve/ghost.py): the fix moves to the leading
     # candidate only when its margin over the runner-up clears this,
     # else the processor abstains (warning + candidate list). Default
-    # from solve.ghost.DECISION_THRESHOLD_NATS, calibrated on the
-    # Monte Carlo ghost population (scripts/ghost_calibration.py).
-    ghost_threshold_nats: float = 2.5
+    # IS solve.ghost.DECISION_THRESHOLD_NATS (imported, not copied —
+    # it was calibrated as a pair with POWER_LOG_SIGMA on the
+    # Monte Carlo ghost population, scripts/ghost_calibration.py, and
+    # a recalibration there must not leave a stale copy here).
+    ghost_threshold_nats: float = DECISION_THRESHOLD_NATS
     # Coverage prior (lat°, lon°, radius m): operator knowledge of the
     # surveillance area. On an ambiguous fix, a UNIQUE candidate inside
     # the prior is selected outright (hard knowledge beats the advisory
@@ -225,15 +228,36 @@ class HostCapture:
     u16: np.ndarray  # [3·block_len] packed I/Q words
     block_len: int
 
-    def subsample_planar(self, block: int, limit: int = 1 << 20) -> C:
-        """Strided decode of one block (0=REF1, 1=TGT, 2=REF2) to a
-        small planar signal — for the eager analyses (received-power
-        ghost ranking) that only need mean |x|², not the waveform."""
+    def subsample_planar(self, block: int, limit: int = 1 << 20,
+                         run: int = 1 << 18) -> C:
+        """Decode ``limit`` samples of one block (0=REF1, 1=TGT,
+        2=REF2) as ``limit // run`` CONTIGUOUS runs evenly spaced
+        across the block — for the eager analyses (received-power
+        ghost ranking). Contiguous runs, not a bare stride: strided
+        decimation has no anti-alias filter, so out-of-band energy
+        folds into the Welch PSD `_station_signal_power` computes, and
+        per-station strides (block_len is per station) land the common
+        emitter band on different bins per station. Runs of 2¹⁸ keep
+        every downstream 4096-sample Welch segment inside one
+        contiguous span (joints fall on segment boundaries), and every
+        station returns exactly ``limit`` samples regardless of its
+        block length. Mean |x|² still samples the whole block (the
+        runs are spread), so keyed/intermittent emitters average the
+        same way the stride did."""
         from tdoa_tpu.io.datfile import u16_to_iq_planar
 
-        step = max(1, self.block_len // limit)
-        sl = self.u16[block * self.block_len:(block + 1) * self.block_len:step]
-        return u16_to_iq_planar(jnp.asarray(np.ascontiguousarray(sl)))
+        base = block * self.block_len
+        if self.block_len <= limit:
+            sl = self.u16[base:base + self.block_len]
+            return u16_to_iq_planar(jnp.asarray(np.ascontiguousarray(sl)))
+        nruns = max(1, limit // run)
+        span = self.block_len - run
+        parts = [
+            self.u16[base + (span * k) // max(nruns - 1, 1):
+                     base + (span * k) // max(nruns - 1, 1) + run]
+            for k in range(nruns)
+        ]
+        return u16_to_iq_planar(jnp.asarray(np.concatenate(parts)))
 
 
 @dataclasses.dataclass
@@ -925,22 +949,26 @@ class TDOAProcessor:
                 # Power evidence may MOVE the fix only with the opt-in
                 # flag (power_disambiguation — it rests on free-space
                 # propagation assumptions the other signals don't
-                # need): without it, a decision must stand on the
-                # prior/FDOA/timing evidence alone, though power stays
-                # in the REPORTED posterior either way.
+                # need): without it, the decision stands on the
+                # prior/FDOA/timing evidence ALONE — disagreeing power
+                # evidence stays visible in the reported posterior but
+                # cannot veto the swap (an earlier form required
+                # actionable.best == verdict.best, which let
+                # uncalibrated power scores silently pin a
+                # prior/FDOA-decided fix to the wrong intersection).
+                no_power = posterior(with_power=False)
                 actionable = (
-                    verdict if cfg.power_disambiguation
-                    else posterior(with_power=False)
+                    verdict if cfg.power_disambiguation else no_power
                 )
-                swap_to = (
-                    actionable.best
-                    if (actionable.decided
-                        and actionable.best == verdict.best)
-                    else 0
-                )
+                swap_to = actionable.best if actionable.decided else 0
+                # "Power moved the fix" only when power was PIVOTAL —
+                # the power-free posterior would NOT have made the same
+                # decision (not merely when power evidence existed:
+                # that labeled prior-driven swaps as power-driven).
                 power_moved = bool(
                     swap_to != 0 and cfg.power_disambiguation
-                    and "power" in verdict.components
+                    and not (no_power.decided
+                             and no_power.best == swap_to)
                 )
                 if swap_to != 0:
                     perm = np.asarray(
@@ -953,11 +981,16 @@ class TDOAProcessor:
                     )
                     # Keep every evidence array aligned with the
                     # reported candidate order (refit_to_candidate
-                    # already reorders the fix's own arrays).
+                    # already reorders the fix's own arrays). The
+                    # reported posterior's ``best`` follows its own
+                    # argmax through the permutation — usually 0 (the
+                    # swapped-to candidate), but honestly non-zero when
+                    # power evidence disagreed with a power-free
+                    # decision.
                     verdict = dataclasses.replace(
                         verdict,
                         log_odds=verdict.log_odds[perm],
-                        best=0,
+                        best=int(np.nonzero(perm == verdict.best)[0][0]),
                         components={k2: v[perm] for k2, v
                                     in verdict.components.items()},
                     )
@@ -1069,7 +1102,7 @@ class TDOAProcessor:
                        "solution" if swap_to != 0
                        else (" — decided, already the primary"
                              if actionable.decided
-                             and verdict.best == actionable.best == 0
+                             and actionable.best == 0
                              else " — abstaining, fix unmoved"))
                 )
                 warnings.append(
@@ -1185,8 +1218,9 @@ class TDOAProcessor:
             )
 
         if host_mode:
-            # Small strided subsamples stand in for the waveform in the
-            # eager power analyses (_station_mean_power re-subsamples).
+            # Small contiguous-run subsamples stand in for the waveform
+            # in the eager power analyses (mean power AND the Welch
+            # spectral estimator — see HostCapture.subsample_planar).
             def stack_sub(idx: int) -> C:
                 subs = [captures[n].subsample_planar(idx) for n in names]
                 return C(
