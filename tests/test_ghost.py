@@ -158,3 +158,48 @@ def test_station_signal_power_pure_noise_falls_back():
     est = _station_signal_power(blk)
     raw = _station_mean_power(blk)
     np.testing.assert_allclose(est, raw, rtol=1e-6)
+
+
+def test_host_subsample_contiguous_power_ranking():
+    """HostCapture.subsample_planar must feed `_station_signal_power`
+    contiguous runs at the ORIGINAL sample rate. The old bare-stride
+    subsample decimated by block_len // 2^20 — a per-station factor —
+    so the same emitter tone landed on different FFT bins per station
+    and the "common band" summed signal bins on one station and noise
+    bins on another, destroying the amplitude contrast the 1/r ghost
+    ranking scores."""
+    import jax.numpy as jnp
+
+    from tdoa_tpu.io.datfile import IQ_CENTER, IQ_SCALE
+    from tdoa_tpu.pipeline.processor import (
+        HostCapture,
+        _station_signal_power,
+    )
+    from tdoa_tpu.ops.cplx import C
+
+    rng = np.random.default_rng(7)
+    f_sig = 0.02  # narrowband emitter (cycles/sample)
+
+    def capture(sig_amp: float, block_len: int) -> HostCapture:
+        t = np.arange(block_len)
+        z = (sig_amp * np.exp(2j * np.pi * f_sig * t)
+             + 0.05 * (rng.standard_normal(block_len)
+                       + 1j * rng.standard_normal(block_len)))
+        i = np.clip(np.round(z.real / 4.0 * IQ_SCALE + IQ_CENTER),
+                    0, 255).astype(np.uint16)
+        q = np.clip(np.round(z.imag / 4.0 * IQ_SCALE + IQ_CENTER),
+                    0, 255).astype(np.uint16)
+        u16 = (i | (q << 8)).astype(np.uint16)
+        return HostCapture(u16=np.tile(u16, 3), block_len=block_len)
+
+    # DIFFERENT block lengths: the old code gave these strides 4 and 2.
+    strong = capture(1.0, 1 << 22)
+    weak = capture(0.1, 1 << 21)  # 10x amplitude = 100x power contrast
+    subs = [c.subsample_planar(1) for c in (strong, weak)]
+    # Equal sample counts regardless of block length (stackable, equal
+    # FFT bins) — the per-station-stride form only matched by luck.
+    assert subs[0].re.shape[0] == subs[1].re.shape[0] == 1 << 20
+    x = C(jnp.stack([s.re for s in subs]), jnp.stack([s.im for s in subs]))
+    p = _station_signal_power(x)
+    contrast = float(p[0] / p[1])
+    assert 50.0 < contrast < 200.0, contrast
