@@ -152,16 +152,36 @@ _ECHO_ENV_FLOOR = 0.7  # σ floor (samples) for every pair in one
 # magnitudes under-cover because an echo's drag is a deterministic
 # bias within the scene, not a fresh Gaussian draw per pair — the
 # quadratic forms need γ·τ to cover the realized drag directions.
-# Measured (scripts/multipath_fixcov_diag.py, 26-scene seed-9000 base,
-# maha coverage at 1σ/2σ/3σ over the 25 detectable-echo scenes):
-#   γ=1.0: 32/68/92   γ=1.5: 52/88/92   γ=2.0: 60/92/92 (chosen)
-#   γ=2.5: 72/92/92 (p50 0.63 — over-suppressed; 2.0 keeps p50 0.77
-#   against the χ(2) median 1.18, conservative but not dishonest)
-# The residual 3σ tail is 3 of 26 scenes whose echoes are invisible to
-# BOTH lobe statistics (max offset 0.29-0.52, drift < 1.0, secondary
-# fraction inside the clean-scene range — measured against clean/noisy
-# controls): no detector fires, so no model can inflate for them.
+# Calibration history (scripts/multipath_fixcov_diag.py): the first
+# sweep on the 26-scene seed-9000 base chose γ=2.0 (60/92/92 at
+# 1σ/2σ/3σ) and one fresh base (64000) validated at 78/87/91 — but
+# three FURTHER fresh bases (67000/70000/71000, 69 detectable-echo
+# scenes) measured that γ at only 51/68/75 pooled: the single-base
+# validation was a lucky draw, and the echo-bias distribution is
+# heavy-tailed (p95 maha 4-8.6 while p50 sits near 1), so one
+# Gaussian scale cannot fit both the median and the tail. Pooled
+# multi-base sweep (maha replay over the captured covariance inputs):
+#   γ=2.0: 51/68/75   γ=3.0: 59/68/88   γ=4.0: 64/75/90
+#   γ=5.0: 68/83/93 (chosen)   γ=6.0: 67/87/93   γ=8.0: 74/88/93
+# γ=5.0 meets the ≥35/80/90 bar on pooled FRESH data with the smallest
+# median over-suppression (p50 maha ~0.4 vs the χ(2) median 1.18 —
+# reported echo-scene ellipses run ~2.5-3× conservative at the median;
+# the deliberate trade: under-coverage in a hazard regime misleads,
+# over-coverage merely widens). The residual ~7% 3σ tail is the
+# invisible-echo class (offsets/drift/secondary fraction all inside
+# clean-scene ranges — no detector fires, so no model can inflate for
+# them).
+#
+# TWO constants, gated on the scene-level echo-environment
+# confirmation (max centroid offset or drift statistic over their
+# thresholds): a first attempt shipped γ=5.0 UNgated and clean scenes
+# paid for it — their sub-knee lobe jitter produces small nonzero τ,
+# and ×5 tripled clean-scene ellipses (clean maha p50 0.34 → 0.10;
+# the end-to-end sim drive's 1σ ellipse grew 14.5 → 36 m). Confirmed
+# echo environments get the tail-covering γ; unconfirmed scenes keep
+# the per-pair-consistent baseline.
 STATION_BIAS_FIX_INFLATION = 2.0
+STATION_BIAS_FIX_INFLATION_CONFIRMED = 5.0
 
 
 def echo_bias_sigma(centroid_offset: np.ndarray,

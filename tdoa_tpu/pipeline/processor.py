@@ -1699,6 +1699,7 @@ class TDOAProcessor:
         multipath_sigma = None
         echo_sep = None
         echo_ratio = None
+        echo_env_confirmed = False
         if cfg.mode == "iq" and cfg.multipath_mitigation:
             # Honest echo-bias accounting, CONTINUOUS (not gated on the
             # warning threshold): the centroid-offset statistic maps
@@ -1727,6 +1728,7 @@ class TDOAProcessor:
             # the reported fix exactly like an echo and is covered the
             # same way.
             from tdoa_tpu.dsp.multipath import (
+                _ECHO_ENV_THRESHOLD,
                 echo_bias_sigma,
                 lobe_centroid_offset,
                 mitigate_flagged_pairs,
@@ -1739,8 +1741,19 @@ class TDOAProcessor:
                 lobe_drift if echo_win is win64
                 else _lobe_centroid_drift(echo_win)
             )
+            off_echo = lobe_centroid_offset(echo_win)
+            # Scene-level echo-environment confirmation: either lobe
+            # statistic over its threshold. Drives the σ floor here
+            # AND the fix-covariance inflation tier below (the
+            # tail-covering γ applies only to confirmed environments —
+            # clean scenes' sub-knee jitter must not inherit it).
+            echo_env_confirmed = bool(
+                (drift_echo.size and float(drift_echo.max()) > 1.0)
+                or (off_echo.size
+                    and float(off_echo.max()) > _ECHO_ENV_THRESHOLD)
+            )
             mp_sigma = echo_bias_sigma(
-                lobe_centroid_offset(echo_win),
+                off_echo,
                 env_confirmed=bool(
                     drift_echo.size and float(drift_echo.max()) > 1.0
                 ),
@@ -1846,6 +1859,7 @@ class TDOAProcessor:
             # reported ellipse changes.
             from tdoa_tpu.dsp.multipath import (
                 STATION_BIAS_FIX_INFLATION,
+                STATION_BIAS_FIX_INFLATION_CONFIRMED,
                 station_bias_apportion,
             )
             from tdoa_tpu.solve.multilateration import (
@@ -1854,7 +1868,8 @@ class TDOAProcessor:
             )
 
             tau_m = (
-                STATION_BIAS_FIX_INFLATION
+                (STATION_BIAS_FIX_INFLATION_CONFIRMED
+                 if echo_env_confirmed else STATION_BIAS_FIX_INFLATION)
                 * station_bias_apportion(pairs, len(names), multipath_sigma)
                 / cfg.sample_rate * SPEED_OF_LIGHT
             )
