@@ -47,6 +47,20 @@ Environment knobs:
   BENCH_WARM_TIMEOUT  cold-probe wall bound, seconds (default 1500 —
                     the tunnel warmup alone has been observed at 769 s).
   BENCH_ARTIFACT    also write the JSON line to this path.
+  BENCH_CONGESTION_SIM  0..1 (default 0): inflate this fraction of the
+                    timed reps with congestion-shaped harness sleeps to
+                    validate the steadiness gate + robust headline on a
+                    real run (never perturbs the device program).
+
+Headline statistic (round-4 verdict item 1): ``value`` is the
+MIN-of-reps throughput, not the median. Tunnel congestion only adds
+latency, so the fastest rep is the congestion-robust estimate of the
+program latency; on a healthy tunnel min ≈ median (r04 builder:
+56.8 vs 57.3 ms) so the headline is continuous with earlier rounds,
+while on a congested tunnel the median swings 40%+ (r04 driver vs
+builder on identical code) and the min stays within ~7%. The artifact
+carries a ``steadiness`` verdict (rep spread + dispatch-floor health
+vs calibrated bounds) plus the median for the record.
 
 Prints ONE JSON line.
 """
@@ -273,17 +287,86 @@ def main() -> None:
     disp.sort()
     dispatch_baseline_s = disp[len(disp) // 2]
 
-    # Median of 5: dispatch through the device tunnel has ±5 ms
-    # run-to-run spread on identical code (BENCHLOG.md), so a mean of 3
-    # can swing ~10%; the median is stable. Min/median/max all go into
-    # the artifact so the spread itself is on record.
+    # Congestion simulation (steadiness-gate validation, BENCH_CONGESTION_SIM
+    # reps-affected fraction, default off): inflate a seeded-random subset
+    # of the timed reps with sleeps shaped like the observed congested-
+    # tunnel pathology (driver r04: median 97 ms vs min 61 ms vs healthy
+    # 57 ms, max 328 ms — a multiplicative 1.5-5x tail). This perturbs
+    # the HARNESS timing only, never the device program; its one purpose
+    # is to prove on real runs that the robust headline and the gate
+    # verdict survive a congested tunnel (round-4 verdict item 1).
+    sim_congestion = float(os.environ.get("BENCH_CONGESTION_SIM", "0"))
+    sim_rng = np.random.default_rng(20260821)
+
+    def _sim_delay(base_s: float) -> None:
+        if sim_congestion > 0 and sim_rng.random() < sim_congestion:
+            time.sleep(base_s * float(sim_rng.uniform(0.5, 4.0)))
+
+    # 5 reps. The ROBUST single-shot statistic is the MIN: tunnel
+    # congestion only ever ADDS latency (queueing in the forwarding
+    # path), so the fastest rep is the best estimate of the uncongested
+    # program latency — r04 data: driver (congested, median 97.3 ms) and
+    # builder (healthy, median 57.3 ms) runs of the SAME code disagreed
+    # 40% on the median but 6.9% on the min (60.7 vs 56.8 ms). On a
+    # healthy tunnel the spread is tight (r04 builder: 59.7/56.8 =
+    # 1.05x) so min ≈ median and the headline is continuous with
+    # rounds 1-4; the median stays in the artifact.
     times = []
     for _ in range(5):
         t0 = time.time()
         run()
+        _sim_delay(0.06)
         times.append(time.time() - t0)
     times.sort()
+
+    # Steadiness gate (round-4 verdict item 1): the single-shot numbers
+    # are only attributable to the CODE when the tunnel was healthy.
+    # Calibrated bounds from the r01-r04 record: healthy per-call
+    # dispatch floor 25-36 ms (observed 28.2-33 ms across healthy runs;
+    # driver's congested r04 run measured 43.9 ms, one congested r03
+    # phase 80 ms) and healthy rep spread max/min ≤ 1.5 (healthy runs
+    # 1.05-1.2x; congested 5.4x).
+    FLOOR_HEALTHY_S = (0.010, 0.036)
+    SPREAD_HEALTHY = 1.5
+    spread_ratio = times[-1] / times[0]
+    floor_ok = (FLOOR_HEALTHY_S[0] <= dispatch_baseline_s
+                <= FLOOR_HEALTHY_S[1])
+    congested = bool(spread_ratio > SPREAD_HEALTHY or not floor_ok)
+    if congested:
+        # Congested verdict: buy the min-statistic more escape chances
+        # (5 extra reps — each is one program latency, cheap) so one
+        # uncongested window suffices, and re-probe the dispatch floor
+        # in case the congestion phase has passed.
+        for _ in range(5):
+            t0 = time.time()
+            run()
+            _sim_delay(0.06)
+            times.append(time.time() - t0)
+        times.sort()
+        disp2 = []
+        for _ in range(7):
+            t0 = time.time()
+            float(_noop(tiny)[0])
+            _sim_delay(0.03)
+            disp2.append(time.time() - t0)
+        disp2.sort()
+        # The least-congested floor estimate (congestion only adds).
+        dispatch_baseline_s = min(dispatch_baseline_s,
+                                  disp2[len(disp2) // 2])
+        spread_ratio = times[-1] / times[0]
     steady_s = times[len(times) // 2]
+    robust_s = times[0]
+    steadiness = {
+        "verdict": "congested" if congested else "healthy",
+        "spread_ratio_max_over_min": round(spread_ratio, 2),
+        "dispatch_floor_s": round(dispatch_baseline_s, 4),
+        "floor_healthy_range_s": list(FLOOR_HEALTHY_S),
+        "spread_healthy_max": SPREAD_HEALTHY,
+        "reps": len(times),
+        "headline_statistic": "min-of-reps (congestion only adds "
+                              "latency; healthy-tunnel min ≈ median)",
+        "congestion_sim_fraction": sim_congestion,
+    }
 
     # Sustained throughput: queue 5 program dispatches back-to-back and
     # sync ONCE on the last output. The device executes enqueued
@@ -313,11 +396,15 @@ def main() -> None:
         t0 = time.time()
         outs = [run_nosync() for _ in range(5)]
         float(outs[-1][0][0])
+        _sim_delay(0.18)
         sustained.append((time.time() - t0) / 5)
     sustained.sort()
-    sustained_s = sustained[len(sustained) // 2]
+    # Same robustness rule as the single-shot headline: min under a
+    # congested verdict (congestion only adds), median when healthy.
+    sustained_s = sustained[0] if congested else sustained[len(sustained) // 2]
 
-    throughput = total_samples / steady_s / 1e6  # Msamples/s/chip
+    # Headline = min-of-reps throughput (see steadiness block above).
+    throughput = total_samples / robust_s / 1e6  # Msamples/s/chip
     target = 600.0  # Msamples/s == 3x100s capture in 1 s
 
     # ---- MFU accounting (round-3 verdict item 4) ----
@@ -342,7 +429,13 @@ def main() -> None:
             n_splits=max(split_k(n_seg_block), 1),
         )
         total_flops = 3 * (fm["mxu_flops"] + fm["vpu_flops"])  # 3 blocks
-        device_s = steady_s - dispatch_baseline_s
+        # Device time from the ROBUST (min-of-reps) latency minus the
+        # least-congested dispatch-floor estimate: both are one-sided
+        # (congestion only adds), so this subtraction is stable across
+        # tunnel states in a way median − floor is not (r04: the
+        # driver's congested medians made it 53 ms vs the builder's
+        # 29 ms for identical code).
+        device_s = robust_s - dispatch_baseline_s
         v5e_bf16_peak = 197e12  # TPU v5e: 197 bf16 TFLOP/s per chip
         flop_detail = {
             "mxu_flops_total": 3 * fm["mxu_flops"],
@@ -357,7 +450,7 @@ def main() -> None:
                      "/station-seg MXU + 12/bin/station-seg + 8/bin/"
                      "pair-seg VPU; finish stage excluded (lower bound)",
         }
-        if device_s > 0.2 * steady_s:
+        if device_s > 0.2 * robust_s:
             # Single-shot device time = steady − dispatch floor. Both
             # are independent tunnel-noisy measurements: one congested
             # run measured the trivial-jit floor at 80 ms against a
@@ -376,7 +469,7 @@ def main() -> None:
             flop_detail["device_time_s"] = None
             flop_detail["single_shot_mfu_skipped"] = (
                 f"dispatch floor {dispatch_baseline_s:.4f}s too close to "
-                f"steady {steady_s:.4f}s (tunnel congestion) - "
+                f"robust latency {robust_s:.4f}s (tunnel congestion) - "
                 f"single-shot device time not attributable"
             )
 
@@ -480,17 +573,65 @@ def main() -> None:
         del devbufs
         host_bytes = sum(h.nbytes for h in host_u16)
 
-        # Chunked transfer-only probe: the SAME chunk geometry and host
-        # gather the overlapped ingest uses, but no compute dispatches —
-        # the honest overlap denominator (round-3 advisor finding: the
-        # monolithic device_put baseline measures a different transfer
-        # strategy, so overlap ratios against it conflate pipelining
-        # with chunking; on this link the chunked stream is sometimes
-        # FASTER than one monolithic put).
-        from tdoa_tpu.pipeline.ingest import plan_chunks
+        # ---- overlapped ingest: transfer pipelined with compute ----
+        # The chunked double-buffered path (pipeline/ingest.py): chunk
+        # k+1 streams over the link while the chip correlates chunk k.
+        # Honest target: overlap_path_s ≈ max(transfer_only_s,
+        # device_path_s) + finalize, vs full_path_s ≈ their sum. Runs
+        # BEFORE the chunked transfer-only probe so the probe can use
+        # the chunk geometry the runtime link adaptation actually chose
+        # (round-4 verdict item 4).
+        from tdoa_tpu.pipeline.ingest import (
+            ingest_overlapped,
+            plan_chunks,
+            warm_ingest_programs,
+        )
 
+        pair_np = np.array([[0, 1], [0, 2], [1, 2]], np.int32)
+        ref_geo_np = np.zeros(3, np.float32)
+        overlap_diag = {}
+
+        def run_overlap(bl, diag=None):
+            out = ingest_overlapped(
+                host_u16, pair_np, ref_geo_np, block_len=bl,
+                max_lag=max_lag, weighting="ht", diag=diag,
+            )
+            corrected = np.asarray(out[0], np.float64)
+            quality = np.asarray(out[4][1], np.float64)
+            stds = np.asarray(out[6], np.float64)
+            w = (quality / max(quality.max(), 1e-9)) ** 2
+            return solve_fix(
+                station_lla, corrected / fs, weights=w,
+                pair_idx=np.array([[0, 1], [0, 2], [1, 2]]),
+                tdoa_sigma_s=stds / fs,
+            )
+
+        # Warm the chunk-shaped programs: a short-prefix run plus an
+        # explicit compile of every ladder chunk size, so a mid-stream
+        # chunk-size adaptation never pays a compile inside the timed
+        # run (cache-persisted after the first bench ever).
+        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN as _SEG
+
+        warm_ingest_programs(n_st, pair_np)
+        warm_bl = min(block_len, 48 * _SEG)
+        run_overlap(warm_bl)
+        t0 = time.time()
+        run_overlap(block_len, diag=overlap_diag)
+        overlap_s = time.time() - t0
+
+        # Chunked transfer-only probe: the SAME chunk geometry and host
+        # gather the overlapped ingest used (including an adapted chunk
+        # size), but no compute dispatches — the honest overlap
+        # denominator (round-3 advisor finding: the monolithic
+        # device_put baseline measures a different transfer strategy,
+        # so overlap ratios against it conflate pipelining with
+        # chunking; on this link the chunked stream is sometimes FASTER
+        # than one monolithic put).
+        probe_chunk = overlap_diag.get("chunk_segs", 48) * (
+            45056 if accumulator == "pallas" else seg_len)
         _, spans_t = plan_chunks(block_len, 45056 if accumulator ==
-                                 "pallas" else seg_len)
+                                 "pallas" else seg_len,
+                                 chunk_samples=probe_chunk)
 
         def chunk_rows(start, length):
             return np.stack([
@@ -509,41 +650,6 @@ def main() -> None:
         float(last[0, 0])
         transfer_chunked_s = time.time() - t0
         del last
-
-        # ---- overlapped ingest: transfer pipelined with compute ----
-        # The chunked double-buffered path (pipeline/ingest.py): chunk
-        # k+1 streams over the link while the chip correlates chunk k.
-        # Honest target: overlap_path_s ≈ max(transfer_only_s,
-        # device_path_s) + finalize, vs full_path_s ≈ their sum.
-        from tdoa_tpu.pipeline.ingest import ingest_overlapped
-
-        pair_np = np.array([[0, 1], [0, 2], [1, 2]], np.int32)
-        ref_geo_np = np.zeros(3, np.float32)
-
-        def run_overlap(bl):
-            out = ingest_overlapped(
-                host_u16, pair_np, ref_geo_np, block_len=bl,
-                max_lag=max_lag, weighting="ht",
-            )
-            corrected = np.asarray(out[0], np.float64)
-            quality = np.asarray(out[4][1], np.float64)
-            stds = np.asarray(out[6], np.float64)
-            w = (quality / max(quality.max(), 1e-9)) ** 2
-            return solve_fix(
-                station_lla, corrected / fs, weights=w,
-                pair_idx=np.array([[0, 1], [0, 2], [1, 2]]),
-                tdoa_sigma_s=stds / fs,
-            )
-
-        # Warm the chunk-shaped programs on a short prefix (the real
-        # run may add one tail-chunk compile, amortized mid-stream).
-        from tdoa_tpu.ops.pallas.corr_accum import SEG_LEN as _SEG
-
-        warm_bl = min(block_len, 48 * _SEG)
-        run_overlap(warm_bl)
-        t0 = time.time()
-        run_overlap(block_len)
-        overlap_s = time.time() - t0
         full_detail = {
             "full_path_s": round(full_s, 4),
             "includes": "host->device transfer + u8 decode + correlate "
@@ -565,6 +671,10 @@ def main() -> None:
             # strategy, no compute); the monolithic-baseline ratio is
             # kept for continuity with BENCH_r01-r03.
             "overlap_path_s": round(overlap_s, 4),
+            # Runtime link-adaptation decisions the overlapped run made
+            # (pipeline/ingest.py): measured first-chunk rate, chosen
+            # chunk size, and whether the monolithic fallback engaged.
+            "ingest_adaptive": overlap_diag,
             "overlap_vs_max_transfer_compute": round(
                 overlap_s / max(transfer_chunked_s, device_path_s), 3
             ),
@@ -616,11 +726,25 @@ def main() -> None:
                     "stations": n_st,
                     "pairs": len(base_pairs),
                     "total_samples": total_samples,
+                    # Headline latency: min-of-reps (robust_s). The
+                    # median (steady_latency_s) is retained for
+                    # continuity with BENCH_r01-r04, whose value field
+                    # was median-based; on a healthy tunnel the two
+                    # agree within a few % (r04 builder: 56.8 vs
+                    # 57.3 ms).
+                    "headline_latency_s": round(robust_s, 4),
                     "steady_latency_s": round(steady_s, 4),
+                    "median_msamples_per_s": round(
+                        total_samples / steady_s / 1e6, 2),
                     "steady_latency_min_med_max_s": [
                         round(t, 4) for t in
                         (times[0], steady_s, times[-1])
                     ],
+                    # Steadiness gate (round-4 verdict item 1): was the
+                    # tunnel healthy when the single-shot numbers were
+                    # taken, by calibrated floor/spread bounds — and
+                    # the robust statistic the headline uses either way.
+                    "steadiness": steadiness,
                     # Per-call tunnel/dispatch floor (trivial jit +
                     # sync, median of 7): subtract from steady_latency_s
                     # for the device-compute share.

@@ -523,7 +523,8 @@ def _combine_splits(
     if (pairs_static is not None
             and not _FORCE_PROBE_XLA
             and (on_tpu() or _FORCE_PROBE_KERNEL)
-            and zoom_probe_supported(fft_len, max_lag, weighting)):
+            and zoom_probe_supported(fft_len, max_lag, weighting,
+                                     K=K, m=m, n_st=n_st)):
         # Fused probe kernel (ops/pallas/zoom_probe.py): LOO weighting
         # + deramp + zoom DFT in one two-pass Pallas program. The XLA
         # form below materializes ~a dozen [K·m, F] HBM tensors —

@@ -55,6 +55,20 @@ from tdoa_tpu.utils.platform import default_interpret_mode
 TILE = 2048  # frequency-axis tile (lanes per grid step)
 HALF_WIDTH = 16  # zoom window: ±16 lags around the coarse peak
 W = 2 * HALF_WIDTH + 1
+# Mosaic scoped-VMEM request ceiling (vmem_limit_bytes clamps here);
+# geometries whose live set exceeds it must take the XLA probe path —
+# the clamp is silent, so routing them into the kernel means a Mosaic
+# VMEM OOM at compile time on real TPU (advisor round-4, medium).
+VMEM_CEILING = 100 << 20
+
+
+def _vmem_need_bytes(KM: int, KN: int) -> int:
+    """The kernel's scoped-VMEM request for K·m pair-group rows and
+    K·n_st PSD rows: double-buffered operand tiles plus ~a dozen live
+    [KM, TILE] f32 temporaries in the weight chain, with 1.5× headroom
+    (chip-validated at 12 stations: 264 rows → 21.8 MB measured,
+    formula 67 MB requested, compile + run OK)."""
+    return int(1.5 * (16 * KM * TILE * 4 + 2 * (KM + KN) * TILE * 4 * 2))
 
 
 def _kernel(crg_ref, cig_ref, psd_ref, ij_ref,
@@ -248,10 +262,8 @@ def loo_zoom_windows_pallas(
         # headroom.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                max(16 << 20,
-                    int(1.5 * (16 * KM * TILE * 4
-                               + 2 * (KM + K * n_st) * TILE * 4 * 2))),
-                100 << 20,
+                max(16 << 20, _vmem_need_bytes(KM, K * n_st)),
+                VMEM_CEILING,
             )
         ),
         interpret=interpret,
@@ -278,11 +290,21 @@ def loo_zoom_delays_pallas(
         K, m)
 
 
-def zoom_probe_supported(fft_len: int, max_lag: int, weighting: str) -> bool:
+def zoom_probe_supported(fft_len: int, max_lag: int, weighting: str,
+                         K: int = 0, m: int = 0, n_st: int = 0) -> bool:
     """Static gate for routing `_combine_splits` through the fused
     probe kernel: HT/ML weighting (the kernel's hard-coded formula),
-    tile-divisible FFT length, and the int32 deramp guard
-    (k·d < 2³¹ — same bound as `_zoom_corr_delay`)."""
+    tile-divisible FFT length, the int32 deramp guard (k·d < 2³¹ —
+    same bound as `_zoom_corr_delay`), and — when the probe geometry
+    (K groups × m pairs over n_st stations) is given — the scoped-VMEM
+    budget: the kernel holds full [K·m, TILE] blocks plus the live
+    weight-chain temporaries in VMEM, and past ~100 MB the
+    vmem_limit_bytes request silently clamps, which is a Mosaic
+    compile failure on chip (e.g. 16-24-station geometries,
+    K·m ≥ ~480 rows). Callers that omit the geometry get the
+    shape-only gates (chip-validated region is ≤ 12 stations)."""
+    if K and m and n_st and _vmem_need_bytes(K * m, K * n_st) > VMEM_CEILING:
+        return False
     return (
         weighting in ("ht", "ml")
         # Power of two: the kernel's deramp residue is

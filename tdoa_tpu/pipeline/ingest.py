@@ -34,11 +34,19 @@ into RAM and has no overlap anywhere (processor.go:166-205).
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Patchable seams for the link-adaptation tests: all host→device puts
+# and all wall-clock reads the adaptive planner uses go through these,
+# so a test can simulate a slow/pathological link deterministically
+# without touching the device.
+_device_put = jax.device_put
+_now = time.monotonic
 
 from tdoa_tpu.io.datfile import u16_to_iq_planar
 from tdoa_tpu.ops.cplx import C
@@ -119,6 +127,152 @@ def plan_chunks(
     return chunk, spans
 
 
+# ---- runtime link adaptation (round-4 verdict item 4) ----
+#
+# The chunk geometry and the chunked-vs-monolithic choice used to be
+# compile-time constants, so the overlapped path inherited whatever
+# pathology the link was in: the driver's r04 run lost 19% to fixed
+# 48-segment chunks on a congested tunnel (overlap 42.4 s vs 35.7 s
+# chunked transfer alone — per-chunk pipeline overhead ~0.23 s × 29
+# chunks), and one cold run hit a 1.8 MB/s per-chunk-put pathology
+# where a single monolithic put streamed the same bytes at >20 MB/s.
+# Neither state is knowable before the run, so the plan must come from
+# measurement: the first chunk's observed MB/s plus the dispatch
+# round-trip.
+
+# Chunk-size ladder (segments per chunk). A small fixed ladder — not a
+# continuum — so the decode+accumulate program shapes stay cacheable
+# across runs (each size is one XLA executable, persisted by the
+# compilation cache).
+CHUNK_LADDER_SEGS = (48, 96, 192)
+# Below this observed first-chunk rate, pay one extra mid-size put to
+# probe the monolithic rate (healthy chunked rates measured 19-34 MB/s
+# across r03-r04; the pathology measured 1.8 MB/s).
+MONO_PROBE_FLOOR_MBPS = 8.0
+# Fall back to monolithic transfer when it streams this much faster
+# than the chunked path (r04 cold run: >10x).
+MONO_FALLBACK_RATIO = 2.5
+# Mid-stream degradation trigger: consecutive chunks at a small
+# fraction of the best observed rate.
+DEGRADE_RATIO = 0.25
+DEGRADE_CONSECUTIVE = 2
+
+
+def choose_chunk_segs(
+    rate_bytes_per_s: float,
+    dispatch_rt_s: float,
+    row_set_bytes_per_seg: int,
+    ladder: Sequence[int] = CHUNK_LADDER_SEGS,
+) -> int:
+    """Pick the smallest ladder size whose per-chunk transfer time
+    keeps the fixed per-chunk pipeline overhead (~2 host dispatch
+    round-trips of bookkeeping: the accumulate dispatch plus the next
+    put's setup — measured 0.1-0.25 s/chunk on a congested tunnel)
+    under ~5%: chunk_time ≥ 40 × dispatch_rt. At the healthy tunnel's
+    ~0.03 s RT and the bench geometry this keeps the measured-optimal
+    48 segments; a congested RT (0.05-0.1 s) escalates to 96/192.
+
+    ``row_set_bytes_per_seg`` is the bytes one segment contributes
+    across every streamed row (3·n_st rows × seg_len × 2 B u16)."""
+    if (rate_bytes_per_s <= 0 or row_set_bytes_per_seg <= 0
+            or dispatch_rt_s <= 0):
+        return ladder[0]
+    target_s = 40.0 * dispatch_rt_s
+    for segs in ladder:
+        if segs * row_set_bytes_per_seg / rate_bytes_per_s >= target_s:
+            return segs
+    return ladder[-1]
+
+
+def should_fallback_monolithic(
+    rate_chunked_bps: float, rate_mono_bps: float
+) -> bool:
+    """Monolithic transfer wins when the per-put overhead pathology
+    makes chunked streaming a small fraction of the link's real rate."""
+    return rate_mono_bps > MONO_FALLBACK_RATIO * max(rate_chunked_bps, 1e-9)
+
+
+def _measure_dispatch_rt() -> float:
+    """One tiny jit dispatch + scalar sync: the per-call host↔device
+    round-trip floor the chunk-size target is scaled by. Median of 3
+    (the first may hit a compile-cache lookup)."""
+    f = jax.jit(lambda v: v + 1.0)
+    tiny = jnp.zeros((8,), jnp.float32)
+    float(f(tiny)[0])
+    ts = []
+    for _ in range(3):
+        t0 = _now()
+        float(f(tiny)[0])
+        ts.append(_now() - t0)
+    ts.sort()
+    return ts[1]
+
+
+@functools.partial(jax.jit, static_argnames=("length", "block_lens"))
+def _gather_chunk_rows_device(
+    dev_u16: Tuple[jax.Array, ...],
+    start: jax.Array,  # scalar within-block offset
+    length: int,
+    block_lens: Tuple[int, ...],
+) -> jax.Array:
+    """[3·n_st, length] u16 chunk rows gathered ON DEVICE from each
+    station's full resident capture array — the monolithic-fallback
+    counterpart of the host-side ``host_chunk`` gather."""
+    rows = []
+    for b in range(3):
+        for s, v in enumerate(dev_u16):
+            o = b * block_lens[s] + start
+            rows.append(jax.lax.dynamic_slice(v, (o,), (length,)))
+    return jnp.stack(rows)
+
+
+def warm_ingest_programs(
+    n_st: int,
+    pair_idx: np.ndarray,
+    *,
+    max_lag: int = DEFAULT_MAX_LAG,
+    precision: str = "bf16",
+) -> None:
+    """Compile (without running) the decode+accumulate executable for
+    every ladder chunk size, so a runtime chunk-size adaptation never
+    pays a compile mid-stream. Persisted-cache-friendly: each shape
+    lowers once ever per geometry."""
+    from tdoa_tpu.ops.pallas.corr_accum import (
+        FFT_LEN as P_FFT,
+        SEG_LEN as P_SEG,
+        fused_capacity_ok,
+    )
+    from tdoa_tpu.utils.platform import on_tpu
+
+    m = int(np.asarray(pair_idx).shape[0])
+    pair_np = np.asarray(pair_idx, np.int32)
+    pairs_static = tuple(map(tuple, pair_np.tolist()))
+    all_pairs_static = tuple(
+        (int(i) + b * n_st, int(j) + b * n_st)
+        for b in range(3) for (i, j) in pairs_static
+    )
+    use_fused = (
+        on_tpu() and fused_capacity_ok(3 * n_st, 3 * m, remove_dc=True)
+    )
+    if not use_fused:
+        return
+    offsets = np.arange(3, dtype=np.int32)[:, None, None] * n_st
+    all_pairs = jnp.asarray(
+        (pair_np[None, :, :] + offsets).reshape(3 * m, 2)
+    )
+    state = acc_init(3 * n_st, 3 * m, P_FFT)
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    for segs in CHUNK_LADDER_SEGS:
+        rows = jax.ShapeDtypeStruct((3 * n_st, segs * P_SEG), jnp.uint16)
+        try:
+            _decode_update.lower(
+                state, rows, all_pairs, P_SEG, P_FFT,
+                all_pairs_static, precision, True, dtype,
+            ).compile()
+        except Exception:
+            return
+
+
 class TailIngest:
     """Incremental overlapped ingest of a GROWING capture window — the
     stream service's counterpart of ``ingest_overlapped``.
@@ -168,6 +322,7 @@ class TailIngest:
         clock_correction: bool = True,
         chunk_samples: Optional[int] = None,
         precision: str = "bf16",
+        adaptive: bool = True,
     ):
         self.names = list(station_names)
         n_st = len(self.names)
@@ -218,24 +373,40 @@ class TailIngest:
         self._dtype = (
             jnp.bfloat16 if self._precision == "bf16" else jnp.float32
         )
-        _, self._spans = plan_chunks(
+        chunk, spans = plan_chunks(
             self.block_len, self._seg, chunk_samples
         )
-        if not self._spans:
+        if not spans:
             raise ValueError(
                 f"block length {self.block_len} holds no whole segment "
                 f"(seg_len={self._seg})"
             )
+        # Capture-order chunk plan: (block, start, length). A flat list
+        # (not 3×spans arithmetic) so the link adaptation can re-plan
+        # the UNDISPATCHED remainder at a different chunk size.
+        self._plan: List[Tuple[int, int, int]] = [
+            (b, s, l) for b in range(3) for (s, l) in spans
+        ]
+        # Adaptation active only when the caller didn't pin the
+        # geometry and the plan is long enough to matter.
+        self._adaptive = bool(adaptive and chunk_samples is None
+                              and len(self._plan) >= 4)
+        self._retuned = not self._adaptive
+        self.link_diag: dict = {
+            "adaptive": self._adaptive,
+            "chunk_segs": chunk // self._seg,
+        }
         self._pair_dev = jnp.asarray(self._pair_np)
+        n_st = len(self.names)
         self._states = [
             acc_init(n_st, self._m, self._fft_len) for _ in range(3)
         ]
-        self._next = 0  # cursor over 3·len(spans) chunks, capture order
+        self._next = 0  # cursor over the plan, capture order
         self.mismatch: Optional[str] = None
 
     @property
     def total_chunks(self) -> int:
-        return 3 * len(self._spans)
+        return len(self._plan)
 
     @property
     def chunks_dispatched(self) -> int:
@@ -246,8 +417,45 @@ class TailIngest:
         return self._next >= self.total_chunks
 
     def _chunk(self, c: int):
-        b, k = divmod(c, len(self._spans))
-        return b, self._spans[k]
+        b, s, l = self._plan[c]
+        return b, (s, l)
+
+    def _retune_plan(self, rate_bytes_per_s: float) -> None:
+        """One-shot chunk-size re-plan from the first chunk's measured
+        put rate (same ladder rule as ingest_overlapped). Only the
+        undispatched remainder is re-planned; consumed chunks are
+        already in the accumulators."""
+        self._retuned = True
+        dispatch_rt = _measure_dispatch_rt()
+        n_st = len(self.names)
+        segs = choose_chunk_segs(
+            rate_bytes_per_s, dispatch_rt, n_st * self._seg * 2
+        )
+        self.link_diag.update(
+            dispatch_rt_s=round(dispatch_rt, 4),
+            first_chunk_rate_mbps=round(rate_bytes_per_s / 1e6, 2),
+            chunk_segs=segs,
+        )
+        cur_segs = self._plan[0][2] // self._seg if self._plan else 0
+        if segs == cur_segs:
+            return
+        done = self._plan[: self._next]
+        pos = {0: 0, 1: 0, 2: 0}
+        for b, s, l in done:
+            pos[b] = max(pos[b], s + l)
+        usable = (self.block_len // self._seg) * self._seg
+        cn = segs * self._seg
+        rest: List[Tuple[int, int, int]] = []
+        for b in range(3):
+            p = pos[b]
+            while p < usable:
+                n = min(cn, usable - p)
+                n = (n // self._seg) * self._seg
+                if n == 0:
+                    break
+                rest.append((b, p, n))
+                p += n
+        self._plan = done + rest
 
     def feed(self, host_u16: Sequence[np.ndarray]) -> int:
         """Stream every chunk whose bytes all stations already have.
@@ -265,13 +473,18 @@ class TailIngest:
             if min(avail) < off + length:
                 break
             rows = np.stack([v[off:off + length] for v in host_u16])
+            t0 = _now()
+            buf = _device_put(rows)
+            dt = max(_now() - t0, 1e-9)
             self._states[b] = _decode_update(
-                self._states[b], jax.device_put(rows), self._pair_dev,
+                self._states[b], buf, self._pair_dev,
                 self._seg, self._fft_len, self._pairs_static,
                 self._precision, True, self._dtype,
             )
             self._next += 1
             done += 1
+            if not self._retuned:
+                self._retune_plan(rows.nbytes / dt)
         return done
 
     def check_final_sizes(self, final_u16: Sequence[int]) -> bool:
@@ -341,6 +554,8 @@ def ingest_overlapped(
     chunk_samples: Optional[int] = None,
     precision: str = "bf16",
     pairs_static: Optional[Tuple[Tuple[int, int], ...]] = None,
+    adaptive: bool = True,
+    diag: Optional[dict] = None,
 ):
     """Stream a 3-block capture from host memory to corrected TDOAs with
     transfer/compute overlap. Returns the same 10-tuple as
@@ -354,6 +569,17 @@ def ingest_overlapped(
     stations); ``block_lens`` gives each station's own capture block
     length when files differ in size (its blocks sit at multiples of
     its own length), defaulting to ``block_len`` everywhere.
+
+    ``adaptive`` (default on; disabled when ``chunk_samples`` pins the
+    geometry) measures the link at runtime — the first chunk's observed
+    MB/s plus the dispatch round-trip — then (a) re-plans the remaining
+    chunks to a ladder size that keeps per-chunk overhead ≤ ~5%, and
+    (b) falls back to ONE monolithic put per station + on-device chunk
+    gathers when chunked puts run pathologically slow (round-4 verdict
+    item 4: the fixed 48-segment plan lost 19% to transfer-only on a
+    congested tunnel, and a per-chunk-put pathology ran 1.8 MB/s where
+    a monolithic put streamed >20 MB/s). ``diag``, when given, is
+    filled with the decisions (mode, rates, chosen chunk size).
     """
     n_st = len(host_u16)
     if block_lens is None:
@@ -418,17 +644,115 @@ def ingest_overlapped(
     state = acc_init(3 * n_st, 3 * m, fft_len)
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
+    def update(st, rows_buf):
+        return _decode_update(
+            st, rows_buf, all_pairs, seg_r, fft_len,
+            all_pairs_static, precision, True, dtype,
+        )
+
+    usable = (block_len // seg_r) * seg_r
+
+    def plan_from(pos0: int, segs: int) -> List[Tuple[int, int]]:
+        out = []
+        p = pos0
+        cn = segs * seg_r
+        while p < usable:
+            n = min(cn, usable - p)
+            n = (n // seg_r) * seg_r
+            if n == 0:
+                break
+            out.append((p, n))
+            p += n
+        return out
+
+    diag_out = diag if diag is not None else {}
+    adaptive_on = bool(adaptive and chunk_samples is None
+                       and len(spans) >= 4)
+    row_set_bytes = 3 * n_st * seg_r * 2  # u16 bytes/segment, all rows
+    diag_out.update(
+        adaptive=adaptive_on, mode="chunked", chunk_segs=chunk // seg_r,
+        fallback_reason=None,
+    )
+
+    dispatch_rt = _measure_dispatch_rt() if adaptive_on else 0.0
+
+    # First chunk: timed put + one scalar sync — the link probe.
+    t0 = _now()
+    buf = _device_put(host_chunk(*spans[0]))
+    mono = False
+    if adaptive_on:
+        int(buf[0, 0])  # scalar readback = tunnel-safe sync
+        dt0 = max(_now() - t0, 1e-9)
+        rate0 = 3 * n_st * spans[0][1] * 2 / dt0
+        diag_out["dispatch_rt_s"] = round(dispatch_rt, 4)
+        diag_out["first_chunk_rate_mbps"] = round(rate0 / 1e6, 2)
+        if rate0 < MONO_PROBE_FLOOR_MBPS * 1e6:
+            # Suspiciously slow chunked put: pay one mid-size
+            # contiguous put to see the link's monolithic rate.
+            pe = int(min(16 << 20, host_u16[0].shape[0]))
+            t0 = _now()
+            pb = _device_put(np.ascontiguousarray(host_u16[0][:pe]))
+            int(pb[0])
+            rate_m = pe * 2 / max(_now() - t0, 1e-9)
+            del pb
+            diag_out["mono_probe_rate_mbps"] = round(rate_m / 1e6, 2)
+            mono = should_fallback_monolithic(rate0, rate_m)
+            if mono:
+                diag_out["fallback_reason"] = "probe"
+        if not mono:
+            segs_pick = choose_chunk_segs(rate0, dispatch_rt,
+                                          row_set_bytes)
+            diag_out["chunk_segs"] = segs_pick
+            if segs_pick * seg_r != chunk:
+                spans = [spans[0]] + plan_from(
+                    spans[0][0] + spans[0][1], segs_pick
+                )
+
     # Two-deep pipeline: the accumulate dispatch for the buffered chunk
     # is issued BEFORE the next device_put, so the (blocking) host→
     # device stream of chunk k+1 overlaps the device's work on chunk k.
-    buf = jax.device_put(host_chunk(*spans[0]))
-    for k in range(len(spans)):
-        state = _decode_update(
-            state, buf, all_pairs, seg_r, fft_len,
-            all_pairs_static, precision, True, dtype,
+    state = update(state, buf)
+    best_rate = 0.0
+    degrade_run = 0
+    k = 1
+    while not mono and k < len(spans):
+        start, length = spans[k]
+        t0 = _now()
+        buf = _device_put(host_chunk(start, length))
+        dt = max(_now() - t0, 1e-9)
+        state = update(state, buf)  # async; overlaps the next put
+        k += 1
+        if adaptive_on:
+            rate = 3 * n_st * length * 2 / dt
+            best_rate = max(best_rate, rate)
+            slow = (rate < DEGRADE_RATIO * best_rate
+                    and rate < MONO_PROBE_FLOOR_MBPS * 1e6)
+            degrade_run = degrade_run + 1 if slow else 0
+            if (degrade_run >= DEGRADE_CONSECUTIVE
+                    and len(spans) - k >= 3):
+                mono = True
+                diag_out["fallback_reason"] = "degradation"
+
+    if mono and k < len(spans):
+        # Monolithic remainder: one put per station of its FULL capture
+        # array (the couple already-consumed chunks ride along — far
+        # cheaper than per-chunk puts in this link state), then big
+        # on-device chunk gathers feed the same accumulator.
+        diag_out["mode"] = "monolithic-fallback"
+        t0 = _now()
+        dev_full = tuple(
+            _device_put(np.ascontiguousarray(v)) for v in host_u16
         )
-        if k + 1 < len(spans):
-            buf = jax.device_put(host_chunk(*spans[k + 1]))
+        int(dev_full[-1][0])
+        diag_out["mono_transfer_s"] = round(_now() - t0, 3)
+        rest = plan_from(spans[k][0], CHUNK_LADDER_SEGS[-1])
+        bl_static = tuple(int(b) for b in block_lens)
+        for start, length in rest:
+            rows = _gather_chunk_rows_device(
+                dev_full, jnp.int32(start), length, bl_static
+            )
+            state = update(state, rows)
+        del dev_full
 
     res = acc_finalize(state, all_pairs, max_lag, weighting=weighting,
                        fft_len=fft_len)

@@ -260,6 +260,22 @@ class HostCapture:
         return u16_to_iq_planar(jnp.asarray(np.concatenate(parts)))
 
 
+def _stack_station_subsamples(subs: "list[C]") -> C:
+    """Stack per-station subsample_planar outputs into one [n_st, L]
+    planar block. subsample_planar returns exactly ``limit`` samples
+    only for stations whose block exceeds the limit; a station below
+    it returns its whole (shorter) block, so a capture set straddling
+    the limit is ragged and jnp.stack would raise (advisor round-4,
+    low). Trim every station to the shortest — truncation keeps the
+    power estimates honest (every retained sample is real data, and
+    the Welch estimator drops any final partial segment itself)."""
+    L = min(s.re.shape[0] for s in subs)
+    return C(
+        jnp.stack([s.re[:L] for s in subs]),
+        jnp.stack([s.im[:L] for s in subs]),
+    )
+
+
 @dataclasses.dataclass
 class EmitterFix:
     """One resolved co-channel emitter: its associated TDOA set + fix."""
@@ -1222,10 +1238,8 @@ class TDOAProcessor:
             # in the eager power analyses (mean power AND the Welch
             # spectral estimator — see HostCapture.subsample_planar).
             def stack_sub(idx: int) -> C:
-                subs = [captures[n].subsample_planar(idx) for n in names]
-                return C(
-                    jnp.stack([s.re for s in subs]),
-                    jnp.stack([s.im for s in subs]),
+                return _stack_station_subsamples(
+                    [captures[n].subsample_planar(idx) for n in names]
                 )
 
             ref1, tgt, ref2 = stack_sub(0), stack_sub(1), stack_sub(2)

@@ -30,6 +30,48 @@ def test_bench_emits_valid_json():
     assert d["unit"] == "Msamples/s/chip"
     assert d["value"] > 0
     assert "vs_baseline" in d
+    st = d["detail"]["steadiness"]
+    assert st["verdict"] in ("healthy", "congested")
+    assert st["reps"] in (5, 10)
+    # Headline is min-of-reps: never slower than the median throughput.
+    assert d["value"] >= d["detail"]["median_msamples_per_s"] - 1e-6
+
+
+def test_bench_congestion_gate():
+    """Steadiness gate (round-4 verdict item 1): with congestion-shaped
+    harness sleeps injected into 60% of the timed reps, the gate must
+    flag the run congested, extend to 10 reps, and keep the min-of-reps
+    headline close to the uncongested program latency (the sleeps only
+    ever ADD time, so the min must escape through the unperturbed
+    reps)."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        BENCH_SECONDS="0.3",
+        BENCH_MAX_LAG="1000",
+        BENCH_SEG=str(1 << 16),
+        BENCH_ACCUM="xla",
+        BENCH_FULL="0",
+        BENCH_WARM="0",
+        BENCH_CONGESTION_SIM="0.6",
+        PYTHONPATH=REPO,
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    st = d["detail"]["steadiness"]
+    assert st["verdict"] == "congested", st
+    assert st["reps"] == 10
+    assert st["spread_ratio_max_over_min"] > 1.5
+    # The robust headline survives: min-of-reps ≥ 2x the congested
+    # median would mean the min itself was congested — it must not be.
+    lat = d["detail"]["headline_latency_s"]
+    med = d["detail"]["steady_latency_s"]
+    assert lat <= med
 
 
 def test_graft_entry_contract():

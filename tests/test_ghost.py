@@ -203,3 +203,44 @@ def test_host_subsample_contiguous_power_ranking():
     p = _station_signal_power(x)
     contrast = float(p[0] / p[1])
     assert 50.0 < contrast < 200.0, contrast
+
+
+def test_host_subsample_stack_straddles_limit():
+    """A capture set whose per-station block lengths STRADDLE the
+    subsample limit (one station below 2^20 samples, one above) yields
+    different per-station sample counts; the stack helper must trim to
+    the shortest instead of raising on ragged shapes (advisor round-4),
+    and the power ranking must survive the truncation."""
+    import jax.numpy as jnp
+
+    from tdoa_tpu.io.datfile import IQ_CENTER, IQ_SCALE
+    from tdoa_tpu.pipeline.processor import (
+        HostCapture,
+        _stack_station_subsamples,
+        _station_signal_power,
+    )
+
+    rng = np.random.default_rng(11)
+    f_sig = 0.02
+
+    def capture(sig_amp: float, block_len: int) -> HostCapture:
+        t = np.arange(block_len)
+        z = (sig_amp * np.exp(2j * np.pi * f_sig * t)
+             + 0.05 * (rng.standard_normal(block_len)
+                       + 1j * rng.standard_normal(block_len)))
+        i = np.clip(np.round(z.real / 4.0 * IQ_SCALE + IQ_CENTER),
+                    0, 255).astype(np.uint16)
+        q = np.clip(np.round(z.imag / 4.0 * IQ_SCALE + IQ_CENTER),
+                    0, 255).astype(np.uint16)
+        u16 = (i | (q << 8)).astype(np.uint16)
+        return HostCapture(u16=np.tile(u16, 3), block_len=block_len)
+
+    strong = capture(1.0, 1 << 22)   # above the 2^20 limit
+    weak = capture(0.1, 1 << 19)     # below it: whole block returned
+    subs = [c.subsample_planar(1) for c in (strong, weak)]
+    assert subs[0].re.shape[0] != subs[1].re.shape[0]  # the ragged case
+    x = _stack_station_subsamples(subs)
+    assert x.re.shape == (2, 1 << 19)
+    p = _station_signal_power(x)
+    contrast = float(p[0] / p[1])
+    assert 50.0 < contrast < 200.0, contrast

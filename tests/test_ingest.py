@@ -49,6 +49,198 @@ def test_plan_chunks_covers_whole_segments():
     assert sum(n for _, n in spans) == (10_000 // 896) * 896
 
 
+def test_choose_chunk_segs_ladder():
+    """Chunk-size rule (round-4 verdict item 4): per-chunk transfer
+    time must cover ≥ 40 dispatch round-trips (floored at 1 s) so the
+    fixed per-chunk pipeline overhead stays ≤ ~5%."""
+    from tdoa_tpu.pipeline.ingest import choose_chunk_segs
+
+    row = 9 * 45056 * 2  # 3 stations stacked over 3 blocks, u16
+    # Healthy link + healthy dispatch: 48 segs ≈ 1.56 s/chunk ≥ 1.2 s.
+    assert choose_chunk_segs(25e6, 0.03, row) == 48
+    # Congested dispatch (0.1 s RT → 4 s target): only 192 segs
+    # (≈ 6.2 s/chunk) clears it — the driver-r04 scenario.
+    assert choose_chunk_segs(25e6, 0.1, row) == 192
+    # Very fast link (short chunks): ladder max, capped.
+    assert choose_chunk_segs(500e6, 0.1, row) == 192
+    # Degenerate inputs fall back to the default.
+    assert choose_chunk_segs(0.0, 0.03, row) == 48
+
+
+def test_should_fallback_monolithic():
+    from tdoa_tpu.pipeline.ingest import should_fallback_monolithic
+
+    # r04 cold-run pathology: chunked 1.8 MB/s vs monolithic >20 MB/s.
+    assert should_fallback_monolithic(1.8e6, 20e6)
+    # Driver r04: chunked 33.6 MB/s BEAT monolithic 10.8 — never fall
+    # back when chunking is the faster strategy.
+    assert not should_fallback_monolithic(33.6e6, 10.8e6)
+    # Comparable rates: chunking keeps the overlap win.
+    assert not should_fallback_monolithic(20e6, 24e6)
+
+
+def _delay_capture_u16(n_st, block_len, delays, seed=0):
+    """Synthetic u16 captures: shared REF noise at zero offset in REF
+    blocks, shared TGT noise delayed per station in the TGT block —
+    corrected TDOA for pair (i,j) is delays[j]-delays[i] (the
+    correlator's lag convention)."""
+    from tdoa_tpu.io.datfile import IQ_CENTER, IQ_SCALE
+
+    rng = np.random.default_rng(seed)
+    pad = 64  # both-sided: delays may be negative
+    ref = (rng.standard_normal(block_len + 2 * pad)
+           + 1j * rng.standard_normal(block_len + 2 * pad))
+    tgt = (rng.standard_normal(block_len + 2 * pad)
+           + 1j * rng.standard_normal(block_len + 2 * pad))
+    out = []
+    for s in range(n_st):
+        d = int(delays[s])
+        blocks = [
+            ref[pad:pad + block_len],
+            tgt[pad - d:pad - d + block_len],
+            ref[pad:pad + block_len],
+        ]
+        z = np.concatenate(blocks) * 0.25
+        i = np.clip(np.round(z.real * IQ_SCALE + IQ_CENTER),
+                    0, 255).astype(np.uint16)
+        q = np.clip(np.round(z.imag * IQ_SCALE + IQ_CENTER),
+                    0, 255).astype(np.uint16)
+        out.append((i | (q << 8)).astype(np.uint16))
+    return out
+
+
+def test_ingest_adaptive_monolithic_fallback(monkeypatch):
+    """With chunked puts simulated at a pathological 1 MB/s against a
+    50 MB/s monolithic rate (the r04 cold-run link state), the adaptive
+    ingest must probe, fall back to monolithic transfer + on-device
+    chunk gathers, and still produce the right TDOAs."""
+    from tdoa_tpu.pipeline import ingest as ing
+
+    clock = {"t": 0.0}
+
+    def fake_now():
+        return clock["t"]
+
+    real_put = ing._device_put
+
+    def fake_put(x):
+        arr = np.asarray(x) if not hasattr(x, "nbytes") else x
+        if getattr(arr, "ndim", 1) >= 2:
+            clock["t"] += arr.nbytes / 1e6   # chunked rows: 1 MB/s
+        else:
+            clock["t"] += arr.nbytes / 50e6  # contiguous 1-D: 50 MB/s
+        return real_put(x)
+
+    monkeypatch.setattr(ing, "_now", fake_now)
+    monkeypatch.setattr(ing, "_device_put", fake_put)
+    monkeypatch.setattr(ing, "_measure_dispatch_rt", lambda: 0.03)
+
+    seg = 2048
+    block_len = 8 * 48 * seg
+    delays = [0, 5, -3]
+    host = _delay_capture_u16(3, block_len, delays, seed=4)
+    pair = np.array([[0, 1], [0, 2], [1, 2]], np.int32)
+    geo = np.zeros(3, np.float32)
+    kw = dict(block_len=block_len, max_lag=256, seg_len=seg,
+              weighting="ht")
+    diag = {}
+    out = ing.ingest_overlapped(host, pair, geo, adaptive=True,
+                                diag=diag, **kw)
+    assert diag["mode"] == "monolithic-fallback"
+    assert diag["fallback_reason"] == "probe"
+    assert diag["first_chunk_rate_mbps"] < 8.0
+    assert diag["mono_probe_rate_mbps"] > 20.0
+    want = np.array([delays[j] - delays[i] for i, j in pair], np.float64)
+    np.testing.assert_allclose(
+        np.asarray(out[0], np.float64), want, atol=0.5)
+    # And against the non-adaptive path on the same bytes (chunk
+    # partition differs → per-chunk DC removal differs slightly).
+    ref = ing.ingest_overlapped(host, pair, geo, adaptive=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=0.05)
+
+
+def test_ingest_adaptive_chunk_escalation(monkeypatch):
+    """A congested dispatch round-trip (0.1 s) at a healthy link rate
+    must escalate the chunk size to the ladder max (fewer chunks →
+    less per-chunk overhead: the r04 driver run lost 19% to 29 small
+    chunks) while staying in chunked mode."""
+    from tdoa_tpu.pipeline import ingest as ing
+
+    clock = {"t": 0.0}
+    real_put = ing._device_put
+
+    def fake_put(x):
+        arr = np.asarray(x) if not hasattr(x, "nbytes") else x
+        clock["t"] += arr.nbytes / 25e6  # healthy 25 MB/s
+        return real_put(x)
+
+    monkeypatch.setattr(ing, "_now", lambda: clock["t"])
+    monkeypatch.setattr(ing, "_device_put", fake_put)
+    monkeypatch.setattr(ing, "_measure_dispatch_rt", lambda: 0.1)
+
+    seg = 2048
+    block_len = 8 * 48 * seg
+    delays = [0, 5, -3]
+    host = _delay_capture_u16(3, block_len, delays, seed=4)
+    pair = np.array([[0, 1], [0, 2], [1, 2]], np.int32)
+    geo = np.zeros(3, np.float32)
+    kw = dict(block_len=block_len, max_lag=256, seg_len=seg,
+              weighting="ht")
+    diag = {}
+    out = ing.ingest_overlapped(host, pair, geo, adaptive=True,
+                                diag=diag, **kw)
+    assert diag["mode"] == "chunked"
+    assert diag["chunk_segs"] == 192
+    want = np.array([delays[j] - delays[i] for i, j in pair], np.float64)
+    np.testing.assert_allclose(
+        np.asarray(out[0], np.float64), want, atol=0.5)
+    ref = ing.ingest_overlapped(host, pair, geo, adaptive=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=0.05)
+
+
+def test_ingest_adaptive_healthy_link_keeps_default(monkeypatch):
+    """A healthy link + healthy dispatch must keep the measured-optimal
+    48-segment chunks AND never trigger the monolithic probe (its extra
+    put would waste link time on every healthy run)."""
+    from tdoa_tpu.pipeline import ingest as ing
+
+    clock = {"t": 0.0}
+    real_put = ing._device_put
+    puts_1d = []
+
+    def fake_put(x):
+        arr = np.asarray(x) if not hasattr(x, "nbytes") else x
+        if getattr(arr, "ndim", 1) >= 2:
+            clock["t"] += arr.nbytes / 25e6
+        else:
+            puts_1d.append(arr.nbytes)
+            clock["t"] += arr.nbytes / 25e6
+        return real_put(x)
+
+    monkeypatch.setattr(ing, "_now", lambda: clock["t"])
+    monkeypatch.setattr(ing, "_device_put", fake_put)
+    # RT scaled to this test's small chunk geometry the same way the
+    # healthy tunnel's 0.03 s RT relates to the 38.9 MB bench chunks.
+    monkeypatch.setattr(ing, "_measure_dispatch_rt", lambda: 0.001)
+
+    seg = 2048
+    block_len = 8 * 48 * seg
+    host = _delay_capture_u16(3, block_len, [0, 5, -3], seed=4)
+    pair = np.array([[0, 1], [0, 2], [1, 2]], np.int32)
+    diag = {}
+    ing.ingest_overlapped(
+        host, pair, np.zeros(3, np.float32), block_len=block_len,
+        max_lag=256, seg_len=seg, weighting="ht", adaptive=True,
+        diag=diag,
+    )
+    assert diag["mode"] == "chunked"
+    assert diag["fallback_reason"] is None
+    assert "mono_probe_rate_mbps" not in diag
+    assert not puts_1d  # no monolithic probe transfer happened
+
+
 def test_ingest_matches_batch_path(omaha_stations, station_csv, tmp_path):
     """Streamed chunked ingest vs the batch processor on the same
     capture bytes: corrected TDOAs within 0.05 samples, fix within a

@@ -126,6 +126,31 @@ def test_zoom_probe_support_gate():
     assert not zoom_probe_supported(65536, 40000, "ht")  # int32 guard
 
 
+def test_zoom_probe_vmem_gate():
+    """Geometries whose live set exceeds the 100 MB scoped-VMEM ceiling
+    must be rejected (advisor round-4 medium: the vmem_limit_bytes
+    request silently clamps and 16-24-station probes would be a Mosaic
+    compile failure on chip). The chip-validated 12-station geometry
+    (K=4, m=66) must still pass; 16 stations (m=120) must not."""
+    # 12 stations, K=4: KM=264 rows — chip-validated, fits.
+    assert zoom_probe_supported(65536, 20000, "ht", K=4, m=66, n_st=12)
+    # 16 stations, K=4: KM=480 rows — formula exceeds the ceiling.
+    assert not zoom_probe_supported(65536, 20000, "ht", K=4, m=120,
+                                    n_st=16)
+    # 24 stations: far past it.
+    assert not zoom_probe_supported(65536, 20000, "ht", K=4, m=276,
+                                    n_st=24)
+    # The gate arithmetic must be the SAME formula the kernel requests
+    # with (no drift between gate and request).
+    from tdoa_tpu.ops.pallas.zoom_probe import (
+        VMEM_CEILING,
+        _vmem_need_bytes,
+    )
+
+    assert _vmem_need_bytes(4 * 66, 4 * 12) <= VMEM_CEILING
+    assert _vmem_need_bytes(4 * 120, 4 * 16) > VMEM_CEILING
+
+
 def test_fused_corr_routes_probe_kernel(monkeypatch):
     """correlate_pairs_fused with the probe kernel forced (it runs in
     interpret mode on CPU) must match the XLA probe path it replaces
