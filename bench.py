@@ -424,11 +424,21 @@ def main() -> None:
         )
 
         n_seg_block = block_len // _SEG_F
+        K_split = max(split_k(n_seg_block), 1)
         fm = fused_flop_model(
             n_st, len(base_pairs), n_seg_block, remove_dc=True,
-            n_splits=max(split_k(n_seg_block), 1),
+            n_splits=K_split,
         )
-        total_flops = 3 * (fm["mxu_flops"] + fm["vpu_flops"])  # 3 blocks
+        # Credit the zoom-probe kernel too (round-5: the MFU model must
+        # cover every on-device kernel; it runs once per block whenever
+        # the split-σ ladder is active).
+        from tdoa_tpu.ops.pallas.zoom_probe import zoom_probe_flop_model
+
+        zf = (zoom_probe_flop_model(K_split, len(base_pairs), n_st,
+                                    65536)
+              if K_split > 1 else {"mxu_flops": 0, "vpu_flops": 0})
+        total_flops = 3 * (fm["mxu_flops"] + fm["vpu_flops"]
+                           + zf["mxu_flops"] + zf["vpu_flops"])  # 3 blocks
         # Device time from the ROBUST (min-of-reps) latency minus the
         # least-congested dispatch-floor estimate: both are one-sided
         # (congestion only adds), so this subtraction is stable across
@@ -438,8 +448,9 @@ def main() -> None:
         device_s = robust_s - dispatch_baseline_s
         v5e_bf16_peak = 197e12  # TPU v5e: 197 bf16 TFLOP/s per chip
         flop_detail = {
-            "mxu_flops_total": 3 * fm["mxu_flops"],
-            "vpu_flops_total": 3 * fm["vpu_flops"],
+            "mxu_flops_total": 3 * (fm["mxu_flops"] + zf["mxu_flops"]),
+            "vpu_flops_total": 3 * (fm["vpu_flops"] + zf["vpu_flops"]),
+            "zoom_probe_mxu_flops_total": 3 * zf["mxu_flops"],
             "fft_chunks": fm["fft_chunks"],
             "device_tflops_sustained": round(
                 total_flops / sustained_s / 1e12, 1),
@@ -448,7 +459,9 @@ def main() -> None:
             "peak_bf16_tflops_assumed": 197.0,
             "model": "2x(4 matmuls 256x176x256 + 4 matmuls 256x256x256)"
                      "/station-seg MXU + 12/bin/station-seg + 8/bin/"
-                     "pair-seg VPU; finish stage excluded (lower bound)",
+                     "pair-seg VPU + zoom-probe kernel (selector/zoom "
+                     "matmuls, zoom_probe_flop_model); finish stage "
+                     "excluded (lower bound)",
         }
         if device_s > 0.2 * robust_s:
             # Single-shot device time = steady − dispatch floor. Both

@@ -229,6 +229,35 @@ def main() -> None:
             tgt_tx_lla=np.array([41.31260751, -95.90109979, 356.0]),
             clock_offsets_s=None,
         ),
+        # Round-5 widening (verdict item 5): three more scenes in the
+        # same all-positive construction so the parity claim rests on
+        # ≥ 15 trusted reference pairs spanning near-zero through the
+        # largest lags the ELF's accidental window has been seen to
+        # measure (40 at corr 0.997, offset-geometry). Positions solved
+        # numerically for planted lag triples (τ_kf0mtl < τ_kx0u <
+        # τ_n3pay):
+        #   near-zero-lags: 2.5 / 6.5 / 4.0 samples (4.8 km out)
+        #   mid-lags:       8 / 24 / 16                (9.0 km)
+        #   upper-lags:     12 / 33 / 21               (12.7 km)
+        #   large-lags:     30 / 48 / 18               (21.0 km) — 48
+        #     probes PAST the known-good 40; if the ELF's window ends
+        #     sooner, its per-pair trust verdicts record exactly where.
+        "near-zero-lags": dict(
+            tgt_tx_lla=np.array([41.26742413, -95.97212587, 354.42]),
+            clock_offsets_s=None,
+        ),
+        "mid-lags": dict(
+            tgt_tx_lla=np.array([41.28613958, -95.92755225, 358.99]),
+            clock_offsets_s=None,
+        ),
+        "upper-lags": dict(
+            tgt_tx_lla=np.array([41.30382844, -95.88936316, 365.35]),
+            clock_offsets_s=None,
+        ),
+        "large-lags": dict(
+            tgt_tx_lla=np.array([41.36296580, -95.82079800, 387.32]),
+            clock_offsets_s=None,
+        ),
     }
 
     report = {

@@ -320,8 +320,10 @@ def run_audio_trial(seed: int) -> dict:
     warnings = list(res.warnings) + list(res.pairwise.warnings)
     atol_tdoa, atol_fix = 4.0, 2500.0
     accurate = tdoa_err < atol_tdoa and fix_err < atol_fix
+    _s3 = (res.fix.conf_scales[2]
+           if res.fix.conf_scales is not None else 1.0)
     covered = (res.fix.ellipse is not None
-               and fix_err < 3.0 * res.fix.ellipse[0])
+               and fix_err < 3.0 * _s3 * res.fix.ellipse[0])
     flagged = len(warnings) > 0
     return {
         "seed": seed,
@@ -400,6 +402,38 @@ def run_trial(regime: str, seed: int) -> dict:
         block_len = 1 << 18  # CAF Doppler resolution needs the longer block
         max_lag = 512
         atol_tdoa, atol_fix = 1.0, 300.0
+    elif regime == "ghost-fdoa":
+        # Far-field ghost regime (round-5 verdict item 6): the emitter
+        # sits 30-70 km outside the hull on a random bearing. In the
+        # far field every candidate intersection's station distances
+        # are a near-uniform scaling of the true ones (ratio spread ~
+        # aperture/range), so the 1/r received-power profile is
+        # UNINFORMATIVE between the ghost pair — scores land well
+        # inside σ_p of each other and the power lane cannot decide.
+        # The emitter moves (80-200 m/s), so the FDOA log-likelihood
+        # must carry the swap decision: the lane the GHOSTCAL record
+        # shows was least exercised (10 of 43 round-4 records).
+        center = lla[:, :].mean(axis=0)
+        bearing = rng.uniform(0.0, 2.0 * np.pi)
+        range_m = rng.uniform(30e3, 70e3)
+        tgt = center.copy()
+        tgt[0] += range_m * np.cos(bearing) / 111_320.0
+        tgt[1] += (range_m * np.sin(bearing)
+                   / (111_320.0 * np.cos(np.radians(center[0]))))
+        tgt[2] = rng.uniform(500.0, 3000.0)
+        speed = rng.uniform(80.0, 200.0)
+        heading = rng.uniform(0.0, 2.0 * np.pi)
+        vel_true = np.array(
+            [speed * np.cos(heading), speed * np.sin(heading), 0.0]
+        )
+        kw["tgt_velocity_enu"] = vel_true
+        kw["clock_offsets_s"] = rng.uniform(-20e-6, 20e-6, n_st)
+        block_len = 1 << 18  # CAF Doppler resolution
+        max_lag = 512
+        # Far-field GDOP: the along-range axis is weakly constrained
+        # (error ~ σ·(range/aperture)²); honesty comes from the
+        # ellipse/covered criterion, not a tight absolute bound.
+        atol_tdoa, atol_fix = 1.0, 8000.0
     elif regime == "moving-interferer":
         # A static co-channel interferer UNDER a moving target: the
         # joint lag-Doppler association (chip-validated in
@@ -568,8 +602,12 @@ def run_trial(regime: str, seed: int) -> dict:
     # Calibrated uncertainty: a fix whose own 1σ ellipse covers the
     # error (bad GDOP from a randomly thin network) is honest, not
     # wrong.
+    # Heavy-tail regimes: the calibrated 3σ contour is 3·s3 (the
+    # Student-t radial scale the fix itself reports; 1 for Gaussian).
+    _s3 = (res.fix.conf_scales[2]
+           if res.fix.conf_scales is not None else 1.0)
     covered = (res.fix.ellipse is not None
-               and fix_err < 3.0 * res.fix.ellipse[0]
+               and fix_err < 3.0 * _s3 * res.fix.ellipse[0]
                and vel_ok)
     flagged = len(warnings) > 0
     return {

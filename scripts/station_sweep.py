@@ -121,10 +121,21 @@ def main() -> None:
         sustained_s = sustained[len(sustained) // 2]
 
         total = 3 * block_len * n_st
-        device_s = max(steady - dispatch_s, 1e-9)
+        # min-of-reps, same robustness rationale as bench.py round 5:
+        # congestion only adds latency.
+        device_s = max(times[0] - dispatch_s, 1e-9)
+        K_split = max(split_k(n_seg), 1)
         fm = fused_flop_model(n_st, len(pairs), n_seg, remove_dc=True,
-                              n_splits=max(split_k(n_seg), 1))
-        flops = 3 * (fm["mxu_flops"] + fm["vpu_flops"])
+                              n_splits=K_split)
+        # Credit the zoom-probe kernel (round-5: MFU covers every
+        # on-device kernel — the 12-station "19% MFU" was partly probe
+        # work the accumulation-only model refused to count).
+        from tdoa_tpu.ops.pallas.zoom_probe import zoom_probe_flop_model
+
+        zf = (zoom_probe_flop_model(K_split, len(pairs), n_st, 65536)
+              if K_split > 1 else {"mxu_flops": 0, "vpu_flops": 0})
+        flops = 3 * (fm["mxu_flops"] + fm["vpu_flops"]
+                     + zf["mxu_flops"] + zf["vpu_flops"])
         line = {
             "stations": n_st,
             "pairs": len(pairs),

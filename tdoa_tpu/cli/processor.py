@@ -192,7 +192,12 @@ def main(argv=None) -> int:
                     "ellipse_1sigma_m": None if fix.ellipse is None else
                     {"semi_major": fix.ellipse[0],
                      "semi_minor": fix.ellipse[1],
-                     "azimuth_deg": fix.ellipse[2]}},
+                     "azimuth_deg": fix.ellipse[2]},
+                    # Heavy-tail contour scales (confirmed echo
+                    # environments): kσ contour = k·s_k ellipse.
+                    "conf_contour_scales": (
+                        None if fix.conf_scales is None
+                        else list(fix.conf_scales))},
             "tdoa_std_us": None if res.tdoa_std_s is None else
             [s * 1e6 for s in res.tdoa_std_s],
             "stations": names,
@@ -262,6 +267,12 @@ def main(argv=None) -> int:
         maj, mnr, az = fix.ellipse
         print(f"1-sigma error ellipse: {maj:.1f} m x {mnr:.1f} m "
               f"at {az:.0f} deg E of N")
+        if fix.conf_scales is not None:
+            # Heavy-tailed echo environment: the 3σ contour is wider
+            # than 3× the 1σ ellipse (Student-t radial calibration).
+            s3 = fix.conf_scales[2]
+            print(f"3-sigma contour (echo-tail calibrated): "
+                  f"{3 * s3 * maj:.1f} m x {3 * s3 * mnr:.1f} m")
     if fix.candidates_lla is not None and len(fix.candidates_lla) > 1:
         print("Other candidate solutions (TDOA ghosts):")
         for k, (lla, rms) in enumerate(

@@ -116,15 +116,23 @@ def result_feature_collection(
     if fix.ellipse is not None:
         center = np.array([fix.lat, fix.lon, fix.elev])
         maj, mnr, azd = fix.ellipse
+        # Heavy-tail contour scales (confirmed echo environments): the
+        # kσ confidence contour is the k·s_k ellipse of the reported
+        # 1σ covariance (FixResult.conf_scales; None ⇒ Gaussian).
+        scales = {1.0: 1.0, 3.0: 1.0}
+        if fix.conf_scales is not None:
+            scales = {1.0: float(fix.conf_scales[0]),
+                      3.0: float(fix.conf_scales[2])}
         for k in (1.0, 3.0):
             feats.append({
                 "type": "Feature",
                 "geometry": {
                     "type": "Polygon",
                     "coordinates": [ellipse_ring(center, maj, mnr, azd,
-                                                 k_sigma=k)],
+                                                 k_sigma=k * scales[k])],
                 },
-                "properties": {"kind": "error_ellipse", "k_sigma": k},
+                "properties": {"kind": "error_ellipse", "k_sigma": k,
+                               "radial_scale": scales[k]},
             })
 
     if fix.candidates_lla is not None and len(fix.candidates_lla) > 1:

@@ -33,6 +33,7 @@ argument), so the ±max_lag window carries no wraparound alias.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Union
 
 import jax
@@ -434,6 +435,27 @@ _FORCE_PROBE_KERNEL = False
 # kernel within one process — scripts/headline_profile.py). Trace-time:
 # flip + jax.clear_caches() before retracing.
 _FORCE_PROBE_XLA = False
+
+
+def _slice_segs_per_step(n_pairs: int) -> int:
+    """Segments per kernel step for the per-slice split layout.
+    MEASURED NEGATIVE at 12 stations (round 5, SEGSTEP_AB.json): the
+    round-4 attribution blamed ~12 ms of the 98.5 ms device time on
+    the per-pair accumulator read-modify-write, 'halvable only by
+    multi-segment steps, blocked by the odd per-slice segment counts'.
+    Round 5 removed both blockers — exact zero-segment padding
+    (corr_accum.py) and a register-combined kernel restructure (one
+    RMW per accumulator per STEP) — and the within-run queued×5 A/B
+    measured segs_per_step=2 **18.5 ms SLOWER** (99.0 → 117.5 ms): the
+    2·n_st·segs [R, R] f32 per-segment spectra the combine must hold
+    live (~12.6 MB at 12 stations) cost more in VMEM
+    pressure/scheduling than the halved RMW saves. Default stays 1
+    everywhere; TDOA_TPU_SEGS_PER_STEP remains as the measurement
+    override that produced the artifact."""
+    env = os.environ.get("TDOA_TPU_SEGS_PER_STEP", "")
+    if env:
+        return max(1, int(env))
+    return 1
 
 # Consistency factor for the K-group split σ, CALIBRATED AGAINST TRUTH
 # (scripts/ellipse_calibration.py is the compliance test; the
@@ -842,6 +864,7 @@ def correlate_pairs_fused(
                 C(x.re[:, bounds[k]:bounds[k + 1]],
                   x.im[:, bounds[k]:bounds[k + 1]]), pairs,
                 precision=precision, remove_dc=remove_dc, prescale=False,
+                segs_per_step=_slice_segs_per_step(len(pairs)),
             )
             for k in range(K)
         ]

@@ -143,8 +143,17 @@ def _kernel(xr_ref, xi_ref,
     tr = tr_ref[:, :]
     ti = ti_ref[:, :]
 
-    # Several segments per grid step amortize Pallas' per-step cost
-    # over more MXU work (1 measured best on v5e; kept as a knob).
+    # Several segments per grid step amortize the per-segment
+    # accumulator read-modify-writes: each VMEM-resident accumulator is
+    # touched ONCE per step, with the per-segment contributions combined
+    # in registers first (the per-pair RMW was measured
+    # VMEM-bandwidth-bound at 12 stations — ~12 ms of the 98.5 ms
+    # device time; round-4 verdict item 2). The per-segment spectra for
+    # the whole step are held live (2·n_st·segs_per_step [R, R] f32 —
+    # accounted in _vmem_need), so segs_per_step trades VMEM for
+    # accumulator bandwidth. segs_per_step == 1 reproduces the
+    # chip-validated round-2 form exactly.
+    all_br, all_bi = [], []
     for g in range(segs_per_step):
         r0 = g * SEG_ROWS
         brs, bis = [], []
@@ -172,18 +181,36 @@ def _kernel(xr_ref, xi_ref,
                    + jnp.dot(t_i, wr, preferred_element_type=f32))
             brs.append(b_r)
             bis.append(b_i)
-            psd_ref[bank + (st,)] += b_r * b_r + b_i * b_i
-            if track_sums:
-                # Spectral sums: the DC-removal algebra's ΣX term (and
-                # the block mean, via the DC bin) — only paid for when
-                # remove_dc needs them.
-                sr_ref[bank + (st,)] += b_r
-                si_ref[bank + (st,)] += b_i
+        all_br.append(brs)
+        all_bi.append(bis)
 
-        for m, (i, j) in enumerate(pairs):
-            # X_j · conj(X_i)
-            cr_ref[bank + (m,)] += brs[j] * brs[i] + bis[j] * bis[i]
-            ci_ref[bank + (m,)] += bis[j] * brs[i] - brs[j] * bis[i]
+    def gsum(terms):
+        acc = terms[0]
+        for t_ in terms[1:]:
+            acc = acc + t_
+        return acc
+
+    for st in range(n_st):
+        psd_ref[bank + (st,)] += gsum(
+            [all_br[g][st] * all_br[g][st] + all_bi[g][st] * all_bi[g][st]
+             for g in range(segs_per_step)])
+        if track_sums:
+            # Spectral sums: the DC-removal algebra's ΣX term (and
+            # the block mean, via the DC bin) — only paid for when
+            # remove_dc needs them.
+            sr_ref[bank + (st,)] += gsum(
+                [all_br[g][st] for g in range(segs_per_step)])
+            si_ref[bank + (st,)] += gsum(
+                [all_bi[g][st] for g in range(segs_per_step)])
+
+    for m, (i, j) in enumerate(pairs):
+        # X_j · conj(X_i), all step segments combined before the RMW.
+        cr_ref[bank + (m,)] += gsum(
+            [all_br[g][j] * all_br[g][i] + all_bi[g][j] * all_bi[g][i]
+             for g in range(segs_per_step)])
+        ci_ref[bank + (m,)] += gsum(
+            [all_bi[g][j] * all_br[g][i] - all_br[g][j] * all_bi[g][i]
+             for g in range(segs_per_step)])
 
 
 # The fused path is chip-validated up to a 4-way pair tiling; past
@@ -219,8 +246,15 @@ def _vmem_need(n_st: int, n_pairs: int, mm_bytes: int, step_rows: int,
     input_bytes = 2 * 2 * n_st * step_rows * R * mm_bytes  # double-buffered
     const_bytes = (2 * R * SEG_ROWS + 2 * R * R) * mm_bytes + 2 * R * R * 4
     scratch_bytes = 2 * R * R * mm_bytes
+    # Multi-segment steps hold the whole step's per-segment spectra
+    # live (2·n_st per extra segment, [R, R] f32) so every accumulator
+    # is read-modify-written once per STEP — the segs_per_step == 1
+    # live set was always implicit in the 1.25 headroom (calibrated),
+    # so only the extra segments are charged here.
+    extra_segs = max(step_rows // SEG_ROWS - 1, 0)
+    live_b_bytes = 2 * n_st * extra_segs * R * R * 4
     return (int(1.25 * (accum_bytes + input_bytes + const_bytes
-                        + scratch_bytes)) + (2 << 20))
+                        + scratch_bytes + live_b_bytes)) + (2 << 20))
 
 
 def fused_max_pairs(n_st: int, remove_dc: bool = True,
@@ -512,19 +546,32 @@ def accumulate_cross_spectra_pallas(
         raise ValueError(
             f"n_splits {n_splits} exceeds the segment count {n_seg}"
         )
-    while segs_per_step > 1 and n_seg % segs_per_step:
-        segs_per_step -= 1
-    n_steps = n_seg // segs_per_step
-    n_seg = n_steps * segs_per_step
+    # Odd segment counts vs multi-segment steps: pad the capture with
+    # ZERO segments up to the step multiple (exact — a zero segment
+    # contributes nothing to cross/PSD/spectral sums; the finalize
+    # divides by the REAL segment count). XLA fuses the pad into the
+    # slice copy the kernel operands pay anyway, so the padding is
+    # ~free; this is what unblocks segs_per_step > 1 on the per-slice
+    # split layout, whose 111/110-segment slices are odd (round-4
+    # verdict item 2). n_splits > 1 can't reach here (the
+    # segs_per_step == 1 guard above).
+    pad_seg = (-n_seg) % segs_per_step
+    n_seg_grid = n_seg + pad_seg
+    n_steps = n_seg_grid // segs_per_step
     use = n_seg * SEG_LEN
     m = len(pairs)
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     f32 = jnp.float32
 
-    # [n_st, n_seg*SEG_ROWS, R] in mm dtype. For bf16 input this is a
-    # free bitcast view; f32 input pays one fused slice+convert copy.
-    x3r = x.re[:, :use].reshape(n_st, n_seg * SEG_ROWS, R).astype(mm_dtype)
-    x3i = x.im[:, :use].reshape(n_st, n_seg * SEG_ROWS, R).astype(mm_dtype)
+    # [n_st, n_seg_grid*SEG_ROWS, R] in mm dtype. For bf16 input this
+    # is a free bitcast view; f32 input pays one fused slice+convert
+    # copy (the zero-segment pad fuses into the same copy).
+    xr_u, xi_u = x.re[:, :use], x.im[:, :use]
+    if pad_seg:
+        pw = ((0, 0), (0, pad_seg * SEG_LEN))
+        xr_u, xi_u = jnp.pad(xr_u, pw), jnp.pad(xi_u, pw)
+    x3r = xr_u.reshape(n_st, n_seg_grid * SEG_ROWS, R).astype(mm_dtype)
+    x3i = xi_u.reshape(n_st, n_seg_grid * SEG_ROWS, R).astype(mm_dtype)
 
     wr, wi, tr, ti = _mats()
     consts = (
@@ -626,9 +673,15 @@ def accumulate_cross_spectra_pallas(
             s_r, s_i = s_r[None], s_i[None]
 
     # Per-group segment counts (groups are contiguous, first g_r groups
-    # one step larger; segs_per_step == 1 whenever G > 1).
-    seg_g = np.full(G, g_q * segs_per_step, np.float32)
-    seg_g[:g_r] += segs_per_step
+    # one step larger; segs_per_step == 1 whenever G > 1). REAL segment
+    # counts: zero-pad segments (multi-segment steps, G == 1 only)
+    # contribute nothing to the accumulators and must not enter the
+    # mean/power divisors.
+    if G == 1:
+        seg_g = np.array([n_seg], np.float32)
+    else:
+        seg_g = np.full(G, g_q * segs_per_step, np.float32)
+        seg_g[:g_r] += segs_per_step
     cross, psd, energy = _finalize_banks(
         cr, ci, psd, s_r, s_i, np.asarray(pairs, np.int32), seg_g,
         remove_dc, prescale,

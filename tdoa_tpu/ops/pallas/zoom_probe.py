@@ -290,6 +290,30 @@ def loo_zoom_delays_pallas(
         K, m)
 
 
+def zoom_probe_flop_model(K: int, m: int, n_st: int,
+                          fft_len: int) -> dict:
+    """Static FLOP count for one probe-kernel invocation (round-5: the
+    MFU model must credit every on-device kernel, not only the
+    accumulators — the 12-station 19% 'MFU' partly reflected
+    uncredited probe work, not idle silicon).
+
+    MXU (exact — the kernel's matmul geometry is static; 1 MAC =
+    2 FLOPs): both passes run the LOO selector matmuls
+    (2× [K·m, K·m]@[K·m, T] + 2× [K·m, K·n_st]@[K·n_st, T] per tile),
+    and pass 1 adds the 4 zoom matmuls [K·m, T]@[T, W]. Summed over
+    the F/T tiles:
+
+        mxu = 8·KM·(KM + KN)·F  +  8·KM·W·F
+
+    VPU (approximate, stated coefficient): the magnitude/coherence/
+    weight/deramp elementwise chain is ~40 ops per [K·m, F] element
+    across the two passes."""
+    KM, KN = K * m, K * n_st
+    mxu = 8 * KM * (KM + KN) * fft_len + 8 * KM * W * fft_len
+    vpu = 40 * KM * fft_len
+    return {"mxu_flops": mxu, "vpu_flops": vpu}
+
+
 def zoom_probe_supported(fft_len: int, max_lag: int, weighting: str,
                          K: int = 0, m: int = 0, n_st: int = 0) -> bool:
     """Static gate for routing `_combine_splits` through the fused

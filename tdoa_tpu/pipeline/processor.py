@@ -1881,6 +1881,10 @@ class TDOAProcessor:
                 fix_covariance_enu_correlated,
             )
 
+            # One γ for every echo-engaged fix (round-5: the two tiers
+            # are equal — the maha tail lives in the UNCONFIRMED class,
+            # so a confirmed-only inflation could never reach it; the
+            # tail is covered by conf_scales below instead).
             tau_m = (
                 (STATION_BIAS_FIX_INFLATION_CONFIRMED
                  if echo_env_confirmed else STATION_BIAS_FIX_INFLATION)
@@ -1892,8 +1896,19 @@ class TDOAProcessor:
                 tdoa_noise_s * SPEED_OF_LIGHT, tau_m, weights=w,
             )
             if np.all(np.isfinite(cov_mp)):
+                from tdoa_tpu.dsp.multipath import ECHO_TAIL_CONF_SCALES
+
                 fix = dataclasses.replace(
                     fix, cov_en=cov_mp, ellipse=error_ellipse(cov_mp),
+                    # EVERY echo-engaged fix carries the calibrated
+                    # heavy-tail contour scales: the kσ confidence
+                    # contour is the k·s_k ellipse. A single Gaussian
+                    # scale cannot calibrate both the echo-bias median
+                    # and its tail, and the tail's worst rows are the
+                    # UNCONFIRMED ones (TGT statistics under the env
+                    # thresholds) — so the scales must not be gated on
+                    # confirmation (round-5 fit, MULTIPATH_CAL_r05).
+                    conf_scales=ECHO_TAIL_CONF_SCALES,
                 )
 
         if cfg.solve_velocity:

@@ -277,6 +277,14 @@ class FixResult:
     # — present when the caller supplied per-pair TDOA uncertainties.
     cov_en: Optional[np.ndarray] = None
     ellipse: Optional[tuple] = None
+    # Per-level radial scale factors (s1, s2, s3) for the 1σ/2σ/3σ
+    # confidence CONTOURS relative to cov_en: the kσ contour is the
+    # k·s_k ellipse. None ⇒ Gaussian (1, 1, 1). Non-unit only in
+    # confirmed echo environments, where the fix-error distribution is
+    # heavy-tailed (Student-t radial calibration, dsp/multipath.py
+    # ECHO_TAIL_* — round-5: one Gaussian scale cannot calibrate both
+    # the median and the tail).
+    conf_scales: Optional[tuple] = None
 
 
 def solve_fix(

@@ -97,6 +97,55 @@ def test_fused_prescale_is_unit_rms_normalization():
     np.testing.assert_allclose(np.asarray(energy_s), float(n), rtol=1e-4)
 
 
+def test_fused_multi_segment_step_pads_odd_counts():
+    """segs_per_step=2 on an ODD segment count (the per-slice split
+    layout's 111/110-segment slices) must zero-pad the grid exactly:
+    cross/PSD/energy equal the segs_per_step=1 result (same segments,
+    contributions combined in registers before each accumulator RMW;
+    zero segments contribute nothing and the finalize divides by the
+    REAL count — round-4 verdict item 2)."""
+    from tdoa_tpu.ops.pallas.corr_accum import accumulate_cross_spectra_pallas
+
+    n = SEG_LEN * 5  # odd: 5 % 2 == 1 → one zero pad segment
+    key = jax.random.PRNGKey(9)
+    kr, ki = jax.random.split(key)
+    re = jax.random.normal(kr, (3, n), jnp.float32) + 0.11
+    im = jax.random.normal(ki, (3, n), jnp.float32) - 0.07
+    x = C(re, im)
+    pairs = ((0, 1), (0, 2), (1, 2))
+    c1, p1, e1 = accumulate_cross_spectra_pallas(
+        x, pairs, remove_dc=True, segs_per_step=1)
+    c2, p2, e2 = accumulate_cross_spectra_pallas(
+        x, pairs, remove_dc=True, segs_per_step=2)
+    scale = float(jnp.max(jnp.abs(c1.re)))
+    np.testing.assert_allclose(np.asarray(c2.re) / scale,
+                               np.asarray(c1.re) / scale, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2.im) / scale,
+                               np.asarray(c1.im) / scale, atol=1e-5)
+    # Register-combined contributions change the f32 addition order;
+    # a few bins land ~1e-4 relative apart.
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1),
+                               rtol=1e-6)
+
+
+def test_slice_segs_per_step_rule(monkeypatch):
+    """Default: 1 everywhere — multi-segment steps measured SLOWER on
+    chip even at 12 stations (SEGSTEP_AB.json: +18.5 ms queued; the
+    live per-segment spectra cost more than the halved accumulator RMW
+    saves). Env override remains for measurement."""
+    from tdoa_tpu.ops.corr import _slice_segs_per_step
+
+    monkeypatch.delenv("TDOA_TPU_SEGS_PER_STEP", raising=False)
+    assert _slice_segs_per_step(3) == 1
+    assert _slice_segs_per_step(66) == 1
+    monkeypatch.setenv("TDOA_TPU_SEGS_PER_STEP", "2")
+    assert _slice_segs_per_step(66) == 2
+    monkeypatch.setenv("TDOA_TPU_SEGS_PER_STEP", "4")
+    assert _slice_segs_per_step(3) == 4
+
+
 def test_fused_accepts_bf16_blocks():
     """bf16 planar input (the TPU path's native storage) must flow
     through and deliver the same delays as f32 input."""

@@ -210,6 +210,55 @@ def test_e2e_planted_echo_covered_and_diagnosed(omaha_stations,
             good = np.isfinite(seps)
             assert np.any(good)
             assert np.all(np.abs(seps[good] - 25.0) < 4.0), seps
+    # Round-5 heavy-tail contract: every echo-ENGAGED fix carries the
+    # calibrated Student-t contour scales (the kσ contour is k·s_k of
+    # the reported 1σ covariance) — the tail the single Gaussian γ
+    # could not cover lives in scenes exactly like this one.
+    from tdoa_tpu.dsp.multipath import ECHO_TAIL_CONF_SCALES
+
+    if res.fix.cov_en is not None:
+        assert res.fix.conf_scales == ECHO_TAIL_CONF_SCALES
+        assert res.fix.conf_scales[2] > res.fix.conf_scales[0] >= 1.0
+
+
+def test_echo_tail_constants_match_artifact():
+    """The shipped tail constants must be exactly the committed
+    round-5 fit artifact's (MULTIPATH_CAL_r05.json): one γ for every
+    engaged fix, Student-t(ν) radial contour scales reproducible from
+    ν via the F(2, ν) quantile."""
+    import json
+    import os
+
+    from scipy import stats
+
+    from tdoa_tpu.dsp.multipath import (
+        ECHO_TAIL_CONF_SCALES,
+        ECHO_TAIL_NU,
+        STATION_BIAS_FIX_INFLATION,
+        STATION_BIAS_FIX_INFLATION_CONFIRMED,
+    )
+
+    art_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "MULTIPATH_CAL_r05.json",
+    )
+    art = json.load(open(art_path))
+    assert art["gamma"] == STATION_BIAS_FIX_INFLATION
+    # The confirmed tier is retired: both constants equal.
+    assert STATION_BIAS_FIX_INFLATION_CONFIRMED == STATION_BIAS_FIX_INFLATION
+    assert art["nu"] == ECHO_TAIL_NU
+    assert tuple(art["contour_scales"]) == ECHO_TAIL_CONF_SCALES
+    # Scales reproduce from ν: s_k = sqrt(2 F⁻¹(p_k; 2, ν)) / k.
+    for k, (p, s) in enumerate(zip(art["chi2_mass"],
+                                   ECHO_TAIL_CONF_SCALES), start=1):
+        want = np.sqrt(2.0 * stats.f.ppf(p, 2, ECHO_TAIL_NU)) / k
+        np.testing.assert_allclose(s, want, atol=2e-3)
+    # Fit validation recorded in the artifact: per-base 3σ ≥ 87% on
+    # every base including the holdout, pooled ≥ 35/80/90.
+    for name, b in art["bases"].items():
+        assert b["coverage_pct"][2] >= 87.0, (name, b)
+    pooled = art["pooled_coverage_pct"]
+    assert pooled[0] >= 35.0 and pooled[1] >= 80.0 and pooled[2] >= 90.0
 
 
 def test_echo_env_floor_fires_on_confirmation():
