@@ -241,6 +241,54 @@ def test_ingest_adaptive_healthy_link_keeps_default(monkeypatch):
     assert not puts_1d  # no monolithic probe transfer happened
 
 
+def test_tail_ingest_adaptive_retune(monkeypatch):
+    """TailIngest must re-plan its UNDISPATCHED chunks after measuring
+    the first chunk's put rate (same ladder rule as ingest_overlapped),
+    and the retuned session must reproduce the fixed-plan TDOAs."""
+    from tdoa_tpu.pipeline import ingest as ing
+
+    clock = {"t": 0.0}
+    real_put = ing._device_put
+
+    def fake_put(x):
+        arr = np.asarray(x) if not hasattr(x, "nbytes") else x
+        clock["t"] += arr.nbytes / 25e6
+        return real_put(x)
+
+    monkeypatch.setattr(ing, "_now", lambda: clock["t"])
+    monkeypatch.setattr(ing, "_device_put", fake_put)
+    monkeypatch.setattr(ing, "_measure_dispatch_rt", lambda: 0.1)
+
+    seg = 2048
+    block_len = 8 * 48 * seg
+    delays = [0, 5, -3]
+    host = _delay_capture_u16(3, block_len, delays, seed=4)
+    pair = np.array([[0, 1], [0, 2], [1, 2]], np.int32)
+    geo = np.zeros(3, np.float32)
+    kw = dict(block_len=block_len, max_lag=256, seg_len=seg,
+              weighting="ht")
+
+    sess = ing.TailIngest(["a", "b", "c"], pair, geo, adaptive=True,
+                          **kw)
+    n0 = sess.total_chunks
+    # Feed in two growth steps so the retune happens mid-capture.
+    half = [v[: v.shape[0] // 2] for v in host]
+    sess.feed(half)
+    assert sess.link_diag["chunk_segs"] == 192  # escalated (0.1 s RT)
+    assert sess.total_chunks < n0  # remainder re-planned to big chunks
+    out = sess.finalize(host)
+
+    ref_sess = ing.TailIngest(["a", "b", "c"], pair, geo,
+                              adaptive=False, **kw)
+    ref = ref_sess.finalize(host)
+    assert ref_sess.link_diag["chunk_segs"] == 48
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=0.05)
+    want = np.array([delays[j] - delays[i] for i, j in pair], np.float64)
+    np.testing.assert_allclose(np.asarray(out[0], np.float64), want,
+                               atol=0.5)
+
+
 def test_ingest_matches_batch_path(omaha_stations, station_csv, tmp_path):
     """Streamed chunked ingest vs the batch processor on the same
     capture bytes: corrected TDOAs within 0.05 samples, fix within a
