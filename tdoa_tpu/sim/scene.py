@@ -112,6 +112,26 @@ class SimScene:
     # is validated against; turn this on to exercise CAF/short-segment
     # robustness against realistic TCXO offsets.
     drift_doppler: bool = False
+    # Per-station receive-gain calibration error: [n] linear amplitude
+    # multipliers applied to EVERYTHING a station hears (REF and TGT
+    # alike — a front-end gain error is channel-agnostic). The
+    # real-world impairment the reference's gain_calibrator exists
+    # for. NOTE: the power ranking is REF-gain-calibrated
+    # (solve.rank_candidates_by_power removes per-station gain using
+    # the REF block and the known REF geometry), so a channel-
+    # agnostic gain error CANCELS there by design — this field mainly
+    # exercises that cancellation. None = perfectly calibrated.
+    station_gain: Optional[np.ndarray] = None  # [n] linear
+    # Per-station CROSS-FREQUENCY response error: [n] linear amplitude
+    # multipliers applied to the TGT channel ONLY. The REF-based gain
+    # calibration measures the front end at the REF frequency
+    # (162.4 MHz) and assumes the response transfers to the TGT
+    # frequency (101.9 MHz); antenna/filter response differences
+    # between the two bands DO NOT cancel and corrupt the 1/r
+    # received-power evidence the ghost posterior's power lane
+    # consumes (a ±6 dB spread makes that lane uninformative — the
+    # ghost-fdoa Monte Carlo regime). None = flat response.
+    station_gain_tgt: Optional[np.ndarray] = None  # [n] linear
     seed: int = 0
 
 
@@ -288,6 +308,13 @@ def simulate_scene(scene: SimScene) -> Tuple[Dict[str, Tuple[jax.Array, ...]], S
     d_tgt = np.asarray(tau_tgt) * (SPEED_OF_LIGHT / fs)
     amp_ref = scene.ref_profile.signal_amplitude * (d_ref.min() / d_ref)
     amp_tgt = scene.tgt_profile.signal_amplitude * (d_tgt.min() / d_tgt)
+    if scene.station_gain is not None:
+        g = np.asarray(scene.station_gain, np.float64)
+        amp_ref = amp_ref * g
+        amp_tgt = amp_tgt * g
+    if scene.station_gain_tgt is not None:
+        amp_tgt = amp_tgt * np.asarray(scene.station_gain_tgt,
+                                       np.float64)
 
     key = jax.random.PRNGKey(scene.seed)
     keys = jax.random.split(key, 8)

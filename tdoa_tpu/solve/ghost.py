@@ -140,9 +140,33 @@ def ghost_posterior(
         comps["tdoa"] = -0.5 * max(n_pairs_active, 1) * (r / sigma_m) ** 2
     if power_scores is not None and n_stations >= 3:
         s = np.asarray(power_scores, np.float64)
-        comps["power"] = (
-            -0.5 * n_stations * (s / power_log_sigma) ** 2
-        )
+        # SELF-CALIBRATING σ (round 5): the BEST candidate's score is
+        # an estimate of the per-station log-amplitude mismatch floor
+        # — antenna patterns plus CROSS-BAND calibration residue (the
+        # REF-based gain calibration measures the front end at the REF
+        # frequency; response differences at the TGT frequency do not
+        # cancel). When it exceeds the calibrated σ_p, the 1/r model
+        # fits NO candidate, and holding σ_p frozen makes the lane
+        # wildly overconfident in what is then mostly calibration
+        # noise — measured: a ±6 dB cross-band gain spread produced a
+        # WRONG swap at frozen σ_p (BENCHLOG round 5, ghost-fdoa
+        # regime). Flooring σ at min(s) collapses the lane's margins
+        # exactly when its model is violated (the FDOA/prior lanes
+        # then decide), and leaves clean scenes essentially unchanged
+        # (their true-candidate scores sit at or below σ_p).
+        sigma_eff = max(power_log_sigma, float(np.min(s)))
+        llp = -0.5 * n_stations * (s / sigma_eff) ** 2
+        if sigma_eff > power_log_sigma:
+            # Model violated: the lane may LEAN but must not clear the
+            # decision threshold alone. A corrupted calibration can be
+            # anti-informative, not just uninformative — measured: one
+            # ±6 dB gain draw made the GHOST fit 1/r better than the
+            # truth (scores 0.16 vs 0.38) and power alone swapped onto
+            # it. Capping the lane's relative log-odds at 2.0 nats
+            # (below the 2.5 decision threshold) turns that into an
+            # abstention unless an uncorrupted lane corroborates.
+            llp = np.maximum(llp - llp.max(), -2.0)
+        comps["power"] = llp
     if fdoa_resid_hz is not None or speeds_mps is not None:
         ll = np.zeros(k)
         if fdoa_resid_hz is not None and fdoa_dof > 0:

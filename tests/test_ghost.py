@@ -160,6 +160,36 @@ def test_station_signal_power_pure_noise_falls_back():
     np.testing.assert_allclose(est, raw, rtol=1e-6)
 
 
+def test_power_lane_self_calibrates_on_model_violation():
+    """When the 1/r model fits NO candidate (best score >> σ_p — a
+    cross-band gain-calibration failure), the power lane must degrade
+    its own confidence instead of deciding on calibration noise
+    (round-5: a ±6 dB cross-band spread produced a wrong swap at
+    frozen σ_p). Clean scenes (best score ≤ σ_p) are unchanged."""
+    from tdoa_tpu.solve.ghost import ghost_posterior
+
+    # Clean: true candidate fits well — power decides as calibrated.
+    v = ghost_posterior(
+        2, power_scores=np.array([0.05, 0.6]), n_stations=3)
+    assert v.decided and v.best == 0
+
+    # Model violated: BOTH scores far above σ_p (mostly calibration
+    # noise); the same score DIFFERENCE must no longer decide.
+    v2 = ghost_posterior(
+        2, power_scores=np.array([0.55, 0.78]), n_stations=3)
+    assert not v2.decided
+    # Margin collapsed relative to the frozen-σ form.
+    frozen = 0.5 * 3 * (0.78**2 - 0.55**2) / 0.15**2
+    assert v2.margin_nats < 0.2 * frozen
+
+    # FDOA must then carry the decision (the ghost-fdoa regime).
+    v3 = ghost_posterior(
+        2, power_scores=np.array([0.55, 0.78]), n_stations=3,
+        fdoa_resid_hz=np.array([0.1, 0.1]), fdoa_dof=0,
+        speeds_mps=np.array([120.0, 5000.0]), max_speed_mps=700.0)
+    assert v3.decided and v3.best == 0
+
+
 def test_host_subsample_contiguous_power_ranking():
     """HostCapture.subsample_planar must feed `_station_signal_power`
     contiguous runs at the ORIGINAL sample rate. The old bare-stride
