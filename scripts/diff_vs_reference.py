@@ -10,7 +10,7 @@ presumes the reference produces usable TDOAs; this harness measures
 both processors against the *planted truth* and documents exactly
 where the reference cannot.
 
-Three scenes:
+Eight scenes (four base + the round-5 positive-lag widening):
 
 1. ``equidistant`` — the transmitter at the stations' circumcenter, so
    every true TDOA is 0. The reference's correlator reports delay 0

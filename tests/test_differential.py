@@ -36,7 +36,12 @@ def test_differential_vs_reference_binary(tmp_path):
     rep = json.load(open(out))
     scenes = rep["scenes"]
     assert set(scenes) == {"equidistant", "offset-geometry",
-                           "clock-offsets", "positive-lags"}
+                           "clock-offsets", "positive-lags",
+                           "near-zero-lags", "mid-lags", "upper-lags",
+                           "large-lags"}
+    # Round-5 widened parity base: ≥ 15 ELF-trusted pairs across the
+    # scene set (the all-positive-lag constructions each contribute 3).
+    assert sum(sc["n_ref_trusted_pairs"] for sc in scenes.values()) >= 15
     for name, sc in scenes.items():
         ours = sc["ours"]
         # The rebuild recovers every planted TDOA to sub-sample
