@@ -688,6 +688,15 @@ def main() -> None:
             # (pipeline/ingest.py): measured first-chunk rate, chosen
             # chunk size, and whether the monolithic fallback engaged.
             "ingest_adaptive": overlap_diag,
+            # NOTE: diag's transfer_stream_s (summed host-side put
+            # times) is a LOWER bound on the wire time — device_put
+            # through the tunnel is partially async (measured: 15.9 s
+            # of host blocking against ~33 s of wall transfer), so it
+            # drives the monolithic-fallback decision but is NOT an
+            # overlap denominator. The chunked transfer-only probe
+            # below runs immediately AFTER the overlap run for exactly
+            # this reason: same-minute link state (probe-to-run drift
+            # was observed at ±20% when they were minutes apart).
             "overlap_vs_max_transfer_compute": round(
                 overlap_s / max(transfer_chunked_s, device_path_s), 3
             ),

@@ -679,6 +679,7 @@ def ingest_overlapped(
     # First chunk: timed put + one scalar sync — the link probe.
     t0 = _now()
     buf = _device_put(host_chunk(*spans[0]))
+    dt0 = max(_now() - t0, 1e-9)
     mono = False
     if adaptive_on:
         int(buf[0, 0])  # scalar readback = tunnel-safe sync
@@ -712,6 +713,12 @@ def ingest_overlapped(
     # is issued BEFORE the next device_put, so the (blocking) host→
     # device stream of chunk k+1 overlaps the device's work on chunk k.
     state = update(state, buf)
+    # Within-run transfer floor: the summed host-side put times. The
+    # honest overlap denominator — a separately-timed transfer probe
+    # minutes earlier measures a DIFFERENT link state (observed ±20%
+    # drift between probe and run, which once put the "overlap
+    # overhead" at +16% when the stream itself accounted for it).
+    put_s = dt0
     best_rate = 0.0
     degrade_run = 0
     k = 1
@@ -720,6 +727,7 @@ def ingest_overlapped(
         t0 = _now()
         buf = _device_put(host_chunk(start, length))
         dt = max(_now() - t0, 1e-9)
+        put_s += dt
         state = update(state, buf)  # async; overlaps the next put
         k += 1
         if adaptive_on:
@@ -733,6 +741,8 @@ def ingest_overlapped(
                 mono = True
                 diag_out["fallback_reason"] = "degradation"
 
+    diag_out["transfer_stream_s"] = round(put_s, 3)
+
     if mono and k < len(spans):
         # Monolithic remainder: one put per station of its FULL capture
         # array (the couple already-consumed chunks ride along — far
@@ -745,6 +755,8 @@ def ingest_overlapped(
         )
         int(dev_full[-1][0])
         diag_out["mono_transfer_s"] = round(_now() - t0, 3)
+        diag_out["transfer_stream_s"] = round(
+            put_s + (_now() - t0), 3)
         rest = plan_from(spans[k][0], CHUNK_LADDER_SEGS[-1])
         bl_static = tuple(int(b) for b in block_lens)
         for start, length in rest:
