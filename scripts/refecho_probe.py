@@ -129,13 +129,19 @@ def run_probe_trial(seed: int, population: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=30)
+    ap.add_argument("--clean-trials", type=int, default=None,
+                    help="clean-population size (default --trials); a "
+                         "larger clean base pins the false-positive "
+                         "rate before wiring the detector")
     ap.add_argument("--seed", type=int, default=81000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     rows = []
     for pop in ("clean", "invisible", "visible"):
-        for t in range(args.trials):
+        n_pop = (args.clean_trials if pop == "clean"
+                 and args.clean_trials else args.trials)
+        for t in range(n_pop):
             seed = (args.seed + 100 * t + zlib.crc32(pop.encode()) % 97)
             r = run_probe_trial(seed, pop)
             rows.append(r)

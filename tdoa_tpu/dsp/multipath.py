@@ -115,6 +115,15 @@ def _floor_subtracted_centroids(
     return tuple(centroid(L) for L in widths)
 
 
+# Wiring threshold for ref_lobe_echo_consistency (round-5 probe,
+# REFECHO_PROBE.json): 80 randomized clean scenes put the statistic's
+# ceiling at 0.397 (p50 0.10, p99 0.40); 0.8 is a 2× margin with ZERO
+# clean false positives, detecting 14% of the invisible-TGT-echo class
+# and 30% of visible echoes whose reflectors are station-local. Crossing
+# it confirms the echo environment (σ floor on every pair + warning).
+REF_ECHO_CONSISTENCY_THRESHOLD = 0.8
+
+
 def ref_lobe_echo_consistency(
     win_ref1: np.ndarray,  # [m, W] REF1-block correlation windows
     win_ref2: np.ndarray,  # [m, W] REF2-block windows

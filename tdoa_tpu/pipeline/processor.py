@@ -1743,9 +1743,11 @@ class TDOAProcessor:
             # same way.
             from tdoa_tpu.dsp.multipath import (
                 _ECHO_ENV_THRESHOLD,
+                REF_ECHO_CONSISTENCY_THRESHOLD,
                 echo_bias_sigma,
                 lobe_centroid_offset,
                 mitigate_flagged_pairs,
+                ref_lobe_echo_consistency,
             )
 
             # Environment confirmation for the σ floor: the drift
@@ -1756,22 +1758,51 @@ class TDOAProcessor:
                 else _lobe_centroid_drift(echo_win)
             )
             off_echo = lobe_centroid_offset(echo_win)
-            # Scene-level echo-environment confirmation: either lobe
-            # statistic over its threshold. Drives the σ floor here
-            # AND the fix-covariance inflation tier below (the
-            # tail-covering γ applies only to confirmed environments —
-            # clean scenes' sub-knee jitter must not inherit it).
+            # Third, INDEPENDENT confirmation lane (round 5): dual-REF
+            # lobe-shape consistency. A static station-local reflector
+            # marks BOTH REF blocks' lobes the same way (~1/3 capture
+            # apart) while noise jitter is independent between them —
+            # this sees echo environments whose TGT statistics stay
+            # inside clean ranges (the invisible-echo class; 14% of it
+            # detected at zero false positives over 80 clean scenes,
+            # REFECHO_PROBE.json). Premise: the reflectors are
+            # station-local, so the REF channel traverses them too.
+            win_cx_ref = np.asarray(win_c_blocks, np.float64)
+            cx_ref = win_cx_ref[0] + 1j * win_cx_ref[1]
+            s_ref = ref_lobe_echo_consistency(
+                np.abs(cx_ref[0]), np.abs(cx_ref[2])
+            )
+            ref_echo_env = bool(
+                s_ref.size
+                and float(s_ref.max()) > REF_ECHO_CONSISTENCY_THRESHOLD
+            )
+            # Scene-level echo-environment confirmation: any lane over
+            # its threshold. Drives the σ floor here AND the heavy-tail
+            # contour scales below.
             echo_env_confirmed = bool(
                 (drift_echo.size and float(drift_echo.max()) > 1.0)
                 or (off_echo.size
                     and float(off_echo.max()) > _ECHO_ENV_THRESHOLD)
+                or ref_echo_env
             )
             mp_sigma = echo_bias_sigma(
                 off_echo,
                 env_confirmed=bool(
                     drift_echo.size and float(drift_echo.max()) > 1.0
-                ),
+                ) or ref_echo_env,
             )
+            if ref_echo_env:
+                k_r = int(np.argmax(s_ref))
+                i_r, j_r = pairs[k_r]
+                warnings.append(
+                    f"REF-block lobes carry a consistent echo signature "
+                    f"(dual-REF centroid consistency "
+                    f"{float(s_ref.max()):.2f} > "
+                    f"{REF_ECHO_CONSISTENCY_THRESHOLD} on "
+                    f"{names[i_r]}-{names[j_r]}): station-local "
+                    f"multipath environment — echo-bias σ floor applied "
+                    f"to every pair"
+                )
             if np.any(mp_sigma > 0):
                 multipath_sigma = mp_sigma
                 # Pre-inflation noise σ: the independent part of the

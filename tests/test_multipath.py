@@ -221,6 +221,66 @@ def test_e2e_planted_echo_covered_and_diagnosed(omaha_stations,
         assert res.fix.conf_scales[2] > res.fix.conf_scales[0] >= 1.0
 
 
+def test_ref_echo_consistency_confirms_invisible_echo():
+    """End-to-end wiring of the dual-REF consistency lane (round 5):
+    a station-local echo (planted on BOTH channels) whose TGT lobe
+    statistics stay inside clean ranges — the invisible class — must
+    still confirm the echo environment through the REF blocks: the
+    REF-signature warning fires, the σ floor applies to every pair,
+    and the fix carries the heavy-tail contour scales. Scene = probe
+    row seed 82314 (REFECHO_PROBE.json: tgt_off 0.95, tgt_drift 0.08
+    — both quiet — ref consistency 1.37 > the 0.8 threshold)."""
+    import os
+    import types
+
+    from tdoa_tpu.dsp.multipath import ECHO_TAIL_CONF_SCALES
+    from tdoa_tpu.io.stations import Station, StationTable
+    from tdoa_tpu.pipeline.processor import ProcessorConfig, TDOAProcessor
+    from tdoa_tpu.sim import NoiseProfile, SimScene, simulate_scene
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mc = types.ModuleType("mc")
+    mc.__file__ = os.path.join(repo, "scripts", "monte_carlo.py")
+    src = open(mc.__file__).read().replace(
+        'if __name__ == "__main__":\n    main()', '')
+    exec(compile(src, "mc", "exec"), mc.__dict__)
+
+    seed = 82314
+    rng = np.random.default_rng(seed)
+    lla = mc.random_network(rng, 3)
+    tgt = mc.random_target(rng, lla)
+    names = ("st0", "st1", "st2")
+    offs = rng.uniform(-50e-6, 50e-6, 3)
+    amp = rng.uniform(0.12, 0.30)
+    dly = rng.uniform(4.0, 25.0)
+    sc = SimScene(
+        station_names=names, station_lla=lla, ref_tx_lla=mc.REF_TX,
+        tgt_tx_lla=tgt, block_len=1 << 17, seed=seed,
+        clock_offsets_s=offs,
+        tgt_profile=NoiseProfile(
+            signal_amplitude=1.0, noise_amplitude=0.05,
+            multipath_amplitude=amp, multipath_delay_samples=dly),
+        ref_profile=NoiseProfile(
+            signal_amplitude=1.0, noise_amplitude=0.02,
+            multipath_amplitude=amp, multipath_delay_samples=dly),
+    )
+    caps, _ = simulate_scene(sc)
+    table = StationTable(
+        stations=[Station(n, *lla[k]) for k, n in enumerate(names)],
+        reference_tx=Station("162400000", *mc.REF_TX),
+    )
+    proc = TDOAProcessor(
+        ProcessorConfig(ref_freq=162.4e6, tgt_freq=101.9e6,
+                        max_lag=768), table)
+    res = proc.process_captures({n: caps[n] for n in names})
+    assert any("REF-block lobes" in w for w in res.warnings), res.warnings
+    # σ floor on every pair (0.7 samples in quadrature).
+    assert res.multipath_sigma_samples is not None
+    assert np.all(res.multipath_sigma_samples >= 0.7)
+    if res.fix.cov_en is not None:
+        assert res.fix.conf_scales == ECHO_TAIL_CONF_SCALES
+
+
 def test_echo_tail_constants_match_artifact():
     """The shipped tail constants must be exactly the committed
     round-5 fit artifact's (MULTIPATH_CAL_r05.json): one γ for every
